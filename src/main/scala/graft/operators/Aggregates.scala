@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** Group D (aggregations) — SURVEY.md §2.D.
+  *
+  * Scale notes: every groupBy here compiles to HashAggregateExec with a
+  * partial (map-side) phase before the shuffle, so the exchange moves one
+  * row per (partition × group), not per input row — at 100 TB with
+  * low-cardinality group keys (6 groups for the flagship) the shuffle is
+  * effectively free. Sums over money columns go through exact
+  * DECIMAL(18,6) ([[graft.Canon]]) so the partial/final fold order cannot
+  * change the emitted bits (hash-compare safety, SURVEY.md §5.3).
+  */
+object Aggregates extends QueryGroup {
+
+  def queries = Map(
+    // Flagship — TPC-H Q1 shape. 6 groups at every sf (verified).
+    "agg_pricing_summary" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Canon.moneySum(col("l_quantity")).as("sum_qty"),
+          Canon.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Canon.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          Canon.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Canon.meanOf(col("l_quantity")).as("avg_qty"),
+          Canon.meanOf(col("l_extendedprice")).as("avg_price"),
+          Canon.meanOf(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "agg_distinct" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    "agg_multi_distinct" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy("l_linestatus")
+    },
+
+    "agg_rollup" -> { (spark, dir) =>
+      // dims are tiny → both joins broadcast (asserted in AggregateSpec)
+      Tables.table(spark, dir, "customer").createOrReplaceTempView("ru_customer")
+      Tables.table(spark, dir, "nation").createOrReplaceTempView("ru_nation")
+      Tables.table(spark, dir, "region").createOrReplaceTempView("ru_region")
+      spark.sql("""
+        SELECT r_name, n_name, count(*) AS n_cust,
+               grouping(r_name) AS g_r, grouping(n_name) AS g_n
+        FROM ru_customer
+        JOIN ru_nation ON c_nationkey = n_nationkey
+        JOIN ru_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    },
+
+    "agg_cube" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          Canon.moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    "agg_grouping_sets" -> { (spark, dir) =>
+      val c = Tables.table(spark, dir, "customer")
+      c.createOrReplaceTempView("gs_customer")
+      spark.sql("""
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS n_cust,
+               grouping(c_mktsegment) AS g_seg, grouping(c_nationkey) AS g_nat
+        FROM gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg, g_nat,
+                 c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""")
+    },
+
+    "agg_stats" -> { (spark, dir) =>
+      Tables.table(spark, dir, "orders")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Canon.round4(min(col("o_totalprice"))).as("min_price"),
+          Canon.round4(max(col("o_totalprice"))).as("max_price"),
+          Canon.round4(stddev_samp(col("o_totalprice"))).as("sd_price"),
+          Canon.round4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
+    },
+
+    // Approx sketches: engine-specific — oracle omitted (SURVEY.md §5.5);
+    // unit tests assert error bounds against the exact values.
+    "agg_approx_distinct" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+    },
+
+    "agg_approx_quantile" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .agg(
+          expr("percentile_approx(value, 0.5)").as("p50"),
+          expr("percentile_approx(value, 0.95)").as("p95"))
+    }
+  )
+
+  def oracle = Map(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_charge,
+        |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
+        |  CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+        |  CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_multi_distinct" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_part,
+        |       count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       grouping(r_name) AS g_r, grouping(n_name) AS g_n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+        |       grouping(c_mktsegment) AS g_seg, grouping(c_nationkey) AS g_nat
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY g_seg, g_nat,
+        |         c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT count(*) AS n_orders,
+        |  CAST(round(min(o_totalprice), 4) AS DOUBLE) AS min_price,
+        |  CAST(round(max(o_totalprice), 4) AS DOUBLE) AS max_price,
+        |  CAST(round(stddev_samp(o_totalprice), 4) AS DOUBLE) AS sd_price,
+        |  CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS median_price
+        |FROM orders""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** Group A (scans/sources) + B (projection/filter) — SURVEY.md §2.
+  *
+  * These exist to prove the scan path does the right thing at scale:
+  * column pruning (`ReadSchema` in the scan node carries only selected
+  * columns) and predicate pushdown (`PushedFilters` reaches the parquet
+  * reader, enabling row-group skipping — the difference between touching
+  * 100 TB and touching the few TB that match). ScanSpec asserts both on
+  * the physical plan.
+  */
+object Scans extends QueryGroup {
+
+  /** (l_orderkey, l_linenumber) is NOT unique in the fixtures; the minimal
+    * verified unique lineitem key is this 6-column prefix (SURVEY.md §2.A).
+    * Every lineitem-grain query orders by it for hash-stable output.
+    */
+  val lineitemKey: Seq[String] = Seq(
+    "l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice")
+  val lineitemKeySql: String = lineitemKey.mkString(", ")
+
+  def queries = Map(
+    "scan_full" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .orderBy(lineitemKey.map(col): _*)
+    },
+
+    "scan_pruned" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_extendedprice")
+        // output columns are the only key available; duplicate full rows
+        // hash identically regardless of their relative order
+        .orderBy("l_orderkey", "l_extendedprice")
+    },
+
+    "scan_events_typed" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
+    "filter_complex" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .filter(col("l_discount").between(0.02, 0.06)
+          && col("l_returnflag").isin("A", "R")
+          && !(col("l_linestatus") === "O")
+          && col("l_shipdate") < lit("2000-01-01").cast("timestamp_ntz"))
+        .select((lineitemKey ++ Seq("l_discount", "l_returnflag",
+          "l_linestatus", "l_shipdate")).map(col): _*)
+        .orderBy(lineitemKey.map(col): _*)
+    },
+
+    "project_case" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          // scalar double arithmetic: IEEE-identical cross-engine, safe raw
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 25, "mid")
+            .otherwise("high").as("qty_bucket"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flags"))
+        .orderBy(lineitemKey.map(col): _*)
+    }
+  )
+
+  def oracle = Map(
+    "scan_full" ->
+      s"SELECT * FROM lineitem ORDER BY $lineitemKeySql",
+
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_extendedprice""".stripMargin,
+
+    "scan_events_typed" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "filter_complex" ->
+      s"""SELECT $lineitemKeySql, l_discount, l_returnflag, l_linestatus, l_shipdate
+         |FROM lineitem
+         |WHERE l_discount BETWEEN 0.02 AND 0.06
+         |  AND l_returnflag IN ('A','R')
+         |  AND NOT l_linestatus = 'O'
+         |  AND l_shipdate < TIMESTAMP '2000-01-01'
+         |ORDER BY $lineitemKeySql""".stripMargin,
+
+    "project_case" ->
+      s"""SELECT $lineitemKeySql,
+         |  l_extendedprice * (1 - l_discount) AS revenue,
+         |  CASE WHEN l_quantity < 10 THEN 'low'
+         |       WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qty_bucket,
+         |  concat(l_returnflag, '-', l_linestatus) AS flags
+         |FROM lineitem ORDER BY $lineitemKeySql""".stripMargin
+  )
+}

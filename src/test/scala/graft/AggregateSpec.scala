@@ -1,0 +1,42 @@
+package graft
+
+/** Group D specs (SURVEY.md §2.D). */
+class AggregateSpec extends SparkSpec {
+
+  test("agg_pricing_summary has exactly 6 groups (all flag combos)") {
+    val rows = q("agg_pricing_summary").collect()
+    assert(rows.length == 6)
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flags == Set(("A","F"),("N","F"),("N","O"),("R","F"),("A","O"),("R","O")))
+    // counts must sum to the filtered row count (shipdate <= 2001-09-01)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == 5854 && total <= 6000)
+  }
+
+  test("agg_rollup plan broadcasts both dim joins") {
+    val p = plan(q("agg_rollup"))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("rollup/cube/grouping_sets row counts") {
+    assert(q("agg_rollup").count() == 31)     // 25 nations + 5 regions + 1
+    assert(q("agg_cube").count() == 12)       // 6 + 3 + 2 + 1
+    assert(q("agg_grouping_sets").count() == 31) // 5 segments + 25 nations + 1
+  }
+
+  test("approx sketches within error bounds of exact values") {
+    val ad = q("agg_approx_distinct").head()
+    val (approx, exact) = (ad.getLong(0), ad.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"HLL++ rsd default 5%: approx=$approx exact=$exact")
+    val aq = q("agg_approx_quantile").head()
+    assert(aq.getDouble(0) > 0 && aq.getDouble(1) > aq.getDouble(0))
+  }
+
+  test("agg_distinct counts are consistent") {
+    val rows = q("agg_distinct").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 6000)
+    rows.foreach(r => assert(r.getAs[Long]("n_supp") <= 10)) // 10 suppliers at sf0.001
+  }
+}

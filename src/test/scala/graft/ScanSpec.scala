@@ -1,0 +1,41 @@
+package graft
+
+/** Group A/B specs — scan path behavior that matters at 100 TB:
+  * predicate pushdown reaching the parquet reader and column pruning
+  * visible in ReadSchema (SURVEY.md §2.A).
+  */
+class ScanSpec extends SparkSpec {
+
+  test("scan_full returns all lineitem rows and columns") {
+    val df = q("scan_full")
+    assert(df.columns.length == 11)
+    assert(df.count() == 6000)
+  }
+
+  test("scan_pruned pushes filter down and prunes columns") {
+    val df = q("scan_pruned")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      "filter must reach the parquet scan")
+    assert(p.contains("ReadSchema"))
+    // pruned scan must not read unreferenced money columns
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("l_tax"),
+      "ReadSchema must exclude unused columns")
+    assert(df.columns.toSeq == Seq("l_orderkey", "l_extendedprice"))
+  }
+
+  test("scan_events_typed canonicalizes ns → µs") {
+    val df = q("scan_events_typed")
+    val first = df.head()
+    assert(first.getLong(0) == 0L)
+    assert(df.schema("ts_us").dataType.typeName == "long")
+    assert(df.count() == 1000)
+  }
+
+  test("filter_complex and project_case run and stay ordered") {
+    assert(q("filter_complex").count() > 0)
+    val pc = q("project_case")
+    assert(pc.columns.contains("revenue") && pc.columns.contains("qty_bucket"))
+    assert(pc.count() == 6000)
+  }
+}
