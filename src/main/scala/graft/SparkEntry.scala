@@ -12,7 +12,9 @@ object SparkEntry {
   /** All §2 operator groups. Order is cosmetic (maps are flat). */
   def groups: Seq[QueryGroup] = Seq(
     operators.Scans,
-    operators.Aggregates
+    operators.Aggregates,
+    operators.Joins,
+    operators.SortsSets
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group C (joins) — SURVEY.md §2.C: equi (broadcast + sort-merge), outer,
+  * semi/anti, theta residual, range non-equi, cross, as-of, multiway.
+  *
+  * Scale notes:
+  *  - dimension sides (customer, nation, region, part) are broadcast —
+  *    at 100 TB the fact tables shuffle only when two large sides meet
+  *    (lineitem ⋈ orders), where sort-merge on the join key is the right
+  *    physical plan and AQE handles skew;
+  *  - the range join keeps `p_brand` as the equi key with the size
+  *    comparison as a residual, so the planner hash-partitions by brand
+  *    instead of a full cartesian — O(sum per-brand²), not O(n²);
+  *  - the as-of join is a window rewrite (union-free here since both
+  *    channels live in `events`): one shuffle by user_id, no join at all.
+  *    A RANGE frame to -1 gives exact strictly-earlier semantics matching
+  *    DuckDB's `ON s.ts > p.ts` ASOF condition even under ts ties.
+  */
+object Joins extends QueryGroup {
+
+  private val liKey = Scans.lineitemKey
+  private val liKeySql = Scans.lineitemKeySql
+
+  def queries = Map(
+    "join_inner_hash" -> { (spark, dir) =>
+      Tables.table(spark, dir, "orders")
+        .join(broadcast(Tables.table(spark, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    "join_sort_merge" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .hint("merge")
+        .join(Tables.table(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((liKey.map(col) :+ col("o_totalprice") :+ col("o_orderdate")): _*)
+        .orderBy(liKey.map(col): _*)
+    },
+
+    "join_left_outer" -> { (spark, dir) =>
+      val bigOrders = Tables.table(spark, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+      Tables.table(spark, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    "join_full_outer" -> { (spark, dir) =>
+      val autoNations = Tables.table(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_nationkey").as("cust_nation")).distinct()
+      val richSuppNations = Tables.table(spark, dir, "supplier")
+        .filter(col("s_acctbal") > 8000)
+        .select(col("s_nationkey").as("supp_nation")).distinct()
+      autoNations
+        .join(richSuppNations, col("cust_nation") === col("supp_nation"), "full_outer")
+        .orderBy(col("cust_nation").asc_nulls_first, col("supp_nation").asc_nulls_first)
+    },
+
+    "join_semi" -> { (spark, dir) =>
+      val urgent = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Tables.table(spark, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "join_anti" -> { (spark, dir) =>
+      val urgent = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Tables.table(spark, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "join_theta" -> { (spark, dir) =>
+      Tables.table(spark, dir, "lineitem")
+        .join(Tables.table(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate"))
+        .select((liKey.map(col) :+ col("l_shipdate") :+ col("o_orderdate")): _*)
+        .orderBy(liKey.map(col): _*)
+    },
+
+    "join_range_nonequi" -> { (spark, dir) =>
+      val part = Tables.table(spark, dir, "part")
+      part.as("a")
+        .join(part.as("b"),
+          col("a.p_brand") === col("b.p_brand")
+            && col("a.p_size") < col("b.p_size"))
+        .select(col("a.p_brand").as("brand"),
+          col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+          col("a.p_size").as("s1"), col("b.p_size").as("s2"))
+        .orderBy("brand", "k1", "k2")
+    },
+
+    "join_cross" -> { (spark, dir) =>
+      Tables.table(spark, dir, "region")
+        .crossJoin(Tables.table(spark, dir, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+
+    "join_asof" -> { (spark, dir) =>
+      // Most recent strictly-earlier purchase per signup, same user.
+      // RANGE frame to -1 on epoch-µs = "ts_us < current ts_us" exactly.
+      val e = Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.withColumn("prev_purchase_ts",
+          last(when(col("event_type") === "purchase", col("ts_us")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "signup")
+        .select("user_id", "event_id", "ts_us", "prev_purchase_ts")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    "join_multiway" -> { (spark, dir) =>
+      // TPC-H Q5 shape: local-supplier revenue per nation within ASIA.
+      val customer = Tables.table(spark, dir, "customer")
+      val orders = Tables.table(spark, dir, "orders")
+      val lineitem = Tables.table(spark, dir, "lineitem")
+      val supplier = Tables.table(spark, dir, "supplier")
+      val nation = Tables.table(spark, dir, "nation")
+      val region = Tables.table(spark, dir, "region")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(Canon.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }
+  )
+
+  def oracle = Map(
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_sort_merge" ->
+      s"""SELECT $liKeySql, o_totalprice, o_orderdate
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |ORDER BY $liKeySql""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS cust_nation
+        |            FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |     sn AS (SELECT DISTINCT s_nationkey AS supp_nation
+        |            FROM supplier WHERE s_acctbal > 8000)
+        |SELECT cust_nation, supp_nation
+        |FROM cn FULL OUTER JOIN sn ON cust_nation = supp_nation
+        |ORDER BY cust_nation NULLS FIRST, supp_nation NULLS FIRST""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta" ->
+      s"""SELECT $liKeySql, l_shipdate, o_orderdate
+         |FROM lineitem JOIN orders
+         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+         |ORDER BY $liKeySql""".stripMargin,
+
+    "join_range_nonequi" ->
+      """SELECT a.p_brand AS brand, a.p_partkey AS k1, b.p_partkey AS k2,
+        |       a.p_size AS s1, b.p_size AS s2
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+        |ORDER BY brand, k1, k2""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('purchase','signup')),
+        |     s AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'signup'),
+        |     p AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.event_id, s.ts_us, p.ts_us AS prev_purchase_ts
+        |FROM s ASOF LEFT JOIN p
+        |  ON s.user_id = p.user_id AND s.ts_us > p.ts_us
+        |ORDER BY s.user_id, s.ts_us, s.event_id""".stripMargin,
+
+    "join_multiway" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** Groups F (sorts/limits/top-k) + G (set ops) — SURVEY.md §2.F/G.
+  *
+  * Scale notes: `orderBy(...).limit(k)` compiles to
+  * TakeOrderedAndProjectExec — per-partition top-k then a single merge of
+  * k-sized heaps on the driver; no global sort of 100 TB ever happens.
+  * The Q3-shape query aggregates *before* the top-k, so the heavy part is
+  * a partial-agg shuffle of group rows, not raw lineitems.
+  */
+object SortsSets extends QueryGroup {
+
+  def queries = Map(
+    "sort_multikey" -> { (spark, dir) =>
+      Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    "topk_group_limit" -> { (spark, dir) =>
+      // TPC-H Q3 shape: top-10 open-revenue orders in BUILDING segment.
+      Tables.table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+        .join(Tables.table(spark, dir, "orders")
+            .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.table(spark, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(Canon.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "set_union_all" -> { (spark, dir) =>
+      val c = Tables.table(spark, dir, "customer")
+        .select(lit("cust").as("kind"), col("c_custkey").as("key_id"),
+          col("c_acctbal").as("acctbal"))
+      val s = Tables.table(spark, dir, "supplier")
+        .select(lit("supp").as("kind"), col("s_suppkey").as("key_id"),
+          col("s_acctbal").as("acctbal"))
+      c.unionByName(s).orderBy("kind", "key_id")
+    },
+
+    "set_intersect" -> { (spark, dir) =>
+      Tables.table(spark, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.table(spark, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    "set_except" -> { (spark, dir) =>
+      // top-100 by balance EXCEPT top-100 by order spend. Both top-100s
+      // carry unique tiebreakers; spend ranks via exact decimal sum so
+      // partial-agg fold order can't flip ties (SURVEY.md §5.3).
+      val byBal = Tables.table(spark, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(100).select("c_custkey")
+      val bySpend = Tables.table(spark, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(Canon.Dec)).as("spend"))
+        .orderBy(col("spend").desc, col("o_custkey"))
+        .limit(100).select(col("o_custkey").as("c_custkey"))
+      byBal.except(bySpend).orderBy("c_custkey")
+    }
+  )
+
+  def oracle = Map(
+    "sort_multikey" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "topk_group_limit" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT 'cust' AS kind, c_custkey AS key_id, c_acctbal AS acctbal FROM customer
+        |UNION ALL
+        |SELECT 'supp' AS kind, s_suppkey AS key_id, s_acctbal AS acctbal FROM supplier
+        |ORDER BY kind, key_id""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_except" ->
+      """WITH by_bal AS (SELECT c_custkey FROM customer
+        |                ORDER BY c_acctbal DESC, c_custkey LIMIT 100),
+        |     by_spend AS (SELECT o_custkey AS c_custkey FROM orders
+        |                  GROUP BY o_custkey
+        |                  ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,6))) DESC, o_custkey
+        |                  LIMIT 100)
+        |SELECT c_custkey FROM by_bal
+        |EXCEPT
+        |SELECT c_custkey FROM by_spend
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

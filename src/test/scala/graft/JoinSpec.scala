@@ -1,0 +1,66 @@
+package graft
+
+/** Group C specs — semantics invariants + the physical plans that matter
+  * at scale (SURVEY.md §2.C, §4).
+  */
+class JoinSpec extends SparkSpec {
+
+  test("join_inner_hash broadcasts the customer side") {
+    val p = plan(q("join_inner_hash"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("join_sort_merge picks SMJ for fact-fact join") {
+    assert(plan(q("join_sort_merge")).contains("SortMergeJoin"))
+  }
+
+  test("join_range_nonequi keeps brand as equi key (no cartesian)") {
+    val p = plan(q("join_range_nonequi"))
+    assert(!p.contains("CartesianProduct"),
+      "same-brand range join must hash on p_brand, not go O(n^2)")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semi + anti partition the customer set") {
+    val semi = q("join_semi").count()
+    val anti = q("join_anti").count()
+    val all = Tables.table(spark, sfDir, "customer").count()
+    assert(semi + anti == all)
+  }
+
+  test("join_asof: every prev_purchase_ts is strictly earlier") {
+    import org.apache.spark.sql.functions.col
+    val df = q("join_asof")
+    assert(df.filter(col("prev_purchase_ts") >= col("ts_us")).count() == 0)
+    assert(df.count() ==
+      Tables.events(spark, sfDir).filter(col("event_type") === "signup").count(),
+      "as-of join must preserve every signup row (left semantics)")
+  }
+
+  test("join_cross is exactly |region| x |nation|") {
+    assert(q("join_cross").count() == 5L * 25L)
+  }
+
+  test("join_multiway returns per-nation revenue for ASIA only") {
+    val rows = q("join_multiway").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // revenues are sorted descending
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("set ops: union count adds, intersect bounded by dims") {
+    val c = Tables.table(spark, sfDir, "customer").count()
+    val s = Tables.table(spark, sfDir, "supplier").count()
+    assert(q("set_union_all").count() == c + s)
+    assert(q("set_intersect").count() <= 25)
+  }
+
+  test("sort_multikey: top-100 ordered by price desc") {
+    val rows = q("sort_multikey").collect()
+    assert(rows.length == 100)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+}
