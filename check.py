@@ -44,8 +44,13 @@ def main():
         s = spark_df[s_cols].reset_index(drop=True)
         d = duck_df[d_cols].reset_index(drop=True)
         mismatch = None
+        import numpy as np
+        def unarr(v):
+            if isinstance(v, (np.ndarray, list)):
+                return tuple(v)
+            return v
         for c in s_cols:
-            sv, dv = s[c], d[c]
+            sv, dv = s[c].map(unarr), d[c].map(unarr)
             try:
                 import pandas as pd
                 if str(sv.dtype).startswith("datetime") or str(dv.dtype).startswith("datetime"):

@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Scans,
     operators.Aggregates,
     operators.Joins,
-    operators.SortsSets
+    operators.SortsSets,
+    operators.Windows,
+    operators.Functions
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

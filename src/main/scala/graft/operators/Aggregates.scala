@@ -60,7 +60,8 @@ object Aggregates extends QueryGroup {
       Tables.table(spark, dir, "region").createOrReplaceTempView("ru_region")
       spark.sql("""
         SELECT r_name, n_name, count(*) AS n_cust,
-               grouping(r_name) AS g_r, grouping(n_name) AS g_n
+               CAST(grouping(r_name) AS BIGINT) AS g_r,
+               CAST(grouping(n_name) AS BIGINT) AS g_n
         FROM ru_customer
         JOIN ru_nation ON c_nationkey = n_nationkey
         JOIN ru_region ON n_regionkey = r_regionkey
@@ -74,8 +75,8 @@ object Aggregates extends QueryGroup {
         .agg(
           Canon.moneySum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"),
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"))
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
@@ -86,7 +87,8 @@ object Aggregates extends QueryGroup {
       spark.sql("""
         SELECT c_mktsegment, c_nationkey,
                count(*) AS n_cust,
-               grouping(c_mktsegment) AS g_seg, grouping(c_nationkey) AS g_nat
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(c_nationkey) AS BIGINT) AS g_nat
         FROM gs_customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY g_seg, g_nat,
@@ -147,7 +149,7 @@ object Aggregates extends QueryGroup {
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |       grouping(r_name) AS g_r, grouping(n_name) AS g_n
+        |       CAST(grouping(r_name) AS BIGINT) AS g_r, CAST(grouping(n_name) AS BIGINT) AS g_n
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -158,14 +160,14 @@ object Aggregates extends QueryGroup {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows,
-        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
-        |       grouping(c_mktsegment) AS g_seg, grouping(c_nationkey) AS g_nat
+        |       CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg, CAST(grouping(c_nationkey) AS BIGINT) AS g_nat
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY g_seg, g_nat,

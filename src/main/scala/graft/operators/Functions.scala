@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** Group H (scalar functions: string/date/math/array/json) — SURVEY.md §2.H.
+  *
+  * All of these are per-row codegen'd expressions (whole-stage codegen,
+  * no UDFs), so they pipeline inside the scan stage at scale. Math
+  * outputs that cross libm implementations (ln, pow) are rounded to
+  * absorb last-ulp differences on magnitudes where round-4/6 is safely
+  * above one ulp (SURVEY.md §5.3, §7.3.4).
+  */
+object Functions extends QueryGroup {
+
+  def queries = Map(
+    "fn_string" -> { (spark, dir) =>
+      Tables.table(spark, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_up"),
+          substring(col("p_type"), 1, 5).as("type_pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_type").like("PROMO%").as("is_promo"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"))
+        .orderBy("p_partkey")
+    },
+
+    "fn_datetime" -> { (spark, dir) =>
+      Tables.table(spark, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Canon.moneySum(col("o_totalprice")).as("sum_price"),
+          // cast to long: DuckDB date_part/date_diff return BIGINT
+          min(year(col("o_orderdate"))).cast("long").as("yr"),
+          min(month(col("o_orderdate"))).cast("long").as("mo"),
+          min(dayofmonth(col("o_orderdate"))).cast("long").as("first_dom"),
+          max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+            .cast("long").as("max_days_since_epoch"))
+        .orderBy("month")
+    },
+
+    "fn_math" -> { (spark, dir) =>
+      Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          abs(col("o_totalprice") - 250000).as("abs_dev"),
+          // cast to double: DuckDB ceil/floor return DOUBLE, Spark LONG
+          ceil(col("o_totalprice")).cast("double").as("ceil_p"),
+          floor(col("o_totalprice")).cast("double").as("floor_p"),
+          round(col("o_totalprice"), 2).as("round_p"),
+          // sqrt is IEEE-correctly-rounded: identical bits cross-engine
+          sqrt(col("o_totalprice")).as("sqrt_p"),
+          // ln/pow differ in the last ulp across libm impls → round6 on
+          // small magnitudes (ln≈12, pow≈125) where 1e-6 ≫ 1 ulp
+          Canon.round6(log(col("o_totalprice"))).as("ln_p"),
+          Canon.round6(pow(col("o_totalprice") / 100000d, 3)).as("pow_p"))
+        .orderBy("o_orderkey")
+    },
+
+    "fn_array" -> { (spark, dir) =>
+      Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("embedding").getItem(0).as("e1"),
+          slice(col("embedding"), 1, 4).as("head4"),
+          Canon.round6(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x))).as("l2_norm"))
+        .orderBy("vec_id")
+    },
+
+    "fn_json" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        // floor-div, not cast-of-ratio: DuckDB CAST rounds, Spark truncates
+        .withColumn("k_decile", floor(col("k") / 10).cast("long"))
+        .groupBy("k_decile")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("k_decile")
+    }
+  )
+
+  def oracle = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_up,
+        |  substring(p_type, 1, 5) AS type_pfx,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '/', p_type) AS brand_type,
+        |  p_type LIKE 'PROMO%' AS is_promo,
+        |  coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_price,
+        |  min(date_part('year', o_orderdate)) AS yr,
+        |  min(date_part('month', o_orderdate)) AS mo,
+        |  min(date_part('day', o_orderdate)) AS first_dom,
+        |  max(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))
+        |    AS max_days_since_epoch
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "fn_math" ->
+      """SELECT o_orderkey,
+        |  abs(o_totalprice - 250000) AS abs_dev,
+        |  ceil(o_totalprice) AS ceil_p,
+        |  floor(o_totalprice) AS floor_p,
+        |  round(o_totalprice, 2) AS round_p,
+        |  sqrt(o_totalprice) AS sqrt_p,
+        |  CAST(round(ln(o_totalprice), 6) AS DOUBLE) AS ln_p,
+        |  CAST(round(pow(o_totalprice / 100000, 3), 6) AS DOUBLE) AS pow_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS e1,
+        |  list_slice(embedding, 1, 4) AS head4,
+        |  CAST(round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS BIGINT) AS k_decile,
+        |  count(*) AS n, min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+        |FROM events GROUP BY 1 ORDER BY k_decile""".stripMargin
+  )
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group E (window functions) — SURVEY.md §2.E.
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (customer, user, brand) so WindowExec sees small per-key frames after
+  * one hash-partition shuffle — no single-partition global window
+  * anywhere (that would serialize 100 TB through one task). Cumulative /
+  * sliding money sums go through DECIMAL so the frame fold is exact and
+  * engine-independent (SURVEY.md §5.3).
+  */
+object Windows extends QueryGroup {
+
+  def queries = Map(
+    "win_topk_per_group" -> { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.table(spark, dir, "orders")
+        // long: DuckDB row_number() is BIGINT
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    "win_rank_dense" -> { (spark, dir) =>
+      // rank over value only (no tiebreaker) keeps rank() ≠ row_number();
+      // output total order restored by (brand, partkey).
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+      Tables.table(spark, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy("p_brand", "p_partkey")
+    },
+
+    "win_lag_delta" -> { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("delta_us", col("ts_us") - col("prev_ts"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    "win_running_sum" -> { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          Canon.round4(sum(col("o_totalprice").cast(Canon.Dec)).over(w))
+            .as("cum_spend"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    "win_moving_avg" -> { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          // explicit decimal-sum / count so both engines fold identically
+          Canon.round4(sum(col("o_totalprice").cast(Canon.Dec)).over(w)
+            .cast("double") / count(lit(1)).over(w)).as("ma3"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    "win_ntile" -> { (spark, dir) =>
+      // Global (unpartitioned) window: single-task by construction. OK at
+      // customer cardinality; the 100 TB variant computes approx quantile
+      // boundaries and joins them in (no global sort).
+      val w = Window.orderBy("c_acctbal", "c_custkey")
+      Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_custkey")
+    }
+  )
+
+  def oracle = Map(
+    "win_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |       rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+        |       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+        |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "win_lag_delta" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev_ts,
+        |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS delta_us
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+        |    AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_moving_avg" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |  CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    OVER w AS DOUBLE) / count(*) OVER w, 4) AS DOUBLE) AS ma3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Group E/H specs — window semantics + scalar function invariants. */
+class WindowSpec extends SparkSpec {
+
+  test("win_topk_per_group: ≤3 rows per customer, rank ordered") {
+    val df = q("win_topk_per_group")
+    val over = df.groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+    assert(df.filter(col("rn") > 3).count() == 0)
+  }
+
+  test("windows never change row counts") {
+    val orders = Tables.table(spark, sfDir, "orders").count()
+    assert(q("win_running_sum").count() == orders)
+    assert(q("win_moving_avg").count() == orders)
+    assert(q("win_ntile").count() ==
+      Tables.table(spark, sfDir, "customer").count())
+    assert(q("win_lag_delta").count() ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("win_rank_dense: dense_rank ≤ rank everywhere") {
+    assert(q("win_rank_dense").filter(col("drnk") > col("rnk")).count() == 0)
+  }
+
+  test("win_ntile quartiles are balanced") {
+    val sizes = q("win_ntile").groupBy("quartile").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("win_lag_delta: deltas non-negative (ordered per user)") {
+    assert(q("win_lag_delta")
+      .filter(col("delta_us") < 0).count() == 0)
+  }
+
+  test("fn_array: l2 norm of unit vectors is 1.0") {
+    val bad = q("fn_array").filter(abs(col("l2_norm") - 1.0) > 1e-4).count()
+    assert(bad == 0, "embeddings are unit-norm by fixture contract")
+  }
+
+  test("fn_string/fn_math/fn_datetime/fn_json run with expected shapes") {
+    assert(q("fn_string").count() == 200)
+    assert(q("fn_math").count() == 1500)
+    val months = q("fn_datetime").collect()
+    assert(months.length == 80) // 1995-01 .. 2001-08
+    val json = q("fn_json").collect()
+    assert(json.map(_.getAs[Long]("n")).sum == 1000)
+  }
+}
