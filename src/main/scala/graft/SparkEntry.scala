@@ -16,7 +16,9 @@ object SparkEntry {
     operators.Joins,
     operators.SortsSets,
     operators.Windows,
-    operators.Functions
+    operators.Functions,
+    operators.LlmText,
+    operators.LlmVectors
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Group I, vector half — similarity search + embedding dedup +
+  * multimodal columns (SURVEY.md §2.I, BASELINE.json north star).
+  *
+  * Performance architecture (SURVEY.md §7.4): the naive
+  * `zip_with`+`aggregate` pairwise self-join measured 14.6 s at sf0.1 —
+  * interpreted higher-order functions over O(n²) pairs. Here candidate
+  * generation runs in a `mapPartitions` over the distributed left side
+  * against a broadcast right side (2 000 × 64 floats ≈ 512 KB): a tight
+  * JVM double loop, per-row top-k pruning, emitting ids only. The final
+  * similarity is then recomputed on the few surviving pairs with the
+  * exact SQL expression shape the oracle uses, so emitted bits match
+  * DuckDB's float64 list arithmetic (§5.4: both engines fold
+  * sequentially).
+  *
+  * At 100 TB the same split holds: candidates via LSH/IVF bucketing
+  * (`knn_ivf` — equi-join on bucket id, shuffle-partitioned), exact
+  * rescoring only within buckets; the broadcast brute-force path is the
+  * small-index case.
+  */
+object LlmVectors extends QueryGroup {
+
+  /** Exact float64 cosine between two array<float> columns, as a SQL
+    * expression string — IDENTICAL shape to the DuckDB oracle so the
+    * sequential fold produces the same bits (SURVEY.md §5.4).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  0D, (acc, v) -> acc + v)
+       |/ (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |   * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+      .stripMargin
+
+  private def cosDuck(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      .stripMargin
+
+  /** Brute-force candidate pairs (idA < idB) by cosine, per-left-row
+    * top-`k` (a superset of the global top-k — any pair outranking a
+    * kept pair within a row is itself globally ranked), or all pairs
+    * ≥ `minSim` when `minSim` is set. Runs distributed-left ×
+    * broadcast-right with a primitive double loop.
+    */
+  private def candidatePairs(spark: SparkSession, emb: DataFrame,
+      topKPerRow: Int, minSim: Double): DataFrame = {
+    import spark.implicits._
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+    val all: Array[(Long, Array[Double], Double)] = vecs.collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { d(i) = v(i).toDouble; n += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(n))
+      }
+    val bc = spark.sparkContext.broadcast(all)
+    vecs.mapPartitions { it =>
+      val right = bc.value
+      it.flatMap { case (idA, va) =>
+        val a = new Array[Double](va.length)
+        var na = 0.0
+        var i = 0
+        while (i < va.length) { a(i) = va(i).toDouble; na += a(i) * a(i); i += 1 }
+        na = math.sqrt(na)
+        val sims = right.iterator
+          .filter(_._1 > idA)
+          .map { case (idB, b, nb) =>
+            var dot = 0.0
+            var j = 0
+            while (j < a.length) { dot += a(j) * b(j); j += 1 }
+            (idA, idB, dot / (na * nb))
+          }
+        if (minSim > -1.0) sims.filter(_._3 >= minSim)
+        else sims.toArray.sortBy(-_._3).take(topKPerRow).iterator
+      }
+    }.toDF("id_a", "id_b", "sim_raw").select("id_a", "id_b")
+  }
+
+  /** Join candidate (id_a, id_b) pairs back to embeddings and score with
+    * the oracle-identical SQL expression.
+    */
+  private def rescore(emb: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(broadcast(emb.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"))), "id_a")
+      .join(broadcast(emb.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"))), "id_b")
+      .withColumn("cos", expr(cosSql("ea", "eb")))
+
+  /** Deterministic 8-bit LSH bucket: sign pattern of e[i] vs e[i+32]. */
+  private def lshBucket(e: Column): Column =
+    (0 to 7).map { i =>
+      when(element_at(e, i + 1) > element_at(e, i + 33), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val lshBucketDuck =
+    """list_sum(list_transform(range(8), i ->
+      |  CASE WHEN embedding[i+1] > embedding[i+33] THEN (1 << i) ELSE 0 END))"""
+      .stripMargin
+
+  def queries = Map(
+    "knn_cosine" -> { (spark, dir) =>
+      val emb = Tables.table(spark, dir, "embeddings")
+      // top-25 per row: margin over the global top-20 for round-6 ties
+      rescore(emb, candidatePairs(spark, emb, topKPerRow = 25, minSim = -2.0))
+        .select(col("id_a"), col("id_b"), Canon.round6(col("cos")).as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
+    "knn_ivf" -> { (spark, dir) =>
+      // Scale path: equi-join on deterministic LSH bucket, exact rescore
+      // within buckets only — O(Σ bucket²) not O(n²), shuffle-friendly.
+      val emb = Tables.table(spark, dir, "embeddings")
+        .withColumn("bucket", lshBucket(col("embedding")))
+      emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .join(emb.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("eb")), "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", expr(cosSql("ea", "eb")))
+        .select(col("bucket"), col("id_a"), col("id_b"),
+          Canon.round6(col("cos")).as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
+    "knn_centroid_dist" -> { (spark, dir) =>
+      // Per-label centroid (decimal-exact mean per position), then each
+      // vector's L2 distance to its own-label centroid; top-20 outliers.
+      val ex = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("vd", col("v").cast("double"))
+      val cent = ex.groupBy("label", "pos")
+        .agg((sum(col("vd").cast(DecimalType(38, 20))).cast("double")
+          / count(lit(1))).as("c"))
+      ex.join(cent, Seq("label", "pos"))
+        .withColumn("sq",
+          ((col("vd") - col("c")) * (col("vd") - col("c"))).cast(DecimalType(38, 20)))
+        .groupBy("vec_id", "label")
+        .agg(Canon.round6(sqrt(sum(col("sq")).cast("double"))).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    "dedup_embed_cosine" -> { (spark, dir) =>
+      // near-duplicate embeddings: ALL pairs with cosine ≥ 0.4 (66/59/920
+      // pairs at the three sfs — verified non-degenerate).
+      val emb = Tables.table(spark, dir, "embeddings")
+      rescore(emb,
+          candidatePairs(spark, emb, topKPerRow = 0, minSim = 0.3999))
+        .withColumn("cosine", Canon.round6(col("cos")))
+        .filter(col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    },
+
+    "multimodal_join" -> { (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .join(Tables.table(spark, dir, "embeddings"),
+          col("doc_id") === col("vec_id"))
+        .filter(col("label").isin(0, 1, 2))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          col("embedding"))
+        .orderBy("doc_id")
+    },
+
+    "multimodal_features" -> { (spark, dir) =>
+      // Multimodal-column plumbing (oracle-omitted; MultimodalSpec
+      // asserts shape + determinism). The payload stands in for an
+      // image/audio blob: an opaque binary column plus typed metadata.
+      // The DECODE step is a deterministic stub (real codecs aren't in
+      // this container); everything around it — schema, batch iteration,
+      // fixed-width feature output — is the real Spark plumbing a decode
+      // UDF would run in.
+      import spark.implicits._
+      val media = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          when(col("lang").isin("en", "de"), "image")
+            .when(col("lang") === "zh", "audio")
+            .otherwise("video").as("media_type"))
+      media.as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.map { case (id, payload, mtype) =>
+            // decode stub: 8 stripe-mean "features" from the raw bytes —
+            // a stand-in for decode→resize→embed with identical plumbing
+            val stripes = new Array[Double](8)
+            val n = payload.length
+            var s = 0
+            while (s < 8) {
+              val lo = (n.toLong * s / 8).toInt
+              val hi = (n.toLong * (s + 1) / 8).toInt
+              var sum = 0.0
+              var i = lo
+              while (i < hi) { sum += (payload(i) & 0xff); i += 1 }
+              stripes(s) = if (hi > lo) sum / (hi - lo) else 0.0
+              s += 1
+            }
+            (id, mtype, n.toLong, stripes)
+          }
+        }
+        .toDF("doc_id", "media_type", "n_bytes", "features")
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle = Map(
+    "knn_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(round(${cosDuck("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $lshBucketDuck AS bucket
+         |           FROM embeddings)
+         |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(round(${cosDuck("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cosine
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "knn_centroid_dist" ->
+      """WITH ex AS (SELECT vec_id, label, i AS pos,
+        |    CAST(embedding[i + 1] AS DOUBLE) AS vd
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |cent AS (SELECT label, pos,
+        |    CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS c
+        |  FROM ex GROUP BY label, pos),
+        |d AS (SELECT vec_id, ex.label,
+        |    sum(CAST((vd - c) * (vd - c) AS DECIMAL(38,20))) AS s
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+        |  GROUP BY vec_id, ex.label)
+        |SELECT vec_id, label,
+        |  CAST(round(sqrt(CAST(s AS DOUBLE)), 6) AS DOUBLE) AS dist
+        |FROM d ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(round(${cosDuck("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, label, embedding
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE label IN (0, 1, 2)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

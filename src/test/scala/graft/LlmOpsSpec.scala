@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Group I specs — dedup/similarity/multimodal invariants (SURVEY.md §5.2.3,
+  * §5.5): properties that hold regardless of the oracle.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  test("dedup_exact group sizes sum to doc count") {
+    val df = q("dedup_exact")
+    assert(df.agg(sum("n_dup")).head().getLong(0) ==
+      Tables.table(spark, sfDir, "documents").count())
+  }
+
+  test("minhash candidates achieve high recall on true near-dups") {
+    // every Jaccard ≥ 0.9 same-source pair should be caught by ≥1 band
+    // with high probability (P(miss) = (1-J^8)^2 ≤ 0.1 at J=0.9)
+    val exact = q("dedup_jaccard").filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+    val cand = q("dedup_minhash").select("doc_a", "doc_b")
+    val missed = exact.except(cand).count()
+    val total = exact.count()
+    assert(total == 0 || missed.toDouble / total < 0.3,
+      s"minhash missed $missed of $total J>=0.9 pairs")
+  }
+
+  test("simhash: hamming distance symmetric bound and self-zero") {
+    val df = q("dedup_simhash")
+    assert(df.filter(col("hamming") < 0 || col("hamming") > 48).count() == 0)
+  }
+
+  test("knn_cosine: top-20 bounded by [-1,1], strictly ordered") {
+    val rows = q("knn_cosine").collect()
+    assert(rows.length == 20)
+    val sims = rows.map(_.getAs[Double]("cosine"))
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    rows.foreach(r => assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+
+  test("knn_ivf pairs are a subset of brute-force pair space (same bucket)") {
+    val ivf = q("knn_ivf").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach(r => assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+
+  test("dedup_embed_cosine: all pairs above threshold, none missed vs knn") {
+    val df = q("dedup_embed_cosine")
+    assert(df.filter(col("cosine") < 0.4).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("centroid outliers: distances positive and descending") {
+    val d = q("knn_centroid_dist").collect().map(_.getAs[Double]("dist"))
+    assert(d.forall(_ > 0))
+    assert(d.sameElements(d.sortBy(-(_: Double))))
+  }
+
+  test("multimodal_features: deterministic, fixed-width, full coverage") {
+    val a = q("multimodal_features").collect()
+    val b = q("multimodal_features").collect()
+    assert(a.length == Tables.table(spark, sfDir, "documents").count())
+    assert(a.zip(b).forall { case (x, y) => x == y }, "decode stub must be deterministic")
+    a.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Double]]("features").length == 8)
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(Set("image", "audio", "video")(r.getAs[String]("media_type")))
+    }
+  }
+
+  test("multimodal_join keeps array column intact through the join") {
+    val df = q("multimodal_join")
+    assert(df.count() > 0)
+    assert(df.head().getAs[scala.collection.Seq[Float]]("embedding").length == 64)
+  }
+
+  test("text_langid covers all docs with a valid prediction") {
+    val df = q("text_langid")
+    assert(df.count() == 500)
+    assert(df.filter(!col("pred_lang").isin("de", "en", "es", "fr", "zh")).count() == 0)
+  }
+}
