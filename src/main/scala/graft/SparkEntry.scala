@@ -18,7 +18,9 @@ object SparkEntry {
     operators.Windows,
     operators.Functions,
     operators.LlmText,
-    operators.LlmVectors
+    operators.LlmVectors,
+    operators.Udfs,
+    operators.Streaming
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

