@@ -71,16 +71,46 @@ object LlmVectors extends QueryGroup {
         var i = 0
         while (i < va.length) { a(i) = va(i).toDouble; na += a(i) * a(i); i += 1 }
         na = math.sqrt(na)
-        val sims = right.iterator
-          .filter(_._1 > idA)
-          .map { case (idB, b, nb) =>
-            var dot = 0.0
-            var j = 0
-            while (j < a.length) { dot += a(j) * b(j); j += 1 }
-            (idA, idB, dot / (na * nb))
+        if (minSim > -1.0) {
+          right.iterator
+            .filter(_._1 > idA)
+            .map { case (idB, b, nb) =>
+              var dot = 0.0
+              var j = 0
+              while (j < a.length) { dot += a(j) * b(j); j += 1 }
+              (idA, idB, dot / (na * nb))
+            }
+            .filter(_._3 >= minSim)
+        } else {
+          // bounded insertion top-k: zero per-candidate allocation, O(1)
+          // reject once full (vs sorting every candidate array)
+          val k = topKPerRow
+          val ids = new Array[Long](k)
+          val sims = new Array[Double](k)
+          var filled = 0
+          var r = 0
+          while (r < right.length) {
+            val (idB, b, nb) = right(r)
+            if (idB > idA) {
+              var dot = 0.0
+              var j = 0
+              while (j < a.length) { dot += a(j) * b(j); j += 1 }
+              val s = dot / (na * nb)
+              if (filled < k || s > sims(filled - 1)) {
+                var p = math.min(filled, k - 1)
+                while (p > 0 && sims(p - 1) < s) {
+                  if (p < k) { sims(p) = sims(p - 1); ids(p) = ids(p - 1) }
+                  p -= 1
+                }
+                sims(p) = s
+                ids(p) = idB
+                if (filled < k) filled += 1
+              }
+            }
+            r += 1
           }
-        if (minSim > -1.0) sims.filter(_._3 >= minSim)
-        else sims.toArray.sortBy(-_._3).take(topKPerRow).iterator
+          (0 until filled).iterator.map(p => (idA, ids(p), sims(p)))
+        }
       }
     }.toDF("id_a", "id_b", "sim_raw").select("id_a", "id_b")
   }
