@@ -26,17 +26,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object LlmVectors extends QueryGroup {
 
-  /** Exact float64 cosine between two array<float> columns, as a SQL
-    * expression string — IDENTICAL shape to the DuckDB oracle so the
-    * sequential fold produces the same bits (SURVEY.md §5.4).
-    */
-  private def cosSql(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  0D, (acc, v) -> acc + v)
-       |/ (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |   * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
-      .stripMargin
-
   private def cosDuck(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -124,7 +113,7 @@ object LlmVectors extends QueryGroup {
         col("embedding").as("ea"))), "id_a")
       .join(broadcast(emb.select(col("vec_id").as("id_b"),
         col("embedding").as("eb"))), "id_b")
-      .withColumn("cos", expr(cosSql("ea", "eb")))
+      .withColumn("cos", graft.functions.CosineSim.cosine(col("ea"), col("eb")))
 
   /** Deterministic 8-bit LSH bucket: sign pattern of e[i] vs e[i+32]. */
   private def lshBucket(e: Column): Column =
@@ -157,7 +146,7 @@ object LlmVectors extends QueryGroup {
         .join(emb.select(col("bucket"), col("vec_id").as("id_b"),
           col("embedding").as("eb")), "bucket")
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", expr(cosSql("ea", "eb")))
+        .withColumn("cos", graft.functions.CosineSim.cosine(col("ea"), col("eb")))
         .select(col("bucket"), col("id_a"), col("id_b"),
           Canon.round6(col("cos")).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
