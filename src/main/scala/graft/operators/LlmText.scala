@@ -210,6 +210,19 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "sample_hash" -> { (spark, dir) =>
+      // deterministic 10% sample for pipeline subsetting: stable hash of
+      // the key, NOT rand() — reproducible across engines, runs, and
+      // cluster sizes (the only sane sampling at 100 TB)
+      Tables.table(spark, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 14), 16, 10)
+            .cast("long") % 100)
+        .filter(col("bucket") < 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     "dedup_exact" -> { (spark, dir) =>
       Tables.table(spark, dir, "documents")
         .groupBy(sha2(col("text"), 256).as("text_hash"))
@@ -349,6 +362,11 @@ object LlmText extends QueryGroup {
          |                     t -> $tokHash56Sql % $P)),
          |    (acc, x) -> (acc * 31 + x) % $P) AS roll_fp
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_dup,

@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan audit (SURVEY.md §4): the plan shapes that decide
+  * whether a query survives a 100× scale-up. Run at sf0.001 — plan
+  * shape is sf-independent for these assertions (broadcast thresholds
+  * comfortably cover every dim at all sfs).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def p(name: String): String = plan(q(name))
+
+  test("flagship aggregates partial+final with pushed filter") {
+    val s = p("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "must have map-side partial aggregation")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+      || s.contains("LessThanOrEqual(l_shipdate"),
+      "shipdate filter must reach the parquet scan")
+  }
+
+  test("multiway join broadcasts all dimensions, no cartesian") {
+    val s = p("join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 3)
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject (no global sort)") {
+    assert(p("sort_multikey").contains("TakeOrderedAndProject"))
+    assert(p("topk_group_limit").contains("TakeOrderedAndProject"))
+    assert(p("knn_ivf").contains("TakeOrderedAndProject"))
+  }
+
+  test("as-of join compiles to a single window pass, zero joins") {
+    val s = p("join_asof")
+    assert(s.contains("Window"))
+    assert(!s.contains("Join"), "as-of must be the window rewrite, not a join")
+  }
+
+  test("LSH/band joins never degrade to nested-loop or cartesian") {
+    Seq("dedup_minhash", "dedup_jaccard", "dedup_simhash", "knn_ivf")
+      .foreach { name =>
+        val s = p(name)
+        assert(!s.contains("CartesianProduct"), name)
+        assert(!s.contains("BroadcastNestedLoopJoin"), name)
+      }
+  }
+
+  test("windows shuffle once by key, with map-side group-limit pruning") {
+    val s = p("win_topk_per_group")
+    assert(s.contains("Window"))
+    // formatted output lists each node twice (tree + details); count tree
+    // entries "Exchange (n)": one hash partition + one final range sort
+    assert("Exchange \\(\\d+\\)".r.findAllIn(s).length <= 2,
+      "one hash-partition exchange plus the final order-by exchange")
+    assert(s.contains("WindowGroupLimit"),
+      "Spark's partial top-k pruning must engage before the shuffle")
+  }
+
+  test("distinct aggregation uses the two-phase expand rewrite") {
+    assert(p("agg_multi_distinct").contains("Expand"))
+  }
+}
