@@ -194,6 +194,32 @@ object LlmVectors extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "multimodal_frame_sample" -> { (spark, dir) =>
+      // Frame-sampling plumbing for "video" payloads: fixed-size frames
+      // (64-byte chunks), deterministic every-4th-frame sampling, one
+      // output row per sampled frame with a frame fingerprint. The
+      // chunking stands in for codec frame extraction; the iteration /
+      // explode shape is the real pipeline.
+      import spark.implicits._
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, payload) =>
+          val frameSize = 64
+          val nFrames = (payload.length + frameSize - 1) / frameSize
+          (0 until nFrames by 4).map { f =>
+            val lo = f * frameSize
+            val hi = math.min(lo + frameSize, payload.length)
+            var crc = 0L
+            var i = lo
+            while (i < hi) { crc = (crc * 31 + (payload(i) & 0xff)) & 0xFFFFFFFFL; i += 1 }
+            (id, f.toLong, nFrames.toLong, (hi - lo).toLong, crc)
+          }
+        }
+        .toDF("doc_id", "frame_no", "n_frames", "frame_bytes", "frame_crc")
+        .orderBy("doc_id", "frame_no")
+    },
+
     "multimodal_features" -> { (spark, dir) =>
       // Multimodal-column plumbing (oracle-omitted; MultimodalSpec
       // asserts shape + determinism). The payload stands in for an

@@ -69,6 +69,19 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_frame_sample: every 4th frame, deterministic crcs") {
+    val df = q("multimodal_frame_sample")
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("frame_no") % 4 =!= 0).count() == 0)
+    assert(df.filter(col("frame_bytes") > 64 || col("frame_bytes") <= 0).count() == 0)
+    val a = df.collect()
+    val b = q("multimodal_frame_sample").collect()
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // every doc contributes at least frame 0
+    assert(df.filter(col("frame_no") === 0).count() ==
+      Tables.table(spark, sfDir, "documents").count())
+  }
+
   test("multimodal_join keeps array column intact through the join") {
     val df = q("multimodal_join")
     assert(df.count() > 0)
