@@ -29,13 +29,36 @@ object Canon {
   /** Decimal sum (exact) kept un-rounded, as double — for ratios. */
   def decSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
-  /** Order-insensitive mean: exact decimal sum / count in double. */
+  /** Order-insensitive mean: exact decimal sum / count in double,
+    * binary-value-rounded (the quotient is a DOUBLE — see binRound).
+    */
   def meanOf(c: Column): Column =
-    round(sum(c.cast(Dec)).cast(DoubleType) / count(lit(1)), 4).cast(DoubleType)
+    round4(sum(c.cast(Dec)).cast(DoubleType) / count(lit(1)))
 
-  /** round(4) → double for any post-aggregate scalar. */
-  def round4(c: Column): Column = round(c, 4).cast(DoubleType)
+  /** Binary-value rounding of a DOUBLE, matching DuckDB's
+    * `std::round(x·10^n)/10^n` (half away from zero on the BINARY value).
+    * Spark's own `round(double, n)` rounds the shortest-decimal repr
+    * instead — for 47.253749999999996 Spark says 47.2538 ("47.25375"
+    * HALF_UP) while DuckDB says 47.2537 — a hash mismatch that only
+    * surfaces when a quotient lands on the repr boundary (hit once at
+    * sf0.1). Use THIS for rounding doubles; use [[decRound4]] /
+    * [[moneySum]] for decimals (exact, both engines agree natively).
+    */
+  private def binRound(c: Column, k: Double): Column =
+    (when(c >= 0, floor(c * k + 0.5)).otherwise(-floor(-c * k + 0.5)) / k)
+      .cast(DoubleType)
 
-  /** round(6) → double (similarity scores, norms). */
-  def round6(c: Column): Column = round(c, 6).cast(DoubleType)
+  /** round(4) → double for any post-aggregate DOUBLE scalar. */
+  def round4(c: Column): Column = binRound(c, 1e4)
+
+  /** round(6) → double (similarity scores, norms) — DOUBLE inputs. */
+  def round6(c: Column): Column = binRound(c, 1e6)
+
+  /** round(2) → double — DOUBLE inputs. */
+  def round2(c: Column): Column = binRound(c, 1e2)
+
+  /** Exact decimal round(4) → double, for DECIMAL-typed columns (window
+    * sums): both engines round the exact decimal identically.
+    */
+  def decRound4(c: Column): Column = round(c, 4).cast(DoubleType)
 }

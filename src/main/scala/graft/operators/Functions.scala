@@ -48,7 +48,7 @@ object Functions extends QueryGroup {
           // cast to double: DuckDB ceil/floor return DOUBLE, Spark LONG
           ceil(col("o_totalprice")).cast("double").as("ceil_p"),
           floor(col("o_totalprice")).cast("double").as("floor_p"),
-          round(col("o_totalprice"), 2).as("round_p"),
+          Canon.round2(col("o_totalprice")).as("round_p"),
           // sqrt is IEEE-correctly-rounded: identical bits cross-engine
           sqrt(col("o_totalprice")).as("sqrt_p"),
           // ln/pow differ in the last ulp across libm impls → round6 on

@@ -34,9 +34,14 @@ object Udfs extends QueryGroup {
       (b._1.add(q6(a._1 * a._2)), b._2.add(q6(a._2)))
     def merge(x: (JBigDecimal, JBigDecimal), y: (JBigDecimal, JBigDecimal)): (JBigDecimal, JBigDecimal) =
       (x._1.add(y._1), x._2.add(y._2))
-    def finish(b: (JBigDecimal, JBigDecimal)): Double =
-      JBigDecimal.valueOf(b._1.doubleValue() / b._2.doubleValue())
-        .setScale(4, RoundingMode.HALF_UP).doubleValue()
+    def finish(b: (JBigDecimal, JBigDecimal)): Double = {
+      // binary-value rounding (matches DuckDB round(double,4) — see
+      // Canon.binRound; BigDecimal-of-shortest-repr would diverge on
+      // repr-boundary quotients)
+      val q = b._1.doubleValue() / b._2.doubleValue()
+      if (q >= 0) math.floor(q * 1e4 + 0.5) / 1e4
+      else -math.floor(-q * 1e4 + 0.5) / 1e4
+    }
     def bufferEncoder: Encoder[(JBigDecimal, JBigDecimal)] =
       Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble

@@ -53,7 +53,7 @@ object Windows extends QueryGroup {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.table(spark, dir, "orders")
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-          Canon.round4(sum(col("o_totalprice").cast(Canon.Dec)).over(w))
+          Canon.decRound4(sum(col("o_totalprice").cast(Canon.Dec)).over(w))
             .as("cum_spend"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
