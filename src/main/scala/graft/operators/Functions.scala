@@ -70,6 +70,20 @@ object Functions extends QueryGroup {
         .orderBy("vec_id")
     },
 
+    "fn_map" -> { (spark, dir) =>
+      // MapType construction + lookup + introspection (group H "map")
+      Tables.table(spark, dir, "orders")
+        .withColumn("m", map(
+          lit("status"), col("o_orderstatus"),
+          lit("priority"), col("o_orderpriority")))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "status").as("status_v"),
+          element_at(col("m"), "priority").as("priority_v"),
+          size(col("m")).cast("long").as("n_entries"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"))
+        .orderBy("o_orderkey")
+    },
+
     "fn_json" -> { (spark, dir) =>
       Tables.events(spark, dir)
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -122,6 +136,14 @@ object Functions extends QueryGroup {
         |  CAST(round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT o_orderkey,
+        |  MAP(['status','priority'], [o_orderstatus, o_orderpriority])['status'][1] AS status_v,
+        |  MAP(['status','priority'], [o_orderstatus, o_orderpriority])['priority'][1] AS priority_v,
+        |  CAST(cardinality(MAP(['status','priority'], [o_orderstatus, o_orderpriority])) AS BIGINT) AS n_entries,
+        |  array_to_string(list_sort(map_keys(MAP(['status','priority'], [o_orderstatus, o_orderpriority]))), ',') AS keys_sorted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_json" ->
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS BIGINT) AS k_decile,
