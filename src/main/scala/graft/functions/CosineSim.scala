@@ -45,19 +45,18 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
+    // dot over the common prefix, norms over the FULL arrays — matching
+    // the oracle's list_sum-over-whole-array norms for any dimensions
     val n = math.min(xs.numElements(), ys.numElements())
     var dot = 0.0
-    var nx = 0.0
-    var ny = 0.0
     var i = 0
-    while (i < n) {
-      val x = xs.getFloat(i).toDouble
-      val y = ys.getFloat(i).toDouble
-      dot += x * y
-      nx += x * x
-      ny += y * y
-      i += 1
-    }
+    while (i < n) { dot += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble; i += 1 }
+    var nx = 0.0
+    i = 0
+    while (i < xs.numElements()) { val x = xs.getFloat(i).toDouble; nx += x * x; i += 1 }
+    var ny = 0.0
+    i = 0
+    while (i < ys.numElements()) { val y = ys.getFloat(i).toDouble; ny += y * y; i += 1 }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
@@ -74,9 +73,13 @@ case class CosineSim(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = (double) $a.getFloat($i); $nx += $x * $x;
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  double $y = (double) $b.getFloat($i); $ny += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin

@@ -91,7 +91,8 @@ object Functions extends QueryGroup {
         .withColumn("k_decile", floor(col("k") / 10).cast("long"))
         .groupBy("k_decile")
         .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
-        .orderBy("k_decile")
+        // explicit null placement: Spark defaults NULLS FIRST, DuckDB LAST
+        .orderBy(col("k_decile").asc_nulls_first)
     }
   )
 
@@ -101,7 +102,7 @@ object Functions extends QueryGroup {
         |  upper(p_name) AS name_up,
         |  substring(p_type, 1, 5) AS type_pfx,
         |  CAST(length(p_name) AS BIGINT) AS name_len,
-        |  concat(p_brand, '/', p_type) AS brand_type,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
         |  p_type LIKE 'PROMO%' AS is_promo,
         |  coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -137,6 +138,10 @@ object Functions extends QueryGroup {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // NOTE: MAP(...)['k'] returns a single-element LIST on DuckDB 1.0
+    // (the installed oracle engine, SURVEY.md §5.2.1) — the [1] unwraps
+    // it. DuckDB >= 1.2 changed map subscript to return the value
+    // directly; if the oracle engine is ever upgraded, drop the [1].
     "fn_map" ->
       """SELECT o_orderkey,
         |  MAP(['status','priority'], [o_orderstatus, o_orderpriority])['status'][1] AS status_v,
@@ -149,6 +154,6 @@ object Functions extends QueryGroup {
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS BIGINT) AS k_decile,
         |  count(*) AS n, min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
-        |FROM events GROUP BY 1 ORDER BY k_decile""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY k_decile NULLS FIRST""".stripMargin
   )
 }

@@ -382,8 +382,8 @@ object LlmText extends QueryGroup {
         |      / CAST(len(list_distinct(list_concat(x.dtoks, y.dtoks))) AS DOUBLE),
         |  6) AS DOUBLE) AS jaccard
         |FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
-        |WHERE len(list_filter(x.dtoks, v -> list_contains(y.dtoks, v)))
-        |      / CAST(len(list_distinct(list_concat(x.dtoks, y.dtoks))) AS DOUBLE)
+        |WHERE round(len(list_filter(x.dtoks, v -> list_contains(y.dtoks, v)))
+        |      / CAST(len(list_distinct(list_concat(x.dtoks, y.dtoks))) AS DOUBLE), 6)
         |      >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.DecimalType
 object LlmVectors extends QueryGroup {
 
   private def cosDuck(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+    s"""list_sum(list_transform(range(1, CAST(least(len($a), len($b)) AS BIGINT) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
       .stripMargin
@@ -71,11 +72,16 @@ object LlmVectors extends QueryGroup {
             }
             .filter(_._3 >= minSim)
         } else {
-          // bounded insertion top-k: zero per-candidate allocation, O(1)
-          // reject once full (vs sorting every candidate array)
+          // bounded insertion top-k (zero per-candidate allocation), then
+          // a margin sweep: emit every pair within 1.5e-6 of the weakest
+          // kept candidate. The bare top-k superset argument breaks under
+          // round-6 ties (a dropped pair can round equal to a kept one
+          // and win the id tie-break globally); the margin makes the
+          // candidate set a sound superset of any (round-6, id)-ordered
+          // global top-k ≤ topKPerRow.
           val k = topKPerRow
-          val ids = new Array[Long](k)
           val sims = new Array[Double](k)
+          val all = new Array[Double](right.length)
           var filled = 0
           var r = 0
           while (r < right.length) {
@@ -85,20 +91,23 @@ object LlmVectors extends QueryGroup {
               var j = 0
               while (j < a.length) { dot += a(j) * b(j); j += 1 }
               val s = dot / (na * nb)
+              all(r) = s
               if (filled < k || s > sims(filled - 1)) {
                 var p = math.min(filled, k - 1)
-                while (p > 0 && sims(p - 1) < s) {
-                  if (p < k) { sims(p) = sims(p - 1); ids(p) = ids(p - 1) }
-                  p -= 1
-                }
+                while (p > 0 && sims(p - 1) < s) { sims(p) = sims(p - 1); p -= 1 }
                 sims(p) = s
-                ids(p) = idB
                 if (filled < k) filled += 1
               }
-            }
+            } else all(r) = Double.NegativeInfinity
             r += 1
           }
-          (0 until filled).iterator.map(p => (idA, ids(p), sims(p)))
+          if (filled == 0) Iterator.empty
+          else {
+            val threshold = sims(filled - 1) - 1.5e-6
+            right.indices.iterator
+              .filter(r => all(r) >= threshold)
+              .map(r => (idA, right(r)._1, all(r)))
+          }
         }
       }
     }.toDF("id_a", "id_b", "sim_raw").select("id_a", "id_b")

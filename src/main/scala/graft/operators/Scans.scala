@@ -97,7 +97,7 @@ object Scans extends QueryGroup {
          |  l_extendedprice * (1 - l_discount) AS revenue,
          |  CASE WHEN l_quantity < 10 THEN 'low'
          |       WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qty_bucket,
-         |  concat(l_returnflag, '-', l_linestatus) AS flags
+         |  concat_ws('-', l_returnflag, l_linestatus) AS flags
          |FROM lineitem ORDER BY $lineitemKeySql""".stripMargin
   )
 }

@@ -75,15 +75,17 @@ object Streaming extends QueryGroup {
     },
 
     "win_session_batch" -> { (spark, dir) =>
-      // session islands: new session when gap > 30 min; id = running sum
-      // of break flags per user (SURVEY.md §5.4 verified recipe)
+      // session islands: new session when gap >= 30 min — `>=`, not `>`,
+      // to match session_window's half-open [start, last+gap) semantics
+      // exactly (an exactly-30-min gap starts a new session in both);
+      // id = running sum of break flags per user (SURVEY.md §5.4 recipe)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
       val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("ts_us"))
         .withColumn("brk",
-          when(col("ts_us") - lag("ts_us", 1).over(w) > GapUs
+          when(col("ts_us") - lag("ts_us", 1).over(w) >= GapUs
             || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
         .withColumn("session_id", sum("brk").over(wRun))
         .groupBy("user_id", "session_id")
@@ -159,7 +161,7 @@ object Streaming extends QueryGroup {
     "win_session_batch" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
          |b AS (SELECT user_id, event_id, ts_us,
-         |  CASE WHEN ts_us - lag(ts_us) OVER w > $GapUs
+         |  CASE WHEN ts_us - lag(ts_us) OVER w >= $GapUs
          |         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          |s AS (SELECT user_id, ts_us,

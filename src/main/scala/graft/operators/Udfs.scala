@@ -96,7 +96,8 @@ object Udfs extends QueryGroup {
     "udtf_generator" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS pos,
         |       string_split(text, ' ')[i + 1] AS token
-        |FROM documents CROSS JOIN (SELECT unnest(range(200)) AS i)
+        |FROM documents CROSS JOIN (SELECT unnest(range(
+        |  (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i)
         |WHERE i < len(string_split(text, ' '))
         |ORDER BY doc_id, pos""".stripMargin
   )

@@ -62,7 +62,7 @@ class PropertySpec extends SparkSpec {
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val redo = ev.select(col("user_id"), col("event_id"), col("ts_us"))
       .withColumn("brk", when(col("ts_us") - lag("ts_us", 1).over(w)
-        > 30L * 60 * 1000 * 1000 || lag("ts_us", 1).over(w).isNull, 1L)
+        >= 30L * 60 * 1000 * 1000 || lag("ts_us", 1).over(w).isNull, 1L)
         .otherwise(0L))
       .withColumn("session_id", sum("brk").over(wRun))
       .groupBy("user_id", "session_id")
