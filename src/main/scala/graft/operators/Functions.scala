@@ -85,8 +85,13 @@ object Functions extends QueryGroup {
     },
 
     "fn_json" -> { (spark, dir) =>
+      // from_json with an explicit schema (typed, codegen-friendly) —
+      // get_json_object would re-parse per extraction; the struct parses
+      // once and serves any number of field accesses
       Tables.events(spark, dir)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("p.k").as("k"))
         // floor-div, not cast-of-ratio: DuckDB CAST rounds, Spark truncates
         .withColumn("k_decile", floor(col("k") / 10).cast("long"))
         .groupBy("k_decile")

@@ -238,30 +238,32 @@ object LlmVectors extends QueryGroup {
       // fixed-width feature output — is the real Spark plumbing a decode
       // UDF would run in.
       import spark.implicits._
-      val media = Tables.table(spark, dir, "documents")
-        .select(col("doc_id"),
-          col("text").cast("binary").as("payload"),
-          when(col("lang").isin("en", "de"), "image")
-            .when(col("lang") === "zh", "audio")
-            .otherwise("video").as("media_type"))
-      media.as[(Long, Array[Byte], String)]
+      val media: org.apache.spark.sql.Dataset[Media] =
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id").as("docId"),
+            col("text").cast("binary").as("payload"),
+            when(col("lang").isin("en", "de"), "image")
+              .when(col("lang") === "zh", "audio")
+              .otherwise("video").as("mediaType"))
+          .as[Media]
+      media
         .mapPartitions { it =>
-          it.map { case (id, payload, mtype) =>
+          it.map { m =>
             // decode stub: 8 stripe-mean "features" from the raw bytes —
             // a stand-in for decode→resize→embed with identical plumbing
             val stripes = new Array[Double](8)
-            val n = payload.length
+            val n = m.payload.length
             var s = 0
             while (s < 8) {
               val lo = (n.toLong * s / 8).toInt
               val hi = (n.toLong * (s + 1) / 8).toInt
               var sum = 0.0
               var i = lo
-              while (i < hi) { sum += (payload(i) & 0xff); i += 1 }
+              while (i < hi) { sum += (m.payload(i) & 0xff); i += 1 }
               stripes(s) = if (hi > lo) sum / (hi - lo) else 0.0
               s += 1
             }
-            (id, mtype, n.toLong, stripes)
+            (m.docId, m.mediaType, n.toLong, stripes)
           }
         }
         .toDF("doc_id", "media_type", "n_bytes", "features")
@@ -313,3 +315,8 @@ object LlmVectors extends QueryGroup {
         |ORDER BY doc_id""".stripMargin
   )
 }
+
+/** Typed record for the multimodal pipeline: opaque binary payload +
+  * typed metadata (case-class Encoder, Dataset[T] surface).
+  */
+case class Media(docId: Long, payload: Array[Byte], mediaType: String)
