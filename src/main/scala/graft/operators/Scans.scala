@@ -45,6 +45,25 @@ object Scans extends QueryGroup {
         .orderBy("event_id")
     },
 
+    "source_roundtrip" -> { (spark, dir) =>
+      // source/sink breadth beyond parquet: write nation out as CSV and
+      // JSON-lines, read each back with explicit schemas, and prove the
+      // roundtrip preserved cardinality. Oracle checks the counts against
+      // the original table.
+      val nation = Tables.table(spark, dir, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      nation.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      nation.write.mode("overwrite").json(s"$tmp/json")
+      val csvBack = spark.read.option("header", "true")
+        .schema(nation.schema).csv(s"$tmp/csv")
+      val jsonBack = spark.read.schema(nation.schema).json(s"$tmp/json")
+      csvBack.agg(count(lit(1)).as("n_rows"))
+        .select(lit("csv").as("fmt"), col("n_rows"))
+        .unionByName(jsonBack.agg(count(lit(1)).as("n_rows"))
+          .select(lit("json").as("fmt"), col("n_rows")))
+        .orderBy("fmt")
+    },
+
     "filter_complex" -> { (spark, dir) =>
       Tables.table(spark, dir, "lineitem")
         .filter(col("l_discount").between(0.02, 0.06)
@@ -82,6 +101,12 @@ object Scans extends QueryGroup {
     "scan_events_typed" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "source_roundtrip" ->
+      """SELECT 'csv' AS fmt, count(*) AS n_rows FROM nation
+        |UNION ALL
+        |SELECT 'json' AS fmt, count(*) AS n_rows FROM nation
+        |ORDER BY fmt""".stripMargin,
 
     "filter_complex" ->
       s"""SELECT $lineitemKeySql, l_discount, l_returnflag, l_linestatus, l_shipdate
