@@ -23,6 +23,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen bootstrap outside the per-query timers: a
+    // tiny shuffle+agg+write warms the planner, codegen cache, and
+    // shuffle machinery (~5 s that is NOT any query's cost)
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
+      .count().write.format("noop").mode("overwrite").save()
     var failed = List.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()

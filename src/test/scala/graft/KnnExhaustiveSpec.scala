@@ -1,0 +1,35 @@
+package graft
+
+/** Exhaustive in-JVM ground truth for the kNN candidate-generation
+  * machinery: recompute ALL pairwise cosines in plain Scala (independent
+  * of both the mapPartitions pruning and the oracle) and compare the
+  * top-20 under the exact output ordering (binary-round-6 desc, ids).
+  */
+class KnnExhaustiveSpec extends SparkSpec {
+
+  test("knn_cosine == exhaustive all-pairs top-20") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6 else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val truth = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+    } yield (r6(cos(vecs(i)._2, vecs(j)._2)), vecs(i)._1, vecs(j)._1))
+      .toArray
+      .sortBy { case (c, a, b) => (-c, a, b) }
+      .take(20)
+      .map { case (c, a, b) => (a, b, c) }
+    val got = q("knn_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == truth.toSeq)
+  }
+}
