@@ -30,7 +30,8 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        spark_tbl = pq.read_table(files[0])
+        # read the whole directory: robust if coalesce(1) is ever dropped
+        spark_tbl = pq.read_table(f"{out_dir}/{name}")
         spark_df = spark_tbl.to_pandas()
         try:
             duck_df = con.execute(sql).fetchdf()
@@ -68,6 +69,10 @@ def main():
             print(f"FAIL {name}: {mismatch}"); n_fail += 1
         else:
             print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
+    if only and n_pass + n_fail == 0:
+        print(f"ERROR: no oracle entries matched filter {sorted(only)} "
+              f"(typo'd query name?)")
+        sys.exit(2)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

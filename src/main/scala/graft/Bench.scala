@@ -20,6 +20,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same TZ as the verified (Verify.scala) workload — benching an
+      // un-verified bucketing is worse than useless
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,11 +41,11 @@ object Bench {
         case _: Throwable => failed ::= name; None
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.str(k) + ":" + v }
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs = failed.map(Json.str).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":${Json.str(sfDir)}}""")
     spark.stop()
   }
 }

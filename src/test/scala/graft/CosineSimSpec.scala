@@ -18,19 +18,21 @@ class CosineSimSpec extends SparkSpec {
         |/ (sqrt(aggregate(ea, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
         |   * sqrt(aggregate(eb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
         .stripMargin)
-    val diff = pairs
+    val scored = pairs
       .withColumn("a", CosineSim.cosine(col("ea"), col("eb")))
       .withColumn("b", sqlForm)
-      .filter(col("a") =!= col("b")) // exact double inequality
-      .count()
-    assert(diff == 0, "native codegen and SQL fold must agree exactly")
+    // null-safe inequality: a plain =!= is NULL (row dropped) when either
+    // side nulls out, which would let a return-null regression pass
+    assert(scored.filter(!(col("a") <=> col("b"))).count() == 0,
+      "native codegen and SQL fold must agree exactly")
+    assert(scored.filter(col("a").isNull).count() == 0, "no null cosines")
   }
 
   test("cosine(v, v) == 1 within 1 ulp-ish") {
-    val bad = emb
+    val scored = emb
       .withColumn("c", CosineSim.cosine(col("embedding"), col("embedding")))
-      .filter(abs(col("c") - 1.0) > 1e-12).count()
-    assert(bad == 0)
+    assert(scored.filter(col("c").isNull
+      || abs(col("c") - 1.0) > 1e-12).count() == 0)
   }
 
   test("expression participates in whole-stage codegen") {

@@ -25,9 +25,12 @@ class LlmOpsSpec extends SparkSpec {
       s"minhash missed $missed of $total J>=0.9 pairs")
   }
 
-  test("simhash: hamming distance symmetric bound and self-zero") {
+  test("simhash: hamming within [0, threshold], sane pair ids") {
     val df = q("dedup_simhash")
-    assert(df.filter(col("hamming") < 0 || col("hamming") > 48).count() == 0)
+    assert(df.count() > 0)
+    assert(df.filter(col("hamming") < 0 || col("hamming") > 12).count() == 0,
+      "declared threshold is 12")
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
   test("knn_cosine: top-20 bounded by [-1,1], strictly ordered") {
@@ -39,16 +42,35 @@ class LlmOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
-  test("knn_ivf pairs are a subset of brute-force pair space (same bucket)") {
+  test("knn_ivf pairs really share an LSH bucket") {
+    // recompute each vector's bucket independently and check every
+    // emitted pair agrees on it
+    val buckets = Tables.table(spark, sfDir, "embeddings").collect()
+      .map { r =>
+        val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val b = (0 to 7).map(i => if (e(i) > e(i + 32)) 1L << i else 0L).sum
+        r.getAs[Long]("vec_id") -> b
+      }.toMap
     val ivf = q("knn_ivf").collect()
     assert(ivf.nonEmpty)
-    ivf.foreach(r => assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    ivf.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(a < b)
+      assert(buckets(a) == buckets(b), s"pair ($a,$b) crosses buckets")
+      assert(r.getAs[Long]("bucket") == buckets(a))
+    }
   }
 
-  test("dedup_embed_cosine: all pairs above threshold, none missed vs knn") {
+  test("dedup_embed_cosine: above threshold, superset of knn top pairs ≥ 0.4") {
     val df = q("dedup_embed_cosine")
     assert(df.filter(col("cosine") < 0.4).count() == 0)
     assert(df.count() > 0)
+    val embPairs = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val knnHigh = q("knn_cosine").filter(col("cosine") >= 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(knnHigh.subsetOf(embPairs),
+      "every top-20 pair at ≥0.4 must appear in the near-dup set")
   }
 
   test("centroid outliers: distances positive and descending") {
@@ -61,6 +83,7 @@ class LlmOpsSpec extends SparkSpec {
     val a = q("multimodal_features").collect()
     val b = q("multimodal_features").collect()
     assert(a.length == Tables.table(spark, sfDir, "documents").count())
+    assert(a.length == b.length, "row count must be stable across runs")
     assert(a.zip(b).forall { case (x, y) => x == y }, "decode stub must be deterministic")
     a.foreach { r =>
       assert(r.getAs[scala.collection.Seq[Double]]("features").length == 8)
@@ -76,6 +99,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.filter(col("frame_bytes") > 64 || col("frame_bytes") <= 0).count() == 0)
     val a = df.collect()
     val b = q("multimodal_frame_sample").collect()
+    assert(a.length == b.length, "row count must be stable across runs")
     assert(a.zip(b).forall { case (x, y) => x == y })
     // every doc contributes at least frame 0
     assert(df.filter(col("frame_no") === 0).count() ==

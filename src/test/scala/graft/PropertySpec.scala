@@ -54,8 +54,6 @@ class PropertySpec extends SparkSpec {
     // shuffle events (repartition scrambles order), sessionize, compare
     val base = q("win_session_batch").collect().map(_.toSeq).toSet
     val ev = Tables.events(spark, sfDir).repartition(13)
-    ev.createOrReplaceTempView("ev_shuffled")
-    // recompute islands from the shuffled view
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_us", "event_id")
     val wRun = w.rowsBetween(
@@ -73,8 +71,9 @@ class PropertySpec extends SparkSpec {
     assert(redo == base)
   }
 
-  test("minhash signature values bounded by the Mersenne prime") {
+  test("minhash candidate jaccard scores lie in [0, 1]") {
     val df = q("dedup_minhash")
+    assert(df.count() > 0)
     assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
   }
 }

@@ -30,6 +30,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // full ReadSchema strings in explain output — plan assertions on
+      // schema contents are vacuous under the 100-char default truncation
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

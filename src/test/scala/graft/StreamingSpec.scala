@@ -12,8 +12,7 @@ class StreamingSpec extends SparkSpec {
     q(name).collect().map(_.toSeq.toList).toSet
 
   test("stream_tumbling equals its batch twin") {
-    assert(rows("stream_tumbling") == rows("win_tumbling_batch")
-      .map { case List(b, t, n, v) => List(b, t, n, v) })
+    assert(rows("stream_tumbling") == rows("win_tumbling_batch"))
   }
 
   test("stream_session_window sessions match batch islands") {
@@ -67,8 +66,8 @@ class StreamingSpec extends SparkSpec {
     val qs = agg.writeStream.format("memory").queryName("ooo_sink")
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     qs.awaitTermination()
-    assert(qs.lastProgress == null
-      || spark.table("ooo_sink").count() >= 0) // stream completed
+    assert(spark.table("ooo_sink").count() > 0,
+      "the replay must have processed at least one micro-batch")
     val streamed = spark.table("ooo_sink").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     val batch = ev
