@@ -20,7 +20,8 @@ object SparkEntry {
     operators.LlmText,
     operators.LlmVectors,
     operators.Udfs,
-    operators.Streaming
+    operators.Streaming,
+    operators.Telemetry
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** The reference's serving-tier queries, made explicit [RVI].
+  *
+  * PDXostc/rvi_big-data_api's analytic surface was: fetch a vehicle's
+  * trace for a time range, per-vehicle summary statistics, and vehicle
+  * enumeration (SURVEY.md §0.3, §1.3 — `user_id` ↔ VIN, `ts` ↔ report
+  * time, `value` ↔ signal value). The generalized forms live across
+  * groups A–J; these three are the literal endpoint shapes.
+  *
+  * Scale notes: the trace query is the canonical pushdown case — the
+  * user-set and time-range predicates reach the parquet reader
+  * (PushedFilters), which on a ts-partitioned 100 TB store becomes
+  * partition pruning + row-group skipping; the per-entity summary is one
+  * partial-agg shuffle keyed by the entity id.
+  */
+object Telemetry extends QueryGroup {
+
+  /** 2024-01-10 .. 2024-01-20 in epoch-µs (events span ~30 days). */
+  private val FromUs = 1704844800000000L
+  private val ToUs = 1705708800000000L
+
+  def queries = Map(
+    "events_trace" -> { (spark, dir) =>
+      // time-range trace fetch for a set of entities — THE reference
+      // endpoint (vin + from + to), ns→µs canonicalized
+      // predicates on the RAW ns column (not the derived ts_us) so they
+      // push into the parquet scan; bounds are equivalent since
+      // ts div 1000 >= F  ⟺  ts >= F*1000 for positive longs
+      Tables.events(spark, dir)
+        .filter(col("user_id").isin(1L, 2L, 3L)
+          && col("ts") >= FromUs * 1000 && col("ts") < ToUs * 1000)
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    "events_user_summary" -> { (spark, dir) =>
+      // per-vehicle summary statistics (report count, channel spread,
+      // activity span, mean/max signal value)
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"),
+          Canon.meanOf(col("value")).as("avg_value"),
+          Canon.round4(max(col("value"))).as("max_value"))
+        .orderBy("user_id")
+    },
+
+    "events_distinct_users" -> { (spark, dir) =>
+      // vehicle enumeration (distinct VINs), with first-seen timestamp
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_seen_us"))
+        .orderBy("user_id")
+    }
+  )
+
+  def oracle = Map(
+    "events_trace" ->
+      s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+         |FROM events
+         |WHERE user_id IN (1, 2, 3)
+         |  AND epoch_us(ts) >= $FromUs AND epoch_us(ts) < $ToUs
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "events_user_summary" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_value,
+        |  CAST(round(max(value), 4) AS DOUBLE) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_distinct_users" ->
+      """SELECT user_id, min(epoch_us(ts)) AS first_seen_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
