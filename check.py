@@ -40,6 +40,19 @@ def main():
         s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
         if s_cols != d_cols:
             print(f"FAIL {name}: cols {s_cols} vs {d_cols}"); n_fail += 1; continue
+        # dtype parity: the driver hash-compares VALUES, so an int64
+        # column on one side rendered float64 on the other (e.g. DuckDB
+        # HUGEINT sums) hash-mismatches at equal values — r01's two
+        # hash_match=false were exactly this. Treat dtype skew as FAIL.
+        def is_dt(df, c):  # date/datetime cols are normalized pre-compare
+            v = df[c].dropna()
+            return (str(df[c].dtype).startswith("datetime") or
+                    (len(v) and type(v.iloc[0]).__name__ in ("date", "datetime", "Timestamp")))
+        dt = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+              for c in s_cols if str(spark_df[c].dtype) != str(duck_df[c].dtype)
+              and not (is_dt(spark_df, c) and is_dt(duck_df, c))]
+        if dt:
+            print(f"FAIL {name}: dtype skew {dt}"); n_fail += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); n_fail += 1; continue
         s = spark_df[s_cols].reset_index(drop=True)

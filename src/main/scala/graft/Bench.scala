@@ -41,11 +41,15 @@ object Bench {
         case _: Throwable => failed ::= name; None
       }
     }
-    val qs = results.map { case (k, v) => Json.str(k) + ":" + v }
+    // 3-decimal seconds: full double repr made the line >2.3 KB and the
+    // r01 driver's tail capture truncated it mid-line (BENCH_r01.json
+    // "parsed": null) — ms resolution is plenty for a wall-clock bench
+    def sec(v: Double) = "%.3f".format(v)
+    val qs = results.map { case (k, v) => Json.str(k) + ":" + sec(v) }
       .mkString("{", ",", "}")
     val fs = failed.map(Json.str).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":${Json.str(sfDir)}}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":${Json.str(sfDir)}}""")
     spark.stop()
   }
 }

@@ -20,6 +20,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must never leave a previous run's output behind:
+        // a downstream compare against a reused outDir would silently
+        // PASS on stale results
+        deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
     val json = SparkEntry.oracleSql
@@ -27,5 +31,12 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+      .foreach(c => deleteRecursively(c.toPath))
+    f.delete(): Unit
   }
 }

@@ -96,12 +96,22 @@ object Aggregates extends QueryGroup {
     },
 
     "agg_stats" -> { (spark, dir) =>
+      // stddev derived from exact decimal moments (count, Σx, Σx²) with
+      // the final algebra in double — no raw parallel float aggregate,
+      // same policy as means (Canon). The per-row x² decimal conversions
+      // may differ from DuckDB's by ~1e-10, but that is ~1e-17 relative
+      // at the sum's magnitude and vanishes in the double cast.
+      val n = count(lit(1))
+      val s1 = sum(col("o_totalprice").cast(Canon.Dec)).cast("double")
+      val s2 = sum((col("o_totalprice") * col("o_totalprice"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 10))).cast("double")
       Tables.table(spark, dir, "orders")
         .agg(
-          count(lit(1)).as("n_orders"),
+          n.as("n_orders"),
           Canon.round4(min(col("o_totalprice"))).as("min_price"),
           Canon.round4(max(col("o_totalprice"))).as("max_price"),
-          Canon.round4(stddev_samp(col("o_totalprice"))).as("sd_price"),
+          Canon.round4(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
+            .as("sd_price"),
           Canon.round4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
     },
 
@@ -177,7 +187,11 @@ object Aggregates extends QueryGroup {
       """SELECT count(*) AS n_orders,
         |  CAST(round(min(o_totalprice), 4) AS DOUBLE) AS min_price,
         |  CAST(round(max(o_totalprice), 4) AS DOUBLE) AS max_price,
-        |  CAST(round(stddev_samp(o_totalprice), 4) AS DOUBLE) AS sd_price,
+        |  CAST(round(sqrt(
+        |    (CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+        |     - CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |       * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+        |    / (count(*) - 1)), 4) AS DOUBLE) AS sd_price,
         |  CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS median_price
         |FROM orders""".stripMargin
   )

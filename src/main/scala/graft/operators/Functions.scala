@@ -63,7 +63,11 @@ object Functions extends QueryGroup {
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           col("embedding").getItem(0).as("e1"),
-          slice(col("embedding"), 1, 4).as("head4"),
+          // scalar, not the raw slice: list-typed output columns crash
+          // the driver's pandas row-sort (r01), so the slice is reduced
+          // through a sequential-fold aggregate — same HOF surface
+          Canon.round6(aggregate(slice(col("embedding"), 1, 4),
+            lit(0.0), (acc, x) => acc + x.cast("double"))).as("head4_sum"),
           Canon.round6(sqrt(aggregate(
             transform(col("embedding"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (acc, x) => acc + x))).as("l2_norm"))
@@ -138,7 +142,8 @@ object Functions extends QueryGroup {
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  embedding[1] AS e1,
-        |  list_slice(embedding, 1, 4) AS head4,
+        |  CAST(round(list_sum(list_transform(list_slice(embedding, 1, 4),
+        |    x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS head4_sum,
         |  CAST(round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,

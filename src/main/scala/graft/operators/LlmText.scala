@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * dedup families (exact hash, n-gram Jaccard, MinHash+LSH banding,
   * SimHash hamming).
   *
-  * Every operator is expressed in codegen-able built-ins (no UDFs) and is
-  * oracle-checked against DuckDB, which requires *engine-independent*
-  * hashing: tokens are hashed by taking the first 14 hex digits of
+  * Operators are expressed in codegen-able built-ins, with two deliberate
+  * exceptions on the hot path: the [[jacOfSorted]] merge-walk rescore UDF
+  * (a sorted-array intersection no built-in expresses at this cost) and
+  * the [[sigTable]] mapPartitions signature stage (a materialization
+  * barrier — see its doc). Everything is oracle-checked against DuckDB,
+  * which requires *engine-independent* hashing: tokens are hashed by taking the first 14 hex digits of
   * sha256 (56 bits, exact in both engines' int64), and MinHash/SimHash
   * are built from that with explicit integer arithmetic — no reliance on
   * either engine's internal `hash()`.

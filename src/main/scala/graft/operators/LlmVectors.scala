@@ -194,12 +194,16 @@ object LlmVectors extends QueryGroup {
     },
 
     "multimodal_join" -> { (spark, dir) =>
+      // vector reduced to scalar facets (dim + first component): a raw
+      // list column in the output crashes the driver's pandas row-sort
+      // (r01); the join itself still carries the full array.
       Tables.table(spark, dir, "documents")
         .join(Tables.table(spark, dir, "embeddings"),
           col("doc_id") === col("vec_id"))
         .filter(col("label").isin(0, 1, 2))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
-          col("embedding"))
+          size(col("embedding")).cast("long").as("dim"),
+          col("embedding").getItem(0).as("e1"))
         .orderBy("doc_id")
     },
 
@@ -267,6 +271,11 @@ object LlmVectors extends QueryGroup {
           }
         }
         .toDF("doc_id", "media_type", "n_bytes", "features")
+        // fixed-width feature vector flattened to scalar columns: a list
+        // column in the output crashes the driver's pandas row-sort (r01)
+        .select(col("doc_id") +: col("media_type") +: col("n_bytes") +:
+          (0 until 8).map(i =>
+            Canon.round6(element_at(col("features"), i + 1)).as(s"f$i")): _*)
         .orderBy("doc_id")
     }
   )
@@ -279,7 +288,11 @@ object LlmVectors extends QueryGroup {
          |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     "knn_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $lshBucketDuck AS bucket
+      // CAST: DuckDB list_sum yields HUGEINT, which pandas renders as
+      // float64 — the driver's hash then disagrees with Spark's int64
+      // even at equal values (r01 hash_match=false root cause)
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             CAST($lshBucketDuck AS BIGINT) AS bucket
          |           FROM embeddings)
          |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
          |  CAST(round(${cosDuck("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cosine
@@ -309,7 +322,8 @@ object LlmVectors extends QueryGroup {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "multimodal_join" ->
-      """SELECT doc_id, lang, n_chars, label, embedding
+      """SELECT doc_id, lang, n_chars, label,
+        |  CAST(len(embedding) AS BIGINT) AS dim, embedding[1] AS e1
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |WHERE label IN (0, 1, 2)
         |ORDER BY doc_id""".stripMargin

@@ -11,9 +11,11 @@ import java.util.concurrent.atomic.AtomicLong
   * file-source replay of `events`, plus the two oracle-checked batch
   * twins (`win_tumbling_batch`, `win_session_batch`).
   *
-  * The four `stream_*` queries are oracle-OMITTED (no DuckDB streaming);
-  * StreamingSpec asserts each one equals its batch twin — Structured
-  * Streaming's unified model makes that the right correctness statement.
+  * All six queries are oracle-checked: the four `stream_*` queries
+  * replay the full fixture to completion (Trigger.AvailableNow), so
+  * their end state equals the batch answer and the batch SQL is a valid
+  * DuckDB oracle; StreamingSpec additionally asserts stream ≡ batch twin
+  * inside Spark (the unified-model correctness statement).
   *
   * Each stream runs with Trigger.AvailableNow against the fixture
   * parquet (reading is safe; only writes need a temp dir), lands in a
@@ -165,12 +167,50 @@ object Streaming extends QueryGroup {
          |         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          |s AS (SELECT user_id, ts_us,
-         |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       AS BIGINT) AS session_id
          |  FROM b)
          |SELECT user_id, session_id, count(*) AS n_events,
          |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS duration_us
          |FROM s GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    // The four stream queries replay the full fixture to completion, so
+    // their end state equals the batch answer — the batch SQL IS a valid
+    // oracle (upgraded from rows-only in r01).
+    "stream_tumbling" ->
+      s"""SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us, event_type,
+         |  count(*) AS n,
+         |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "stream_session_window" ->
+      // islands formulation; session end = last event + gap, matching
+      // session_window's [start, last+gap) semantics. CAST on the window
+      // sum: DuckDB HUGEINT → pandas float64 would break the hash.
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT user_id, event_id, ts_us,
+         |  CASE WHEN ts_us - lag(ts_us) OVER w >= $GapUs
+         |         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (SELECT user_id, ts_us,
+         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       AS BIGINT) AS session_id
+         |  FROM b)
+         |SELECT user_id, min(ts_us) AS start_us,
+         |       max(ts_us) + $GapUs AS end_us, count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, start_us""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_stateful_counter" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -86,7 +86,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.length == b.length, "row count must be stable across runs")
     assert(a.zip(b).forall { case (x, y) => x == y }, "decode stub must be deterministic")
     a.foreach { r =>
-      assert(r.getAs[scala.collection.Seq[Double]]("features").length == 8)
+      (0 until 8).foreach(i => assert(!r.isNullAt(r.fieldIndex(s"f$i"))))
       assert(r.getAs[Long]("n_bytes") > 0)
       assert(Set("image", "audio", "video")(r.getAs[String]("media_type")))
     }
@@ -106,10 +106,13 @@ class LlmOpsSpec extends SparkSpec {
       Tables.table(spark, sfDir, "documents").count())
   }
 
-  test("multimodal_join keeps array column intact through the join") {
+  test("multimodal_join carries vector facets through the join") {
+    // the raw list column was dropped from the OUTPUT (it crashed the
+    // driver's pandas row-sort, r01); dim asserts the join still saw the
+    // full 64-wide array
     val df = q("multimodal_join")
     assert(df.count() > 0)
-    assert(df.head().getAs[scala.collection.Seq[Float]]("embedding").length == 64)
+    assert(df.head().getAs[Long]("dim") == 64)
   }
 
   test("text_langid covers all docs with a valid prediction") {
