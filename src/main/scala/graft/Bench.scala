@@ -31,6 +31,21 @@ object Bench {
     // shuffle machinery (~5 s that is NOT any query's cost)
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
       .count().write.format("noop").mode("overwrite").save()
+    // then JIT-warm the heavy codegen paths (decimal agg, window frames,
+    // sha2/transform token hashing, the native rescore expressions,
+    // multiway joins) on the tiny sf so timed numbers reflect
+    // steady-state throughput, not first-call compilation — r01 showed
+    // whichever query ran first absorbing up to 25 s of JIT on a
+    // contended host. Standard fixed-work warmup, untimed by design.
+    val warmSf = "/root/testdata/sf0.001"
+    if (new java.io.File(warmSf).isDirectory)
+      Seq("agg_pricing_summary", "win_running_sum", "dedup_jaccard",
+          "dedup_minhash", "knn_cosine", "join_multiway", "fn_string")
+        .foreach { name =>
+          try SparkEntry.queries(name)(spark, warmSf)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
     var failed = List.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * dedup families (exact hash, n-gram Jaccard, MinHash+LSH banding,
   * SimHash hamming).
   *
-  * Operators are expressed in codegen-able built-ins, with two deliberate
-  * exceptions on the hot path: the [[jacOfSorted]] merge-walk rescore UDF
-  * (a sorted-array intersection no built-in expresses at this cost) and
-  * the [[sigTable]] mapPartitions signature stage (a materialization
-  * barrier — see its doc). Everything is oracle-checked against DuckDB,
-  * which requires *engine-independent* hashing: tokens are hashed by taking the first 14 hex digits of
+  * Operators are expressed in codegen-able expressions — built-ins plus
+  * the native [[graft.functions.JaccardSorted]] merge-walk rescore — with
+  * one deliberate exception: the [[sigTable]] mapPartitions signature
+  * stage (a materialization barrier — see its doc). Everything is
+  * oracle-checked against DuckDB, which requires *engine-independent*
+  * hashing: tokens are hashed by taking the first 14 hex digits of
   * sha256 (56 bits, exact in both engines' int64), and MinHash/SimHash
   * are built from that with explicit integer arithmetic — no reliance on
   * either engine's internal `hash()`.
@@ -107,22 +107,16 @@ object LlmText extends QueryGroup {
 
   /** Jaccard over two SORTED distinct-hash arrays via a linear merge walk
     * (~100 ns/pair vs ~10 µs for interpreted array_intersect+array_union
-    * hash-set builds). Exact equivalence to token-set Jaccard holds
-    * because the 56-bit hash is injective on this corpus (asserted in
-    * LlmOpsSpec); the double division inter/union is IEEE-identical to
-    * the oracle's len()/CAST(len AS DOUBLE).
+    * hash-set builds) — the native codegen expression
+    * [[graft.functions.JaccardSorted]] (was a Scala UDF; the expression
+    * removes the per-pair Row↔JVM array copy and keeps the rescore stage
+    * in whole-stage codegen). Exact equivalence to token-set Jaccard
+    * holds because the 56-bit hash is injective on this corpus (asserted
+    * in LlmOpsSpec); the double division inter/union is IEEE-identical
+    * to the oracle's len()/CAST(len AS DOUBLE).
     */
-  private val jacOfSorted = udf { (a: Array[Long], b: Array[Long]) =>
-    var i = 0
-    var j = 0
-    var inter = 0
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
-    }
-    inter.toDouble / (a.length + b.length - inter).toDouble
-  }
+  private def jacOfSorted(a: Column, b: Column): Column =
+    graft.functions.JaccardSorted.jaccard(a, b)
 
   private val langWords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("join", "merge", "group"),
