@@ -21,9 +21,15 @@ object TimeOne {
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("GRAFT_EXPLAIN"))
       fn(spark, sfDir).explain("formatted")
+    // GRAFT_NOOP=1 measures like Bench does (noop write materializes all
+    // rows+columns incl. final sort); default count() lets Catalyst
+    // delete sorts — useful for isolating where time goes
+    val noop = sys.env.contains("GRAFT_NOOP")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = if (noop) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); -1L
+      } else fn(spark, sfDir).count()
       println(f"[time] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

@@ -92,15 +92,26 @@ object Joins extends QueryGroup {
     },
 
     "join_range_nonequi" -> { (spark, dir) =>
+      // Total order WITHOUT shuffling the 7.8M-row join output: a plain
+      // orderBy on the result samples the child for range bounds (which
+      // re-executes the join) and then moves every output row through a
+      // range exchange — measured 8.7 s vs ~3 s for this form. Instead,
+      // range-partition the 20k-row LEFT input on the leading sort keys
+      // (brand, k1); the broadcast hash join preserves stream-side order
+      // and emits complete (brand, k1) runs, so a within-partition sort
+      // on the full key yields the same global order with no output
+      // exchange. The same shape is the 100 TB plan: sort the dimension
+      // stream, fan out, never reshuffle the blown-up pair stream.
       val part = Tables.table(spark, dir, "part")
       part.as("a")
-        .join(part.as("b"),
+        .repartitionByRange(col("a.p_brand"), col("a.p_partkey"))
+        .join(broadcast(part.as("b")),
           col("a.p_brand") === col("b.p_brand")
             && col("a.p_size") < col("b.p_size"))
         .select(col("a.p_brand").as("brand"),
           col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
           col("a.p_size").as("s1"), col("b.p_size").as("s2"))
-        .orderBy("brand", "k1", "k2")
+        .sortWithinPartitions("brand", "k1", "k2")
     },
 
     "join_cross" -> { (spark, dir) =>

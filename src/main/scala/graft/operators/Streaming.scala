@@ -58,9 +58,20 @@ object Streaming extends QueryGroup {
   private def runToMemory(spark: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_sink_${sink.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // state-store parallelism sized to the replay volume: each stateful
+    // operator opens one state store PER shuffle partition per batch
+    // (delta file + commit each), a fixed ~50 ms/store cost that
+    // dominates a 100 k-row replay at 32 partitions. 8 keeps multi-core
+    // scaling locally; a production continuous run sizes this to the
+    // cluster instead (the setting is pinned per-query at first start).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
