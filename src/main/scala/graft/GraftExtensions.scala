@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, JaccardSorted}
+
+/** SparkSessionExtensions installer — the (c)-tier integration surface
+  * from the build brief: makes the library's native Catalyst expressions
+  * first-class SQL functions, so a session started with
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * (or `withExtensions(new GraftExtensions)`) can call them from SQL:
+  *
+  * {{{
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT jaccard_sorted(x.shs, y.shs) FROM ...
+  * }}}
+  *
+  * Registration goes through `injectFunction`, so the functions resolve
+  * in every downstream view/subquery and participate in whole-stage
+  * codegen exactly like built-ins — no UDF registry, no boxing.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSim(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaccard_sorted takes exactly 2 arguments")
+        JaccardSorted(children(0), children(1))
+      }))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the native expressions must resolve as SQL functions
+  * in a session built with the extensions installed (sharing the test
+  * JVM's SparkContext; default/active session restored afterwards).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("cosine_sim / jaccard_sorted resolve and evaluate from SQL") {
+    val base = SparkSpec.session // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      assert(s ne base, "extensions need their own session state")
+      s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .createOrReplaceTempView("emb")
+      val cos = s.sql(
+        "SELECT cosine_sim(embedding, embedding) AS c FROM emb LIMIT 5")
+        .collect()
+      assert(cos.nonEmpty)
+      assert(cos.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12),
+        "cosine of a vector with itself must be 1")
+      val jac = s.sql(
+        """SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j""")
+        .head().getDouble(0)
+      assert(jac == 0.5, s"|{2,3}| / |{1,2,3,4}| must be 0.5, got $jac")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("functions are absent without the extensions (no global leakage)") {
+    val base = SparkSpec.session
+    val e = intercept[Exception] {
+      base.sql("SELECT cosine_sim(array(1.0F), array(1.0F))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("unresolved")
+      || e.getMessage.toLowerCase.contains("cannot be found")
+      || e.getMessage.toLowerCase.contains("undefined"))
+  }
+}
