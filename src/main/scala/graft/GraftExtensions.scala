@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "jaccard_sorted takes exactly 2 arguments")
         JaccardSorted(children(0), children(1))
       }))
+    // whole-operator extension: plans graft.plans.AsOfJoinNode (the
+    // native as-of join) — sessions built without the extensions get the
+    // same strategy installed at call time via bridge.addStrategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

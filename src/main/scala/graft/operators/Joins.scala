@@ -137,6 +137,24 @@ object Joins extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "join_asof_native" -> { (spark, dir) =>
+      // Same semantics as join_asof, through the custom Catalyst operator
+      // (graft.plans.AsOfJoinNode/Strategy/Exec): co-partitioned sorted
+      // merge, O(1) state per task — the 100 TB as-of plan. Same oracle.
+      val e = Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select("user_id", "event_id", "ts_us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      graft.plans.AsOfJoin.asofLeft(signups, purchases,
+          keys = Seq("user_id" -> "p_user"),
+          leftTimeCol = "ts_us", rightTimeCol = "p_ts", strict = true)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("p_ts").as("prev_purchase_ts"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "join_multiway" -> { (spark, dir) =>
       // TPC-H Q5 shape: local-supplier revenue per nation within ASIA.
       val customer = Tables.table(spark, dir, "customer")
@@ -218,6 +236,16 @@ object Joins extends QueryGroup {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "join_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('purchase','signup')),
+        |     s AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'signup'),
+        |     p AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.event_id, s.ts_us, p.ts_us AS prev_purchase_ts
+        |FROM s ASOF LEFT JOIN p
+        |  ON s.user_id = p.user_id AND s.ts_us > p.ts_us
+        |ORDER BY s.user_id, s.ts_us, s.event_id""".stripMargin,
+
+    "join_asof_native" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
         |           FROM events WHERE event_type IN ('purchase','signup')),
         |     s AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'signup'),

@@ -1,15 +1,34 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Minimal bridge into `private[sql]` Column↔Expression conversions —
-  * the route for third-party Catalyst expressions when a
-  * SparkSessionExtensions registration isn't possible (Verify/Bench's
-  * session construction is driver-owned).
+/** Minimal bridge into `private[sql]` surfaces — the route for
+  * third-party Catalyst extensions when a SparkSessionExtensions
+  * registration isn't possible (Verify/Bench's session construction is
+  * driver-owned):
+  *
+  *  - Column ↔ Expression conversion (native expressions as Columns)
+  *  - DataFrame from a custom LogicalPlan (custom operators)
+  *  - runtime planner-strategy installation (experimental.extraStrategies)
   */
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Install a planner strategy on a live session (idempotent). */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
+  }
 }
