@@ -46,5 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // native as-of join) — sessions built without the extensions get the
     // same strategy installed at call time via bridge.addStrategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer-rule extension: exact self-similarity constant fold
+    ext.injectOptimizerRule(_ => graft.plans.SelfSimilarityFold)
   }
 }

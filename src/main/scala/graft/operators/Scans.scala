@@ -64,6 +64,23 @@ object Scans extends QueryGroup {
         .orderBy("fmt")
     },
 
+    "source_partitioned" -> { (spark, dir) =>
+      // Hive-style partitioned sink + partition-PRUNED scan: documents
+      // written partitionBy(lang), read back filtered to one lang. The
+      // filter resolves at the driver from directory names
+      // (PartitionFilters in the scan node — asserted by ScanSpec), so
+      // only lang=en files are ever opened. At 100 TB this is the
+      // difference between listing one partition and scanning the lake.
+      val docs = Tables.table(spark, dir, "documents")
+      val out = "/tmp/graft_part/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+      spark.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    },
+
     "filter_complex" -> { (spark, dir) =>
       Tables.table(spark, dir, "lineitem")
         .filter(col("l_discount").between(0.02, 0.06)
@@ -107,6 +124,13 @@ object Scans extends QueryGroup {
         |UNION ALL
         |SELECT 'json' AS fmt, count(*) AS n_rows FROM nation
         |ORDER BY fmt""".stripMargin,
+
+    "source_partitioned" ->
+      // CAST: DuckDB sum(BIGINT) is HUGEINT → float64 in pandas
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "filter_complex" ->
       s"""SELECT $lineitemKeySql, l_discount, l_returnflag, l_linestatus, l_shipdate

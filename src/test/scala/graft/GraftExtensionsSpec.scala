@@ -29,6 +29,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j""")
         .head().getDouble(0)
       assert(jac == 0.5, s"|{2,3}| / |{1,2,3,4}| must be 0.5, got $jac")
+      // injected optimizer rule: self-similarity folds to a constant —
+      // the expression disappears from the optimized plan, the value is
+      // exactly 1.0 / NaN / null for the non-empty / empty / null cases
+      val self = s.sql(
+        "SELECT jaccard_sorted(shs, shs) AS j FROM " +
+          "(SELECT array(1L, 2L) AS shs)")
+      assert(!self.queryExecution.optimizedPlan.toString.contains("jaccard_sorted"),
+        "SelfSimilarityFold must eliminate the self-pair expression")
+      assert(self.head().getDouble(0) == 1.0)
+      val cases = s.sql(
+        "SELECT jaccard_sorted(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)) AS e, " +
+          "jaccard_sorted(CAST(NULL AS ARRAY<BIGINT>), CAST(NULL AS ARRAY<BIGINT>)) AS n").head()
+      assert(cases.getDouble(0).isNaN, "empty self-jaccard is 0/0 = NaN")
+      assert(cases.isNullAt(1), "null self-jaccard is null")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -32,6 +32,17 @@ class ScanSpec extends SparkSpec {
     assert(df.count() == 1000)
   }
 
+  test("source_partitioned prunes partitions at the driver") {
+    val df = q("source_partitioned")
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      "lang filter must resolve against partition directories")
+    // one lang out of five → scan must declare a single-partition read
+    assert(!p.contains("lang = en) OR") && df.count() > 0)
+    val line = p.split("\n").find(_.contains("PartitionFilters")).get
+    assert(line.contains("en"), s"expected lang=en partition filter, got: $line")
+  }
+
   test("filter_complex and project_case run and stay ordered") {
     assert(q("filter_complex").count() > 0)
     val pc = q("project_case")
