@@ -137,6 +137,36 @@ object Joins extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "join_bucketed" -> { (spark, dir) =>
+      // Co-located fact-fact join: both sides bucketed (8 buckets) and
+      // sorted on the join key at write time, so the sort-merge join
+      // needs NO exchange and NO sort at read time (asserted in
+      // JoinSpec). This is the 100 TB recurring-join pattern: pay the
+      // shuffle once when laying data down, never again per query. The
+      // bucket layout is written once per process (the bucket spec lives
+      // in the session catalog — a bare parquet re-registration would
+      // lose it, so each fresh JVM lays the tables down again).
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_buckets/$suffix"
+      def bucketed(name: String, key: String): String = {
+        val tbl = s"graft_${name}_b_$suffix"
+        if (!spark.catalog.tableExists(tbl))
+          Tables.table(spark, dir, name).write
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$name")
+            .mode("overwrite").saveAsTable(tbl)
+        tbl
+      }
+      val li = spark.table(bucketed("lineitem", "l_orderkey"))
+      val ord = spark.table(bucketed("orders", "o_orderkey"))
+      li.hint("merge")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          Canon.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
     "join_asof_native" -> { (spark, dir) =>
       // Same semantics as join_asof, through the custom Catalyst operator
       // (graft.plans.AsOfJoinNode/Strategy/Exec): co-partitioned sorted
@@ -244,6 +274,12 @@ object Joins extends QueryGroup {
         |FROM s ASOF LEFT JOIN p
         |  ON s.user_id = p.user_id AND s.ts_us > p.ts_us
         |ORDER BY s.user_id, s.ts_us, s.event_id""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "join_asof_native" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

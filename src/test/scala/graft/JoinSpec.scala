@@ -22,6 +22,22 @@ class JoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_bucketed: co-located SMJ, no exchange between scan and join") {
+    val df = q("join_bucketed")
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), "bucketed fact-fact join must SMJ")
+    // in the plan tree, everything below the SMJ line is its subtree
+    // (scans + optional in-partition sorts) — it must be exchange-free;
+    // the aggregation shuffle above the join is legitimate
+    val tree = p.split("\n\n")(0).split("\n")
+    val smjIdx = tree.indexWhere(_.contains("SortMergeJoin"))
+    assert(smjIdx >= 0, "SMJ missing from plan tree:\n" + p)
+    assert(!tree.drop(smjIdx).exists(_.contains("Exchange")),
+      "bucketed layout must eliminate the join-side shuffles:\n" + p)
+    assert(p.contains("Bucketed: true"),
+      "scan must recognize the bucket layout")
+  }
+
   test("semi + anti partition the customer set") {
     val semi = q("join_semi").count()
     val anti = q("join_anti").count()
