@@ -147,7 +147,9 @@ object Joins extends QueryGroup {
       // in the session catalog — a bare parquet re-registration would
       // lose it, so each fresh JVM lays the tables down again).
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"/tmp/graft_buckets/$suffix"
+      // pid-keyed: a concurrently running harness process (verify vs
+      // bench) must not overwrite a layout this process is reading
+      val base = s"/tmp/graft_buckets/p${ProcessHandle.current().pid()}/$suffix"
       def bucketed(name: String, key: String): String = {
         val tbl = s"graft_${name}_b_$suffix"
         if (!spark.catalog.tableExists(tbl))

@@ -72,7 +72,9 @@ object Scans extends QueryGroup {
       // only lang=en files are ever opened. At 100 TB this is the
       // difference between listing one partition and scanning the lake.
       val docs = Tables.table(spark, dir, "documents")
-      val out = "/tmp/graft_part/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // pid-keyed against concurrent harness processes (see join_bucketed)
+      val out = s"/tmp/graft_part/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       docs.write.mode("overwrite").partitionBy("lang").parquet(out)
       spark.read.parquet(out)
         .filter(col("lang") === "en")
