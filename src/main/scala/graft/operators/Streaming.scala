@@ -142,6 +142,30 @@ object Streaming extends QueryGroup {
         .orderBy("event_type")
     },
 
+    "stream_stream_join" -> { (spark, dir) =>
+      // Stream-stream inner join (StreamingSymmetricHashJoinExec): each
+      // signup joined to the same user's purchases within the following
+      // hour. The time-range condition bounds join state on both sides
+      // (with the watermark, old rows are evictable in a continuous
+      // run); the full replay emits exactly the batch join's pairs.
+      val ev = eventStream(spark, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("s_event"),
+          col("ts_t").as("s_t"), col("ts_us").as("s_us"))
+        .withWatermark("s_t", "10 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+          col("ts_t").as("p_t"), col("ts_us").as("p_us"))
+        .withWatermark("p_t", "10 minutes")
+      val joined = signups.join(purchases,
+        col("s_user") === col("p_user")
+          && col("p_t") >= col("s_t")
+          && col("p_t") <= col("s_t") + expr("interval 1 hour"))
+        .select("s_user", "s_event", "p_event", "s_us", "p_us")
+      runToMemory(spark, joined, OutputMode.Append())
+        .orderBy("s_user", "s_event", "p_event")
+    },
+
     "stream_stateful_counter" -> { (spark, dir) =>
       import spark.implicits._
       val counted = eventStream(spark, dir)
@@ -222,6 +246,18 @@ object Streaming extends QueryGroup {
 
     "stream_stateful_counter" ->
       """SELECT user_id, count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_stream_join" ->
+      // interval 1 hour == 3 600 000 000 µs on the canonical ts_us axis
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('signup', 'purchase')),
+        |s AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT s.user_id AS s_user, s.event_id AS s_event,
+        |       p.event_id AS p_event, s.ts_us AS s_us, p.ts_us AS p_us
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |  AND p.ts_us >= s.ts_us AND p.ts_us <= s.ts_us + 3600000000
+        |ORDER BY s_user, s_event, p_event""".stripMargin
   )
 }

@@ -43,6 +43,27 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream_stream_join equals the batch range join") {
+    val stream = rows("stream_stream_join")
+    assert(stream.nonEmpty, "fixture must produce signup→purchase pairs")
+    val ev = Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("signup", "purchase"))
+    import org.apache.spark.sql.functions.col
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_event"),
+        col("ts_us").as("s_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts_us").as("p_us"))
+    val batch = s.join(p, col("s_user") === col("p_user")
+        && col("p_us") >= col("s_us")
+        && col("p_us") <= col("s_us") + 3600000000L)
+      .select("s_user", "s_event", "p_event", "s_us", "p_us")
+      .collect().map(_.toSeq.toList).toSet
+    assert(stream == batch)
+  }
+
   test("multi-batch out-of-order replay converges to the batch result") {
     // split events into 3 shards in ARRIVAL order unrelated to event
     // time (event_id % 3), replay one file per trigger — state must
