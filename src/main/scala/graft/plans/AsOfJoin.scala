@@ -31,6 +31,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * side), `strict` selects `right.time < left.time` vs `<=`. Null keys
   * and null times never match, mirroring SQL comparison semantics and
   * DuckDB's `ASOF LEFT JOIN` (the oracle for `join_asof_native`).
+  *
+  * Tie semantics: among right rows sharing the winning (key, time), the
+  * one last in sort order is kept. Which physical row that is, is only
+  * deterministic up to the sort key — like every engine's as-of join,
+  * payload columns of exactly-tied right rows are an arbitrary choice;
+  * emit the time itself (or make time unique) when hash-stable output
+  * is required.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
