@@ -76,4 +76,45 @@ class PropertySpec extends SparkSpec {
     assert(df.count() > 0)
     assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
   }
+
+  test("JaccardSorted == reference set Jaccard on random long sets") {
+    import spark.implicits._
+    val setGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(setGen, setGen), 60)
+    def ref(a: Seq[Long], b: Seq[Long]): Double = {
+      val inter = a.toSet.intersect(b.toSet).size
+      inter.toDouble / (a.size + b.size - inter).toDouble // NaN for 0/0
+    }
+    val df = pairs.toDF("a", "b").select(
+      graft.functions.JaccardSorted.jaccard(col("a"), col("b")).as("j"))
+    val got = df.collect().map(_.getDouble(0))
+    val want = pairs.map { case (a, b) => ref(a, b) }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w || (g.isNaN && w.isNaN),
+        s"pair $i: expr=$g reference=$w inputs=${pairs(i)}")
+    }
+  }
+
+  test("AsOfJoin == per-row linear scan on random skewed event data") {
+    import spark.implicits._
+    // few keys + coarse times → plenty of duplicate (key, time) stress
+    val row = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L))
+    val lefts = samples(row, 80).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+    val rights = samples(row, 80).map { case (k, t) => (k, t) }
+    val l = lefts.toDF("k", "t", "row_id")
+    val r = rights.toDF("rk", "rt")
+    val joined = graft.plans.AsOfJoin
+      .asofLeft(l, r, Seq("k" -> "rk"), "t", "rt", strict = true)
+      .select("row_id", "rt").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      .toMap
+    lefts.foreach { case (k, t, id) =>
+      val want = rights.filter(rr => rr._1 == k && rr._2 < t)
+        .map(_._2).sorted.lastOption
+      assert(joined(id) == want,
+        s"left (k=$k, t=$t): operator=${joined(id)} reference=$want")
+    }
+    assert(joined.size == lefts.size, "left-outer must keep every row")
+  }
 }
