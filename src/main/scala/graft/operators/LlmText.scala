@@ -249,6 +249,42 @@ object LlmText extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     },
 
+    "dedup_ngram" -> { (spark, dir) =>
+      // word-3-gram (shingle) Jaccard — ORDER-sensitive near-dup, unlike
+      // dedup_jaccard's token-SET form: reordered docs share tokens but
+      // not shingles. Shingle hashes materialized sorted through the
+      // same mapPartitions barrier pattern as sigTable; rescore is the
+      // native JaccardSorted merge walk. Threshold 0.2 isolates the
+      // corpus's true duplicate pairs (1 / 7 at sf0.01 / sf0.1).
+      import spark.implicits._
+      val toksC = toks(col("text"))
+      val sig = Tables.table(spark, dir, "documents")
+        .filter(size(toksC) >= 3)
+        .withColumn("sh3", transform(
+          sequence(lit(0), size(toksC) - 3),
+          i => concat_ws(" ", element_at(toksC, i + 1),
+            element_at(toksC, i + 2), element_at(toksC, i + 3))))
+        .withColumn("hs", transform(array_distinct(col("sh3")),
+          t => tokHash56(t)))
+        .select(col("doc_id"), col("source"), col("hs"))
+        .as[(Long, String, Array[Long])]
+        .mapPartitions(_.map { case (id, src, h) =>
+          val s = h.sorted
+          (id, src, s, s.length)
+        })
+        .toDF("doc_id", "source", "shs3", "n3")
+      // size prefilter: J >= 0.2 ⟹ 5·min(|A|,|B|) >= max(|A|,|B|)
+      sig.as("x").join(sig.as("y"),
+          col("x.source") === col("y.source")
+            && col("x.doc_id") < col("y.doc_id")
+            && col("x.n3") * 5 >= col("y.n3")
+            && col("y.n3") * 5 >= col("x.n3"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          Canon.round6(jacOfSorted(col("x.shs3"), col("y.shs3"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    },
+
     "dedup_minhash" -> { (spark, dir) =>
       // MinHash(16 perms) + LSH banding (2 bands × 8 rows), blocked by
       // `source` (composite LSH + attribute blocking — this corpus has
@@ -382,6 +418,21 @@ object LlmText extends QueryGroup {
         |WHERE round(len(list_filter(x.dtoks, v -> list_contains(y.dtoks, v)))
         |      / CAST(len(list_distinct(list_concat(x.dtoks, y.dtoks))) AS DOUBLE), 6)
         |      >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |         || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(round(len(list_filter(x.sh, v -> list_contains(y.sh, v)))
+        |    / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6)
+        |    AS DOUBLE) AS jaccard
+        |FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+        |WHERE round(len(list_filter(x.sh, v -> list_contains(y.sh, v)))
+        |    / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash" ->

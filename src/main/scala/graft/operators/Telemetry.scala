@@ -37,6 +37,19 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "events_bbox" -> { (spark, dir) =>
+      // the reference's geo "bounding box for map display", generalized:
+      // the fixtures carry no lat/lon (SURVEY.md §2 note), so the box is
+      // a 2D range on the two continuous telemetry axes (time × signal
+      // value). Both predicates push to the scan; at 100 TB with
+      // ts-partitioned layout the time edge becomes partition pruning.
+      Tables.events(spark, dir)
+        .filter(col("ts") >= FromUs * 1000 && col("ts") < ToUs * 1000
+          && col("value") >= 20.0 && col("value") < 60.0)
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "events_user_summary" -> { (spark, dir) =>
       // per-vehicle summary statistics (report count, channel spread,
       // activity span, mean/max signal value)
@@ -67,6 +80,13 @@ object Telemetry extends QueryGroup {
          |FROM events
          |WHERE user_id IN (1, 2, 3)
          |  AND epoch_us(ts) >= $FromUs AND epoch_us(ts) < $ToUs
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "events_bbox" ->
+      s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+         |FROM events
+         |WHERE epoch_us(ts) >= $FromUs AND epoch_us(ts) < $ToUs
+         |  AND value >= 20.0 AND value < 60.0
          |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "events_user_summary" ->

@@ -120,4 +120,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.count() == 500)
     assert(df.filter(!col("pred_lang").isin("de", "en", "es", "fr", "zh")).count() == 0)
   }
+
+  test("dedup_ngram matches a full O(n²) shingle-Jaccard recompute") {
+    // independent oracle: brute-force word-3-gram Jaccard over every
+    // same-source pair at sf0.001, using plain Scala sets (no hashing,
+    // no prefilter) — the operator's size prefilter and 56-bit token
+    // hashing must not change the answer
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), shingles(r.getString(2))))
+      .filter(_._3.nonEmpty)
+    val expected = (for {
+      (ia, sa, xa) <- docs; (ib, sb, xb) <- docs
+      if sa == sb && ia < ib
+      j = xa.intersect(xb).size.toDouble / xa.union(xb).size
+      if math.rint(j * 1e6) / 1e6 >= 0.2
+    } yield ((ia, ib), math.rint(j * 1e6) / 1e6)).toMap
+    val got = q("dedup_ngram").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
+  }
+
+  test("dedup_ngram is word-order sensitive where token-set Jaccard is not") {
+    // identical token MULTISETS in different orders: set-Jaccard = 1,
+    // shingle-Jaccard low — the property that motivates the operator
+    import spark.implicits._
+    val df = Seq(
+      (1L, "src", "a b c d e f g h"),
+      (2L, "src", "h g f e d c b a")
+    ).toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ngram_ord").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ng = SparkEntry.queries("dedup_ngram")(spark, tmp).collect()
+    assert(ng.isEmpty, s"reversed doc must not be an n-gram near-dup: ${ng.toSeq}")
+    val js = SparkEntry.queries("dedup_jaccard")(spark, tmp).collect()
+    assert(js.length == 1 && js(0).getDouble(2) == 1.0,
+      "token-SET jaccard must still see the reversed pair as identical")
+  }
 }

@@ -43,6 +43,19 @@ class ScanSpec extends SparkSpec {
     assert(line.contains("en"), s"expected lang=en partition filter, got: $line")
   }
 
+  test("events_bbox pushes both range edges to the scan, rows inside box") {
+    val df = q("events_bbox")
+    val p = plan(df)
+    val pushed = p.split("\n").find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("ts") && pushed.contains("value"),
+      s"both box edges must reach the parquet reader, got: $pushed")
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("value") < 20.0 || col("value") >= 60.0).count() == 0)
+    val rows = df.select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.sameElements(rows.sorted), "output must be (user_id, ts) ordered")
+  }
+
   test("filter_complex and project_case run and stay ordered") {
     assert(q("filter_complex").count() > 0)
     val pc = q("project_case")
