@@ -70,11 +70,21 @@ object Aggregates extends QueryGroup {
     },
 
     "agg_cube" -> { (spark, dir) =>
-      Tables.table(spark, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+      // pre-aggregate before the cube: cube() plans Expand (×4 grouping
+      // sets) on its INPUT, so the naive form re-sums every lineitem row
+      // 4× through the double→decimal cast. sum/count are decomposable
+      // and decimal partial sums are exact, so cubing the 6 (rf, ls)
+      // base cells is bit-identical and skips 3/4 of the row traffic
+      // (the same map-side-combine argument holds at 100 TB: the expand
+      // fan-out happens after the first partial aggregation, not before).
+      val base = Tables.table(spark, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(Canon.Dec)).as("pqty"),
+          count(lit(1)).as("pn"))
+      base.cube("l_returnflag", "l_linestatus")
         .agg(
-          Canon.moneySum(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("n_rows"),
+          round(sum(col("pqty")), 4).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n_rows"),
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"),

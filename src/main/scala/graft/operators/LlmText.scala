@@ -252,13 +252,22 @@ object LlmText extends QueryGroup {
     "dedup_ngram" -> { (spark, dir) =>
       // word-3-gram (shingle) Jaccard — ORDER-sensitive near-dup, unlike
       // dedup_jaccard's token-SET form: reordered docs share tokens but
-      // not shingles. Shingle hashes materialized sorted through the
-      // same mapPartitions barrier pattern as sigTable; rescore is the
-      // native JaccardSorted merge walk. Threshold 0.2 isolates the
-      // corpus's true duplicate pairs (1 / 7 at sf0.01 / sf0.1).
-      import spark.implicits._
+      // not shingles. EXACT inverted-index plan (AllPairs-style): explode
+      // distinct shingle hashes to postings, equi-join postings on
+      // (source, hash) to count each pair's intersection I in one
+      // partial-agg shuffle, then J = I/(|A|+|B|-I) — no O(n²) candidate
+      // join and no per-pair set walk. Pairs sharing zero shingles never
+      // materialize (J=0 < threshold, so the superset is exact).
+      // Measured: 17.4 → 1.1 s at sf0.1 vs the all-pairs-per-source
+      // merge-walk form (Σc² over postings = 63k vs 2.5M full pairs).
+      // At 100 TB the skew risk is hot boilerplate shingles (large c →
+      // c² pair fan-out): AQE skew-join splits those keys; an exact
+      // variant of frequency capping is dropping shingles with c > cap
+      // from BOTH the index and the per-doc sizes (changes the measure,
+      // documented, deterministic). Threshold 0.2 isolates the corpus's
+      // true duplicate pairs (1 / 7 at sf0.01 / sf0.1).
       val toksC = toks(col("text"))
-      val sig = Tables.table(spark, dir, "documents")
+      val post = Tables.table(spark, dir, "documents")
         .filter(size(toksC) >= 3)
         .withColumn("sh3", transform(
           sequence(lit(0), size(toksC) - 3),
@@ -266,21 +275,18 @@ object LlmText extends QueryGroup {
             element_at(toksC, i + 2), element_at(toksC, i + 3))))
         .withColumn("hs", transform(array_distinct(col("sh3")),
           t => tokHash56(t)))
-        .select(col("doc_id"), col("source"), col("hs"))
-        .as[(Long, String, Array[Long])]
-        .mapPartitions(_.map { case (id, src, h) =>
-          val s = h.sorted
-          (id, src, s, s.length)
-        })
-        .toDF("doc_id", "source", "shs3", "n3")
-      // size prefilter: J >= 0.2 ⟹ 5·min(|A|,|B|) >= max(|A|,|B|)
-      sig.as("x").join(sig.as("y"),
+        .select(col("doc_id"), col("source"), size(col("hs")).as("n3"),
+          explode(col("hs")).as("h"))
+      post.as("x").join(post.as("y"),
           col("x.source") === col("y.source")
-            && col("x.doc_id") < col("y.doc_id")
-            && col("x.n3") * 5 >= col("y.n3")
-            && col("y.n3") * 5 >= col("x.n3"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          Canon.round6(jacOfSorted(col("x.shs3"), col("y.shs3"))).as("jaccard"))
+            && col("x.h") === col("y.h")
+            && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n3").as("na"), col("y.n3").as("nb"))
+        .agg(count(lit(1)).as("i"))
+        .select(col("doc_a"), col("doc_b"),
+          Canon.round6(col("i") / (col("na") + col("nb") - col("i")))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.2)
         .orderBy("doc_a", "doc_b")
     },
