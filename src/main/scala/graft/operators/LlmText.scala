@@ -266,17 +266,32 @@ object LlmText extends QueryGroup {
       // from BOTH the index and the per-doc sizes (changes the measure,
       // documented, deterministic). Threshold 0.2 isolates the corpus's
       // true duplicate pairs (1 / 7 at sf0.01 / sf0.1).
-      val toksC = toks(col("text"))
+      // shingling runs as a JVM loop behind a mapPartitions barrier (the
+      // sigTable recipe): a `transform` lambda over element_at(split(text)
+      // ,i) re-splits the text per element access once CollapseProject
+      // inlines it — O(L²)/doc, measured 4.7 s of the original 17 s just
+      // building shingles at sf0.1. Hashing stays in codegen'd sha2 over
+      // the exploded postings (one evaluation per posting, by construction)
+      import spark.implicits._
       val post = Tables.table(spark, dir, "documents")
-        .filter(size(toksC) >= 3)
-        .withColumn("sh3", transform(
-          sequence(lit(0), size(toksC) - 3),
-          i => concat_ws(" ", element_at(toksC, i + 1),
-            element_at(toksC, i + 2), element_at(toksC, i + 3))))
-        .withColumn("hs", transform(array_distinct(col("sh3")),
-          t => tokHash56(t)))
-        .select(col("doc_id"), col("source"), size(col("hs")).as("n3"),
-          explode(col("hs")).as("h"))
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (id, src, text) =>
+          val t = text.split(" ", -1)
+          if (t.length < 3) Iterator.empty
+          else {
+            val set = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + 2 < t.length) {
+              set.add(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"); i += 1
+            }
+            val n = set.size
+            set.iterator.map(sh => (id, src, n, sh))
+          }
+        })
+        .toDF("doc_id", "source", "n3", "sh")
+        .select(col("doc_id"), col("source"), col("n3"),
+          tokHash56(col("sh")).as("h"))
       post.as("x").join(post.as("y"),
           col("x.source") === col("y.source")
             && col("x.h") === col("y.h")
