@@ -37,12 +37,27 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH/band joins never degrade to nested-loop or cartesian") {
-    Seq("dedup_minhash", "dedup_jaccard", "dedup_simhash", "knn_ivf")
+    Seq("dedup_minhash", "dedup_jaccard", "dedup_simhash", "knn_ivf",
+        "dedup_ngram")
       .foreach { name =>
         val s = p(name)
         assert(!s.contains("CartesianProduct"), name)
         assert(!s.contains("BroadcastNestedLoopJoin"), name)
       }
+  }
+
+  test("dedup_ngram: postings equi-join, intersection from one partial agg") {
+    // the inverted-index shape: candidates come from an equi-join on
+    // (source, shingle-hash) — high-cardinality shuffle keys that scale
+    // out — and the pair intersection count is a partial+final aggregate,
+    // never a per-pair set walk over O(n²) candidates
+    val s = p("dedup_ngram")
+    assert(s.contains("MapPartitions"),
+      "shingling must run behind the JVM-loop barrier")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "pair intersection count must partial-aggregate map-side")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"))
   }
 
   test("windows shuffle once by key, with map-side group-limit pruning") {
