@@ -207,6 +207,40 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "split_assign" -> { (spark, dir) =>
+      // deterministic 80/10/10 train/val/test assignment by stable key
+      // hash (the sample_hash trick) — reproducible across engines, runs,
+      // and cluster sizes, unlike rand()-based splits; per-(source, split)
+      // facets verify both the assignment function and the balance. At
+      // 100 TB: pure map + one partial-agg shuffle on 60 keys.
+      val bucket = conv(
+        substring(sha2(col("doc_id").cast("string"), 256), 1, 14), 16, 10)
+        .cast("long") % 100
+      Tables.table(spark, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source", "split")
+    },
+
+    "text_len_hist" -> { (spark, dir) =>
+      // sequence-length histogram per lang in 10-token buckets — the
+      // batch-packing / truncation-planning statistic; map + tiny agg
+      val nTok = size(toks(col("text")))
+      Tables.table(spark, dir, "documents")
+        .withColumn("len_bucket",
+          (floor(nTok / 10.0) * 10).cast("long"))
+        .groupBy("lang", "len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(nTok.cast("long")).as("min_tokens"),
+          max(nTok.cast("long")).as("max_tokens"))
+        .orderBy("lang", "len_bucket")
+    },
+
     "sample_hash" -> { (spark, dir) =>
       // deterministic 10% sample for pipeline subsetting: stable hash of
       // the key, NOT rand() — reproducible across engines, runs, and
@@ -421,6 +455,24 @@ object LlmText extends QueryGroup {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "split_assign" ->
+      """WITH b AS (SELECT source, doc_id,
+        |    CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "text_len_hist" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, CAST(floor(n_tok / 10.0) AS BIGINT) * 10 AS len_bucket,
+        |  count(*) AS n_docs, min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+        |FROM t GROUP BY lang, len_bucket ORDER BY lang, len_bucket""".stripMargin,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_dup,

@@ -277,6 +277,36 @@ object LlmVectors extends QueryGroup {
           (0 until 8).map(i =>
             Canon.round6(element_at(col("features"), i + 1)).as(s"f$i")): _*)
         .orderBy("doc_id")
+    },
+
+    "vec_quantize" -> { (spark, dir) =>
+      // int8 range quantization per vector — the embedding-compression
+      // step before an ANN index build: scale = (max−min)/255,
+      // q = ⌊(x−min)/scale + 0.5⌋ (binRound form, not round(): Spark's
+      // double round() uses shortest-repr HALF_UP, DuckDB the binary
+      // value — §5.3), reconstruction x' = min + q·scale. Emits
+      // per-vector reconstruction MSE + saturation count as scalar
+      // facets (list outputs crash the driver compare). Pure map at any
+      // scale; the fold over 64 elements is sequential left-to-right in
+      // both engines, so the double sum is deterministic.
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      val qOf = (x: Column, mn: Column, sc: Column) =>
+        floor((x - mn) / sc + 0.5)
+      Tables.table(spark, dir, "embeddings")
+        .withColumn("ed", ed)
+        .withColumn("mn", array_min(col("ed")))
+        .withColumn("sc", (array_max(col("ed")) - col("mn")) / 255.0)
+        .select(col("vec_id"), col("label"),
+          Canon.round6(
+            aggregate(
+              transform(col("ed"), x =>
+                x - (col("mn") + qOf(x, col("mn"), col("sc")) * col("sc"))),
+              lit(0.0), (acc, e) => acc + e * e) / 64.0).as("mse"),
+          size(filter(col("ed"), x =>
+            qOf(x, col("mn"), col("sc")) === 0.0
+              || qOf(x, col("mn"), col("sc")) === 255.0))
+            .cast("long").as("n_sat"))
+        .orderBy("vec_id")
     }
   )
 
@@ -326,7 +356,23 @@ object LlmVectors extends QueryGroup {
         |  CAST(len(embedding) AS BIGINT) AS dim, embedding[1] AS e1
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |WHERE label IN (0, 1, 2)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "vec_quantize" ->
+      """WITH m AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+        |    list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+        |    (list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |     - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS sc
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  CAST(round(list_sum(list_transform(ed,
+        |      x -> (x - (mn + floor((x - mn) / sc + 0.5) * sc))
+        |         * (x - (mn + floor((x - mn) / sc + 0.5) * sc)))) / 64.0, 6)
+        |    AS DOUBLE) AS mse,
+        |  CAST(len(list_filter(ed, x -> floor((x - mn) / sc + 0.5) = 0
+        |      OR floor((x - mn) / sc + 0.5) = 255)) AS BIGINT) AS n_sat
+        |FROM m ORDER BY vec_id""".stripMargin
   )
 }
 

@@ -50,6 +50,20 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "events_downsample" -> { (spark, dir) =>
+      // the reference's map-display downsampling: every 10th report per
+      // vehicle in (ts, event_id) order. One window shuffle keyed by the
+      // entity — at 100 TB the partitionBy(user_id) hash exchange is the
+      // only data movement; no global sort until the final output order.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter((col("rn") - 1) % 10 === 0)
+        .select("user_id", "ts_us", "event_id", "value", "rn")
+        .orderBy("user_id", "rn")
+    },
+
     "events_user_summary" -> { (spark, dir) =>
       // per-vehicle summary statistics (report count, channel spread,
       // activity span, mean/max signal value)
@@ -88,6 +102,14 @@ object Telemetry extends QueryGroup {
          |WHERE epoch_us(ts) >= $FromUs AND epoch_us(ts) < $ToUs
          |  AND value >= 20.0 AND value < 60.0
          |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "events_downsample" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, value, rn FROM r
+        |WHERE (rn - 1) % 10 = 0 ORDER BY user_id, rn""".stripMargin,
 
     "events_user_summary" ->
       """SELECT user_id, count(*) AS n_events,

@@ -121,6 +121,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.filter(!col("pred_lang").isin("de", "en", "es", "fr", "zh")).count() == 0)
   }
 
+  test("split_assign partitions every doc, roughly 80/10/10, deterministic") {
+    val rows = q("split_assign").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.table(spark, sfDir, "documents").count())
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val frac = bySplit("train").toDouble / total
+    assert(frac > 0.65 && frac < 0.95, s"train fraction $frac")
+    // stable across runs (hash-based, not rand()-based)
+    assert(rows.sameElements(q("split_assign").collect()))
+  }
+
+  test("text_len_hist buckets are consistent and cover all docs") {
+    val rows = q("text_len_hist").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.table(spark, sfDir, "documents").count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("len_bucket")
+      assert(r.getAs[Long]("min_tokens") >= b
+        && r.getAs[Long]("max_tokens") < b + 10
+        && r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+    }
+  }
+
+  test("vec_quantize: int8 error bounded by half a step, extremes saturate") {
+    val rows = q("vec_quantize").collect()
+    assert(rows.length ==
+      Tables.table(spark, sfDir, "embeddings").count())
+    rows.foreach { r =>
+      // per-element |err| <= scale/2 and unit-norm vectors keep the
+      // range (and so the step) small => MSE far below 1e-3
+      assert(r.getAs[Double]("mse") >= 0.0 && r.getAs[Double]("mse") < 1e-3)
+      // min and max of every vector quantize to 0 and 255 exactly
+      assert(r.getAs[Long]("n_sat") >= 2)
+    }
+  }
+
   test("dedup_ngram matches a full O(n²) shingle-Jaccard recompute") {
     // independent oracle: brute-force word-3-gram Jaccard over every
     // same-source pair at sf0.001, using plain Scala sets (no hashing,

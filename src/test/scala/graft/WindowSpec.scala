@@ -42,6 +42,18 @@ class WindowSpec extends SparkSpec {
     assert(bad == 0, "embeddings are unit-norm by fixture contract")
   }
 
+  test("events_downsample keeps exactly every 10th report per user") {
+    val df = q("events_downsample")
+    assert(df.filter((col("rn") - 1) % 10 =!= 0).count() == 0)
+    // per-user row count must be ceil(n_user/10); first kept rank is 1
+    val kept = df.groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept.keySet == full.keySet)
+    full.foreach { case (u, n) => assert(kept(u) == (n + 9) / 10, s"user $u") }
+  }
+
   test("fn_string/fn_math/fn_datetime/fn_json run with expected shapes") {
     assert(q("fn_string").count() == 200)
     assert(q("fn_math").count() == 1500)
