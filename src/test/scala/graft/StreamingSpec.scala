@@ -64,6 +64,32 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("RocksDB state store yields identical results to the default store") {
+    // the production state backend at scale: the default HDFS-backed
+    // store keeps every key in executor heap (OOM at 100 TB state);
+    // RocksDB spills to local disk with the same exactly-once semantics.
+    // The provider is pinned per-query at start, so setting the session
+    // conf around the stream run is the supported switch.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      assert(rows("stream_tumbling") == rows("win_tumbling_batch"),
+        "windowed agg state must be backend-independent")
+      val stream = q("stream_stateful_counter").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = Tables.events(spark, sfDir)
+        .groupBy("user_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(stream == batch,
+        "flatMapGroupsWithState state must be backend-independent")
+    } finally default match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("multi-batch out-of-order replay converges to the batch result") {
     // split events into 3 shards in ARRIVAL order unrelated to event
     // time (event_id % 3), replay one file per trigger — state must
