@@ -42,6 +42,14 @@ object LlmText extends QueryGroup {
   private val tokHash56Sql =
     "CAST(concat('0x', substring(sha256(t), 1, 14)) AS BIGINT)"
 
+  /** Stable 0..99 bucket of doc_id — the single definition behind
+    * sample_hash and split_assign (they must stay correlated).
+    */
+  private def docBucket: Column = tokHash56(col("doc_id").cast("string")) % 100
+
+  private val docBucketSql =
+    "CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100"
+
   /** docs with distinct tokens + 56-bit and mod-p hash lists. */
   private def withHashes(docs: DataFrame): DataFrame =
     docs
@@ -213,13 +221,10 @@ object LlmText extends QueryGroup {
       // and cluster sizes, unlike rand()-based splits; per-(source, split)
       // facets verify both the assignment function and the balance. At
       // 100 TB: pure map + one partial-agg shuffle on 60 keys.
-      val bucket = conv(
-        substring(sha2(col("doc_id").cast("string"), 256), 1, 14), 16, 10)
-        .cast("long") % 100
       Tables.table(spark, dir, "documents")
         .withColumn("split",
-          when(bucket < 80, lit("train"))
-            .when(bucket < 90, lit("val"))
+          when(docBucket < 80, lit("train"))
+            .when(docBucket < 90, lit("val"))
             .otherwise(lit("test")))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"),
@@ -230,14 +235,14 @@ object LlmText extends QueryGroup {
     "text_len_hist" -> { (spark, dir) =>
       // sequence-length histogram per lang in 10-token buckets — the
       // batch-packing / truncation-planning statistic; map + tiny agg
-      val nTok = size(toks(col("text")))
       Tables.table(spark, dir, "documents")
+        .withColumn("n_tok", size(toks(col("text"))).cast("long"))
         .withColumn("len_bucket",
-          (floor(nTok / 10.0) * 10).cast("long"))
+          (floor(col("n_tok") / 10.0) * 10).cast("long"))
         .groupBy("lang", "len_bucket")
         .agg(count(lit(1)).as("n_docs"),
-          min(nTok.cast("long")).as("min_tokens"),
-          max(nTok.cast("long")).as("max_tokens"))
+          min("n_tok").as("min_tokens"),
+          max("n_tok").as("max_tokens"))
         .orderBy("lang", "len_bucket")
     },
 
@@ -246,9 +251,7 @@ object LlmText extends QueryGroup {
       // the key, NOT rand() — reproducible across engines, runs, and
       // cluster sizes (the only sane sampling at 100 TB)
       Tables.table(spark, dir, "documents")
-        .withColumn("bucket",
-          conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 14), 16, 10)
-            .cast("long") % 100)
+        .withColumn("bucket", docBucket)
         .filter(col("bucket") < 10)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
@@ -292,7 +295,7 @@ object LlmText extends QueryGroup {
       // partial-agg shuffle, then J = I/(|A|+|B|-I) — no O(n²) candidate
       // join and no per-pair set walk. Pairs sharing zero shingles never
       // materialize (J=0 < threshold, so the superset is exact).
-      // Measured: 17.4 → 1.1 s at sf0.1 vs the all-pairs-per-source
+      // Measured: 17.4 → 2.2 s at sf0.1 vs the all-pairs-per-source
       // merge-walk form (Σc² over postings = 63k vs 2.5M full pairs).
       // At 100 TB the skew risk is hot boilerplate shingles (large c →
       // c² pair fan-out): AQE skew-join splits those keys; an exact
@@ -452,13 +455,12 @@ object LlmText extends QueryGroup {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "sample_hash" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 < 10
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE $docBucketSql < 10
         |ORDER BY doc_id""".stripMargin,
 
     "split_assign" ->
-      """WITH b AS (SELECT source, doc_id,
-        |    CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 AS bucket
+      s"""WITH b AS (SELECT source, doc_id, $docBucketSql AS bucket
         |  FROM documents)
         |SELECT source,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -290,21 +290,24 @@ object LlmVectors extends QueryGroup {
       // scale; the fold over 64 elements is sequential left-to-right in
       // both engines, so the double sum is deterministic.
       val ed = transform(col("embedding"), x => x.cast("double"))
-      val qOf = (x: Column, mn: Column, sc: Column) =>
-        floor((x - mn) / sc + 0.5)
       Tables.table(spark, dir, "embeddings")
         .withColumn("ed", ed)
         .withColumn("mn", array_min(col("ed")))
         .withColumn("sc", (array_max(col("ed")) - col("mn")) / 255.0)
+        // q computed once; the sc=0 guard matters: a constant vector
+        // gives 0/0 = NaN, and the engines then disagree (Spark casts
+        // floor(NaN) to 0 through LongType, DuckDB keeps NaN)
+        .withColumn("q", transform(col("ed"), x =>
+          when(col("sc") === 0.0, 0.0)
+            .otherwise(floor((x - col("mn")) / col("sc") + 0.5))))
         .select(col("vec_id"), col("label"),
           Canon.round6(
             aggregate(
-              transform(col("ed"), x =>
-                x - (col("mn") + qOf(x, col("mn"), col("sc")) * col("sc"))),
-              lit(0.0), (acc, e) => acc + e * e) / 64.0).as("mse"),
-          size(filter(col("ed"), x =>
-            qOf(x, col("mn"), col("sc")) === 0.0
-              || qOf(x, col("mn"), col("sc")) === 255.0))
+              zip_with(col("ed"), col("q"),
+                (x, qv) => x - (col("mn") + qv * col("sc"))),
+              lit(0.0), (acc, e) => acc + e * e)
+              / size(col("ed"))).as("mse"),
+          size(filter(col("q"), v => v === 0.0 || v === 255.0))
             .cast("long").as("n_sat"))
         .orderBy("vec_id")
     }
@@ -359,20 +362,20 @@ object LlmVectors extends QueryGroup {
         |ORDER BY doc_id""".stripMargin,
 
     "vec_quantize" ->
-      """WITH m AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
-        |    list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
-        |    (list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-        |     - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS sc
-        |  FROM embeddings)
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, label, ed, list_min(ed) AS mn,
+        |    (list_max(ed) - list_min(ed)) / 255.0 AS sc FROM e),
+        |qq AS (SELECT vec_id, label, ed, mn, sc,
+        |    list_transform(ed, x -> CASE WHEN sc = 0 THEN 0.0
+        |      ELSE floor((x - mn) / sc + 0.5) END) AS q FROM m)
         |SELECT vec_id, label,
-        |  CAST(round(list_sum(list_transform(ed,
-        |      x -> (x - (mn + floor((x - mn) / sc + 0.5) * sc))
-        |         * (x - (mn + floor((x - mn) / sc + 0.5) * sc)))) / 64.0, 6)
-        |    AS DOUBLE) AS mse,
-        |  CAST(len(list_filter(ed, x -> floor((x - mn) / sc + 0.5) = 0
-        |      OR floor((x - mn) / sc + 0.5) = 255)) AS BIGINT) AS n_sat
-        |FROM m ORDER BY vec_id""".stripMargin
+        |  CAST(round(list_sum(list_transform(range(1, len(ed) + 1),
+        |      i -> (ed[i] - (mn + q[i] * sc)) * (ed[i] - (mn + q[i] * sc))))
+        |    / len(ed), 6) AS DOUBLE) AS mse,
+        |  CAST(len(list_filter(q, v -> v = 0 OR v = 255)) AS BIGINT) AS n_sat
+        |FROM qq ORDER BY vec_id""".stripMargin
   )
 }
 

@@ -162,8 +162,9 @@ class LlmOpsSpec extends SparkSpec {
   test("dedup_ngram matches a full O(n²) shingle-Jaccard recompute") {
     // independent oracle: brute-force word-3-gram Jaccard over every
     // same-source pair at sf0.001, using plain Scala sets (no hashing,
-    // no prefilter) — the operator's size prefilter and 56-bit token
-    // hashing must not change the answer
+    // no index) — the operator's inverted-index plan and 56-bit token
+    // hashing must not change the answer. Rounding mirrors Canon.round6
+    // (half away from zero on the binary value), NOT rint's half-to-even
     def shingles(text: String): Set[String] = {
       val t = text.split(" ", -1)
       if (t.length < 3) Set.empty
@@ -177,8 +178,8 @@ class LlmOpsSpec extends SparkSpec {
       (ia, sa, xa) <- docs; (ib, sb, xb) <- docs
       if sa == sb && ia < ib
       j = xa.intersect(xb).size.toDouble / xa.union(xb).size
-      if math.rint(j * 1e6) / 1e6 >= 0.2
-    } yield ((ia, ib), math.rint(j * 1e6) / 1e6)).toMap
+      if math.floor(j * 1e6 + 0.5) / 1e6 >= 0.2
+    } yield ((ia, ib), math.floor(j * 1e6 + 0.5) / 1e6)).toMap
     val got = q("dedup_ngram").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(got.keySet == expected.keySet,
