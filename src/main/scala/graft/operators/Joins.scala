@@ -34,6 +34,24 @@ object Joins extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "join_salted" -> { (spark, dir) =>
+      // the explicit-salting path for hot join keys (Skew.saltedInnerJoin):
+      // big side scattered over 8 salt buckets, small side replicated 8× —
+      // row-identical to the plain join (the oracle IS the plain join), so
+      // the hash-compare proves the equivalence end-to-end. The merge hint
+      // keeps the join a shuffle join so the widened (key, salt) shuffle
+      // key — the whole point at 100 TB — is actually exercised.
+      val li = Tables.table(spark, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val supp = Tables.table(spark, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedInnerJoin(li.hint("merge"), supp, Seq("l_suppkey"), n = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          Canon.moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_nationkey")
+    },
+
     "join_sort_merge" -> { (spark, dir) =>
       Tables.table(spark, dir, "lineitem")
         .hint("merge")
@@ -212,6 +230,12 @@ object Joins extends QueryGroup {
   )
 
   def oracle = Map(
+    "join_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
     "join_inner_hash" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
