@@ -53,6 +53,29 @@ object Aggregates extends QueryGroup {
         .orderBy("l_linestatus")
     },
 
+    "profile_columns" -> { (spark, dir) =>
+      // one-pass data profile of lineitem: per column, non-null and exact
+      // distinct counts — the schema-drift / data-quality primitive of a
+      // training pipeline. ONE scan: all 11 distinct aggregates share a
+      // single Expand (the multi-distinct rewrite), then stack() unpivots
+      // the 1×34 aggregate row to one row per column. At 100 TB this is
+      // one pass + an 11× expand shuffle — vs 11 separate scans for the
+      // naive per-column loop.
+      val df = Tables.table(spark, dir, "lineitem")
+      val cols = LineitemCols
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      wide.selectExpr("n_rows",
+          s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct)")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"))
+        .orderBy("col_name")
+    },
+
     "agg_rollup" -> { (spark, dir) =>
       // dims are tiny → both joins broadcast (asserted in AggregateSpec)
       Tables.table(spark, dir, "customer").createOrReplaceTempView("ru_customer")
@@ -142,7 +165,21 @@ object Aggregates extends QueryGroup {
     }
   )
 
+  /** lineitem's column set, sorted — shared by profile_columns and its
+    * oracle so the two can never drift apart.
+    */
+  private val LineitemCols = Seq("l_discount", "l_extendedprice",
+    "l_linenumber", "l_linestatus", "l_orderkey", "l_partkey", "l_quantity",
+    "l_returnflag", "l_shipdate", "l_suppkey", "l_tax")
+
   def oracle = Map(
+    "profile_columns" ->
+      (LineitemCols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct
+           |  FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,

@@ -38,4 +38,26 @@ class AggregateSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_rows")).sum == 6000)
     rows.foreach(r => assert(r.getAs[Long]("n_supp") <= 10)) // 10 suppliers at sf0.001
   }
+
+  test("profile_columns: one scan, sane per-column stats") {
+    val df = q("profile_columns")
+    val p = plan(df)
+    // the whole point: ONE pass over the table (the 11 distinct aggs
+    // share a single Expand), not a scan per column. Formatted explain
+    // lists each node twice (tree + details); count detail headers.
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
+      "profile must read the table once")
+    assert(p.contains("Expand"), "multi-distinct rewrite must engage")
+    val rows = df.collect()
+    assert(rows.length == 11)
+    val total = Tables.table(spark, sfDir, "lineitem").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == total)
+      assert(r.getAs[Long]("n_nonnull") == total, "fixtures are dense")
+      assert(r.getAs[Long]("n_distinct") <= total)
+    }
+    val nd = rows.map(r =>
+      r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
+    assert(nd("l_returnflag") == 3 && nd("l_linestatus") == 2)
+  }
 }
