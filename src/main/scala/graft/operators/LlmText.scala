@@ -289,58 +289,16 @@ object LlmText extends QueryGroup {
     "dedup_ngram" -> { (spark, dir) =>
       // word-3-gram (shingle) Jaccard — ORDER-sensitive near-dup, unlike
       // dedup_jaccard's token-SET form: reordered docs share tokens but
-      // not shingles. EXACT inverted-index plan (AllPairs-style): explode
-      // distinct shingle hashes to postings, equi-join postings on
-      // (source, hash) to count each pair's intersection I in one
-      // partial-agg shuffle, then J = I/(|A|+|B|-I) — no O(n²) candidate
-      // join and no per-pair set walk. Pairs sharing zero shingles never
-      // materialize (J=0 < threshold, so the superset is exact).
-      // Measured: 17.4 → 2.2 s at sf0.1 vs the all-pairs-per-source
-      // merge-walk form (Σc² over postings = 63k vs 2.5M full pairs).
-      // At 100 TB the skew risk is hot boilerplate shingles (large c →
-      // c² pair fan-out): AQE skew-join splits those keys; an exact
-      // variant of frequency capping is dropping shingles with c > cap
-      // from BOTH the index and the per-doc sizes (changes the measure,
-      // documented, deterministic). Threshold 0.2 isolates the corpus's
-      // true duplicate pairs (1 / 7 at sf0.01 / sf0.1).
-      // shingling runs as a JVM loop behind a mapPartitions barrier (the
-      // sigTable recipe): a `transform` lambda over element_at(split(text)
-      // ,i) re-splits the text per element access once CollapseProject
-      // inlines it — O(L²)/doc, measured 4.7 s of the original 17 s just
-      // building shingles at sf0.1. Hashing stays in codegen'd sha2 over
-      // the exploded postings (one evaluation per posting, by construction)
-      import spark.implicits._
-      val post = Tables.table(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .as[(Long, String, String)]
-        .mapPartitions(_.flatMap { case (id, src, text) =>
-          val t = text.split(" ", -1)
-          if (t.length < 3) Iterator.empty
-          else {
-            val set = new scala.collection.mutable.LinkedHashSet[String]
-            var i = 0
-            while (i + 2 < t.length) {
-              set.add(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"); i += 1
-            }
-            val n = set.size
-            set.iterator.map(sh => (id, src, n, sh))
-          }
-        })
-        .toDF("doc_id", "source", "n3", "sh")
-        .select(col("doc_id"), col("source"), col("n3"),
-          tokHash56(col("sh")).as("h"))
-      post.as("x").join(post.as("y"),
-          col("x.source") === col("y.source")
-            && col("x.h") === col("y.h")
-            && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.n3").as("na"), col("y.n3").as("nb"))
-        .agg(count(lit(1)).as("i"))
-        .select(col("doc_a"), col("doc_b"),
-          Canon.round6(col("i") / (col("na") + col("nb") - col("i")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-        .orderBy("doc_a", "doc_b")
+      // not shingles. Delegates to the parameterized library API
+      // [[TextDedup.ngramJaccardPairs]] (exact inverted-index plan; see
+      // its doc for the plan rationale and the two measured traps:
+      // transform-lambda re-splitting and the all-pairs candidate join —
+      // 17.4 → 2.2 s at sf0.1). Threshold 0.2 isolates the corpus's true
+      // duplicate pairs (1 / 7 at sf0.01 / sf0.1).
+      TextDedup.ngramJaccardPairs(
+        Tables.table(spark, dir, "documents"),
+        idCol = "doc_id", textCol = "text", blockCols = Seq("source"),
+        n = 3, threshold = 0.2)
     },
 
     "dedup_minhash" -> { (spark, dir) =>
