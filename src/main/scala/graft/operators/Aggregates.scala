@@ -58,7 +58,8 @@ object Aggregates extends QueryGroup {
       // distinct counts — the schema-drift / data-quality primitive of a
       // training pipeline. ONE scan: all 11 distinct aggregates share a
       // single Expand (the multi-distinct rewrite), then stack() unpivots
-      // the 1×34 aggregate row to one row per column. At 100 TB this is
+      // the 1×23 aggregate row (n_rows + 11 nn_ + 11 nd_) to one row per
+      // column. At 100 TB this is
       // one pass + an 11× expand shuffle — vs 11 separate scans for the
       // naive per-column loop.
       val df = Tables.table(spark, dir, "lineitem")

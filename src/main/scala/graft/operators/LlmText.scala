@@ -35,9 +35,11 @@ object LlmText extends QueryGroup {
   /** tokens (all, with duplicates) and the distinct-token set. */
   private def toks(c: Column): Column = split(c, " ")
 
-  /** 56-bit engine-independent token hash: sha256 hex prefix → int64. */
-  private def tokHash56(t: Column): Column =
-    conv(substring(sha2(t, 256), 1, 14), 16, 10).cast("long")
+  /** 56-bit engine-independent token hash — the single definition lives
+    * in the public [[TextDedup.hash56]]; minhash/simhash/bucketing here
+    * and the library dedup API must never desynchronize.
+    */
+  private def tokHash56(t: Column): Column = TextDedup.hash56(t)
 
   private val tokHash56Sql =
     "CAST(concat('0x', substring(sha256(t), 1, 14)) AS BIGINT)"

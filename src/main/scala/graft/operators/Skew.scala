@@ -30,6 +30,8 @@ object Skew {
       keys: Seq[String], n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
     require(keys.nonEmpty, "salted join needs at least one equi key")
+    require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"input already has a $SaltCol column — the salt would clobber it")
     val saltedBig = big.withColumn(SaltCol,
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(n.toLong)))
     val repeatedSmall = small.withColumn(SaltCol,
