@@ -99,4 +99,107 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Mersenne prime 2^31−1 for the MinHash universal-hash family —
+    * every intermediate stays < 2^57, overflow-free in int64.
+    */
+  private val P = 2147483647L
+
+  /** JVM twin of [[hash56]]: first 7 bytes (= 14 hex digits) of sha256,
+    * bit-identical to the codegen expression — asserted indirectly by
+    * the subset/score-equality specs against [[ngramJaccardPairs]].
+    */
+  private def hash56Jvm(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** MinHash + LSH banding near-dup pairs — the probabilistic scale path
+    * that complements the exact [[ngramJaccardPairs]]: where the exact
+    * inverted index does Σc² work over posting lists (pathological when
+    * boilerplate shingles are hot), LSH bounds candidate generation to
+    * docs agreeing on a whole band of `numPerms / bands` MinHash values.
+    * Candidates are then EXACTLY rescored with the native
+    * [[graft.functions.JaccardSorted]] merge walk, so every emitted score
+    * is true Jaccard and output ⊆ the exact pair set; only recall is
+    * probabilistic (P(caught) = 1 − (1 − J^rowsPerBand)^bands).
+    *
+    * One mapPartitions pass per doc builds the distinct shingle-hash set,
+    * the signature, and the band keys; the only shuffle is the candidate
+    * join on (block, band, bandKey) plus the rescore aggregate.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 1, numPerms: Int = 16,
+      bands: Int = 2, threshold: Double = 0.8): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    require(bands >= 1 && numPerms % bands == 0,
+      "numPerms must be a positive multiple of bands")
+    val rpb = numPerms / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocked =
+      if (blockCols.isEmpty) docs.withColumn("__block", lit(""))
+      else docs
+        .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+        .withColumn("__block", to_json(struct(blockCols.map(col): _*)))
+    val sig = blocked
+      .select(col(idCol).cast("long"), col("__block"), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { case (id, block, text) =>
+          val t = text.split(" ", -1)
+          if (t.length < n) Iterator.empty
+          else {
+            val set = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + n - 1 < t.length) {
+              val sb = new StringBuilder(t(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(t(i + j)); j += 1 }
+              set.add(sb.result()); i += 1
+            }
+            val hs = set.iterator.map(hash56Jvm(md, _)).toArray
+            val shs = hs.distinct.sorted
+            val mh = Array.tabulate(numPerms) { j =>
+              var m = Long.MaxValue
+              var k = 0
+              while (k < shs.length) {
+                val v = ((2L * j + 3) * (shs(k) % P) + (5L * j + 7)) % P
+                if (v < m) m = v
+                k += 1
+              }
+              m
+            }
+            val bandKeys = Array.tabulate(bands) { b =>
+              var acc = 1125899906842597L // large prime seed
+              var k = b * rpb
+              while (k < (b + 1) * rpb) { acc = acc * 31 + mh(k); k += 1 }
+              acc
+            }
+            Iterator.single((id, block, shs, bandKeys))
+          }
+        }
+      }
+      .toDF("doc_id", "block", "shs", "bandkeys")
+    val bd = sig.select(col("doc_id"), col("block"), col("shs"),
+      posexplode(col("bandkeys")).as(Seq("band", "bkey")))
+    bd.as("x").join(bd.as("y"),
+        col("x.block") === col("y.block")
+          && col("x.band") === col("y.band")
+          && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.shs").as("sa"), col("y.shs").as("sb"))
+      .dropDuplicates("doc_a", "doc_b") // a pair can agree on several bands
+      .select(col("doc_a"), col("doc_b"),
+        Canon.round6(
+          graft.functions.JaccardSorted.jaccard(col("sa"), col("sb")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
 }

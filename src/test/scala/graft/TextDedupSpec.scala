@@ -58,6 +58,36 @@ class TextDedupSpec extends SparkSpec {
     got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-9) }
   }
 
+  test("minhashLshPairs emits only true pairs: subset of exact, equal scores") {
+    // every LSH-emitted pair is exactly rescored, so it must appear in
+    // the exhaustive inverted-index result with the identical score —
+    // this also pins the JVM sha256-prefix hash to the codegen hash56
+    val exact = pairs(Seq("source"), 3, 0.2).toMap
+    val lsh = TextDedup.minhashLshPairs(
+      Tables.table(spark, sfDir01, "documents"),
+      "doc_id", "text", Seq("source"), n = 3, numPerms = 16, bands = 4,
+      threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"LSH emitted non-pairs: ${lsh.keySet -- exact.keySet}")
+    lsh.foreach { case (k, j) => assert(j == exact(k)) }
+  }
+
+  test("minhashLshPairs recall on high-Jaccard pairs") {
+    // P(miss) = (1 - J^4)^4 ≤ 2.5% at J = 0.9 with 4 bands × 4 rows —
+    // the sf0.01 corpus's near-dup pairs should essentially all surface
+    val exact = pairs(Seq("source"), 1, 0.9).toMap.keySet
+    val lsh = TextDedup.minhashLshPairs(
+      Tables.table(spark, sfDir01, "documents"),
+      "doc_id", "text", Seq("source"), n = 1, numPerms = 16, bands = 4,
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain J>=0.9 token-set pairs")
+    val missed = exact -- lsh
+    assert(missed.size.toDouble / exact.size <= 0.3,
+      s"missed ${missed.size} of ${exact.size} J>=0.9 pairs")
+  }
+
   test("custom hash (xxhash64) reproduces the sha-hash pair set") {
     val sha = pairs(Seq("source"), 3, 0.2).toMap
     val xx = TextDedup.ngramJaccardPairs(
