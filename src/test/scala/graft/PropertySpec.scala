@@ -117,4 +117,35 @@ class PropertySpec extends SparkSpec {
     }
     assert(joined.size == lefts.size, "left-outer must keep every row")
   }
+
+  test("TextDedup.ngramJaccardPairs matches brute force on random corpora") {
+    // random word-soup docs over a tiny vocabulary (forces overlaps);
+    // every emitted (pair, score) must equal the reference set-Jaccard
+    // computed in plain Scala — inverted index, hashing, and rounding
+    // must all be invisible
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(3, 12).flatMap(k => Gen.listOfN(k, word))
+    val docs = samples(doc, 30).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    def sh3(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      xa = sh3(ta); xb = sh3(tb)
+      inter = xa.intersect(xb).size if inter > 0
+      j = math.floor(inter.toDouble / xa.union(xb).size * 1e6 + 0.5) / 1e6
+      if j >= 0.05
+    } yield ((ia, ib), j)).toMap
+    val got = graft.operators.TextDedup.ngramJaccardPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text", Seq.empty,
+      n = 3, threshold = 0.05)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet,
+      s"extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-9, s"$k") }
+    assert(expected.nonEmpty, "generator must produce overlapping docs")
+  }
 }
