@@ -8,21 +8,24 @@ import org.apache.spark.sql.types.DecimalType
 /** Group I, vector half — similarity search + embedding dedup +
   * multimodal columns (SURVEY.md §2.I, BASELINE.json north star).
   *
-  * Performance architecture (SURVEY.md §7.4): the naive
-  * `zip_with`+`aggregate` pairwise self-join measured 14.6 s at sf0.1 —
-  * interpreted higher-order functions over O(n²) pairs. Here candidate
-  * generation runs in a `mapPartitions` over the distributed left side
-  * against a broadcast right side (2 000 × 64 floats ≈ 512 KB): a tight
-  * JVM double loop, per-row top-k pruning, emitting ids only. The final
-  * similarity is then recomputed on the few surviving pairs with the
-  * exact SQL expression shape the oracle uses, so emitted bits match
-  * DuckDB's float64 list arithmetic (§5.4: both engines fold
-  * sequentially).
+  * Performance architecture (SURVEY.md §7.4): the exact brute-force
+  * queries run as a lazy `broadcast()` nested-loop join — the index side
+  * (n × 64 floats, ≈ 512 KB at sf0.01) ships through Spark's
+  * BroadcastExchange to every executor, the left side streams
+  * distributed, and every pair is scored by the native codegen
+  * [[graft.functions.CosineSim]] expression whose float64 fold is
+  * bit-identical to DuckDB's `list_sum` (§5.4: both engines fold
+  * sequentially). No `collect()`: the driver never materializes a row
+  * (r2 VERDICT item 1 — the earlier mapPartitions design seeded its
+  * broadcast from a driver-side collect, which is a driver OOM at
+  * pipeline scale AND ran eagerly at plan-build time).
   *
-  * At 100 TB the same split holds: candidates via LSH/IVF bucketing
-  * (`knn_ivf` — equi-join on bucket id, shuffle-partitioned), exact
-  * rescoring only within buckets; the broadcast brute-force path is the
-  * small-index case.
+  * The global top-k then compiles to TakeOrderedAndProject (per-partition
+  * bounded top-k, driver merges 20 rows/partition — no global sort), and
+  * the threshold variant filters before its output sort. At 100 TB the
+  * broadcast brute force is the small-index / exact-baseline case;
+  * the scale path is bucketed candidate generation ([[Knn]] — equi-join
+  * on LSH bucket id, shuffle-partitioned, exact rescore within buckets).
   */
 object LlmVectors extends QueryGroup {
 
@@ -33,103 +36,18 @@ object LlmVectors extends QueryGroup {
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
       .stripMargin
 
-  /** Brute-force candidate pairs (idA < idB) by cosine, per-left-row
-    * top-`k` (a superset of the global top-k — any pair outranking a
-    * kept pair within a row is itself globally ranked), or all pairs
-    * ≥ `minSim` when `minSim` is set. Runs distributed-left ×
-    * broadcast-right with a primitive double loop.
+  /** Every pair (id_a < id_b) scored by the codegen cosine expression:
+    * distributed left × `broadcast()` right nested-loop join. Fully lazy,
+    * driver-free; the broadcast side flows through BroadcastExchange
+    * (PlanSpec asserts the shape). Downstream must reduce — top-k via
+    * TakeOrderedAndProject or a selective similarity filter — so the n²
+    * scored pairs never materialize beyond their partition.
     */
-  private def candidatePairs(spark: SparkSession, emb: DataFrame,
-      topKPerRow: Int, minSim: Double): DataFrame = {
-    import spark.implicits._
-    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
-    val all: Array[(Long, Array[Double], Double)] = vecs.collect()
-      .sortBy(_._1)
-      .map { case (id, v) =>
-        val d = new Array[Double](v.length)
-        var n = 0.0
-        var i = 0
-        while (i < v.length) { d(i) = v(i).toDouble; n += d(i) * d(i); i += 1 }
-        (id, d, math.sqrt(n))
-      }
-    val bc = spark.sparkContext.broadcast(all)
-    vecs.mapPartitions { it =>
-      val right = bc.value
-      it.flatMap { case (idA, va) =>
-        val a = new Array[Double](va.length)
-        var na = 0.0
-        var i = 0
-        while (i < va.length) { a(i) = va(i).toDouble; na += a(i) * a(i); i += 1 }
-        na = math.sqrt(na)
-        if (minSim > -1.0) {
-          right.iterator
-            .filter(_._1 > idA)
-            .map { case (idB, b, nb) =>
-              var dot = 0.0
-              var j = 0
-              while (j < a.length) { dot += a(j) * b(j); j += 1 }
-              (idA, idB, dot / (na * nb))
-            }
-            .filter(_._3 >= minSim)
-        } else {
-          // bounded insertion top-k (zero per-candidate allocation), then
-          // a margin sweep: emit every pair within 1.5e-6 of the weakest
-          // kept candidate. The bare top-k superset argument breaks under
-          // round-6 ties (a dropped pair can round equal to a kept one
-          // and win the id tie-break globally); the margin makes the
-          // candidate set a sound superset of any (round-6, id)-ordered
-          // global top-k ≤ topKPerRow.
-          val k = topKPerRow
-          val sims = new Array[Double](k)
-          val all = new Array[Double](right.length)
-          var filled = 0
-          var r = 0
-          while (r < right.length) {
-            val (idB, b, nb) = right(r)
-            if (idB > idA) {
-              var dot = 0.0
-              var j = 0
-              while (j < a.length) { dot += a(j) * b(j); j += 1 }
-              val s = dot / (na * nb)
-              all(r) = s
-              if (filled < k || s > sims(filled - 1)) {
-                var p = math.min(filled, k - 1)
-                while (p > 0 && sims(p - 1) < s) { sims(p) = sims(p - 1); p -= 1 }
-                sims(p) = s
-                if (filled < k) filled += 1
-              }
-            } else all(r) = Double.NegativeInfinity
-            r += 1
-          }
-          if (filled == 0) Iterator.empty
-          else {
-            val threshold = sims(filled - 1) - 1.5e-6
-            right.indices.iterator
-              .filter(r => all(r) >= threshold)
-              .map(r => (idA, right(r)._1, all(r)))
-          }
-        }
-      }
-    }.toDF("id_a", "id_b", "sim_raw").select("id_a", "id_b")
-  }
-
-  /** Join candidate (id_a, id_b) pairs back to embeddings and score with
-    * the oracle-identical SQL expression.
-    */
-  private def rescore(emb: DataFrame, cand: DataFrame): DataFrame =
-    cand
-      .join(broadcast(emb.select(col("vec_id").as("id_a"),
-        col("embedding").as("ea"))), "id_a")
+  private def allPairsCos(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       .join(broadcast(emb.select(col("vec_id").as("id_b"),
-        col("embedding").as("eb"))), "id_b")
+        col("embedding").as("eb"))), col("id_a") < col("id_b"))
       .withColumn("cos", graft.functions.CosineSim.cosine(col("ea"), col("eb")))
-
-  /** Deterministic 8-bit LSH bucket: sign pattern of e[i] vs e[i+32]. */
-  private def lshBucket(e: Column): Column =
-    (0 to 7).map { i =>
-      when(element_at(e, i + 1) > element_at(e, i + 33), lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
 
   private val lshBucketDuck =
     """list_sum(list_transform(range(8), i ->
@@ -138,9 +56,13 @@ object LlmVectors extends QueryGroup {
 
   def queries = Map(
     "knn_cosine" -> { (spark, dir) =>
+      // exact global top-20: orderBy+limit compiles to
+      // TakeOrderedAndProject — each partition keeps its local top-20,
+      // the driver merges 20 rows per partition. No candidate pruning,
+      // no margin logic: every pair is scored (the exact baseline the
+      // bucketed Knn paths are measured against).
       val emb = Tables.table(spark, dir, "embeddings")
-      // top-25 per row: margin over the global top-20 for round-6 ties
-      rescore(emb, candidatePairs(spark, emb, topKPerRow = 25, minSim = -2.0))
+      allPairsCos(emb)
         .select(col("id_a"), col("id_b"), Canon.round6(col("cos")).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(20)
@@ -149,8 +71,11 @@ object LlmVectors extends QueryGroup {
     "knn_ivf" -> { (spark, dir) =>
       // Scale path: equi-join on deterministic LSH bucket, exact rescore
       // within buckets only — O(Σ bucket²) not O(n²), shuffle-friendly.
+      // Bucket width is the parameterized [[Knn.lshBucket]] (8 bits here,
+      // matching the oracle); KnnRecallSpec measures recall vs the exact
+      // path at several widths.
       val emb = Tables.table(spark, dir, "embeddings")
-        .withColumn("bucket", lshBucket(col("embedding")))
+        .withColumn("bucket", Knn.lshBucket(col("embedding"), 8))
       emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
         .join(emb.select(col("bucket"), col("vec_id").as("id_b"),
           col("embedding").as("eb")), "bucket")
@@ -160,6 +85,16 @@ object LlmVectors extends QueryGroup {
           Canon.round6(col("cos")).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(20)
+    },
+
+    "knn_search" -> { (spark, dir) =>
+      // the ANN serving shape (r2 VERDICT item 6): Q query vectors →
+      // exact top-3 index neighbors each, via [[Knn.search]]'s
+      // broadcast-queries × streamed-index plan with two-phase top-k.
+      // Query set = every 50th vector — deterministic, ~2% of the index.
+      val emb = Tables.table(spark, dir, "embeddings")
+      Knn.search(emb.filter(col("vec_id") % 50 === 0), emb, k = 3)
+        .orderBy("q_id", "rank")
     },
 
     "knn_centroid_dist" -> { (spark, dir) =>
@@ -183,10 +118,11 @@ object LlmVectors extends QueryGroup {
 
     "dedup_embed_cosine" -> { (spark, dir) =>
       // near-duplicate embeddings: ALL pairs with cosine ≥ 0.4 (66/59/920
-      // pairs at the three sfs — verified non-degenerate).
+      // pairs at the three sfs — verified non-degenerate). The selective
+      // filter runs inside the scoring stage, so only survivors reach the
+      // output sort.
       val emb = Tables.table(spark, dir, "embeddings")
-      rescore(emb,
-          candidatePairs(spark, emb, topKPerRow = 0, minSim = 0.3999))
+      allPairsCos(emb)
         .withColumn("cosine", Canon.round6(col("cos")))
         .filter(col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
@@ -331,6 +267,17 @@ object LlmVectors extends QueryGroup {
          |  CAST(round(${cosDuck("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cosine
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "knn_search" ->
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i
+         |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "knn_centroid_dist" ->
       """WITH ex AS (SELECT vec_id, label, i AS pos,
