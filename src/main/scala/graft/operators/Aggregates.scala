@@ -77,6 +77,31 @@ object Aggregates extends QueryGroup {
         .orderBy("col_name")
     },
 
+    "profile_columns_approx" -> { (spark, dir) =>
+      // the 100 TB sibling of profile_columns (r2 VERDICT item 8):
+      // HyperLogLog++ `approx_count_distinct` per column instead of the
+      // 11-way multi-distinct Expand — ONE scan, ONE partial+final
+      // aggregation, no row multiplication at all. Sketches merge
+      // associatively, so map-side combine works and the shuffle carries
+      // 11 fixed-size HLL buffers per partition, independent of
+      // cardinality. Oracle-omitted like the other sketches (approx
+      // values are engine-specific); AggregateSpec bounds the error vs
+      // the exact profile instead.
+      val df = Tables.table(spark, dir, "lineitem")
+      val cols = LineitemCols
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          approx_count_distinct(col(c), 0.02).as(s"nd_$c")))
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      wide.selectExpr("n_rows",
+          s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, approx_distinct)")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("approx_distinct"))
+        .orderBy("col_name")
+    },
+
     "agg_rollup" -> { (spark, dir) =>
       // dims are tiny → both joins broadcast (asserted in AggregateSpec)
       Tables.table(spark, dir, "customer").createOrReplaceTempView("ru_customer")

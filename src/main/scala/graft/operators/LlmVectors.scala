@@ -45,6 +45,18 @@ object LlmVectors extends QueryGroup {
     */
   private def allPairsCos(emb: DataFrame): DataFrame =
     emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      // the probe side's parallelism bounds the scoring parallelism, and
+      // the exact brute-force path is BY DESIGN the small-index case (the
+      // broadcast side must fit executors) — so the probe table is small
+      // too and typically arrives as one file ⇒ one partition ⇒ serial
+      // scoring. The scoring work is n per probe ROW, invisible to
+      // size-based planning: an explicit partition COUNT is required
+      // because AQE coalesces a plain repartition of a 1.3 MB table
+      // right back to one partition (measured: 5.3 s coalesced vs 0.9 s
+      // pinned at sf0.1). The tiny shuffle is the price; the 100 TB
+      // similarity path is [[Knn]]'s bucketed join, not this.
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"))
       .join(broadcast(emb.select(col("vec_id").as("id_b"),
         col("embedding").as("eb"))), col("id_a") < col("id_b"))
       .withColumn("cos", graft.functions.CosineSim.cosine(col("ea"), col("eb")))

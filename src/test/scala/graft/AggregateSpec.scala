@@ -33,6 +33,25 @@ class AggregateSpec extends SparkSpec {
     assert(aq.getDouble(0) > 0 && aq.getDouble(1) > aq.getDouble(0))
   }
 
+  test("profile_columns_approx within HLL error of the exact profile, no Expand") {
+    val exact = q("profile_columns").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = q("profile_columns_approx")
+    // the whole point of the sibling: the 11-way multi-distinct Expand
+    // is gone — one partial+final aggregation over HLL sketches
+    assert(!plan(approx).contains("Expand"),
+      "approx profile must not multiply rows through Expand")
+    approx.collect().foreach { r =>
+      val (name, nd) = (r.getString(0), r.getLong(3))
+      val e = exact(name)
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2),
+        s"$name: row/non-null counts are exact aggregates, must match")
+      val ed = e.getLong(3)
+      assert(math.abs(nd - ed).toDouble / math.max(ed, 1) < 0.1,
+        s"$name: approx_distinct=$nd vs exact=$ed beyond rsd=2% ×5 margin")
+    }
+  }
+
   test("agg_distinct counts are consistent") {
     val rows = q("agg_distinct").collect()
     assert(rows.map(_.getAs[Long]("n_rows")).sum == 6000)

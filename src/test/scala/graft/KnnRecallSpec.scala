@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+
+/** Measured IVF recall vs the exact path (r2 VERDICT item 4) — the
+  * bucket-width / multi-probe knobs must come with evidence, not vibes.
+  * Two assertions are theorems given the implementation and verified as
+  * such; the floors are measured on the sf0.001 fixture embeddings
+  * (clustered by label — the setting LSH is for) and asserted with
+  * margin.
+  *
+  * Monotonicity theorems under the total output order
+  * (round-6 cosine desc, idx_id asc):
+  *  - probes=1 candidates ⊇ probes=0 candidates (probe set adds the
+  *    `bits` hamming-1 buckets) ⇒ recall can only rise;
+  *  - lshBucket(e, 4) is the low 4 bits of lshBucket(e, 8), so sharing
+  *    an 8-bit bucket implies sharing the 4-bit bucket ⇒ candidates at
+  *    bits=4 ⊇ candidates at bits=8 (probes=0) ⇒ recall(4) ≥ recall(8).
+  */
+class KnnRecallSpec extends SparkSpec {
+
+  private val k = 10
+
+  private lazy val emb = Tables.table(spark, sfDir, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") % 25 === 0)
+
+  private def topk(bits: Int, probes: Int): Map[Long, Set[Long]] =
+    Knn.search(queries, emb, k, bits, probes).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+
+  private lazy val exact = topk(bits = 0, probes = 0)
+
+  private def recall(ann: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, t) =>
+      ann.getOrElse(q, Set.empty).count(t).toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  test("recall monotone in probe width and bucket coarseness") {
+    val r40 = recall(topk(4, 0)); val r41 = recall(topk(4, 1))
+    val r80 = recall(topk(8, 0)); val r81 = recall(topk(8, 1))
+    info(f"recall bits=4: $r40%.3f (+probe $r41%.3f); bits=8: $r80%.3f (+probe $r81%.3f)")
+    assert(r41 >= r40, "multi-probe adds candidates, recall cannot drop")
+    assert(r81 >= r80, "multi-probe adds candidates, recall cannot drop")
+    assert(r40 >= r80, "coarser buckets are candidate supersets")
+    // measured floors (sf0.001 fixture, k=10: r40=0.14, r41=0.46,
+    // r80=0.00, r81=0.12): asserted at wide margin below the observed
+    // values so fixture regeneration noise cannot flake the spec. The
+    // absolute numbers also document WHY multi-probe exists — a single
+    // 8-bit probe at 500 vectors finds nothing.
+    assert(r40 > 0.05, f"bits=4 recall collapsed: $r40%.3f")
+    assert(r41 > 0.25, f"bits=4+probe recall collapsed: $r41%.3f")
+  }
+
+  test("exact path equals knn-style self-query of the fixture") {
+    // sanity anchor: every query's own top-1 neighbor by the exact path
+    // must have cosine >= any ivf-returned neighbor's cosine
+    val ex = Knn.search(queries, emb, 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val ivf = Knn.search(queries, emb, 1, bits = 8, probes = 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    ivf.foreach { case (q, c) => assert(c <= ex(q) + 1e-12) }
+  }
+}
