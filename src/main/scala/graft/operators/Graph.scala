@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the cluster-assignment step that
+  * turns near-duplicate PAIRS into deduplication DECISIONS (keep the
+  * canonical member of each component, drop the rest). Without this, a
+  * dedup pipeline stops one step short of its output.
+  *
+  * Algorithm: hash-min label propagation (pregel-style). Every vertex
+  * starts labeled with its own id; each round every vertex takes the min
+  * of its label and its neighbors' labels; fixpoint = every vertex holds
+  * the min id of its component. Each round is one shuffle-partitioned
+  * equi-join + partial-agg min — fully distributed, no driver state
+  * beyond the loop counter and a per-round convergence count.
+  *
+  * Rounds needed = graph diameter. Near-dup components are dense
+  * near-cliques (similarity is nearly transitive at high thresholds), so
+  * diameter is tiny (2-3) and this beats the O(log n) large-star /
+  * small-star scheme (Kiveris et al.) in practice — that variant is the
+  * documented upgrade path for adversarially-chained graphs. Lineage is
+  * truncated per round with localCheckpoint so plans don't nest.
+  */
+object Graph {
+
+  /** Component label (min member id) per vertex of the undirected edge
+    * set. Input: two long columns of `edges`; output: (id, component).
+    * Vertices are exactly the ids appearing in ≥ 1 edge — callers join
+    * isolated vertices back with coalesce(component, id).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    // checkpoint the edge set ONCE: every propagation round joins
+    // against it, and without the barrier each round would re-execute
+    // the caller's whole pair-generation pipeline (measured on
+    // dedup_clusters at sf0.1: 10.4 s → 5.8 s; the remainder is one
+    // pair-generation pass + diameter+1 propagation rounds)
+    val undirected = sym.union(sym.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val nbrMin = undirected
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("lbl").as("nbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
+          (col("nbl") < col("lbl")).as("moved"))
+        .localCheckpoint() // truncate lineage; also one action per round
+      converged = next.filter(col("moved")).limit(1).isEmpty
+      labels = next.select("id", "lbl")
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

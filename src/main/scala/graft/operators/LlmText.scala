@@ -259,6 +259,63 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "text_rep" -> { (spark, dir) =>
+      // intra-document repetition (the Gopher/C4-style quality signal):
+      // per doc, total vs distinct 3-gram shingles and the hottest
+      // shingle's count — templated/looping docs score high. One JVM
+      // pass per doc behind mapPartitions (shingling in lambdas hits the
+      // O(L²) transform re-split trap); integer facets + one exact
+      // double division keep it engine-reproducible.
+      import spark.implicits._
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val t = text.split(" ", -1)
+          if (t.length < 3) Iterator.empty
+          else {
+            val m = scala.collection.mutable.HashMap.empty[String, Int]
+            var i = 0
+            while (i + 2 < t.length) {
+              val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
+              m.update(sh, m.getOrElse(sh, 0) + 1)
+              i += 1
+            }
+            Iterator.single((id, (t.length - 2).toLong, m.size.toLong,
+              m.values.max.toLong))
+          }
+        })
+        .toDF("doc_id", "n_shingles", "n_distinct", "max_rep")
+        .withColumn("rep_ratio",
+          Canon.round6(lit(1.0) - col("n_distinct") / col("n_shingles")))
+        .select("doc_id", "n_shingles", "n_distinct", "max_rep", "rep_ratio")
+        .orderBy("doc_id")
+    },
+
+    "text_tfidf" -> { (spark, dir) =>
+      // top-3 characteristic terms per doc by tf × (N/df) — the term
+      // relevance primitive behind topic filtering. The idf is the
+      // LINEAR inverse document frequency, not ln(N/df): every factor is
+      // then a small-integer ratio, bit-identical across engines (libm
+      // log differs by ulps between engines and a ulp can cross the
+      // round-6 boundary AND flip a rank tie; swapping ln back in is a
+      // one-line change when cross-engine hashing is not a requirement).
+      val docs = Tables.table(spark, dir, "documents")
+      val nDocs = docs.count() // distributed count; one scalar to the driver
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfc, "term")
+        .withColumn("score", Canon.round6(col("tf") * (lit(nDocs) / col("df"))))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("term"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+
     "dedup_exact" -> { (spark, dir) =>
       Tables.table(spark, dir, "documents")
         .groupBy(sha2(col("text"), 256).as("text_hash"))
@@ -341,6 +398,29 @@ object LlmText extends QueryGroup {
         n = 3, threshold = 0.2)
     },
 
+    "dedup_clusters" -> { (spark, dir) =>
+      // pairs → components → canonical assignment: the step that turns
+      // near-dup PAIRS into dedup DECISIONS (keep canonical_id, drop the
+      // rest). Edges = the corpus-wide n-gram pairs (same definition as
+      // dedup_ngram_global); components via [[Graph.connectedComponents]]
+      // (hash-min label propagation — one equi-join + partial-agg min
+      // per round, rounds = component diameter ≈ 2 for near-dup
+      // cliques); singleton docs rejoin with their own id as canonical.
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs,
+        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
+        n = 3, threshold = 0.2)
+      val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canonical_id")))
+        .orderBy("doc_id")
+    },
+
     "dedup_minhash" -> { (spark, dir) =>
       // MinHash(16 perms) + LSH banding (2 bands × 8 rows), blocked by
       // `source` (composite LSH + attribute blocking — this corpus has
@@ -409,6 +489,26 @@ object LlmText extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }
   )
+
+  /** Shared oracle CTE: corpus-wide word-3-gram Jaccard ≥ 0.2 pairs as
+    * `gpairs(doc_a, doc_b, jaccard)` — the edge set for both
+    * dedup_ngram_global and dedup_clusters.
+    */
+  private val ngramGlobalPairsCte =
+    """t AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |post AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM t),
+      |cpairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    x.nsh AS na, y.nsh AS nb, count(*) AS i
+      |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |gpairs AS (SELECT doc_a, doc_b,
+      |    CAST(round(i / CAST(na + nb - i AS DOUBLE), 6) AS DOUBLE) AS jaccard
+      |  FROM cpairs
+      |  WHERE round(i / CAST(na + nb - i AS DOUBLE), 6) >= 0.2)""".stripMargin
 
   private val langScoreSql = langWords.map { case (l, ws) =>
     val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -499,6 +599,36 @@ object LlmText extends QueryGroup {
         |  count(*) AS n_docs, min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
         |FROM t GROUP BY lang, len_bucket ORDER BY lang, len_bucket""".stripMargin,
 
+    "text_rep" ->
+      """WITH s AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |c AS (SELECT doc_id, sh, count(*) AS n FROM s GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_shingles,
+        |    count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS max_rep
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_distinct, max_rep,
+        |  CAST(round(1.0 - n_distinct / CAST(n_shingles AS DOUBLE), 6) AS DOUBLE)
+        |    AS rep_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |s AS (SELECT doc_id, term, tf,
+        |    CAST(round(tf * ((SELECT count(*) FROM documents)
+        |      / CAST(df AS DOUBLE)), 6) AS DOUBLE) AS score
+        |  FROM tfc JOIN dfc USING (term)),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_dup,
         |       min(doc_id) AS canonical_id
@@ -538,22 +668,31 @@ object LlmText extends QueryGroup {
       // count = intersection): the naive all-pairs double list walk is
       // quadratic in the oracle engine as well. I/(na+nb−I) divides the
       // same integers as the list_filter/list_distinct form ⇒ identical
-      // doubles.
-      """WITH t AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |         || ' ' || string_split(text,' ')[i+2])) AS sh
-        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |post AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM t),
-        |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |    x.nsh AS na, y.nsh AS nb, count(*) AS i
-        |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b,
-        |  CAST(round(i / CAST(na + nb - i AS DOUBLE), 6) AS DOUBLE) AS jaccard
-        |FROM pairs
-        |WHERE round(i / CAST(na + nb - i AS DOUBLE), 6) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      // doubles. (Concatenation, not an outer stripMargin: the embedded
+      // CTE has lines starting with `||`, which a second stripMargin
+      // would truncate to `|`.)
+      ("WITH " + ngramGlobalPairsCte +
+        "\nSELECT doc_a, doc_b, jaccard FROM gpairs\nORDER BY doc_a, doc_b"),
+
+    "dedup_clusters" ->
+      // transitive closure per component via a recursive CTE (fixture
+      // scale only — the engine side uses distributed label propagation
+      // instead): reach(id, m) = every m reachable from id over the
+      // symmetric edge set; canonical = min reachable; singleton docs
+      // fall back to their own id
+      ("WITH RECURSIVE " + ngramGlobalPairsCte + ",\n" +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM gpairs
+          |      UNION ALL SELECT doc_b, doc_a FROM gpairs),
+          |r(id, m) AS (SELECT DISTINCT a, a FROM e
+          |  UNION
+          |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.id),
+          |comp AS (SELECT id, min(m) AS canonical FROM r GROUP BY id)
+          |SELECT d.doc_id,
+          |  coalesce(c.canonical, d.doc_id) AS canonical_id,
+          |  COUNT(*) OVER (PARTITION BY coalesce(c.canonical, d.doc_id))
+          |    AS cluster_size
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+          |ORDER BY d.doc_id""".stripMargin),
 
     "dedup_minhash" ->
       s"""WITH h AS ($withHashesSql),
