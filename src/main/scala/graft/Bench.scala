@@ -75,15 +75,24 @@ object Bench {
       try Some(name -> math.min(once(), once()))
       catch { case _: Throwable => failed ::= name; None }
     }
-    // 3-decimal seconds: full double repr made the line >2.3 KB and the
-    // r01 driver's tail capture truncated it mid-line (BENCH_r01.json
-    // "parsed": null) — ms resolution is plenty for a wall-clock bench
-    def sec(v: Double) = "%.3f".format(v)
+    // Line-length defense: the driver's tail capture truncated the r01
+    // line mid-JSON ("parsed": null) and clipped the first two query
+    // keys in r02 (~2.1 KB captured). At 93 queries the line only fits
+    // if values are compact — centisecond resolution, trailing zeros
+    // stripped — and the fields that MUST survive (metric/value/failed/
+    // sf) go at the END of the line, where a tail capture keeps them;
+    // JSON key order is irrelevant to any parser, so an untruncated
+    // line is identical in meaning to the documented shape.
+    def sec(v: Double) = "%.2f".format(v)
+      .stripSuffix("0").stripSuffix("0").stripSuffix(".") match {
+        case "" => "0"
+        case s => s
+      }
     val qs = results.map { case (k, v) => Json.str(k) + ":" + sec(v) }
       .mkString("{", ",", "}")
     val fs = failed.map(Json.str).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":${Json.str(sfDir)}}""")
+    println(s"""{"queries":$qs,"unit":"sec","metric":"total","value":${sec(total)},"failed":$fs,"sf":${Json.str(sfDir)}}""")
     spark.stop()
   }
 }

@@ -316,6 +316,62 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id", "rank")
     },
 
+    "text_contamination" -> { (spark, dir) =>
+      // train/eval decontamination — the benchmark-leakage check every
+      // LLM data pipeline runs before training: eval set = doc_id ≡ 0
+      // (mod 100) (deterministic stand-in for a benchmark corpus), and
+      // for every OTHER doc, its strongest eval match by shared distinct
+      // 3-gram shingles. Shape: shingle postings equi-join where the
+      // eval side is tiny (broadcast at any corpus size — benchmarks
+      // don't grow with the crawl), partial-agg count per (train, eval)
+      // pair, then a per-doc top-1 window (WindowGroupLimit prunes
+      // map-side). Sub-quadratic for the same reason dedup_ngram is:
+      // non-sharing pairs never materialize.
+      import spark.implicits._
+      val post = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val t = text.split(" ", -1)
+          if (t.length < 3) Iterator.empty
+          else {
+            val set = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + 2 < t.length) {
+              set.add(t(i) + " " + t(i + 1) + " " + t(i + 2)); i += 1
+            }
+            set.iterator.map(sh => (id, sh))
+          }
+        }).toDF("doc_id", "sh")
+        .select(col("doc_id"), TextDedup.hash56(col("sh")).as("h"))
+      val evalPost = post.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("eval_id"), col("h"))
+      post.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(evalPost), "h")
+        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("n_shared").desc, col("eval_id"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("eval_id"), col("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    "sample_stratified" -> { (spark, dir) =>
+      // stratified deterministic sampling (domain mixing): per-language
+      // target rates — en 20%, de/fr 10%, rest 4% — applied through the
+      // same stable doc_id hash bucket as sample_hash/split_assign, so
+      // strata stay correlated with the splits and reproducible across
+      // engines, runs, and cluster sizes. Pure map + filter at any scale.
+      val rate = when(col("lang") === "en", 20)
+        .when(col("lang").isin("de", "fr"), 10)
+        .otherwise(4)
+      Tables.table(spark, dir, "documents")
+        .withColumn("bucket", docBucket)
+        .filter(col("bucket") < rate)
+        .select("doc_id", "lang", "source", "bucket")
+        .orderBy("doc_id")
+    },
+
     "dedup_exact" -> { (spark, dir) =>
       Tables.table(spark, dir, "documents")
         .groupBy(sha2(col("text"), 256).as("text_hash"))
@@ -628,6 +684,32 @@ object LlmText extends QueryGroup {
         |  FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |post AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |ov AS (SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_id,
+        |    count(*) AS n_shared
+        |  FROM post tr JOIN post ev ON tr.s = ev.s
+        |  WHERE tr.doc_id % 100 <> 0 AND ev.doc_id % 100 = 0
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY doc_id ORDER BY n_shared DESC, eval_id) AS rk
+        |  FROM ov)
+        |SELECT doc_id, eval_id, n_shared FROM r WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source, $docBucketSql AS bucket
+         |FROM documents
+         |WHERE $docBucketSql <
+         |  CASE WHEN lang = 'en' THEN 20
+         |       WHEN lang IN ('de', 'fr') THEN 10 ELSE 4 END
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_dup,
