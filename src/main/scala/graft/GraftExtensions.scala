@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "jaccard_sorted takes exactly 2 arguments")
         JaccardSorted(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(graft.functions.Geo.getClass.getName, "haversine_km"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "haversine_km takes (lat1, lon1, lat2, lon2) degrees")
+        graft.functions.Geo.haversineKmExpr(children(0), children(1),
+          children(2), children(3))
+      }))
     // whole-operator extension: plans graft.plans.AsOfJoinNode (the
     // native as-of join) — sessions built without the extensions get the
     // same strategy installed at call time via bridge.addStrategy

@@ -395,6 +395,10 @@ object LlmText extends QueryGroup {
       // 0.8 ⟺ J ≥ 0.7999995), so rounding can never sneak a pair past
       // the prefix bound. Work is Σc² over RARE-token posting lists —
       // the hot-token fan-out of a full inverted index never happens.
+      // (sigTable feeds four branches of this plan; checkpointing it
+      // once was measured at sf0.1 and does NOT help — 2.7 s either way,
+      // the window ranking + joins dominate, not the re-hashing — so the
+      // plan stays fully declarative)
       val t = sigTable(spark, Tables.table(spark, dir, "documents"))
         .select(col("doc_id"), col("source"), col("shs"), col("nt"))
       val post = t.select(col("doc_id"), col("source"), col("nt"),

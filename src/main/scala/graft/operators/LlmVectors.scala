@@ -66,6 +66,12 @@ object LlmVectors extends QueryGroup {
       |  CASE WHEN embedding[i+1] > embedding[i+33] THEN (1 << i) ELSE 0 END))"""
       .stripMargin
 
+  /** DuckDB twin of [[Knn.lshBucket]] at arbitrary width over column `c`. */
+  private def lshBucketDuckBits(c: String, bits: Int): String =
+    s"""list_sum(list_transform(range($bits), i ->
+       |  CASE WHEN $c[i+1] > $c[i+33] THEN (1 << i) ELSE 0 END))"""
+      .stripMargin
+
   def queries = Map(
     "knn_cosine" -> { (spark, dir) =>
       // exact global top-20: orderBy+limit compiles to
@@ -106,6 +112,20 @@ object LlmVectors extends QueryGroup {
       // Query set = every 50th vector — deterministic, ~2% of the index.
       val emb = Tables.table(spark, dir, "embeddings")
       Knn.search(emb.filter(col("vec_id") % 50 === 0), emb, k = 3)
+        .orderBy("q_id", "rank")
+    },
+
+    "knn_search_ivf" -> { (spark, dir) =>
+      // the IVF serving path, declared AND fully oracle-checked: the
+      // sign-LSH bucketing is deterministic, so the ANN answer (6-bit
+      // buckets, hamming-1 multi-probe) is itself a well-defined query
+      // DuckDB can replicate — approximation ≠ nondeterminism. Candidates
+      // come from the bucket equi-join (index side streamed, probe rows
+      // broadcast), never a full scan per query; recall vs the exact
+      // top-k is measured in KnnRecallSpec.
+      val emb = Tables.table(spark, dir, "embeddings")
+      Knn.search(emb.filter(col("vec_id") % 50 === 0), emb,
+          k = 3, bits = 6, probes = 1)
         .orderBy("q_id", "rank")
     },
 
@@ -285,6 +305,26 @@ object LlmVectors extends QueryGroup {
          |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
          |  FROM embeddings q JOIN embeddings i
          |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_search_ivf" ->
+      s"""WITH ie AS (SELECT vec_id AS idx_id, embedding AS ie,
+         |    CAST(${lshBucketDuckBits("embedding", 6)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |qe0 AS (SELECT vec_id AS q_id, embedding AS qe,
+         |    CAST(${lshBucketDuckBits("embedding", 6)} AS BIGINT) AS qb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |probes AS (SELECT q_id, qe,
+         |    unnest(list_prepend(qb, list_transform(range(6),
+         |      i -> xor(qb, CAST(1 << i AS BIGINT))))) AS bucket
+         |  FROM qe0),
+         |s AS (SELECT q_id, idx_id,
+         |    CAST(round(${cosDuck("qe", "ie")}, 6) AS DOUBLE) AS cosine
+         |  FROM probes JOIN ie USING (bucket) WHERE q_id <> idx_id),
          |r AS (SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
          |  FROM s)

@@ -43,6 +43,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "jaccard_sorted(CAST(NULL AS ARRAY<BIGINT>), CAST(NULL AS ARRAY<BIGINT>)) AS n").head()
       assert(cases.getDouble(0).isNaN, "empty self-jaccard is 0/0 = NaN")
       assert(cases.isNullAt(1), "null self-jaccard is null")
+      // haversine_km: registered as the same built-in composition the
+      // Column API uses — one equator degree = 2πR/360
+      val hv = s.sql("SELECT haversine_km(0.0D, 0.0D, 0.0D, 1.0D) AS d")
+        .head().getDouble(0)
+      assert(math.abs(hv - 111.195) < 0.01, s"1 equator degree: $hv")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -38,7 +38,7 @@ class PlanSpec extends SparkSpec {
 
   test("LSH/band joins never degrade to nested-loop or cartesian") {
     Seq("dedup_minhash", "dedup_jaccard", "dedup_simhash", "knn_ivf",
-        "dedup_ngram", "dedup_ngram_global")
+        "dedup_ngram", "dedup_ngram_global", "knn_search_ivf")
       .foreach { name =>
         val s = p(name)
         assert(!s.contains("CartesianProduct"), name)
