@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, JaccardSorted}
+import graft.functions.{CosineSim, HammingDist, JaccardSorted}
 
 /** SparkSessionExtensions installer — the (c)-tier integration surface
   * from the build brief: makes the library's native Catalyst expressions
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "jaccard_sorted takes exactly 2 arguments")
         JaccardSorted(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hamming_dist takes exactly 2 arguments")
+        HammingDist(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("haversine_km"),

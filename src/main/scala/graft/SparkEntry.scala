@@ -21,7 +21,8 @@ object SparkEntry {
     operators.LlmVectors,
     operators.Udfs,
     operators.Streaming,
-    operators.Telemetry
+    operators.Telemetry,
+    operators.Analytics
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

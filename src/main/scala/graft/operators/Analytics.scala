@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 analytics widening: the event-sequence shapes every
+  * telemetry/product store asks of its events table (funnel, cohort
+  * retention), the reshaping aggregations (pivot, exact percentiles),
+  * a time-range window frame, and the SQL-entry subquery forms
+  * (EXISTS, scalar) that prove `spark.sql` is a first-class front end
+  * to the same engine.
+  *
+  * Scale notes per query are inline; the common theme is that every
+  * shape here is one or two hash exchanges keyed by the natural entity
+  * (user_id / group key), with consecutive same-key stages reusing the
+  * partitioning instead of re-shuffling.
+  */
+object Analytics extends QueryGroup {
+
+  /** Shared verbatim between the Spark `spark.sql` entry and the DuckDB
+    * oracle — the point IS that the same ANSI text runs on both.
+    */
+  private val ExistsSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+      |    AND o.o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val ScalarSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 1.5 * (SELECT
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def queries = Map(
+    "events_funnel" -> { (spark, dir) =>
+      // Ordered-funnel conversion: view → click-after-view →
+      // purchase-after-click, strictly increasing timestamps per user.
+      // Three window passes over the SAME (user_id) partitioning — the
+      // step-2/3 milestones reference the previous step's per-user
+      // constant, and Catalyst plans one hash exchange reused by all
+      // three Window nodes and the final per-user groupBy. No
+      // event-sequence collect, no per-user sort beyond the exchange.
+      val w = Window.partitionBy("user_id")
+      val staged = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click"
+            && col("ts_us") > col("t1"), col("ts_us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase"
+            && col("ts_us") > col("t2"), col("ts_us"))).over(w))
+      staged
+        .groupBy("user_id")
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
+          count(col("t3")).as("c3"))
+        .select(explode(array(
+          struct(lit("step1_view").as("step"), col("c1").as("users")),
+          struct(lit("step2_click").as("step"), col("c2").as("users")),
+          struct(lit("step3_purchase").as("step"), col("c3").as("users"))))
+          .as("s"))
+        .select(col("s.step").as("step"), col("s.users").as("users"))
+        .orderBy("step")
+    },
+
+    "events_retention" -> { (spark, dir) =>
+      // Cohort retention: users grouped by first-active day, counted per
+      // week offset of later activity. distinct(user, day) bounds state
+      // to active-days, the per-user min reuses the user hash exchange,
+      // and the final agg is a standard partial+final count-distinct.
+      val days = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      days
+        .withColumn("cohort_day",
+          min("day").over(Window.partitionBy("user_id")))
+        .withColumn("week_offset", expr("(day - cohort_day) div 7"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+
+    "agg_pivot" -> { (spark, dir) =>
+      // Pivot = groupBy(status) × explicit priority domain, two measures
+      // per cell. Explicit `values` keeps the plan single-pass (no
+      // domain-discovery job) — exactly what you want at 100 TB: one
+      // partial+final hash agg with 5×2 conditional columns, no extra
+      // scan, no shuffle beyond the status key.
+      Tables.table(spark, dir, "orders")
+        .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+        .groupBy("o_orderstatus")
+        .pivot("pri", Seq("1", "2", "3", "4", "5"))
+        .agg(count(lit(1)).as("n"),
+          Canon.moneySum(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderstatus")
+    },
+
+    "agg_percentile" -> { (spark, dir) =>
+      // EXACT percentiles (vs the approx_quantile sketch already in D):
+      // Spark's percentile aggregate buffers a value→count map per
+      // group — fine for bounded-cardinality measure domains; the
+      // unbounded-domain 100 TB path is agg_approx_quantile. Both
+      // engines interpolate at rank p·(n−1), IEEE-identically.
+      Tables.table(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Canon.round4(expr("percentile(l_quantity, 0.5D)")).as("med_qty"),
+          Canon.round4(expr("percentile(l_extendedprice, 0.25D)")).as("p25_price"),
+          Canon.round4(expr("percentile(l_extendedprice, 0.75D)")).as("p75_price"),
+          Canon.round4(expr("percentile(l_extendedprice, 0.95D)")).as("p95_price"))
+        .orderBy("l_returnflag")
+    },
+
+    "win_range_frame" -> { (spark, dir) =>
+      // RANGE frame keyed by actual time values (trailing 1 hour in
+      // epoch-µs), not row counts — peers at the same timestamp share a
+      // frame in both engines. Decimal window sum keeps the result
+      // independent of intra-frame order.
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+          count(lit(1)).over(w).as("n_1h"),
+          Canon.decRound4(sum(col("value").cast(Canon.Dec)).over(w))
+            .as("sum_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    "sql_exists" -> { (spark, dir) =>
+      // SQL front-end entry: the EXISTS form. Catalyst rewrites the
+      // correlated subquery to a left-semi hash join on o_custkey — the
+      // identical physical shape as join_semi, proving the SQL surface
+      // and the DataFrame surface hit the same engine.
+      Tables.table(spark, dir, "customer").createOrReplaceTempView("customer")
+      Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(ExistsSql)
+    },
+
+    "sql_scalar_agg" -> { (spark, dir) =>
+      // Scalar-subquery form: the one-row aggregate plans as its own
+      // tiny job whose result broadcasts into the main scan's filter —
+      // two passes over orders, no join, no driver round-trip in the
+      // plan (the scalar is a subquery-reuse literal at execution).
+      Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(ScalarSql)
+    }
+  )
+
+  def oracle = Map(
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |        OVER (PARTITION BY user_id) AS t1 FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1
+        |        THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+        |        THEN ts_us END) OVER (PARTITION BY user_id) AS t3 FROM b),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |      FROM c GROUP BY user_id)
+        |SELECT 'step1_view' AS step, count(t1) AS users FROM u
+        |UNION ALL SELECT 'step2_click', count(t2) FROM u
+        |UNION ALL SELECT 'step3_purchase', count(t3) FROM u
+        |ORDER BY step""".stripMargin,
+
+    "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |      FROM days)
+        |SELECT cohort_day, (day - cohort_day) // 7 AS week_offset,
+        |  count(DISTINCT user_id) AS users
+        |FROM c GROUP BY cohort_day, week_offset
+        |ORDER BY cohort_day, week_offset""".stripMargin,
+
+    "agg_pivot" -> {
+      val cells = (1 to 5).flatMap { p =>
+        Seq(
+          s"""  count(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '$p') AS "${p}_n"""",
+          s"""  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+             |    FILTER (WHERE substring(o_orderpriority, 1, 1) = '$p'), 4) AS DOUBLE)
+             |    AS "${p}_rev"""".stripMargin)
+      }.mkString(",\n")
+      s"""SELECT o_orderstatus,
+         |$cells
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS med_qty,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25_price,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75_price,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT user_id, ts_us, event_id, value,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+        |    AS sum_1h
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "sql_exists" -> ExistsSql,
+
+    "sql_scalar_agg" -> ScalarSql
+  )
+}

@@ -102,6 +102,23 @@ object Functions extends QueryGroup {
         .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         // explicit null placement: Spark defaults NULLS FIRST, DuckDB LAST
         .orderBy(col("k_decile").asc_nulls_first)
+    },
+
+    "fn_regex" -> { (spark, dir) =>
+      // the full regex surface in one query: extract / extract-all-count
+      // / match-test / replace-all. Patterns stay in the common
+      // RE2 ∩ java.util.regex dialect (no backrefs, no lookaround) so
+      // the oracle runs the same pattern text. Per-row codegen, zero
+      // shuffle before the output sort.
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]{7,})", 1).as("first_long"),
+          size(regexp_extract_all(col("text"), lit("([a-z]{7,})"), lit(1)))
+            .cast("long").as("n_long"),
+          col("text").rlike("join [a-z ]*group").as("has_join_group"),
+          regexp_replace(substring(col("text"), 1, 60), "[aeiou]", "_")
+            .as("devoweled_prefix"))
+        .orderBy("doc_id")
     }
   )
 
@@ -164,6 +181,15 @@ object Functions extends QueryGroup {
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS BIGINT) AS k_decile,
         |  count(*) AS n, min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
-        |FROM events GROUP BY 1 ORDER BY k_decile NULLS FIRST""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY k_decile NULLS FIRST""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '([a-z]{7,})', 1), '') AS first_long,
+        |  CAST(len(regexp_extract_all(text, '([a-z]{7,})', 1)) AS BIGINT) AS n_long,
+        |  regexp_matches(text, 'join [a-z ]*group') AS has_join_group,
+        |  regexp_replace(substring(text, 1, 60), '[aeiou]', '_', 'g')
+        |    AS devoweled_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

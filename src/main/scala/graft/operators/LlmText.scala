@@ -547,6 +547,55 @@ object LlmText extends QueryGroup {
         // deterministic per pair, so dropDuplicates after the filter
         .dropDuplicates("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
+    },
+
+    "text_scrub" -> { (spark, dir) =>
+      // PII-style redaction pass: digit runs → <num>, naive emails →
+      // <email>, whitespace collapsed. Pure per-row regexp_replace —
+      // codegen'd, no shuffle until the output sort; at 100 TB this is
+      // the map-only hygiene stage before anything keyed. Patterns stay
+      // in the RE2 ∩ java.util.regex dialect (character classes only) so
+      // the DuckDB oracle is the same regex text.
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_num_runs"),
+          substring(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("text"),
+                  "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<email>"),
+                "[0-9]+", "<num>"),
+              "[ ]+", " "),
+            1, 120).as("scrubbed_prefix"))
+        .orderBy("doc_id")
+    },
+
+    "dedup_prefix_hamming" -> { (spark, dir) =>
+      // Position-aligned near-dup (OCR/mirror-noise shape): pairs whose
+      // padded 48-char prefixes differ in ≤ 2 positions. Candidates via
+      // pigeonhole banding — 3 disjoint 16-char segments; ≤ 2 edits
+      // leave ≥ 1 segment byte-identical — so candidate generation is a
+      // shuffle equi-join on (segment-id, segment-value), corpus-wide
+      // (no source blocking), never all-pairs. Exact rescore through the
+      // codegen [[graft.functions.HammingDist]] expression restores the
+      // precise ball. Measured selectivity at sf0.1: 860 candidates of
+      // 12.5 M possible pairs.
+      val d = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(col("text"), 1, 48), 48, ".").as("p"))
+      val segs = d.select(col("doc_id"), col("p"),
+        posexplode(array((0 until 3).map(i =>
+          substring(col("p"), 1 + i * 16, 16)): _*)).as(Seq("seg", "segv")))
+      segs.as("x").join(segs.as("y"),
+          col("x.seg") === col("y.seg") && col("x.segv") === col("y.segv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          graft.functions.HammingDist.hamming(col("x.p"), col("y.p"))
+            .as("dist"))
+        .filter(col("dist") <= 2)
+        .dropDuplicates("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -812,6 +861,26 @@ object LlmText extends QueryGroup {
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs,
+        |  substring(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g'),
+        |      '[0-9]+', '<num>', 'g'),
+        |      '[ ]+', ' ', 'g'), 1, 120) AS scrubbed_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_prefix_hamming" ->
+      // quadratic reference form — the pigeonhole banding is provably a
+      // lossless candidate superset, so results are identical
+      """WITH d AS (SELECT doc_id, rpad(substring(text, 1, 48), 48, '.') AS p
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(hamming(a.p, b.p) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE hamming(a.p, b.p) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

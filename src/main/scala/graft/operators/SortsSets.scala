@@ -69,6 +69,18 @@ object SortsSets extends QueryGroup {
         .orderBy(col("spend").desc, col("o_custkey"))
         .limit(100).select(col("o_custkey").as("c_custkey"))
       byBal.except(bySpend).orderBy("c_custkey")
+    },
+
+    "set_union_distinct" -> { (spark, dir) =>
+      // UNION (distinct) — vs set_union_all's bag union: one hash-agg
+      // dedup after the concat, keyed on the full row. At scale the
+      // dedup is partial+final (map-side combine shrinks the shuffle).
+      Tables.table(spark, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+        .union(Tables.table(spark, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
     }
   )
 
@@ -111,6 +123,12 @@ object SortsSets extends QueryGroup {
         |SELECT c_custkey FROM by_bal
         |EXCEPT
         |SELECT c_custkey FROM by_spend
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin
   )
 }
