@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 Analytics group specs — funnel/retention/pivot/percentile/
+  * range-frame semantics plus the SQL-entry subquery forms, and the
+  * HammingDist expression + banded prefix dedup.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("events_funnel: step counts are monotonically non-increasing") {
+    val rows = q("events_funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("step1_view", "step2_click", "step3_purchase"))
+    assert(rows("step1_view") >= rows("step2_click"))
+    assert(rows("step2_click") >= rows("step3_purchase"))
+    // funnels are per-user: no step can exceed the user universe
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows("step1_view") <= users)
+  }
+
+  test("events_funnel milestones are strictly ordered per user") {
+    // recompute the per-user milestones independently with a sequential
+    // per-user fold and compare step-2 membership
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = e.groupBy(_._1)
+    val expected2 = byUser.count { case (_, evs) =>
+      val t1 = evs.filter(_._2 == "view").map(_._3).minOption
+      t1.exists(t => evs.exists(x => x._2 == "click" && x._3 > t))
+    }
+    val got = q("events_funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("step2_click") == expected2)
+  }
+
+  test("events_retention: week 0 contains every cohort member") {
+    val df = q("events_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every user is active in their own cohort week ⇒ offset-0 row exists
+    // per cohort and dominates later offsets of the same cohort
+    val byCohort = df.groupBy(_._1)
+    byCohort.foreach { case (_, rows) =>
+      val w0 = rows.find(_._2 == 0L)
+      assert(w0.isDefined, "cohort without week-0 row")
+      rows.foreach(r => assert(r._3 <= w0.get._3))
+    }
+    // total cohort sizes = distinct user universe
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
+
+  test("agg_pivot: cells sum back to the unpivoted totals") {
+    val df = q("agg_pivot")
+    val nCols = (1 to 5).map(p => s"${p}_n")
+    val total = df.select(nCols.map(c => sum(col(c))): _*).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).sum
+    assert(total == Tables.table(spark, sfDir, "orders").count())
+  }
+
+  test("agg_percentile: quartiles ordered, median within min/max") {
+    q("agg_percentile").collect().foreach { r =>
+      val (p25, p75, p95) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p75 && p75 <= p95)
+    }
+  }
+
+  test("win_range_frame: frame counts match a brute-force recount") {
+    val rows = q("win_range_frame")
+      .select("user_id", "ts_us", "n_1h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).sorted
+    }
+    rows.take(2000).foreach { case (u, t, n) =>
+      val expected = byUser(u).count(x => x >= t - 3600000000L && x <= t)
+      assert(n == expected, s"user $u ts $t")
+    }
+  }
+
+  test("sql_exists plans as a semi join, not a per-row subquery") {
+    val p = plan(q("sql_exists"))
+    assert(p.contains("LeftSemi"), p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("sql_scalar_agg: every surviving price beats the threshold") {
+    val avg = Tables.table(spark, sfDir, "orders")
+      .agg(sum(col("o_totalprice").cast(Canon.Dec)).cast("double")
+        / count(lit(1))).collect()(0).getDouble(0)
+    val df = q("sql_scalar_agg")
+    assert(df.filter(col("o_totalprice") <= 1.5 * avg).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("hamming_dist: expression matches a reference implementation") {
+    def ref(a: String, b: String): Long = {
+      val n = math.min(a.length, b.length)
+      (0 until n).count(i => a(i) != b(i)).toLong + math.abs(a.length - b.length)
+    }
+    val cases = Seq(
+      ("karolin", "kathrin"), ("", ""), ("abc", "abc"),
+      ("abc", "abd"), ("abc", "abcdef"), ("xyz", ""))
+    import spark.implicits._
+    val df = cases.toDF("a", "b")
+      .select(graft.functions.HammingDist.hamming(col("a"), col("b")).as("d"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b) })
+    // the SQL registration path is covered in GraftExtensionsSpec
+  }
+
+  test("dedup_prefix_hamming: banding loses no pair vs brute force") {
+    val d = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), rpad(substring(col("text"), 1, 48), 48, ".").as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, pa) <- d; (ib, pb) <- d if ia < ib
+      dist = (0 until 48).count(k => pa(k) != pb(k))
+      if dist <= 2
+    } yield (ia, ib, dist.toLong)).sortBy(x => (x._1, x._2)).toSeq
+    val got = q("dedup_prefix_hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("dedup_prefix_hamming candidates come from the segment equi-join") {
+    val p = plan(q("dedup_prefix_hamming"))
+    // the join keys must include the banded segment columns — an
+    // all-pairs (doc_id-only / nested-loop) degradation would show a
+    // BroadcastNestedLoopJoin or a cartesian here
+    assert(!p.contains("CartesianProduct"), "cartesian candidate join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop candidates")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "expected an equi-join on segments")
+  }
+}

@@ -48,6 +48,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val hv = s.sql("SELECT haversine_km(0.0D, 0.0D, 0.0D, 1.0D) AS d")
         .head().getDouble(0)
       assert(math.abs(hv - 111.195) < 0.01, s"1 equator degree: $hv")
+      // hamming_dist: string byte-position mismatches + length delta
+      val hd = s.sql(
+        "SELECT hamming_dist('karolin', 'kathrin') AS a, " +
+          "hamming_dist('abc', 'abcde') AS b").head()
+      assert(hd.getLong(0) == 3L && hd.getLong(1) == 2L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
