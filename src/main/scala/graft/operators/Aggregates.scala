@@ -174,6 +174,27 @@ object Aggregates extends QueryGroup {
           Canon.round4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
     },
 
+    "agg_mode" -> { (spark, dir) =>
+      // Deterministic mode (most frequent value per group): count →
+      // window rank with an explicit value tie-break. Built-in mode()
+      // exists in both engines but leaves ties undefined — undefined
+      // output can't be hash-compared, so the composed form IS the
+      // operator. Two key-compatible shuffles (group count, then rank
+      // within status).
+      val counted = Tables.table(spark, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      counted
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderstatus")
+            .orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // Approx sketches: engine-specific — oracle omitted (SURVEY.md §5.5);
     // unit tests assert error bounds against the exact values.
     "agg_approx_distinct" -> { (spark, dir) =>
@@ -224,6 +245,14 @@ object Aggregates extends QueryGroup {
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority) AS rk FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "agg_multi_distinct" ->
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_part,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryGroup, Tables}
+import graft.{Canon, QueryGroup, Tables}
 import org.apache.spark.sql.functions._
 
 /** Group A (scans/sources) + B (projection/filter) — SURVEY.md §2.
@@ -83,6 +83,33 @@ object Scans extends QueryGroup {
         .orderBy("source")
     },
 
+    "source_sorted_pruned" -> { (spark, dir) =>
+      // Layout-aware sink + stats-pruned scan: lineitem re-written
+      // sorted by l_shipdate in small row groups, then scanned with a
+      // tight date range. Sorting clusters each date into few row
+      // groups, so the pushed min/max filter skips most of the file —
+      // the single-column analog of Z-ordering, and at 100 TB the
+      // difference between reading a month and reading the decade.
+      // (The fixture tables themselves are one row group each —
+      // BASELINE.md structural-floor note — hence this query lays out
+      // its own copy to make the skipping observable.)
+      val out = s"/tmp/graft_sorted/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.table(spark, dir, "lineitem")
+        .repartition(4)
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 512 * 1024)
+        .parquet(out)
+      spark.read.parquet(out)
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-09-01").cast("timestamp_ntz"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          Canon.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("month")
+    },
+
     "filter_complex" -> { (spark, dir) =>
       Tables.table(spark, dir, "lineitem")
         .filter(col("l_discount").between(0.02, 0.06)
@@ -133,6 +160,15 @@ object Scans extends QueryGroup {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "source_sorted_pruned" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-09-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
 
     "filter_complex" ->
       s"""SELECT $lineitemKeySql, l_discount, l_returnflag, l_linestatus, l_shipdate

@@ -79,6 +79,21 @@ object Windows extends QueryGroup {
         .select(col("c_custkey"), col("c_acctbal"),
           ntile(4).over(w).cast("long").as("quartile"))
         .orderBy("c_custkey")
+    },
+
+    "win_first_last" -> { (spark, dir) =>
+      // first_value / last_value / nth_value over the FULL partition
+      // frame (unbounded both ways) — the deterministic form: the frame
+      // is the whole user history under a unique total order, so every
+      // row of a user agrees on all three. One user_id exchange.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .orderBy("user_id", "ts_us", "event_id")
     }
   )
 
@@ -125,6 +140,16 @@ object Windows extends QueryGroup {
     "win_ntile" ->
       """SELECT c_custkey, c_acctbal,
         |       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

@@ -124,6 +124,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("agg_mode: the mode really is the max count, ties break low") {
+    val brute = Tables.table(spark, sfDir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = q("agg_mode").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.foreach { case (st, pri, n) =>
+      val grp = brute.filter(_._1 == st)
+      assert(n == grp.map(_._3).max, s"status $st")
+      val winners = grp.filter(_._3 == n).map(_._2)
+      assert(pri == winners.min, s"tie-break for $st")
+    }
+    assert(got.map(_._1).toSet ==
+      brute.map(_._1).toSet, "one row per status")
+  }
+
+  test("win_first_last: values constant per user and match the extremes") {
+    val rows = q("win_first_last").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"first_type varies for $u")
+      assert(rs.map(_._4).distinct.length == 1, s"last_type varies for $u")
+    }
+  }
+
+  test("source_sorted_pruned: the range filter pushes into the re-laid scan") {
+    val p = plan(q("source_sorted_pruned"))
+    assert(p.contains("PushedFilters") &&
+      p.contains("l_shipdate"), "expected shipdate pushdown on the sorted copy")
+  }
+
   test("dedup_prefix_hamming candidates come from the segment equi-join") {
     val p = plan(q("dedup_prefix_hamming"))
     // the join keys must include the banded segment columns — an
