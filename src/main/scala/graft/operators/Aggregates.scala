@@ -174,6 +174,32 @@ object Aggregates extends QueryGroup {
           Canon.round4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
     },
 
+    "agg_corr" -> { (spark, dir) =>
+      // Pearson correlation from EXACT decimal moments (n, Σx, Σy, Σxy,
+      // Σx², Σy²) with the final algebra in double — the built-in
+      // corr() folds raw doubles in partial-agg order, which is not
+      // hash-comparable; the moment form is associative and therefore
+      // deterministic at any parallelism (same policy as agg_stats).
+      // One partial+final hash agg, six compact buffers.
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val d10 = org.apache.spark.sql.types.DecimalType(38, 10)
+      val n = count(lit(1)).cast("double")
+      val sx = sum(x.cast(Canon.Dec)).cast("double")
+      val sy = sum(y.cast(Canon.Dec)).cast("double")
+      val sxy = sum((x * y).cast(d10)).cast("double")
+      val sxx = sum((x * x).cast(d10)).cast("double")
+      val syy = sum((y * y).cast(d10)).cast("double")
+      Tables.table(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          Canon.round6((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     "agg_mode" -> { (spark, dir) =>
       // Deterministic mode (most frequent value per group): count →
       // window rank with an explicit value tie-break. Built-in mode()
@@ -244,6 +270,21 @@ object Aggregates extends QueryGroup {
 
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(round(
+        |    (count(*) * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+        |      - CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |        * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))
+        |    / (sqrt(count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+        |         - CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |           * CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE))
+        |       * sqrt(count(*) * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+        |         - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |           * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))),
+        |  6) AS DOUBLE) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_mode" ->

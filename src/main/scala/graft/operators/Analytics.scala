@@ -140,6 +140,29 @@ object Analytics extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "events_anomaly" -> { (spark, dir) =>
+      // Per-entity outlier flagging: z-score of each reading against its
+      // user's own mean/std, computed from exact decimal moments over
+      // the full-partition window (deterministic under any fold order —
+      // same policy as agg_stats/agg_corr). One user_id exchange serves
+      // both moment windows; only |z| > 2.5 rows survive.
+      val w = Window.partitionBy("user_id")
+      val d10 = org.apache.spark.sql.types.DecimalType(38, 10)
+      val n = count(lit(1)).over(w).cast("double")
+      val s1 = sum(col("value").cast(Canon.Dec)).over(w).cast("double")
+      val s2 = sum((col("value") * col("value")).cast(d10)).over(w)
+        .cast("double")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("mean_v", s1 / n)
+        .withColumn("sd_v", sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+        .filter(col("sd_v") > 0
+          && abs((col("value") - col("mean_v")) / col("sd_v")) > 2.5)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+          Canon.round4((col("value") - col("mean_v")) / col("sd_v")).as("z"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "sql_exists" -> { (spark, dir) =>
       // SQL front-end entry: the EXISTS form. Catalyst rewrites the
       // correlated subquery to a left-semi hash join on o_custkey — the
@@ -215,6 +238,21 @@ object Analytics extends QueryGroup {
         |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |           FROM events),
+        |m AS (SELECT *,
+        |  CAST(count(*) OVER w AS DOUBLE) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value * value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id))
+        |SELECT user_id, ts_us, event_id, value,
+        |  CAST(round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS DOUBLE) AS z
+        |FROM m
+        |WHERE sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
+        |  AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 2.5
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "sql_exists" -> ExistsSql,

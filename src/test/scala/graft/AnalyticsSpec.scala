@@ -124,6 +124,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("agg_corr: moment-form correlation matches built-in corr()") {
+    val got = q("agg_corr").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = Tables.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (k, v) =>
+      assert(v >= -1.0 && v <= 1.0)
+      assert(math.abs(v - ref(k)) < 1e-6, s"$k: $v vs builtin ${ref(k)}")
+    }
+  }
+
+  test("events_anomaly: flags exactly the |z| > 2.5 rows of a recount") {
+    val vals = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = vals.groupBy(_._1)
+    val expected = byUser.iterator.flatMap { case (_, rs) =>
+      val xs = rs.map(_._3)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      rs.filter(r => sd > 0 && math.abs((r._3 - mean) / sd) > 2.5).map(_._2)
+    }.toSet
+    val got = q("events_anomaly").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("agg_mode: the mode really is the max count, ties break low") {
     val brute = Tables.table(spark, sfDir, "orders")
       .groupBy("o_orderstatus", "o_orderpriority").count()
