@@ -38,51 +38,28 @@ object Analytics extends QueryGroup {
   def queries = Map(
     "events_funnel" -> { (spark, dir) =>
       // Ordered-funnel conversion: view → click-after-view →
-      // purchase-after-click, strictly increasing timestamps per user.
-      // Three window passes over the SAME (user_id) partitioning — the
-      // step-2/3 milestones reference the previous step's per-user
-      // constant, and Catalyst plans one hash exchange reused by all
-      // three Window nodes and the final per-user groupBy. No
+      // purchase-after-click, strictly increasing timestamps per user —
+      // the pinned-configuration instance of [[Funnel.conversion]]
+      // (N-step parameterized). One hash exchange serves all step
+      // windows and the per-user groupBy (plan-verified); no
       // event-sequence collect, no per-user sort beyond the exchange.
-      val w = Window.partitionBy("user_id")
-      val staged = Tables.events(spark, dir)
-        .select(col("user_id"), col("event_type"), col("ts_us"))
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("ts_us"))).over(w))
-        .withColumn("t2",
-          min(when(col("event_type") === "click"
-            && col("ts_us") > col("t1"), col("ts_us"))).over(w))
-        .withColumn("t3",
-          min(when(col("event_type") === "purchase"
-            && col("ts_us") > col("t2"), col("ts_us"))).over(w))
-      staged
-        .groupBy("user_id")
-        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
-        .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
-          count(col("t3")).as("c3"))
-        .select(explode(array(
-          struct(lit("step1_view").as("step"), col("c1").as("users")),
-          struct(lit("step2_click").as("step"), col("c2").as("users")),
-          struct(lit("step3_purchase").as("step"), col("c3").as("users"))))
-          .as("s"))
-        .select(col("s.step").as("step"), col("s.users").as("users"))
-        .orderBy("step")
+      Funnel.conversion(Tables.events(spark, dir),
+        entityCol = "user_id", typeCol = "event_type", timeCol = "ts_us",
+        steps = Seq("view", "click", "purchase"))
     },
 
     "events_retention" -> { (spark, dir) =>
       // Cohort retention: users grouped by first-active day, counted per
-      // week offset of later activity. distinct(user, day) bounds state
+      // week offset of later activity — [[Funnel.retention]] pinned to
+      // day cohorts × week offsets. distinct(user, day) bounds state
       // to active-days, the per-user min reuses the user hash exchange,
       // and the final agg is a standard partial+final count-distinct.
-      val days = Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
-        .distinct()
-      days
-        .withColumn("cohort_day",
-          min("day").over(Window.partitionBy("user_id")))
-        .withColumn("week_offset", expr("(day - cohort_day) div 7"))
-        .groupBy("cohort_day", "week_offset")
-        .agg(countDistinct("user_id").as("users"))
+      val DayUs = 86400000000L
+      Funnel.retention(Tables.events(spark, dir),
+        entityCol = "user_id", timeCol = "ts_us",
+        bucketWidth = DayUs, offsetWidth = 7 * DayUs)
+        .select(col("cohort").as("cohort_day"),
+          col("offset").as("week_offset"), col("users"))
         .orderBy("cohort_day", "week_offset")
     },
 

@@ -35,6 +35,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("step2_click") == expected2)
   }
 
+  test("Funnel.conversion generalizes: N-step funnels match a sequential fold") {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = e.groupBy(_._1)
+    def brute(steps: Seq[String]): Seq[Long] = {
+      // per user: walk milestones sequentially, count users per prefix
+      val milestones = byUser.values.map { evs =>
+        steps.foldLeft(Seq.empty[Option[Long]]) { (acc, st) =>
+          val after = acc.lastOption.getOrElse(Some(Long.MinValue))
+          val m = after.flatMap(t =>
+            evs.filter(x => x._2 == st && x._3 > t).map(_._3).minOption)
+          acc :+ m
+        }
+      }
+      steps.indices.map(i => milestones.count(_(i).isDefined).toLong)
+    }
+    for (steps <- Seq(Seq("signup", "purchase"),
+        Seq("error", "view", "click", "purchase"))) {
+      val got = operators.Funnel.conversion(
+        Tables.events(spark, sfDir), "user_id", "event_type", "ts_us", steps)
+        .collect().map(_.getLong(1)).toSeq
+      assert(got == brute(steps), s"steps $steps")
+    }
+  }
+
   test("events_retention: week 0 contains every cohort member") {
     val df = q("events_retention").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
