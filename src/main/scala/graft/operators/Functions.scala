@@ -104,6 +104,21 @@ object Functions extends QueryGroup {
         .orderBy(col("k_decile").asc_nulls_first)
     },
 
+    "fn_bitwise" -> { (spark, dir) =>
+      // bitwise surface: and/or/xor, shifts, popcount — per-row codegen
+      // on the long id column (bit tricks are the bread and butter of
+      // the hash/bucket layers above; this query pins the scalar API).
+      Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(0xFFL)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(0x100L)).as("or_bit8"),
+          col("o_orderkey").bitwiseXOR(lit(0x5555L)).as("xor_alt"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          bit_count(col("o_orderkey")).cast("long").as("popcount"))
+        .orderBy("o_orderkey")
+    },
+
     "fn_regex" -> { (spark, dir) =>
       // the full regex surface in one query: extract / extract-all-count
       // / match-test / replace-all. Patterns stay in the common
@@ -182,6 +197,16 @@ object Functions extends QueryGroup {
         |  count(*) AS n, min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
         |FROM events GROUP BY 1 ORDER BY k_decile NULLS FIRST""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 256 AS or_bit8,
+        |  xor(o_orderkey, 21845) AS xor_alt,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_regex" ->
       """SELECT doc_id,
