@@ -72,7 +72,19 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      try Some(name -> math.min(once(), once()))
+      // adaptive third rep: when the two reps disagree by > 2.5× the
+      // slow one was a contention artifact, not the query (this host
+      // showed 4-80× per-query swings with zero code change —
+      // BASELINE.md r3 addendum); one more rep pins the real number.
+      // Bounded: ≥ 2.5× disagreement is rare on a quiet host, so the
+      // extra wall cost is a few queries' worth at most.
+      try {
+        val a = once(); val b = once()
+        val m = if (math.max(a, b) > 2.5 * math.min(a, b))
+          math.min(math.min(a, b), once())
+        else math.min(a, b)
+        Some(name -> m)
+      }
       catch { case _: Throwable => failed ::= name; None }
     }
     // Line-length defense: the driver's tail capture truncated the r01
