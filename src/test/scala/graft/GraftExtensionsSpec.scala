@@ -53,6 +53,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT hamming_dist('karolin', 'kathrin') AS a, " +
           "hamming_dist('abc', 'abcde') AS b").head()
       assert(hd.getLong(0) == 3L && hd.getLong(1) == 2L)
+      // self-pair folds to constant 0 via SelfSimilarityFold
+      val hdSelf = s.sql(
+        "SELECT hamming_dist(text, text) AS d FROM " +
+          "(SELECT 'abc' AS text)")
+      assert(!hdSelf.queryExecution.optimizedPlan.toString
+        .contains("hamming_dist"),
+        "SelfSimilarityFold must eliminate the self-pair hamming")
+      assert(hdSelf.head().getLong(0) == 0L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
