@@ -75,6 +75,39 @@ object Streaming extends QueryGroup {
     spark.table(name)
   }
 
+  /** The stream_funnel state machine, exposed for the replay-contract
+    * spec: per-user (t1, t2, t3) milestones, each micro-batch sorted by
+    * event time then folded through the strict-ordering transitions.
+    * Emits (user, stage) after every batch; milestones only accumulate,
+    * so the last emit carries the final stage. Correct whenever no
+    * admitted event is older than one already folded for that user —
+    * exact on a single-batch full replay, and the watermark contract in
+    * a continuous run.
+    */
+  def funnelStages(events: org.apache.spark.sql.Dataset[(Long, String, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MinValue
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((Unset, Unset, Unset))
+          rows.toArray.sortBy(_._3).foreach { case (_, typ, ts) =>
+            typ match {
+              case "view" if t1 == Unset => t1 = ts
+              case "click" if t2 == Unset && t1 != Unset && ts > t1 => t2 = ts
+              case "purchase" if t3 == Unset && t2 != Unset && ts > t2 => t3 = ts
+              case _ => ()
+            }
+          }
+          state.update((t1, t2, t3))
+          Iterator((user, Seq(t1, t2, t3).count(_ != Unset).toLong))
+      }
+  }
+
   def queries = Map(
     // ---- batch twins (oracle-checked) ----
     "win_tumbling_batch" -> { (spark, dir) =>
@@ -184,6 +217,40 @@ object Streaming extends QueryGroup {
           OutputMode.Append())
         .groupBy("user_id").agg(max("n_events").as("n_events")) // last emit
         .orderBy("user_id")
+    },
+
+    "stream_funnel" -> { (spark, dir) =>
+      // Streaming funnel: per-user milestone state machine over
+      // flatMapGroupsWithState — the online form of events_funnel.
+      // State = (t1, t2, t3) milestones (MinValue sentinel = unreached);
+      // each micro-batch's group rows are sorted by event time and
+      // folded through the strict-ordering transitions, so milestones
+      // only ever accumulate. On the full AvailableNow replay the end
+      // state equals the batch answer exactly — the funnel oracle
+      // applies verbatim. In a continuous run the same fold is correct
+      // under the watermark contract (per-batch sort + no admitted
+      // event older than an already-folded one); state is 24 bytes/user,
+      // partitioned by user across the cluster's state stores.
+      import spark.implicits._
+      val staged = funnelStages(
+        eventStream(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts_us"))
+          .as[(Long, String, Long)])
+      val lastStage = runToMemory(spark, staged.toDF("user_id", "stage"),
+          OutputMode.Append())
+        .groupBy("user_id").agg(max("stage").as("stage")) // last emit wins
+      lastStage
+        .agg(
+          count(when(col("stage") >= 1, 1)).as("c1"),
+          count(when(col("stage") >= 2, 1)).as("c2"),
+          count(when(col("stage") >= 3, 1)).as("c3"))
+        .select(explode(array(
+          struct(lit("step1_view").as("step"), col("c1").as("users")),
+          struct(lit("step2_click").as("step"), col("c2").as("users")),
+          struct(lit("step3_purchase").as("step"), col("c3").as("users"))))
+          .as("s"))
+        .select(col("s.step").as("step"), col("s.users").as("users"))
+        .orderBy("step")
     }
   )
 
@@ -258,6 +325,11 @@ object Streaming extends QueryGroup {
         |       p.event_id AS p_event, s.ts_us AS s_us, p.ts_us AS p_us
         |FROM s JOIN p ON s.user_id = p.user_id
         |  AND p.ts_us >= s.ts_us AND p.ts_us <= s.ts_us + 3600000000
-        |ORDER BY s_user, s_event, p_event""".stripMargin
+        |ORDER BY s_user, s_event, p_event""".stripMargin,
+
+    // the streaming funnel's full replay converges to the batch funnel
+    // exactly — the Analytics oracle applies verbatim (one definition,
+    // two engines, two execution models)
+    "stream_funnel" -> Analytics.oracle("events_funnel")
   )
 }

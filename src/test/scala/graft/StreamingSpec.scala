@@ -11,6 +11,58 @@ class StreamingSpec extends SparkSpec {
   private def rows(name: String) =
     q(name).collect().map(_.toSeq.toList).toSet
 
+  test("stream_funnel equals the batch funnel") {
+    assert(rows("stream_funnel") == rows("events_funnel"))
+  }
+
+  test("stream_funnel milestone state survives time-sharded multi-batch replay") {
+    // the funnel state machine's contract: correct whenever no admitted
+    // event is older than one already folded per user. Exercise it by
+    // replaying THREE time-range shards (terciles) one file per
+    // trigger — milestones must accumulate across batches and land on
+    // the batch answer
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.33, 0.66), 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fshard").toString
+    val shards = Seq(
+      ev.filter(col("ts_us") <= cuts(0)),
+      ev.filter(col("ts_us") > cuts(0) && col("ts_us") <= cuts(1)),
+      ev.filter(col("ts_us") > cuts(1)))
+    shards.zipWithIndex.foreach { case (df, i) =>
+      // one FILE per shard: a multi-part shard would split one tercile's
+      // time range across micro-batches, which the milestone contract
+      // (no admitted event older than one already folded) doesn't cover
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/shard_$i")
+      Thread.sleep(1100) // distinct mtimes ⇒ deterministic file order
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/shard_*")
+      .as[(Long, String, Long)]
+    val staged = operators.Streaming.funnelStages(stream)
+    val qs = staged.toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_shard_sink")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    qs.awaitTermination()
+    val streamed = spark.table("funnel_shard_sink")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch truth per user via the sequential fold
+    val byUser = ev.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      val t1 = evs.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t =>
+        evs.filter(x => x._2 == "click" && x._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t =>
+        evs.filter(x => x._2 == "purchase" && x._3 > t).map(_._3).minOption)
+      val expected = Seq(t1, t2, t3).count(_.isDefined).toLong
+      assert(streamed(u) == expected, s"user $u")
+    }
+  }
+
   test("stream_tumbling equals its batch twin") {
     assert(rows("stream_tumbling") == rows("win_tumbling_batch"))
   }
