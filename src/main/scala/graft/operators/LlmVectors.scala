@@ -115,6 +115,19 @@ object LlmVectors extends QueryGroup {
         .orderBy("q_id", "rank")
     },
 
+    "knn_search_filtered" -> { (spark, dir) =>
+      // filtered ANN — the serving-time reality of vector search
+      // (tenant/category-scoped retrieval): top-k among index vectors
+      // matching a metadata predicate. The filter composes BEFORE
+      // candidate generation, so at 100 TB it prunes the index scan
+      // (pushed predicate on the label column) and everything
+      // downstream; same two-phase exact top-k as knn_search.
+      val emb = Tables.table(spark, dir, "embeddings")
+      Knn.search(emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("label") === 3), k = 3)
+        .orderBy("q_id", "rank")
+    },
+
     "knn_search_ivf" -> { (spark, dir) =>
       // the IVF serving path, declared AND fully oracle-checked: the
       // sign-LSH bucketing is deterministic, so the ANN answer (6-bit
@@ -305,6 +318,17 @@ object LlmVectors extends QueryGroup {
          |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
          |  FROM embeddings q JOIN embeddings i
          |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_search_filtered" ->
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i
+         |    ON q.vec_id % 50 = 0 AND i.label = 3 AND q.vec_id <> i.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
          |  FROM s)

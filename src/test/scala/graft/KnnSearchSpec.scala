@@ -53,6 +53,20 @@ class KnnSearchSpec extends SparkSpec {
     assert(got.toSeq == truth)
   }
 
+  test("filtered ANN: results drawn only from the filtered index") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val allowed = emb.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = q("knn_search_filtered").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, iid) => allowed(iid) },
+      "every neighbor must satisfy the metadata predicate")
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
   test("self-matches excluded; ranks dense 1..k per query") {
     val d = df(vecs(120, 64, seed = 7))
     val got = Knn.search(d.filter(col("vec_id") < 10), d, k = 4).collect()
