@@ -87,24 +87,44 @@ object Bench {
       }
       catch { case _: Throwable => failed ::= name; None }
     }
-    // Line-length defense: the driver's tail capture truncated the r01
-    // line mid-JSON ("parsed": null) and clipped the first two query
-    // keys in r02 (~2.1 KB captured). At 93 queries the line only fits
-    // if values are compact — centisecond resolution, trailing zeros
-    // stripped — and the fields that MUST survive (metric/value/failed/
-    // sf) go at the END of the line, where a tail capture keeps them;
-    // JSON key order is irrelevant to any parser, so an untruncated
-    // line is identical in meaning to the documented shape.
+    // Line-length defense: the driver captures only the LAST 2000 chars
+    // of output (measured from BENCH_r03.json's "tail"), and sbt appends
+    // a ~75-char "[success]" line after ours — so the printed JSON line
+    // must stay under ~1900 chars or the front gets clipped and the
+    // driver records "parsed": null (exactly what happened in r01 and
+    // r03 as the inventory grew past ~90 queries; a full 113-query dict
+    // is ~2.6 KB and can NEVER fit). Policy: "value" is still the total
+    // over ALL queries (comparable to every BASELINE.md composite row),
+    // but the printed "queries" dict carries only the slowest entries
+    // that fit a hard 1500-char line budget — the fast tail is uniform
+    // ~0.3 s noise with no diagnostic value on a 2000-char wire. The
+    // COMPLETE per-query map is written to BENCH_FULL_LAST.json in the
+    // working directory for the committed record.
     def sec(v: Double) = "%.2f".format(v)
       .stripSuffix("0").stripSuffix("0").stripSuffix(".") match {
         case "" => "0"
         case s => s
       }
-    val qs = results.map { case (k, v) => Json.str(k) + ":" + sec(v) }
-      .mkString("{", ",", "}")
     val fs = failed.map(Json.str).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"unit":"sec","metric":"total","value":${sec(total)},"failed":$fs,"sf":${Json.str(sfDir)}}""")
+    val fullQs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => Json.str(k) + ":" + sec(v) }
+    val fixed = s""","unit":"sec","metric":"total","value":${sec(total)},"n_queries":${results.size},"failed":$fs,"sf":${Json.str(sfDir)}}"""
+    val budget = 1500 - fixed.length - """{"queries":{}""".length
+    val shown = new StringBuilder
+    var used = 0
+    fullQs.takeWhile { e =>
+      val c = e.length + (if (used == 0) 0 else 1)
+      val ok = used + c <= budget
+      if (ok) { if (used > 0) shown.append(','); shown.append(e); used += c }
+      ok
+    }
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL_LAST.json", "UTF-8")
+      try w.println(s"""{"queries":${fullQs.mkString("{", ",", "}")}$fixed""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"queries":{$shown}$fixed""")
     spark.stop()
   }
 }

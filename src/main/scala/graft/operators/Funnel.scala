@@ -49,7 +49,10 @@ object Funnel {
     }
     counts.select(explode(array(rows: _*)).as("s"))
       .select(col("s.step").as("step"), col("s.users").as("users"))
-      .orderBy("step")
+      // order by the NUMERIC step index, not the label: "step10_x" sorts
+      // lexicographically before "step2_x", which would silently break
+      // the monotone-non-increasing contract for funnels of 10+ steps
+      .orderBy(regexp_extract(col("step"), "^step([0-9]+)_", 1).cast("int"))
   }
 
   /** Cohort retention: entities grouped by first-active time bucket,

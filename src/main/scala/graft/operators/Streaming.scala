@@ -81,8 +81,13 @@ object Streaming extends QueryGroup {
     * Emits (user, stage) after every batch; milestones only accumulate,
     * so the last emit carries the final stage. Correct whenever no
     * admitted event is older than one already folded for that user —
-    * exact on a single-batch full replay, and the watermark contract in
-    * a continuous run.
+    * exact on a single-batch full replay (which is all the oracle
+    * checks). NOTE: a watermark alone does NOT establish that
+    * precondition in a continuous run — it only bounds lateness, and
+    * still admits events older than ones already folded; since
+    * milestones are never revised, a continuous run needs strictly
+    * time-ordered admission per user (or a buffer-until-watermark stage
+    * before the fold) to match the batch funnel.
     */
   def funnelStages(events: org.apache.spark.sql.Dataset[(Long, String, Long)])
       : org.apache.spark.sql.Dataset[(Long, Long)] = {
@@ -227,9 +232,9 @@ object Streaming extends QueryGroup {
       // folded through the strict-ordering transitions, so milestones
       // only ever accumulate. On the full AvailableNow replay the end
       // state equals the batch answer exactly — the funnel oracle
-      // applies verbatim. In a continuous run the same fold is correct
-      // under the watermark contract (per-batch sort + no admitted
-      // event older than an already-folded one); state is 24 bytes/user,
+      // applies verbatim. A continuous run additionally needs strictly
+      // time-ordered admission per user (a watermark only bounds
+      // lateness — see funnelStages' scaladoc); state is 24 bytes/user,
       // partitioned by user across the cluster's state stores.
       import spark.implicits._
       val staged = funnelStages(

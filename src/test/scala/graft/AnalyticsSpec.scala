@@ -150,6 +150,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dedup_prefix_hamming precondition: doc prefixes are pure ASCII") {
+    // the query slices by CHARACTER (substring/rpad, 16-char segments)
+    // but HammingDist compares UTF-8 BYTES; the two only agree when the
+    // 48-char prefix is ASCII (1 byte per char). That holds on this
+    // corpus — this guard makes a future non-ASCII fixture fail loudly
+    // here instead of silently diverging from the DuckDB oracle.
+    val nonAscii = Tables.table(spark, sfDir, "documents")
+      .filter(not(substring(col("text"), 1, 48).rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii docs have non-ASCII chars in the 48-char prefix; " +
+        "dedup_prefix_hamming's char-sliced segments no longer align with " +
+        "byte-based HammingDist — switch the query to byte slicing")
+  }
+
   test("agg_corr: moment-form correlation matches built-in corr()") {
     val got = q("agg_corr").collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
