@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Udfs,
     operators.Streaming,
     operators.Telemetry,
-    operators.Analytics
+    operators.Analytics,
+    operators.DataEng
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 data-engineering group: the table-maintenance and
+  * pipeline-shaping operators that run between "raw events land" and
+  * "curated tables serve queries" — CDC latest-record compaction, SCD-2
+  * interval building, event-transition statistics, time-series gap
+  * filling, and LLM sequence packing (concat-and-chunk).
+  *
+  * Scale theme: every shape here is one hash exchange on its natural key
+  * (user/key for CDC + SCD-2 + transitions, hour bucket for gap fill,
+  * lang shard for packing), with window passes reusing that exchange.
+  * None of them collects, none is quadratic.
+  */
+object DataEng extends QueryGroup {
+
+  def queries = Map(
+    "cdc_latest" -> { (spark, dir) =>
+      // CDC upsert compaction, latest-record-wins: for each
+      // (user_id, event_type) key keep the newest event (ties broken by
+      // event_id — the log offset). This is the merge/compaction step of
+      // every mutable-table-over-immutable-log design: one exchange on
+      // the key, rank inside the partition, no global sort of the log.
+      // At 100 TB the same plan compacts per partition; skewed hot keys
+      // go through AQE skew splitting since rank is per-key local work.
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id", "event_type")
+    },
+
+    "scd2_intervals" -> { (spark, dir) =>
+      // SCD-2 interval build: each key's event history becomes
+      // [valid_from, valid_to) versioned rows — valid_to = next change's
+      // timestamp, -1 sentinel for the current version (a sentinel, not
+      // NULL, so the column stays int64 end-to-end in both engines
+      // instead of nullable→float64 in the compare). lead() and
+      // row_number() share one (user, type) exchange + sort.
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("valid_from", col("ts_us"))
+        .withColumn("valid_to",
+          coalesce(lead("ts_us", 1).over(w), lit(-1L)))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "version", "event_id", "value")
+        .orderBy("user_id", "event_type", "version")
+    },
+
+    "events_transitions" -> { (spark, dir) =>
+      // First-order Markov transition counts: (event_type → next type)
+      // frequencies across all user sequences — the "what do users do
+      // next" statistic. One user exchange feeds lead(); the tiny
+      // (|types|²) count table aggregates map-side.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("from_type"), col("to_type"))
+    },
+
+    "events_gap_fill" -> { (spark, dir) =>
+      // Time-series gap filling: hourly event counts+sums with EVERY
+      // hour between the corpus min and max present, zeros filled — the
+      // resample step charting/forecasting needs (a missing bucket and a
+      // zero bucket are different answers). The dense hour axis comes
+      // from sequence()+explode on the 1-row bounds aggregate — no
+      // driver loop; the left join hashes on the hour bucket. Per-entity
+      // gap fill at 100 TB is the same shape per key (bounds per entity,
+      // sequence inside the row) — still no collect.
+      val ev = Tables.events(spark, dir)
+        .select(expr("ts_us div 3600000000").as("h"), col("value"))
+      val counts = ev.groupBy("h").agg(
+        count(lit(1)).as("n"), Canon.moneySum(col("value")).as("sum_v"))
+      val hours = ev.agg(min("h").as("mn"), max("h").as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+      hours.join(counts, Seq("h"), "left")
+        .select(col("h"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_v"), lit(0.0)).as("sum_v"))
+        .orderBy("h")
+    },
+
+    "pack_chunks" -> { (spark, dir) =>
+      // LLM sequence packing, concat-and-chunk form: per language shard,
+      // documents are concatenated in deterministic doc_id order and the
+      // token stream is cut into 2048-token blocks; each doc reports its
+      // stream offset, first block, and how many blocks it spans. This
+      // is the batch-construction step of pretraining pipelines (packing
+      // wastes no pad tokens; splitting is allowed at block boundaries).
+      // The running offset is an integer prefix sum — exact in any
+      // engine. Partitioning by lang keeps the window parallel (real
+      // pipelines pack per shard for exactly this reason: a single
+      // global prefix sum would serialize the corpus).
+      val Budget = 2048L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("off", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("eff", greatest(col("n_tok"), lit(1L)))
+        .withColumn("pack_first", expr(s"off div $Budget"))
+        .withColumn("pack_last", expr(s"(off + eff - 1) div $Budget"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("off"),
+          col("pack_first"),
+          (col("pack_last") - col("pack_first") + 1).as("n_packs"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle = Map(
+    "cdc_latest" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id, value FROM events)
+        |SELECT user_id, event_type, ts_us AS valid_from,
+        |  COALESCE(lead(ts_us) OVER w, -1) AS valid_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version, event_id, value
+        |FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |                    ORDER BY ts_us, event_id)
+        |ORDER BY user_id, event_type, version""".stripMargin,
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type FROM e)
+        |SELECT from_type, to_type, count(*) AS n FROM p
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY n DESC, from_type, to_type""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, value FROM events),
+        |c AS (SELECT h, count(*) AS n,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_v
+        |  FROM e GROUP BY h),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+        |hours AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b)
+        |SELECT hours.h AS h, COALESCE(n, 0) AS n,
+        |  COALESCE(sum_v, 0.0) AS sum_v
+        |FROM hours LEFT JOIN c ON hours.h = c.h
+        |ORDER BY h""".stripMargin,
+
+    "pack_chunks" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (SELECT *, CAST(COALESCE(sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off FROM d)
+        |SELECT doc_id, lang, n_tok, off, off // 2048 AS pack_first,
+        |  (off + greatest(n_tok, 1) - 1) // 2048 - off // 2048 + 1 AS n_packs
+        |FROM o ORDER BY doc_id""".stripMargin
+  )
+}
