@@ -223,6 +223,59 @@ object Aggregates extends QueryGroup {
 
     // Approx sketches: engine-specific — oracle omitted (SURVEY.md §5.5);
     // unit tests assert error bounds against the exact values.
+    "agg_histogram" -> { (spark, dir) =>
+      // Fixed-width numeric histogram: 50k-wide bins over o_totalprice
+      // with count + exact decimal sum per bin. floor(x / width) on a
+      // double is IEEE-identical cross-engine; bins with no rows are
+      // absent (the dense/zero-filled form is events_gap_fill's shape).
+      // One partial+final hash agg — the profile primitive that actually
+      // scales, vs sort-based quantile binning.
+      Tables.table(spark, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Canon.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bin")
+    },
+
+    "agg_skewness" -> { (spark, dir) =>
+      // Skewness + excess kurtosis per return flag from EXACT decimal
+      // power sums (s1..s4) — the same moment policy as agg_stats/
+      // agg_corr: built-in skewness()/kurtosis() fold raw doubles in
+      // partial-agg order and can't be hash-compared. All four sums are
+      // associative decimals (one partial+final agg, map-side combine);
+      // the closed-form moment arithmetic then runs in scalar doubles,
+      // IEEE-identical on both engines given the same expression shape.
+      // l_quantity^4 ≤ 6.25e6 so DECIMAL(38,10) holds the sums at any
+      // realistic row count.
+      val d10 = org.apache.spark.sql.types.DecimalType(38, 10)
+      val q = col("l_quantity")
+      Tables.table(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(q.cast(Canon.Dec)).cast("double").as("s1"),
+          sum((q * q).cast(d10)).cast("double").as("s2"),
+          sum((q * q * q).cast(d10)).cast("double").as("s3"),
+          sum((q * q * q * q).cast(d10)).cast("double").as("s4"))
+        .withColumn("m", col("s1") / col("n"))
+        .withColumn("sd",
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+        .select(col("l_returnflag"),
+          Canon.round4(
+            (col("s3") / col("n")
+              - lit(3.0) * col("m") * (col("s2") / col("n"))
+              + lit(2.0) * col("m") * col("m") * col("m"))
+              / (col("sd") * col("sd") * col("sd"))).as("skewness"),
+          Canon.round4(
+            (col("s4") / col("n")
+              - lit(4.0) * col("m") * (col("s3") / col("n"))
+              + lit(6.0) * col("m") * col("m") * (col("s2") / col("n"))
+              - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+              / (col("sd") * col("sd") * col("sd") * col("sd"))
+              - lit(3.0)).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+
     "agg_approx_distinct" -> { (spark, dir) =>
       Tables.events(spark, dir)
         .agg(
@@ -246,6 +299,34 @@ object Aggregates extends QueryGroup {
     "l_returnflag", "l_shipdate", "l_suppkey", "l_tax")
 
   def oracle = Map(
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "agg_skewness" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+        |      AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+        |      AS DECIMAL(38,10))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+        |      AS DECIMAL(38,10))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT *, s1 / n AS m,
+        |    sqrt((s2 - s1 * s1 / n) / n) AS sd FROM s)
+        |SELECT l_returnflag,
+        |  CAST(round((s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m)
+        |    / (sd * sd * sd), 4) AS DOUBLE) AS skewness,
+        |  CAST(round((s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n)
+        |    - 3.0 * m * m * m * m) / (sd * sd * sd * sd) - 3.0, 4)
+        |    AS DOUBLE) AS kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "profile_columns" ->
       (LineitemCols.map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -134,10 +134,67 @@ object Functions extends QueryGroup {
           regexp_replace(substring(col("text"), 1, 60), "[aeiou]", "_")
             .as("devoweled_prefix"))
         .orderBy("doc_id")
+    },
+
+    "fn_struct" -> { (spark, dir) =>
+      // The STRUCT surface: build nested structs (order line inside an
+      // order wrapper plus an array of per-charge structs), then read
+      // fields back through dotted access and element_at().field —
+      // proving construction, nesting, arrays-of-structs, and field
+      // extraction all stay inside codegen (GetStructField is a zero-
+      // cost projection at the columnar level; at 100 TB nested parquet
+      // columns prune exactly like flat ones). Output is scalar facets
+      // only — the driver's row compare can't sort struct columns.
+      val line = Tables.table(spark, dir, "lineitem")
+        .withColumn("item", struct(
+          col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+          col("l_partkey").as("part"), col("l_suppkey").as("supp"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price")))
+        .withColumn("wrapped", struct(
+          col("item").as("inner"), col("l_returnflag").as("flag")))
+        .withColumn("charges", array(
+          struct(lit("base").as("kind"), col("l_extendedprice").as("amt")),
+          struct(lit("disc").as("kind"),
+            (-col("l_extendedprice") * col("l_discount")).as("amt")),
+          struct(lit("tax").as("kind"),
+            (col("l_extendedprice") * col("l_tax")).as("amt"))))
+      line.select(
+          col("wrapped.inner.okey").as("l_orderkey"),
+          col("wrapped.inner.line").as("l_linenumber"),
+          col("item.part").as("l_partkey"),
+          col("item.supp").as("l_suppkey"),
+          col("item.qty").as("l_quantity"),
+          col("item.price").as("l_extendedprice"),
+          col("wrapped.flag").as("flag"),
+          element_at(col("charges"), 2).getField("kind").as("charge2_kind"),
+          element_at(col("charges"), 2).getField("amt").as("charge2_amt"),
+          element_at(col("charges"), 3).getField("amt").as("charge3_amt"))
+        .orderBy(Scans.lineitemKey.map(col): _*)
     }
   )
 
   def oracle = Map(
+    "fn_struct" ->
+      s"""WITH s AS (SELECT *,
+         |    struct_pack(okey := l_orderkey, line := l_linenumber,
+         |      part := l_partkey, supp := l_suppkey,
+         |      qty := l_quantity, price := l_extendedprice) AS item,
+         |    [struct_pack(kind := 'base', amt := l_extendedprice),
+         |     struct_pack(kind := 'disc', amt := -l_extendedprice * l_discount),
+         |     struct_pack(kind := 'tax', amt := l_extendedprice * l_tax)]
+         |      AS charges
+         |  FROM lineitem),
+         |w AS (SELECT *, struct_pack(inner_ := item, flag := l_returnflag)
+         |    AS wrapped FROM s)
+         |SELECT (wrapped.inner_).okey AS l_orderkey,
+         |  (wrapped.inner_).line AS l_linenumber,
+         |  (item).part AS l_partkey, (item).supp AS l_suppkey,
+         |  (item).qty AS l_quantity, (item).price AS l_extendedprice,
+         |  (wrapped).flag AS flag,
+         |  (charges[2]).kind AS charge2_kind,
+         |  (charges[2]).amt AS charge2_amt,
+         |  (charges[3]).amt AS charge3_amt
+         |FROM w ORDER BY ${Scans.lineitemKeySql}""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_up,

@@ -161,6 +161,35 @@ object LlmVectors extends QueryGroup {
         .limit(20)
     },
 
+    "vec_centroid_assign" -> { (spark, dir) =>
+      // k-means E-step at engine level: assign every vector to its
+      // nearest label centroid (exact decimal-mean centroids, float64
+      // squared distance, ties to the lower label) and emit the
+      // label × assigned confusion counts — the clustering/curation
+      // primitive (one Lloyd iteration = this + the centroid recompute
+      // that knn_centroid_dist already demonstrates). Shape: posexplode
+      // → tiny (k·64) centroid table → pos-equi-join (k× fanout, NOT
+      // n² pairs) → per-(vec, k) partial sums → argmin window. All
+      // distributed; the centroid table broadcasts at any corpus size.
+      val ex = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("vd", col("v").cast("double"))
+      val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
+        .agg((sum(col("vd").cast(DecimalType(38, 20))).cast("double")
+          / count(lit(1))).as("c"))
+      val d2 = ex.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(((col("vd") - col("c")) * (col("vd") - col("c")))
+          .cast(DecimalType(38, 20))).cast("double").as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
+    },
+
     "dedup_embed_cosine" -> { (spark, dir) =>
       // near-duplicate embeddings: ALL pairs with cosine ≥ 0.4 (66/59/920
       // pairs at the three sfs — verified non-degenerate). The selective
@@ -354,6 +383,24 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "vec_centroid_assign" ->
+      """WITH ex AS (SELECT vec_id, label, i AS pos,
+        |    CAST(embedding[i + 1] AS DOUBLE) AS vd
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |cent AS (SELECT label AS clabel, pos,
+        |    CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS c
+        |  FROM ex GROUP BY clabel, pos),
+        |d AS (SELECT vec_id, ex.label, clabel,
+        |    CAST(sum(CAST((vd - c) * (vd - c) AS DECIMAL(38,20)))
+        |      AS DOUBLE) AS d2
+        |  FROM ex JOIN cent ON ex.pos = cent.pos
+        |  GROUP BY vec_id, ex.label, clabel),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, clabel) AS rn FROM d)
+        |SELECT label, clabel AS assigned, count(*) AS n
+        |FROM r WHERE rn = 1 GROUP BY label, assigned
+        |ORDER BY label, assigned""".stripMargin,
 
     "knn_centroid_dist" ->
       """WITH ex AS (SELECT vec_id, label, i AS pos,

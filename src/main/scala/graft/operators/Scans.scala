@@ -110,6 +110,25 @@ object Scans extends QueryGroup {
         .orderBy("month")
     },
 
+    "source_orc" -> { (spark, dir) =>
+      // Second columnar format: orders round-tripped through ORC (the
+      // jars ship with Spark; same vectorized reader + pushdown + Hive
+      // interop story as parquet), then a pushed-filter aggregate over
+      // the read-back. Proves the engine is not parquet-monogamous —
+      // a lake migrates formats without touching query code. The oracle
+      // reads the original parquet: byte-identical values after the
+      // roundtrip IS the assertion.
+      val out = s"/tmp/graft_orc/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.table(spark, dir, "orders").write.mode("overwrite").orc(out)
+      spark.read.orc(out)
+        .filter(col("o_totalprice") > 100000.0)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Canon.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
     "filter_complex" -> { (spark, dir) =>
       Tables.table(spark, dir, "lineitem")
         .filter(col("l_discount").between(0.02, 0.06)
@@ -137,6 +156,13 @@ object Scans extends QueryGroup {
   )
 
   def oracle = Map(
+    "source_orc" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "scan_full" ->
       s"SELECT * FROM lineitem ORDER BY $lineitemKeySql",
 

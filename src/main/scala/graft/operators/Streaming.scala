@@ -256,6 +256,50 @@ object Streaming extends QueryGroup {
           .as("s"))
         .select(col("s.step").as("step"), col("s.users").as("users"))
         .orderBy("step")
+    },
+
+    "stream_cdc_latest" -> { (spark, dir) =>
+      // Streaming CDC compaction — the online twin of cdc_latest (same
+      // oracle): flatMapGroupsWithState keeps ONE winner per
+      // (user_id, event_type) key, max by (ts_us, event_id), ~32 bytes
+      // of state partitioned across the cluster's state stores. Each
+      // batch folds its rows into the winner and emits it; winners are
+      // monotone in (ts_us, event_id), so the max emit per key IS the
+      // final state, and the full AvailableNow replay equals the batch
+      // compaction. This is how a materialized "current state" table
+      // stays fresh against a 100 TB event log without recompaction.
+      import spark.implicits._
+      val typed = eventStream(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+        .as[(Long, String, Long, Long, Double)]
+      val latest = typed
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroupsWithState[(Long, Long, Double),
+          (Long, String, Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (key: (Long, String),
+              rows: Iterator[(Long, String, Long, Long, Double)],
+              state: GroupState[(Long, Long, Double)]) =>
+            var best = state.getOption
+              .getOrElse((Long.MinValue, Long.MinValue, 0.0))
+            rows.foreach { r =>
+              if (r._3 > best._1 || (r._3 == best._1 && r._4 > best._2))
+                best = (r._3, r._4, r._5)
+            }
+            state.update(best)
+            Iterator.single((key._1, key._2, best._1, best._2, best._3))
+        }
+      val emits = runToMemory(spark,
+        latest.toDF("user_id", "event_type", "ts_us", "event_id", "value"),
+        OutputMode.Append())
+      emits.groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value")))
+          .as("s"))
+        .select(col("user_id"), col("event_type"),
+          col("s.ts_us").as("ts_us"), col("s.event_id").as("event_id"),
+          col("s.value").as("value"))
+        .orderBy("user_id", "event_type")
     }
   )
 
@@ -335,6 +379,10 @@ object Streaming extends QueryGroup {
     // the streaming funnel's full replay converges to the batch funnel
     // exactly — the Analytics oracle applies verbatim (one definition,
     // two engines, two execution models)
-    "stream_funnel" -> Analytics.oracle("events_funnel")
+    "stream_funnel" -> Analytics.oracle("events_funnel"),
+
+    // the online compaction converges to the batch compaction — one
+    // oracle serves both (same contract as stream_funnel/events_funnel)
+    "stream_cdc_latest" -> DataEng.oracle("cdc_latest")
   )
 }

@@ -94,10 +94,33 @@ object Windows extends QueryGroup {
           last("event_type").over(w).as("last_type"),
           nth_value(col("event_type"), 2).over(w).as("second_type"))
         .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    "win_percent_rank" -> { (spark, dir) =>
+      // Relative-rank analytics: percent_rank = (rank−1)/(n−1) and
+      // cume_dist = peers_at_or_below/n within brand, ordered by retail
+      // price. Both are rank-derived double divisions — IEEE-identical
+      // across engines for identical (rank, n) — and tie rows share a
+      // value by definition, so the output is deterministic without a
+      // unique order key inside the window (the final ORDER BY adds
+      // p_partkey for row stability).
+      val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+      Tables.table(spark, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          Canon.round6(percent_rank().over(w)).as("pct_rank"),
+          Canon.round6(cume_dist().over(w)).as("cume"))
+        .orderBy("p_brand", "p_retailprice", "p_partkey")
     }
   )
 
   def oracle = Map(
+    "win_percent_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+        |  CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cume
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)
+        |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin,
     "win_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

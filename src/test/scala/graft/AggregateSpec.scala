@@ -12,6 +12,31 @@ class AggregateSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("count_order")).sum == 5854)
   }
 
+  test("agg_skewness: moment form tracks built-in skewness/kurtosis") {
+    import org.apache.spark.sql.functions._
+    val got = q("agg_skewness").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref = Tables.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("s"),
+        kurtosis(col("l_quantity")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    got.foreach { case (flag, (s, k)) =>
+      assert(math.abs(s - ref(flag)._1) < 1e-3, s"skewness $flag")
+      assert(math.abs(k - ref(flag)._2) < 1e-3, s"kurtosis $flag")
+    }
+    assert(got.size == 3)
+  }
+
+  test("agg_histogram: bins partition the table, sums conserved") {
+    val rows = q("agg_histogram").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).sum ==
+      Tables.table(spark, sfDir, "orders").count())
+  }
+
   test("agg_rollup plan broadcasts both dim joins") {
     val p = plan(q("agg_rollup"))
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")

@@ -32,4 +32,37 @@ class KnnExhaustiveSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == truth.toSeq)
   }
+
+  test("vec_centroid_assign == exhaustive nearest-centroid recompute") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]](2).map(_.toDouble).toArray))
+    val dim = vecs.head._3.length
+    val cents = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      val c = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => c(i) += v._3(i)))
+      (0 until dim).foreach(i => c(i) /= vs.length)
+      lbl -> c
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val truth = vecs
+      .map { case (_, lbl, v) =>
+        val assigned = cents.toSeq
+          .map { case (cl, c) => (d2(v, c), cl) }.min._2
+        (lbl, assigned)
+      }
+      .groupBy(identity).map { case ((l, a), xs) =>
+        (l.toLong, a.toLong, xs.length.toLong)
+      }.toSeq.sorted
+    val got = q("vec_centroid_assign").collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+      .toSeq.sorted
+    assert(got == truth)
+    assert(got.map(_._3).sum == vecs.length.toLong)
+  }
 }

@@ -62,4 +62,19 @@ class ScanSpec extends SparkSpec {
     assert(pc.columns.contains("revenue") && pc.columns.contains("qty_bucket"))
     assert(pc.count() == 6000)
   }
+
+  test("source_orc: the ORC roundtrip agg equals the parquet-side agg") {
+    import org.apache.spark.sql.functions._
+    val viaOrc = q("source_orc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val direct = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 100000.0)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Canon.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(viaOrc.toSeq == direct.toSeq)
+    assert(viaOrc.nonEmpty)
+  }
 }

@@ -178,6 +178,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream_cdc_latest equals the batch CDC compaction") {
+    val stream = q("stream_cdc_latest").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = q("cdc_latest").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(stream.toSeq == batch.toSeq)
+    assert(stream.nonEmpty)
+  }
+
   test("udaf_weighted_avg matches manual weighted mean") {
     val rows = q("udaf_weighted_avg").collect()
     assert(rows.length == 3) // returnflags A, N, R

@@ -62,4 +62,35 @@ class WindowSpec extends SparkSpec {
     val json = q("fn_json").collect()
     assert(json.map(_.getAs[Long]("n")).sum == 1000)
   }
+
+  test("win_percent_rank: fractions in [0,1], max per brand is 1") {
+    val rows = q("win_percent_rank").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    rows.foreach { case (_, pr, cd) =>
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+    rows.groupBy(_._1).foreach { case (brand, rs) =>
+      assert(rs.map(_._2).max == 1.0, s"percent_rank max for $brand")
+      assert(rs.map(_._3).max == 1.0, s"cume_dist max for $brand")
+    }
+  }
+
+  test("fn_struct: facets read back through structs equal the raw columns") {
+    import org.apache.spark.sql.functions.col
+    val got = q("fn_struct")
+      .select("l_orderkey", "l_linenumber", "charge2_amt", "charge3_amt")
+      .collect().map(r =>
+        ((r.getLong(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3))))
+    val raw = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (-col("l_extendedprice") * col("l_discount")).as("d"),
+        (col("l_extendedprice") * col("l_tax")).as("t"))
+      .collect().map(r =>
+        ((r.getLong(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1)
+    got.foreach { case (k, v) =>
+      assert(raw(k).map(_._2).contains(v), s"struct facet mismatch at $k")
+    }
+  }
 }
