@@ -120,4 +120,31 @@ class PlanSpec extends SparkSpec {
   test("distinct aggregation uses the two-phase expand rewrite") {
     assert(p("agg_multi_distinct").contains("Expand"))
   }
+
+  test("vec_centroid_assign: centroid table broadcasts, no cartesian") {
+    val s = p("vec_centroid_assign")
+    assert(s.contains("BroadcastHashJoin"),
+      "the k×64 centroid table must broadcast")
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"),
+      "assignment must be the pos equi-join, not an all-pairs shape")
+  }
+
+  test("source_orc: the filter pushes into the ORC read-back scan") {
+    val s = p("source_orc")
+    assert(s.contains("PushedFilters") && s.contains("o_totalprice"),
+      "predicate must reach the ORC reader for stripe-level skipping")
+  }
+
+  test("DataEng key shapes: one keyed exchange, no extra shuffles") {
+    // cdc_latest: rank-filter over one hash exchange on the key
+    val cdc = p("cdc_latest")
+    assert(cdc.contains("WindowGroupLimit"),
+      "rn=1 filter should engage partial top-1 pruning before the shuffle")
+    // pack_chunks: per-lang prefix-sum window, exchanges bounded by
+    // (lang hash) + final orderBy range
+    val pack = p("pack_chunks")
+    assert("Exchange \\(\\d+\\)".r.findAllIn(pack).length <= 2,
+      "packing must reuse the lang exchange: window + final sort only")
+  }
 }
