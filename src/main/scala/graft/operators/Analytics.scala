@@ -140,6 +140,41 @@ object Analytics extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "events_session_paths" -> { (spark, dir) =>
+      // Top session paths: each session (same 30-min-gap islands as
+      // win_session_batch) becomes its ordered event-type string
+      // ("view>click>purchase"), counted across the corpus — the
+      // behavioral-pattern query behind "what do typical sessions look
+      // like". The path string is an ordered window collect over the
+      // session frame (deterministic under the unique (ts, event_id)
+      // sort); sessionization + path build + rank-1 all reuse ONE
+      // user_id exchange, and only distinct paths reach the final
+      // (tiny) count table.
+      val GapUs = 30L * 60 * 1000 * 1000
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val sess = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("brk",
+          when(col("ts_us") - lag("ts_us", 1).over(w) >= GapUs
+            || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum("brk").over(wRun))
+      val wS = Window.partitionBy("user_id", "session_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      sess
+        .withColumn("path",
+          concat_ws(">", collect_list("event_type").over(wS)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "session_id")
+            .orderBy("ts_us", "event_id")))
+        .filter(col("rn") === 1)
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+
     "sql_exists" -> { (spark, dir) =>
       // SQL front-end entry: the EXISTS form. Catalyst rewrites the
       // correlated subquery to a left-semi hash join on o_custkey — the
@@ -231,6 +266,22 @@ object Analytics extends QueryGroup {
         |WHERE sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
         |  AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 2.5
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "events_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type FROM events),
+        |b AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+        |    OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b),
+        |p AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "sql_exists" -> ExistsSql,
 

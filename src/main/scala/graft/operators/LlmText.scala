@@ -481,6 +481,41 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "dedup_survivors" -> { (spark, dir) =>
+      // The dedup DECISION step: one surviving document per near-dup
+      // cluster (same edge set + components as dedup_clusters), chosen
+      // by the standard keep-the-longest rule — max n_chars, ties to the
+      // lower doc_id. Output is one row per cluster: the survivor, the
+      // cluster size, and how many duplicate docs get dropped. This is
+      // the operator a curation pipeline actually executes after pair
+      // mining: pairs → components → survivors → anti-join the rest out.
+      // Scale shape: the rank-1 filter is one window over the component
+      // exchange (WindowGroupLimit prunes map-side); nothing beyond the
+      // label-propagation rounds ever shuffles the corpus again.
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs,
+        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
+        n = 3, threshold = 0.2)
+      val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val assigned = docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("canonical_id",
+          coalesce(col("component"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      assigned
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canonical_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("canonical_id"), col("doc_id").as("survivor_id"),
+          col("n_chars").as("survivor_chars"), col("cluster_size"),
+          (col("cluster_size") - 1).as("n_dropped"))
+        .orderBy("canonical_id")
+    },
+
     "dedup_minhash" -> { (spark, dir) =>
       // MinHash(16 perms) + LSH banding (2 bands × 8 rows), blocked by
       // `source` (composite LSH + attribute blocking — this corpus has
@@ -828,6 +863,29 @@ object LlmText extends QueryGroup {
           |    AS cluster_size
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
           |ORDER BY d.doc_id""".stripMargin),
+
+    "dedup_survivors" ->
+      // same recursive-closure component CTE as dedup_clusters, then
+      // keep-the-longest survivor per component (ties to lower doc_id)
+      ("WITH RECURSIVE " + ngramGlobalPairsCte + ",\n" +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM gpairs
+          |      UNION ALL SELECT doc_b, doc_a FROM gpairs),
+          |r(id, m) AS (SELECT DISTINCT a, a FROM e
+          |  UNION
+          |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.id),
+          |comp AS (SELECT id, min(m) AS canonical FROM r GROUP BY id),
+          |assigned AS (SELECT d.doc_id, d.n_chars,
+          |    coalesce(c.canonical, d.doc_id) AS canonical_id
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+          |ranked AS (SELECT *,
+          |    row_number() OVER (PARTITION BY canonical_id
+          |      ORDER BY n_chars DESC, doc_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+          |  FROM assigned)
+          |SELECT canonical_id, doc_id AS survivor_id,
+          |  n_chars AS survivor_chars, cluster_size,
+          |  cluster_size - 1 AS n_dropped
+          |FROM ranked WHERE rn = 1 ORDER BY canonical_id""".stripMargin),
 
     "dedup_minhash" ->
       s"""WITH h AS ($withHashesSql),

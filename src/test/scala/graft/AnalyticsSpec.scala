@@ -227,6 +227,52 @@ class AnalyticsSpec extends SparkSpec {
       p.contains("l_shipdate"), "expected shipdate pushdown on the sorted copy")
   }
 
+  test("dedup_survivors: one survivor per cluster, longest wins, sizes conserve") {
+    val surv = q("dedup_survivors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(surv.map(_._1).distinct.length == surv.length, "one row per cluster")
+    assert(surv.map(_._4).sum ==
+      Tables.table(spark, sfDir, "documents").count(),
+      "cluster sizes must partition the corpus")
+    val clusters = q("dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    val chars = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    surv.foreach { case (canon, sid, schars, size) =>
+      val members = clusters(canon).map(_._1)
+      assert(members.length.toLong == size, s"size mismatch for $canon")
+      assert(schars == members.map(chars).max, s"survivor not longest in $canon")
+      val best = members.filter(m => chars(m) == schars).min
+      assert(sid == best, s"tie-break violated in $canon")
+    }
+  }
+
+  test("events_session_paths: top-20 equals a sequential recompute") {
+    val gap = 30L * 60 * 1000 * 1000
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      sorted.foreach { case (_, ts, _, typ) =>
+        if (prev != Long.MinValue && ts - prev >= gap)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += typ
+        prev = ts
+      }
+      sessions.map(_.mkString(">"))
+    }
+    val truth = paths.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = q("events_session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == truth)
+  }
+
   test("dedup_prefix_hamming candidates come from the segment equi-join") {
     val p = plan(q("dedup_prefix_hamming"))
     // the join keys must include the banded segment columns — an
