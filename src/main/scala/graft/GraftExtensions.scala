@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, HammingDist, JaccardSorted}
+import graft.functions.{CosineSim, HammingDist, JaccardSorted, SqDist}
 
 /** SparkSessionExtensions installer — the (c)-tier integration surface
   * from the build brief: makes the library's native Catalyst expressions
@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "hamming_dist takes exactly 2 arguments")
         HammingDist(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sq_dist takes exactly 2 arguments")
+        SqDist(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("haversine_km"),

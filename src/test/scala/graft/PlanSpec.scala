@@ -121,13 +121,16 @@ class PlanSpec extends SparkSpec {
     assert(p("agg_multi_distinct").contains("Expand"))
   }
 
-  test("vec_centroid_assign: centroid table broadcasts, no cartesian") {
+  test("vec_centroid_assign: k-row centroid side broadcasts, no cartesian") {
     val s = p("vec_centroid_assign")
-    assert(s.contains("BroadcastHashJoin"),
-      "the k×64 centroid table must broadcast")
-    assert(!s.contains("CartesianProduct")
-      && !s.contains("BroadcastNestedLoopJoin"),
-      "assignment must be the pos equi-join, not an all-pairs shape")
+    // the vectors × k-centroids fanout is a BROADCAST cross join (the
+    // k-row array table ships to every task; k× fanout scored by the
+    // codegen SqDist kernel) — never a shuffled CartesianProduct, and
+    // never the 64×k posexplode equi-join fanout
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "centroid table must broadcast through the cross join")
+    assert(!s.contains("CartesianProduct"),
+      "a shuffled cartesian would move the corpus k times")
   }
 
   test("source_orc: the filter pushes into the ORC read-back scan") {
