@@ -283,6 +283,30 @@ object Aggregates extends QueryGroup {
           countDistinct(col("user_id")).as("exact_users"))
     },
 
+    "agg_hll_merge" -> { (spark, dir) =>
+      // Mergeable-sketch architecture (DataSketches HLL via Spark 4's
+      // hll_sketch_agg/hll_union_agg): per-nation customer sketches
+      // UNION to the corpus sketch without rescanning — the only
+      // distinct-count architecture that works at 100 TB (sketch per
+      // partition/day at ingest, merge on demand; bytes moved = k·few
+      // KB, not the key universe). HLL updates are order-insensitive so
+      // the estimates are deterministic, but no DuckDB oracle exists
+      // (different HLL implementation) — rows-only here; AggregateSpec
+      // proves the two laws that matter: merged == direct (losslessness
+      // of the union) and |est − exact| inside the lgK error bound.
+      val c = Tables.table(spark, dir, "customer")
+      val perNation = c.groupBy("c_nationkey")
+        .agg(expr("hll_sketch_agg(c_custkey)").as("s"))
+      val merged = perNation
+        .agg(expr("hll_sketch_estimate(hll_union_agg(s))").as("est_merged"))
+      val direct = c.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(c_custkey))").as("est_direct"),
+        countDistinct(col("c_custkey")).as("exact"))
+      merged.crossJoin(direct)
+        .select(col("est_merged").cast("long").as("est_merged"),
+          col("est_direct").cast("long").as("est_direct"), col("exact"))
+    },
+
     "agg_approx_quantile" -> { (spark, dir) =>
       Tables.events(spark, dir)
         .agg(

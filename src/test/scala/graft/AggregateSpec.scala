@@ -37,6 +37,15 @@ class AggregateSpec extends SparkSpec {
       Tables.table(spark, sfDir, "orders").count())
   }
 
+  test("agg_hll_merge: union of partition sketches is lossless and accurate") {
+    val r = q("agg_hll_merge").head()
+    val (merged, direct, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(merged == direct,
+      "unioning per-nation sketches must equal sketching the whole table")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate $merged vs exact $exact outside 5%")
+  }
+
   test("agg_rollup plan broadcasts both dim joins") {
     val p = plan(q("agg_rollup"))
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")

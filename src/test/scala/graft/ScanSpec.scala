@@ -63,6 +63,41 @@ class ScanSpec extends SparkSpec {
     assert(pc.count() == 6000)
   }
 
+  test("dynamic partition pruning engages on the partitioned layout") {
+    // the cluster-scale complement of source_partitioned's STATIC
+    // pruning: when the partition filter only materializes through a
+    // join (dim filtered at runtime), Spark injects a dynamicpruning
+    // subquery into the fact scan so only matching partitions are read.
+    // useStats=false + high fallback ratio make the tiny fixture pass
+    // the planner's benefit estimate — at real scale the defaults fire.
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_dpp/p${ProcessHandle.current().pid()}"
+    Tables.table(spark, sfDir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val prevStats =
+      spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      // the dim must be a FILTERED non-local plan (a filtered literal
+      // relation constant-folds before the PartitionPruning rule sees
+      // it), so lay a tiny parquet dim and filter it
+      val dimPath = s"${out}_dim"
+      spark.createDataFrame(Seq(("en", 1L), ("de", 2L), ("fr", 3L)))
+        .toDF("lang", "tag").write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath).filter(col("tag") === 1L)
+      val fact = spark.read.parquet(out)
+      val joined = fact.join(dim, Seq("lang")).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("dynamicpruning"),
+        s"expected a dynamicpruning subquery in the fact scan:\n$physical")
+      assert(joined.agg(sum("n")).head().getLong(0) ==
+        Tables.table(spark, sfDir, "documents")
+          .filter(col("lang") === "en").count())
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+  }
+
   test("source_orc: the ORC roundtrip agg equals the parquet-side agg") {
     import org.apache.spark.sql.functions._
     val viaOrc = q("source_orc").collect()
