@@ -516,6 +516,39 @@ object LlmText extends QueryGroup {
         .orderBy("canonical_id")
     },
 
+    "curation_summary" -> { (spark, dir) =>
+      // The whole curation pipeline as ONE declarative plan: near-dup
+      // pairs → components → keep-the-longest survivors → per-language
+      // report of what survives (docs, tokens) and what gets dropped
+      // (docs, chars). This is the dataset-card / ablation number a
+      // training-data pipeline publishes per snapshot — and because it
+      // is one lazy plan, Catalyst shares the pair-mining subtree with
+      // nothing recomputed eagerly and the whole thing runs distributed.
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs,
+        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
+        n = 3, threshold = 0.2)
+      val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val flagged = docs
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("canonical_id",
+          coalesce(col("component"), col("doc_id")))
+        .withColumn("keep", row_number().over(w) === 1)
+      flagged.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"),
+          sum(when(!col("keep"), col("n_chars")).otherwise(0L))
+            .as("chars_dropped"))
+        .orderBy("lang")
+    },
+
     "dedup_minhash" -> { (spark, dir) =>
       // MinHash(16 perms) + LSH banding (2 bands × 8 rows), blocked by
       // `source` (composite LSH + attribute blocking — this corpus has
@@ -886,6 +919,31 @@ object LlmText extends QueryGroup {
           |  n_chars AS survivor_chars, cluster_size,
           |  cluster_size - 1 AS n_dropped
           |FROM ranked WHERE rn = 1 ORDER BY canonical_id""".stripMargin),
+
+    "curation_summary" ->
+      // survivors CTE as in dedup_survivors, rolled up per language.
+      // DuckDB sum(BIGINT) is HUGEINT → cast back to BIGINT for dtype
+      // parity with Spark's long sums.
+      ("WITH RECURSIVE " + ngramGlobalPairsCte + ",\n" +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM gpairs
+          |      UNION ALL SELECT doc_b, doc_a FROM gpairs),
+          |r(id, m) AS (SELECT DISTINCT a, a FROM e
+          |  UNION
+          |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.id),
+          |comp AS (SELECT id, min(m) AS canonical FROM r GROUP BY id),
+          |flagged AS (SELECT d.doc_id, d.lang, d.n_chars,
+          |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+          |    row_number() OVER (
+          |      PARTITION BY coalesce(c.canonical, d.doc_id)
+          |      ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+          |SELECT lang, count(*) AS n_docs,
+          |  count(*) FILTER (WHERE keep) AS n_kept,
+          |  CAST(COALESCE(sum(n_tok) FILTER (WHERE keep), 0) AS BIGINT)
+          |    AS tokens_kept,
+          |  CAST(COALESCE(sum(n_chars) FILTER (WHERE NOT keep), 0) AS BIGINT)
+          |    AS chars_dropped
+          |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin),
 
     "dedup_minhash" ->
       s"""WITH h AS ($withHashesSql),

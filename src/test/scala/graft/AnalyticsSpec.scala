@@ -248,6 +248,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("curation_summary: per-lang rollup matches a recompute from clusters") {
+    // recompute the summary from dedup_clusters (shared component
+    // definition) + the raw documents, applying the same keep rule
+    // (longest n_chars, tie -> smallest doc_id, per cluster)
+    val clusters = q("dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val meta = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val keep = clusters.groupBy(_._2).values.flatMap { members =>
+      val winner = members.map(_._1)
+        .minBy(id => (-meta(id)._2, id))
+      members.map { case (id, _) => id -> (id == winner) }
+    }.toMap
+    val truth = meta.toSeq.groupBy { case (_, (lang, _, _)) => lang }
+      .map { case (lang, docs) =>
+        (lang, docs.size.toLong,
+          docs.count { case (id, _) => keep(id) }.toLong,
+          docs.collect { case (id, (_, _, tok)) if keep(id) => tok }.sum,
+          docs.collect { case (id, (_, ch, _)) if !keep(id) => ch }.sum)
+      }.toSeq.sortBy(_._1)
+    val got = q("curation_summary").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == truth)
+    assert(got.map(_._2).sum == meta.size, "n_docs must cover the corpus")
+  }
+
   test("events_session_paths: top-20 equals a sequential recompute") {
     val gap = 30L * 60 * 1000 * 1000
     val evs = Tables.events(spark, sfDir)

@@ -52,6 +52,42 @@ class DataEngSpec extends SparkSpec {
     assert(rows.exists(_._2 == 0L), "expected at least one gap hour")
   }
 
+  test("cdc_latest absorption: recompacting log+compaction changes nothing") {
+    import org.apache.spark.sql.expressions.Window
+    val compacted = q("cdc_latest")
+    val log = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val again = log.unionByName(compacted)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id", "event_type")
+    val a = again.collect().map(_.toSeq).toSeq
+    val b = compacted.collect().map(_.toSeq).toSeq
+    assert(a == b, "compaction must be absorbing (MERGE-safe to re-apply)")
+  }
+
+  test("merge_apply: balance deltas conserve the credit total, actions partition") {
+    val rows = q("merge_apply").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == Tables.table(spark, sfDir, "customer").count())
+    assert(rows.forall(r => r._1 == "K" || r._1 == "U"),
+      "referentially-total fixture: no inserts expected")
+    val delta = BigDecimal(rows.map(r => BigDecimal(r._3) - BigDecimal(r._2)).sum
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val credits = q("merge_apply").filter(col("action") === "U").count()
+    assert(credits > 0, "some customers must receive credit")
+    val expected = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .groupBy(col("o_custkey"))
+      .agg(Canon.moneySum(col("o_totalprice") * 0.001).as("c"))
+      .agg(sum("c")).collect()(0).getDouble(0)
+    assert((delta - BigDecimal(expected)).abs < 0.01,
+      s"delta $delta vs credit total $expected")
+  }
+
   test("pack_chunks: offsets are exact prefix sums and packs cover the stream") {
     val rows = q("pack_chunks").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
