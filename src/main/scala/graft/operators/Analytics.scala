@@ -35,7 +35,28 @@ object Analytics extends QueryGroup {
       |  FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val LateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   def queries = Map(
+    "sql_lateral" -> { (spark, dir) =>
+      // SQL front-end entry: a correlated LATERAL derived table with
+      // ORDER BY ... LIMIT — the per-row top-N idiom. Catalyst
+      // DECORRELATES it: the lateral subquery becomes a window rank
+      // partitioned by the correlation key + filter, i.e. the same
+      // physical shape as win_topk_per_group — no nested-loop re-execution
+      // per outer row, one hash exchange on o_custkey. The identical
+      // ANSI text runs on DuckDB as the oracle.
+      Tables.table(spark, dir, "customer").createOrReplaceTempView("customer")
+      Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(LateralSql)
+    },
+
     "events_funnel" -> { (spark, dir) =>
       // Ordered-funnel conversion: view → click-after-view →
       // purchase-after-click, strictly increasing timestamps per user —
@@ -285,6 +306,7 @@ object Analytics extends QueryGroup {
 
     "sql_exists" -> ExistsSql,
 
-    "sql_scalar_agg" -> ScalarSql
+    "sql_scalar_agg" -> ScalarSql,
+    "sql_lateral" -> LateralSql
   )
 }

@@ -62,4 +62,59 @@ object Graph {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  /** Fixed-iteration PageRank over an undirected edge set — the
+    * centrality ranking of, e.g., the near-duplicate similarity graph
+    * (which member of a duplicate cluster is the hub every variant
+    * derives from). Simplified power iteration:
+    * r₀ = 1/n; r_{k+1}(v) = (1−d)/n + d·Σ_{u→v} r_k(u)/deg(u).
+    * Dangling (isolated) vertices keep the teleport term only — their
+    * mass is NOT redistributed, so ranks need not sum to 1. This keeps
+    * every iteration a pure join+agg (contributions along edges, one
+    * partial+final sum per round), bit-reproducible across engines up
+    * to float addition order, with no global renormalization pass.
+    *
+    * Each round is one equi-join of ranks against the checkpointed edge
+    * set plus a hash agg on the destination — the same shuffle shape as
+    * [[connectedComponents]], fixed iteration count instead of
+    * convergence detection (PageRank never exactly converges). Driver
+    * holds only the loop counter; n enters the plan as a broadcast
+    * 1-row aggregate, not a collected constant.
+    *
+    * @param vertices one-column ("id", long) universe — including
+    *                 isolated vertices that appear in no edge
+    * @return (id, rank) — raw doubles; callers canonicalize rounding
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      vertices: DataFrame, iters: Int = 3, damping: Double = 0.85)
+      : DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    val undirected = sym.union(sym.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    val deg = undirected.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val v = vertices.select(col(vertices.columns.head).cast("long").as("id"))
+      .localCheckpoint()
+    // n as a broadcast scalar: stays in the plan (1-row cross join),
+    // checkpointed once so each round doesn't recount the universe
+    val n = v.agg(count(lit(1)).cast("double").as("n")).localCheckpoint()
+    var ranks = v.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = undirected
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+      ranks = v.crossJoin(broadcast(n))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) / col("n")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint() // truncate lineage so plans don't nest per round
+    }
+    ranks.select(col("id"), col("r").as("rank"))
+  }
 }

@@ -549,6 +549,99 @@ object LlmText extends QueryGroup {
         .orderBy("lang")
     },
 
+    "graph_pagerank" -> { (spark, dir) =>
+      // Centrality over the near-dup similarity graph: which member of
+      // each duplicate family is the hub the variants derive from
+      // (complementing dedup_survivors' length heuristic with a
+      // structural one). Edges = the same corpus-wide n-gram pairs as
+      // dedup_clusters; 3 fixed power-iteration rounds, d = 0.85 —
+      // [[Graph.pagerank]], join+agg per round, no driver state.
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs,
+        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
+        n = 3, threshold = 0.2)
+      Graph.pagerank(pairs, "doc_a", "doc_b",
+          docs.select(col("doc_id")), iters = 3, damping = 0.85)
+        .select(col("id").as("doc_id"), Canon.round6(col("rank")).as("rank"))
+        .orderBy("doc_id")
+    },
+
+    "curation_filters" -> { (spark, dir) =>
+      // C4/Gopher-style rule-based filter report — the other half of the
+      // dataset card next to [[curation_summary]]: for each quality rule,
+      // how many docs it flags, plus the any-rule and kept totals. All
+      // per-doc signals come from ONE JVM pass (token count, stopword
+      // presence, shingle repetition — shingling in SQL lambdas hits the
+      // O(L²) transform re-split trap, see text_rep), the lang flag is a
+      // column test, and the report is a single partial+final agg over
+      // (rule, flag) rows — one scan, one small shuffle, no per-rule
+      // re-reads. Scale shape: map → explode(6 rows/doc) → hash agg on a
+      // 6-value key; input-size-proportional, driver-free.
+      import spark.implicits._
+      val perDoc = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (_, text, lang) =>
+          val t = text.split(" ", -1)
+          val m = scala.collection.mutable.HashMap.empty[String, Int]
+          var i = 0
+          while (i + 2 < t.length) {
+            val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
+            m.update(sh, m.getOrElse(sh, 0) + 1)
+            i += 1
+          }
+          val nsh = math.max(t.length - 2, 0)
+          // same round-6 canonicalization as text_rep so the threshold
+          // compares the identical double on both engines
+          val rep =
+            if (nsh == 0) 0.0
+            else math.rint((1.0 - m.size.toDouble / nsh) * 1e6) / 1e6
+          (t.length < 30,
+            !t.contains("the") && !t.contains("a"),
+            rep >= 0.04,
+            lang == "zh")
+        })
+        .toDF("too_short", "no_stopword", "repetitive", "lang_other")
+      val rules = perDoc.select(explode(array(
+        struct(lit("too_short").as("rule"), col("too_short").as("flag")),
+        struct(lit("no_stopword").as("rule"), col("no_stopword").as("flag")),
+        struct(lit("repetitive").as("rule"), col("repetitive").as("flag")),
+        struct(lit("lang_other").as("rule"), col("lang_other").as("flag")),
+        struct(lit("any_rule").as("rule"),
+          (col("too_short") || col("no_stopword") || col("repetitive")
+            || col("lang_other")).as("flag")),
+        struct(lit("kept").as("rule"),
+          (!(col("too_short") || col("no_stopword") || col("repetitive")
+            || col("lang_other"))).as("flag")))).as("r"))
+        .select(col("r.rule"), col("r.flag"))
+      rules.groupBy("rule")
+        .agg(count(when(col("flag"), 1)).as("n_flagged"),
+          Canon.round6(count(when(col("flag"), 1)) / count(lit(1)))
+            .as("pct"))
+        .orderBy("rule")
+    },
+
+    "corpus_mixture" -> { (spark, dir) =>
+      // Data-mixing weights per source: token counts and the
+      // temperature-scaled sampling weight w_s ∝ tokens_s^0.7 (the
+      // standard multi-source rebalancing exponent) normalized over the
+      // corpus. Partial+final agg to 20 source rows, then a single-
+      // partition window for the normalizing constant — the window runs
+      // over |sources| rows (already aggregated), not over documents, so
+      // the one-partition stage is O(sources) at any corpus size.
+      val bySource = Tables.table(spark, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("tokens"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      bySource
+        .withColumn("raw", pow(col("tokens").cast("double"), 0.7))
+        .withColumn("weight", Canon.round6(col("raw") / sum("raw").over(all)))
+        .select(col("source"), col("n_docs"), col("tokens"), col("weight"))
+        .orderBy("source")
+    },
+
     "dedup_minhash" -> { (spark, dir) =>
       // MinHash(16 perms) + LSH banding (2 bands × 8 rows), blocked by
       // `source` (composite LSH + attribute blocking — this corpus has
@@ -944,6 +1037,87 @@ object LlmText extends QueryGroup {
           |  CAST(COALESCE(sum(n_chars) FILTER (WHERE NOT keep), 0) AS BIGINT)
           |    AS chars_dropped
           |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "graph_pagerank" ->
+      // the 3 power-iteration rounds unrolled as chained CTEs (recursive
+      // CTEs can't aggregate in the recursive term); (1.0 - 0.85)
+      // written as the expression, not a 0.15 literal, so both engines
+      // produce the bit-identical IEEE subtraction result
+      ("WITH " + ngramGlobalPairsCte + ",\n" +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM gpairs
+          |      UNION ALL SELECT doc_b, doc_a FROM gpairs),
+          |deg AS (SELECT a AS id, CAST(count(*) AS DOUBLE) AS deg
+          |  FROM e GROUP BY 1),
+          |v AS (SELECT doc_id AS id FROM documents),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+          |p0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v),
+          |c1 AS (SELECT e.b AS id, sum(p.r / d.deg) AS m FROM e
+          |  JOIN p0 p ON e.a = p.id JOIN deg d ON e.a = d.id GROUP BY e.b),
+          |p1 AS (SELECT v.id, (1.0 - 0.85) / (SELECT n FROM nn)
+          |    + 0.85 * coalesce(c.m, 0) AS r
+          |  FROM v LEFT JOIN c1 c ON v.id = c.id),
+          |c2 AS (SELECT e.b AS id, sum(p.r / d.deg) AS m FROM e
+          |  JOIN p1 p ON e.a = p.id JOIN deg d ON e.a = d.id GROUP BY e.b),
+          |p2 AS (SELECT v.id, (1.0 - 0.85) / (SELECT n FROM nn)
+          |    + 0.85 * coalesce(c.m, 0) AS r
+          |  FROM v LEFT JOIN c2 c ON v.id = c.id),
+          |c3 AS (SELECT e.b AS id, sum(p.r / d.deg) AS m FROM e
+          |  JOIN p2 p ON e.a = p.id JOIN deg d ON e.a = d.id GROUP BY e.b),
+          |p3 AS (SELECT v.id, (1.0 - 0.85) / (SELECT n FROM nn)
+          |    + 0.85 * coalesce(c.m, 0) AS r
+          |  FROM v LEFT JOIN c3 c ON v.id = c.id)
+          |SELECT id AS doc_id, CAST(round(r, 6) AS DOUBLE) AS rank
+          |FROM p3 ORDER BY doc_id""".stripMargin),
+
+    "curation_filters" ->
+      // same per-doc signals in SQL; rep ratio re-uses text_rep's shingle
+      // count CTE with the identical round-6 canonicalization before the
+      // threshold compare
+      """WITH s AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |c AS (SELECT doc_id, sh, count(*) AS n FROM s GROUP BY 1, 2),
+        |rr AS (SELECT doc_id,
+        |    round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS rep
+        |  FROM c GROUP BY doc_id),
+        |f AS (SELECT d.doc_id,
+        |    len(string_split(d.text, ' ')) < 30 AS too_short,
+        |    NOT list_has_any(string_split(d.text, ' '), ['the', 'a'])
+        |      AS no_stopword,
+        |    coalesce(rr.rep, 0) >= 0.04 AS repetitive,
+        |    d.lang = 'zh' AS lang_other
+        |  FROM documents d LEFT JOIN rr ON d.doc_id = rr.doc_id),
+        |x AS (SELECT doc_id, too_short, no_stopword, repetitive, lang_other,
+        |    (too_short OR no_stopword OR repetitive OR lang_other) AS any_rule
+        |  FROM f),
+        |r AS (
+        |  SELECT 'too_short' AS rule, count(*) FILTER (WHERE too_short) AS n,
+        |    count(*) AS tot FROM x
+        |  UNION ALL SELECT 'no_stopword', count(*) FILTER (WHERE no_stopword),
+        |    count(*) FROM x
+        |  UNION ALL SELECT 'repetitive', count(*) FILTER (WHERE repetitive),
+        |    count(*) FROM x
+        |  UNION ALL SELECT 'lang_other', count(*) FILTER (WHERE lang_other),
+        |    count(*) FROM x
+        |  UNION ALL SELECT 'any_rule', count(*) FILTER (WHERE any_rule),
+        |    count(*) FROM x
+        |  UNION ALL SELECT 'kept', count(*) FILTER (WHERE NOT any_rule),
+        |    count(*) FROM x)
+        |SELECT rule, n AS n_flagged,
+        |  CAST(round(n / CAST(tot AS DOUBLE), 6) AS DOUBLE) AS pct
+        |FROM r ORDER BY rule""".stripMargin,
+
+    "corpus_mixture" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, tokens,
+        |  CAST(round(power(CAST(tokens AS DOUBLE), 0.7)
+        |    / sum(power(CAST(tokens AS DOUBLE), 0.7)) OVER (), 6) AS DOUBLE)
+        |    AS weight
+        |FROM t ORDER BY source""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH h AS ($withHashesSql),

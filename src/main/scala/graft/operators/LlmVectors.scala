@@ -201,6 +201,48 @@ object LlmVectors extends QueryGroup {
         .orderBy("label", "assigned")
     },
 
+    "dedup_embed_lsh" -> { (spark, dir) =>
+      // the 100 TB form of dedup_embed_cosine: banded sign-LSH candidate
+      // generation (16 deterministic sign bits → 4 bands × 4 bits,
+      // candidates = pairs sharing any band key) + exact cosine rescore
+      // ≥ 0.4. Like knn_search_ivf, the approximation is DETERMINISTIC —
+      // the banding is a pure function of the vectors — so the recalled
+      // subset is itself a well-defined query DuckDB replicates exactly.
+      // Shape: explode(4 rows/vec) → shuffle equi-join on (band, key) →
+      // distinct id pairs → hash-join embeddings back for the rescore.
+      // Sub-quadratic (Σ occupancy² per band key), no broadcast of the
+      // full index, no driver state — this replaces the broadcast
+      // nested-loop join that makes dedup_embed_cosine the exact-but-
+      // small-index path. Recall vs the exact pair set is measured in
+      // KnnRecallSpec.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val sig = emb.select(col("vec_id"),
+        Knn.lshBucket(col("embedding"), 16).as("sig"))
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("bkey"))
+      }
+      val bands = sig
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("s"))
+        .select(col("vec_id"), col("s.band").as("band"),
+          col("s.bkey").as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")),
+          "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")),
+          "id_b")
+        .withColumn("cosine", Canon.round6(
+          graft.functions.CosineSim.cosine(col("ea"), col("eb"))))
+        .filter(col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    },
+
     "dedup_embed_cosine" -> { (spark, dir) =>
       // near-duplicate embeddings: ALL pairs with cosine ≥ 0.4 (66/59/920
       // pairs at the three sfs — verified non-degenerate). The selective
@@ -432,6 +474,26 @@ object LlmVectors extends QueryGroup {
         |SELECT vec_id, label,
         |  CAST(round(sqrt(CAST(s AS DOUBLE)), 6) AS DOUBLE) AS dist
         |FROM d ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+
+    "dedup_embed_lsh" ->
+      // the banding is a pure function of the vectors, so the recalled
+      // subset is replicated exactly: same 16 sign bits, same 4×4 band
+      // split, same rescore threshold
+      s"""WITH sig AS (SELECT vec_id, embedding,
+         |    ${lshBucketDuckBits("embedding", 16)} AS sig
+         |  FROM embeddings),
+         |bands AS (SELECT vec_id, embedding, b,
+         |    (sig >> (4 * b)) & 15 AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    x.embedding AS ea, y.embedding AS eb
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b,
+         |  CAST(round(${cosDuck("ea", "eb")}, 6) AS DOUBLE) AS cosine
+         |FROM cand
+         |WHERE round(${cosDuck("ea", "eb")}, 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

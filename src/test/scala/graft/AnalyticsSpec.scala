@@ -304,6 +304,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("sql_lateral decorrelates to a window group-limit, and matches win_topk") {
+    val p = plan(q("sql_lateral"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral subquery must decorrelate, not re-execute per outer row")
+    assert(p.contains("WindowGroupLimit"),
+      "expected the per-key top-N pruning operator")
+    // semantic cross-check: top-2 orders per customer via plain windows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expect = Tables.table(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(Tables.table(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(_.toSeq).toSeq
+    val got = q("sql_lateral").collect().map(_.toSeq).toSeq
+    assert(got == expect)
+  }
+
+  test("curation_filters: rule counts consistent, kept + any_rule partition") {
+    val rows = q("curation_filters").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val total = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.keySet == Set("any_rule", "kept", "lang_other",
+      "no_stopword", "repetitive", "too_short"))
+    assert(rows("kept")._1 + rows("any_rule")._1 == total)
+    Seq("lang_other", "no_stopword", "repetitive", "too_short").foreach { r =>
+      assert(rows(r)._1 <= rows("any_rule")._1, s"$r exceeds any_rule")
+    }
+    // lang_other is exactly the zh count — independently recomputed
+    val zh = Tables.table(spark, sfDir, "documents")
+      .filter(col("lang") === "zh").count()
+    assert(rows("lang_other")._1 == zh)
+    rows.foreach { case (rule, (n, pct)) =>
+      assert(math.abs(pct - n.toDouble / total) < 1e-6, s"pct off for $rule")
+    }
+  }
+
+  test("corpus_mixture: weights normalize and order with token mass") {
+    val rows = q("corpus_mixture").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20, "one row per source")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "weights sum to 1")
+    // temperature scaling preserves token-mass order but compresses it:
+    // weight ratio between any two sources is milder than the raw ratio
+    val sorted = rows.sortBy(_._3)
+    sorted.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._4, s"weight order breaks: $lo vs $hi")
+      if (lo._3 < hi._3)
+        assert(hi._4 / lo._4 <= hi._3.toDouble / lo._3 + 1e-9,
+          "pow(0.7) must compress the ratio")
+      case _ => ()
+    }
+  }
+
   test("dedup_prefix_hamming candidates come from the segment equi-join") {
     val p = plan(q("dedup_prefix_hamming"))
     // the join keys must include the banded segment columns — an

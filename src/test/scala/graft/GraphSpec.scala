@@ -31,6 +31,52 @@ class GraphSpec extends SparkSpec {
     assert(cc(edges) == cc(edges.reverse))
   }
 
+  test("pagerank matches a sequential power-iteration recompute") {
+    import spark.implicits._
+    // triangle 1-2-3 + pendant 4 off 3 + isolated 9
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val verts = Seq(1L, 2L, 3L, 4L, 9L)
+    val got = Graph.pagerank(edges.toDF("src", "dst"), "src", "dst",
+        verts.toDF("id"), iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // sequential recompute with the identical simplified recurrence
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val n = verts.length.toDouble
+    var r = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val in = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = verts.map(v => v -> ((1.0 - 0.85) / n
+        + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    verts.foreach(v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"vertex $v: ${got(v)} vs ${r(v)}"))
+    // isolated vertex holds exactly the teleport mass
+    assert(math.abs(got(9L) - 0.15 / n) < 1e-12)
+    // hub of the triangle outranks the pendant
+    assert(got(3L) > got(4L))
+  }
+
+  test("graph_pagerank: covers corpus, ranks positive, hubs outrank singletons") {
+    val rows = q("graph_pagerank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.length.toLong == nDocs, "one rank per document")
+    assert(rows.forall(_._2 > 0), "ranks strictly positive")
+    val byDoc = rows.toMap
+    val teleport = 0.15 / nDocs
+    // docs in no near-dup pair sit exactly at the teleport floor
+    val paired = q("dedup_ngram_global").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    rows.filterNot(r => paired(r._1)).foreach { case (id, rank) =>
+      assert(math.abs(rank - teleport) < 1e-5, s"singleton $id at $rank")
+    }
+    // every paired doc strictly exceeds the floor
+    paired.foreach(id => assert(byDoc(id) > teleport, s"paired doc $id"))
+  }
+
   test("dedup_clusters: pairs co-clustered, canonical is min member, sizes add up") {
     val rows = q("dedup_clusters").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -55,6 +55,29 @@ class KnnRecallSpec extends SparkSpec {
     assert(r41 > 0.25, f"bits=4+probe recall collapsed: $r41%.3f")
   }
 
+  test("dedup_embed_lsh: subset of the exact pair set, identical scores, measured recall") {
+    // banding only ever DROPS pairs — every recalled pair must appear in
+    // the exact dedup_embed_cosine output with the same round-6 score
+    val exactPairs = q("dedup_embed_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = q("dedup_embed_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty, "banded dedup found nothing")
+    lsh.foreach { case (pair, c) =>
+      assert(exactPairs.contains(pair), s"phantom pair $pair")
+      assert(exactPairs(pair) == c, s"score drift at $pair")
+    }
+    val r = lsh.size.toDouble / exactPairs.size
+    info(f"pair recall at threshold 0.4: $r%.3f (${lsh.size}/${exactPairs.size})")
+    // measured 0.44 at sf0.01; floor with margin. Near-identical pairs
+    // (the actual dedup targets) agree on most sign bits, so the high-
+    // cosine end must be found: assert full recall above 0.8.
+    assert(r > 0.2, f"recall collapsed: $r%.3f")
+    val hi = exactPairs.filter(_._2 >= 0.8).keySet
+    val hiGot = lsh.map(_._1).toSet
+    hi.foreach(p => assert(hiGot(p), s"missed high-cosine pair $p"))
+  }
+
   test("exact path equals knn-style self-query of the fixture") {
     // sanity anchor: every query's own top-1 neighbor by the exact path
     // must have cosine >= any ivf-returned neighbor's cosine
