@@ -200,6 +200,22 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     },
 
+    "agg_boolean" -> { (spark, dir) =>
+      // the conditional/boolean aggregate surface: count_if + bool_and +
+      // bool_or per group. All three fold with partial+final combine
+      // (AND/OR/sum are associative-commutative), so the shuffle carries
+      // one triple per (partition, group) — nothing here degrades at
+      // scale. Thresholds chosen non-degenerate on the fixtures: both
+      // true and false appear for each boolean column.
+      Tables.table(spark, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          expr("count_if(o_totalprice > 300000)").as("n_big"),
+          expr("bool_and(o_totalprice > 0)").as("all_pos"),
+          expr("bool_or(o_totalprice > 499500)").as("any_huge"))
+        .orderBy("o_orderstatus")
+    },
+
     "agg_mode" -> { (spark, dir) =>
       // Deterministic mode (most frequent value per group): count →
       // window rank with an explicit value tie-break. Built-in mode()
@@ -391,6 +407,13 @@ object Aggregates extends QueryGroup {
         |           * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))),
         |  6) AS DOUBLE) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_boolean" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_totalprice > 499500) AS any_huge
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -79,6 +79,28 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_heatmap" -> { (spark, dir) =>
+      // the dashboard activity heatmap: day-of-week × hour-of-day event
+      // counts + distinct vehicles. Bucket indices via pure integer
+      // arithmetic on epoch-µs (epoch day 0 = Thursday; +4 mod 7 puts
+      // Sunday at 0) — identical on any engine, immune to the
+      // dayofweek()/dow() numbering and timezone mismatches between
+      // engines. One partial+final agg over a 7×24 key space: map-side
+      // combine reduces every partition to ≤ 168 rows regardless of
+      // input size.
+      Tables.events(spark, dir)
+        .select(
+          // `div` = integer division on longs (the `/` Column operator
+          // is DOUBLE division — a rounding hazard on epoch-µs values)
+          expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+          expr("(ts_us % 86400000000) div 3600000000").as("hour"),
+          col("user_id"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("dow", "hour")
+    },
+
     "events_distinct_users" -> { (spark, dir) =>
       // vehicle enumeration (distinct VINs), with first-seen timestamp
       Tables.events(spark, dir)
@@ -121,6 +143,12 @@ object Telemetry extends QueryGroup {
 
     "events_distinct_users" ->
       """SELECT user_id, min(epoch_us(ts)) AS first_seen_us
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_heatmap" ->
+      """SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin
   )
 }

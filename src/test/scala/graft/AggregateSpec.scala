@@ -113,4 +113,21 @@ class AggregateSpec extends SparkSpec {
       r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
     assert(nd("l_returnflag") == 3 && nd("l_linestatus") == 2)
   }
+
+  test("agg_boolean: conditional counts and boolean folds match a recompute") {
+    val got = q("agg_boolean").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    val orders = Tables.table(spark, sfDir, "orders")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    orders.groupBy(_._1).foreach { case (st, rows) =>
+      val (n, nBig, allPos, anyHuge) = got(st)
+      assert(n == rows.length.toLong)
+      assert(nBig == rows.count(_._2 > 300000).toLong)
+      assert(allPos == rows.forall(_._2 > 0))
+      assert(anyHuge == rows.exists(_._2 > 499500))
+    }
+    assert(got.size == orders.map(_._1).distinct.length)
+  }
 }

@@ -93,4 +93,22 @@ class WindowSpec extends SparkSpec {
       assert(raw(k).map(_._2).contains(v), s"struct facet mismatch at $k")
     }
   }
+
+  test("events_heatmap: buckets in range, counts cover the table exactly") {
+    val rows = q("events_heatmap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (dow, hour, n, users) =>
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+      assert(users >= 1 && users <= n)
+    }
+    assert(rows.map(_._3).sum == Tables.events(spark, sfDir).count(),
+      "every event lands in exactly one cell")
+    // spot-check one cell against an independent recompute
+    val (d0, h0, n0, u0) = rows.head
+    val cell = Tables.events(spark, sfDir)
+      .filter(expr(s"(ts_us div 86400000000 + 4) % 7 = $d0" +
+        s" AND (ts_us % 86400000000) div 3600000000 = $h0"))
+    assert(cell.count() == n0)
+    assert(cell.select("user_id").distinct().count() == u0)
+  }
 }
