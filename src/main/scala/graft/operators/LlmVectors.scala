@@ -142,6 +142,30 @@ object LlmVectors extends QueryGroup {
         .orderBy("q_id", "rank")
     },
 
+    "vec_gram" -> { (spark, dir) =>
+      // The 64×64 Gram matrix Σ x xᵀ over a label slice — the
+      // distributed half of PCA/whitening (the driver-side eigensolve
+      // on a d×d matrix is trivial; accumulating XᵀX across billions of
+      // rows is the part that must scale). posexplode to (vec, i, x)
+      // then a per-vector self-join fans each vector to its d² products,
+      // and the groupBy(i, j) partial+final agg reduces to d² rows —
+      // shuffle volume is (partitions × 4096) regardless of vector
+      // count. DECIMAL(38,20) sums: the fold is exact, so partial
+      // aggregation order can't change the emitted bits (same policy as
+      // knn_centroid_dist).
+      val ex = Tables.table(spark, dir, "embeddings")
+        .filter(col("label") === 0)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("x").cast("double").as("x"))
+      ex.as("a").join(ex.as("b"), "vec_id")
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.x") * col("b.x")).cast(DecimalType(38, 20)).as("xy"))
+        .groupBy("i", "j")
+        .agg(Canon.round6(sum(col("xy")).cast("double")).as("gram"))
+        .orderBy("i", "j")
+    },
+
     "knn_centroid_dist" -> { (spark, dir) =>
       // Per-label centroid (decimal-exact mean per position), then each
       // vector's L2 distance to its own-label centroid; top-20 outliers.
@@ -474,6 +498,16 @@ object LlmVectors extends QueryGroup {
         |SELECT vec_id, label,
         |  CAST(round(sqrt(CAST(s AS DOUBLE)), 6) AS DOUBLE) AS dist
         |FROM d ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+
+    "vec_gram" ->
+      """WITH sel AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+        |e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |      FROM sel CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |             CAST(a.x * b.x AS DECIMAL(38,20)) AS xy
+        |      FROM e a JOIN e b USING (vec_id))
+        |SELECT i, j, CAST(round(CAST(sum(xy) AS DOUBLE), 6) AS DOUBLE) AS gram
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
 
     "dedup_embed_lsh" ->
       // the banding is a pure function of the vectors, so the recalled

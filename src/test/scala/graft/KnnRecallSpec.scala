@@ -78,6 +78,21 @@ class KnnRecallSpec extends SparkSpec {
     hi.foreach(p => assert(hiGot(p), s"missed high-cosine pair $p"))
   }
 
+  test("vec_gram: symmetric, PSD diagonal, trace = vector count (unit norms)") {
+    val g = q("vec_gram").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(g.size == 64 * 64)
+    g.foreach { case ((i, j), v) =>
+      assert(g((j, i)) == v, s"asymmetry at ($i,$j)") // exact decimal sums
+    }
+    (0L until 64L).foreach(i => assert(g((i, i)) >= 0, s"negative diagonal $i"))
+    // embeddings are exactly unit-L2 (FIXTURES.md): trace = Σ ||x||² = n
+    val n = Tables.table(spark, sfDir, "embeddings")
+      .filter(col("label") === 0).count()
+    val trace = (0L until 64L).map(i => g((i, i))).sum
+    assert(math.abs(trace - n) < 1e-2, s"trace $trace vs n=$n")
+  }
+
   test("exact path equals knn-style self-query of the fixture") {
     // sanity anchor: every query's own top-1 neighbor by the exact path
     // must have cosine >= any ivf-returned neighbor's cosine
