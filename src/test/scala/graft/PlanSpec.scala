@@ -38,7 +38,8 @@ class PlanSpec extends SparkSpec {
 
   test("LSH/band joins never degrade to nested-loop or cartesian") {
     Seq("dedup_minhash", "dedup_jaccard", "dedup_simhash", "knn_ivf",
-        "dedup_ngram", "dedup_ngram_global", "knn_search_ivf")
+        "dedup_ngram", "dedup_ngram_global", "knn_search_ivf",
+        "dedup_embed_lsh")
       .foreach { name =>
         val s = p(name)
         assert(!s.contains("CartesianProduct"), name)
@@ -131,6 +132,22 @@ class PlanSpec extends SparkSpec {
       "centroid table must broadcast through the cross join")
     assert(!s.contains("CartesianProduct"),
       "a shuffled cartesian would move the corpus k times")
+  }
+
+  test("vec_gram: label filter pushes to the scan, partial+final decimal agg") {
+    val s = p("vec_gram")
+    assert(s.contains("PushedFilters") && s.contains("label"),
+      "the label-slice predicate must reach the parquet reader")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "d^2 reduction must combine map-side")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "the per-vector fan-out is an equi-join on vec_id")
+  }
+
+  test("events_heatmap: map-side combine over the 168-cell key space") {
+    val s = p("events_heatmap")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "partial aggregation must bound the exchange at cells x partitions")
   }
 
   test("source_orc: the filter pushes into the ORC read-back scan") {
