@@ -52,6 +52,70 @@ object Streaming extends QueryGroup {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
+  /** Three-file replay that yields three DETERMINISTIC micro-batches
+    * under `maxFilesPerTrigger=1` (the file source processes files in
+    * (mtime, path) order; both are pinned, no sleeps):
+    *
+    *   1. `a_main` — every on-time event (all except the stragglers,
+    *      minus the 10 newest, which are held for batch 2),
+    *   2. `b_tip` — the 10 newest on-time events. Processing them
+    *      advances the watermark past (almost) the whole timeline, so
+    *      the END of this batch EVICTS + emits every closed window,
+    *   3. `c_late` — the stragglers: `event_id % 20 == 0` with
+    *      `ts_us < (min+max) div 2` (integer mid — engine-exact). Their
+    *      windows were already evicted, so Spark DROPS every row
+    *      (observed `numRowsDroppedByWatermark` = straggler count).
+    *
+    * Spark's watermark lags one batch (computed from a batch's max
+    * event time, applied to the NEXT batch) — which is why a mere
+    * two-batch split shows zero drops: late rows whose window state
+    * still lives are MERGED, not dropped. Drops need rows arriving
+    * after eviction; this split constructs exactly that. Built once per
+    * sfDir behind a _READY marker.
+    */
+  private[graft] def lateReplayStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val root = Paths.get("/tmp/graft_replay3",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val data = root.resolve("data")
+    if (!Files.exists(root.resolve("_READY"))) {
+      Files.createDirectories(data)
+      val ev = Tables.table(spark, dir, "events")
+        .withColumn("us", expr("ts div 1000"))
+      // integer midpoint: deterministic in both engines, no percentile
+      // interpolation ulp hazard
+      val r = ev.agg(min("us"), max("us")).head()
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      val isLate = col("event_id") % 20 === 0 && col("us") < mid
+      val kept = ev.filter(!isLate)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("us").desc, col("event_id").desc)
+      val ranked = kept.withColumn("rk", row_number().over(w))
+      val files = Seq(
+        ("a_main", ranked.filter(col("rk") > 10).drop("rk", "us")),
+        ("b_tip", ranked.filter(col("rk") <= 10).drop("rk", "us")),
+        ("c_late", ev.filter(isLate).drop("us")))
+      files.zipWithIndex.foreach { case ((name, df), i) =>
+        val tmp = root.resolve(s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst.get
+        Files.move(part, data.resolve(s"$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(data.resolve(s"$name.parquet"),
+          FileTime.fromMillis(1000000L * (i + 1)))
+      }
+      Files.createFile(root.resolve("_READY"))
+    }
+    val schema = Tables.table(spark, dir, "events").schema // sets nanosAsLong
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(data.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
   /** Run `df` (streaming) to completion into a memory sink, return the
     * materialized result.
     */
@@ -155,6 +219,25 @@ object Streaming extends QueryGroup {
         .agg(count(lit(1)).as("n"), Canon.meanOf(col("value")).as("avg_value"))
       runToMemory(spark, agg, OutputMode.Complete())
         .orderBy("bucket_us", "event_type")
+    },
+
+    "stream_late_drop" -> { (spark, dir) =>
+      // Watermark LATE-DATA semantics made deterministic and therefore
+      // oracle-checkable: three pinned micro-batches (see
+      // [[lateReplayStream]]), a 30-min watermark, 1-h tumbling counts
+      // in APPEND mode. The stragglers arrive after their windows were
+      // evicted and are DROPPED (never counted); the emitted table is
+      // exactly the on-time windows the final watermark has passed.
+      // Every rule is a pure function of the fixture + the pinned batch
+      // split, so DuckDB replays it exactly — the streaming analog of
+      // the knn_search_ivf "approximation ≠ nondeterminism" principle.
+      val agg = lateReplayStream(spark, dir)
+        .withWatermark("ts_t", "30 minutes")
+        .groupBy(window(col("ts_t"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("n_events"))
+      runToMemory(spark, agg, OutputMode.Append()).orderBy("win_us")
     },
 
     "stream_session_window" -> { (spark, dir) =>
@@ -330,6 +413,20 @@ object Streaming extends QueryGroup {
     // The four stream queries replay the full fixture to completion, so
     // their end state equals the batch answer — the batch SQL IS a valid
     // oracle (upgraded from rows-only in r01).
+    "stream_late_drop" ->
+      // the deterministic replay's two rules in SQL: (1) stragglers
+      // (event_id % 20 = 0, us < integer midpoint) never count — their
+      // windows were evicted before they arrived; (2) only windows the
+      // final watermark (global max - 30 min) has closed are emitted
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+         |b AS (SELECT (min(us) + max(us)) // 2 AS mid, max(us) AS mx FROM e),
+         |kept AS (SELECT us FROM e, b WHERE NOT (event_id % 20 = 0 AND us < mid)),
+         |agg AS (SELECT us - us % $HourUs AS win_us, count(*) AS n_events
+         |        FROM kept GROUP BY 1)
+         |SELECT win_us, n_events FROM agg, b
+         |WHERE win_us + $HourUs <= mx - $GapUs
+         |ORDER BY win_us""".stripMargin,
+
     "stream_tumbling" ->
       s"""SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us, event_type,
          |  count(*) AS n,

@@ -187,6 +187,41 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("stream_late_drop: drop metric = straggler count, windows emitted once") {
+    // independent run with a handle on the query's progress metrics
+    val agg = operators.Streaming.lateReplayStream(spark, sfDir)
+      .withWatermark("ts_t", "30 minutes")
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("n_events"))
+    val sq = agg.writeStream.format("memory").queryName("late_probe")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val dropped = sq.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    val ev = Tables.events(spark, sfDir)
+    val r = ev.agg(min("ts_us"), max("ts_us")).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val stragglers = ev
+      .filter(col("event_id") % 20 === 0 && col("ts_us") < mid).count()
+    assert(stragglers > 0, "fixture must yield a non-empty late set")
+    assert(dropped == stragglers,
+      s"dropped $dropped, expected every straggler ($stragglers)")
+    // construction precondition: every straggler's window closed before
+    // the watermark that batch b_tip establishes (11th-newest kept ts)
+    val keptTs = ev
+      .filter(!(col("event_id") % 20 === 0 && col("ts_us") < mid))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(11).collect().map(_.getAs[Long]("ts_us"))
+    val wmAfterTip = keptTs.min - 1800000000L
+    assert(mid + 3600000000L + 1800000000L < wmAfterTip,
+      "straggler windows must close before the b_tip watermark — " +
+        "fixture drifted; regenerate the split rule")
+    // each emitted window appears exactly once
+    val out = spark.table("late_probe").collect().map(_.getLong(0))
+    assert(out.distinct.length == out.length)
+  }
+
   test("udaf_weighted_avg matches manual weighted mean") {
     val rows = q("udaf_weighted_avg").collect()
     assert(rows.length == 3) // returnflags A, N, R
