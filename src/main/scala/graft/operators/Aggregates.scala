@@ -237,6 +237,29 @@ object Aggregates extends QueryGroup {
         .orderBy("o_orderstatus")
     },
 
+    "agg_bitmap_distinct" -> { (spark, dir) =>
+      // EXACT distinct users per day via bitmap words — the
+      // bitmap-index pattern (ClickHouse/Doris `groupBitmap`,
+      // Spark's own BitmapCount helpers): pack user ids into 63-bit
+      // words (word = id div 63, bit = id mod 63; 63 not 64 because a
+      // `1<<63` shift overflows signed int64 in the oracle engine),
+      // OR the words per (day, word_idx), then popcount+sum per day.
+      // vs count(DISTINCT): the shuffle carries one int64 per occupied
+      // word per day instead of every distinct id, partial aggregation
+      // (bit_or is assoc/comm) combines map-side, and day-level rollups
+      // of the word table stay mergeable — the same words re-aggregate
+      // into week/month exact distincts without touching raw ids. The
+      // oracle runs plain count(DISTINCT), so the hash match PROVES the
+      // bitmap plan computes true exact cardinality.
+      Tables.events(spark, dir)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        .groupBy(col("day"), expr("user_id div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, int(user_id % 63)))").as("word"))
+        .groupBy("day")
+        .agg(expr("sum(bit_count(word))").as("n_users"))
+        .orderBy("day")
+    },
+
     // Approx sketches: engine-specific — oracle omitted (SURVEY.md §5.5);
     // unit tests assert error bounds against the exact values.
     "agg_histogram" -> { (spark, dir) =>
@@ -422,6 +445,14 @@ object Aggregates extends QueryGroup {
         |        ORDER BY n DESC, o_orderpriority) AS rk FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
         |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // Plain count(DISTINCT) on purpose: the oracle asserts the bitmap
+    // plan's SEMANTICS (exact cardinality), not its physical shape.
+    "agg_bitmap_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |           FROM events)
+        |SELECT day, count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
 
     "agg_multi_distinct" ->
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_part,

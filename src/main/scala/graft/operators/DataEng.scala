@@ -57,6 +57,44 @@ object DataEng extends QueryGroup {
         .orderBy("user_id", "event_type", "version")
     },
 
+    "scd2_lookup" -> { (spark, dir) =>
+      // Point-in-time lookup against the versioned dimension — the
+      // feature-store / audit query SCD-2 exists FOR: each click event
+      // is enriched with the purchase-version that was valid AT its
+      // timestamp (no leakage from the future). Dim = per-user purchase
+      // history as [valid_from, valid_to) intervals (open interval
+      // capped at Long.Max so one range predicate covers it); fact =
+      // clicks. The join is an equi hash join on user_id with the range
+      // predicate as a residual filter — per-key version chains are
+      // short, so the residual scans a handful of rows per probe; at
+      // 100 TB this is the standard dim-enrichment exchange (and the
+      // dim side broadcasts when the entity universe is small).
+      // Intervals partition each user's timeline, so the left join is
+      // provably ≤1 match per click — the output stays 1:1 with facts.
+      // -1/0.0 sentinels instead of NULLs keep int64/float64 dtypes
+      // stable through both engines' result paths.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+      val dim = ev.filter(col("event_type") === "purchase")
+        .withColumn("valid_from", col("ts_us"))
+        .withColumn("valid_to",
+          coalesce(lead("ts_us", 1).over(w), lit(Long.MaxValue)))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id").as("d_user"), col("valid_from"),
+          col("valid_to"), col("version"), col("value").as("d_value"))
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .join(dim, col("user_id") === col("d_user")
+          && col("ts_us") >= col("valid_from")
+          && col("ts_us") < col("valid_to"), "left")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          coalesce(col("version"), lit(-1L)).as("version"),
+          coalesce(col("d_value"), lit(0.0)).as("value_at_ts"))
+        .orderBy("user_id", "event_id")
+    },
+
     "events_transitions" -> { (spark, dir) =>
       // First-order Markov transition counts: (event_type → next type)
       // frequencies across all user sequences — the "what do users do
@@ -170,6 +208,23 @@ object DataEng extends QueryGroup {
         |FROM e WINDOW w AS (PARTITION BY user_id, event_type
         |                    ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_type, version""".stripMargin,
+
+    "scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id, value FROM events),
+        |d AS (SELECT user_id, ts_us AS valid_from,
+        |    COALESCE(lead(ts_us) OVER w, 9223372036854775807) AS valid_to,
+        |    CAST(row_number() OVER w AS BIGINT) AS version, value
+        |  FROM e WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |f AS (SELECT user_id, event_id, ts_us FROM e
+        |      WHERE event_type = 'click')
+        |SELECT f.user_id, f.event_id, f.ts_us,
+        |  COALESCE(d.version, -1) AS version,
+        |  COALESCE(d.value, 0.0) AS value_at_ts
+        |FROM f LEFT JOIN d ON f.user_id = d.user_id
+        |  AND f.ts_us >= d.valid_from AND f.ts_us < d.valid_to
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
 
     "events_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,

@@ -170,10 +170,34 @@ object Functions extends QueryGroup {
           element_at(col("charges"), 2).getField("amt").as("charge2_amt"),
           element_at(col("charges"), 3).getField("amt").as("charge3_amt"))
         .orderBy(Scans.lineitemKey.map(col): _*)
+    },
+
+    "fn_hash" -> { (spark, dir) =>
+      // The content-addressing surface: md5 + sha256 digests (lowercase
+      // hex in both engines), base64 of a fixed-width prefix, and
+      // integer→hex. These are the primitives every dedup/lineage/cache
+      // layer keys on (dedup_exact already GROUPS on sha2 — this query
+      // pins the raw function outputs themselves). All four are per-row
+      // codegen expressions; digesting 100 TB is embarrassingly
+      // parallel and the 16/32-byte digests are what actually shuffles
+      // downstream, never the documents.
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"),
+          sha2(col("text").cast("binary"), 256).as("text_sha256"),
+          base64(substring(col("text"), 1, 12).cast("binary")).as("pfx_b64"),
+          hex(col("n_chars")).as("len_hex"))
+        .orderBy("doc_id")
     }
   )
 
   def oracle = Map(
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  sha256(text) AS text_sha256,
+        |  base64(substr(text, 1, 12)::BLOB) AS pfx_b64,
+        |  hex(n_chars) AS len_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_struct" ->
       s"""WITH s AS (SELECT *,
          |    struct_pack(okey := l_orderkey, line := l_linenumber,
