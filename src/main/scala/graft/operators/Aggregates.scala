@@ -216,6 +216,31 @@ object Aggregates extends QueryGroup {
         .orderBy("o_orderstatus")
     },
 
+    "agg_unpivot" -> { (spark, dir) =>
+      // Wide → long reshape (the inverse of agg_pivot): a conditional
+      // aggregate builds one row per status with a count per priority
+      // prefix, then `unpivot` melts the five measure columns into
+      // (status, pri, n) rows. Unpivot is a per-row Expand — no shuffle
+      // beyond the one hash agg, and the 5× fanout happens AFTER the
+      // aggregate, on |statuses| rows, not on the fact table. That
+      // ordering (aggregate first, melt second) is the scale-safe form;
+      // melting the raw table first would 5× the shuffle for nothing.
+      val wide = Tables.table(spark, dir, "orders")
+        .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(when(col("pri") === "1", 1)).as("p1"),
+          count(when(col("pri") === "2", 1)).as("p2"),
+          count(when(col("pri") === "3", 1)).as("p3"),
+          count(when(col("pri") === "4", 1)).as("p4"),
+          count(when(col("pri") === "5", 1)).as("p5"))
+      wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")),
+        "pri", "n")
+        .orderBy("o_orderstatus", "pri")
+    },
+
     "agg_mode" -> { (spark, dir) =>
       // Deterministic mode (most frequent value per group): count →
       // window rank with an explicit value tie-break. Built-in mode()
@@ -437,6 +462,23 @@ object Aggregates extends QueryGroup {
         |  bool_and(o_totalprice > 0) AS all_pos,
         |  bool_or(o_totalprice > 499500) AS any_huge
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_unpivot" ->
+      // DuckDB lacks Spark's unpivot relation; the UNION ALL over the
+      // wide CTE is the same reshape expressed relationally.
+      """WITH w AS (SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority LIKE '1%') AS p1,
+        |  count(*) FILTER (WHERE o_orderpriority LIKE '2%') AS p2,
+        |  count(*) FILTER (WHERE o_orderpriority LIKE '3%') AS p3,
+        |  count(*) FILTER (WHERE o_orderpriority LIKE '4%') AS p4,
+        |  count(*) FILTER (WHERE o_orderpriority LIKE '5%') AS p5
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'p1' AS pri, p1 AS n FROM w
+        |UNION ALL SELECT o_orderstatus, 'p2', p2 FROM w
+        |UNION ALL SELECT o_orderstatus, 'p3', p3 FROM w
+        |UNION ALL SELECT o_orderstatus, 'p4', p4 FROM w
+        |UNION ALL SELECT o_orderstatus, 'p5', p5 FROM w
+        |ORDER BY o_orderstatus, pri""".stripMargin,
 
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n

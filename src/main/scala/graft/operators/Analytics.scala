@@ -35,6 +35,22 @@ object Analytics extends QueryGroup {
       |  FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Window functions through the SQL front end — rank + a partition
+    * total in one OVER clause set, filtered by rank in the outer query
+    * (the portable spelling of QUALIFY, which OSS Spark lacks). The
+    * partition sum goes through DECIMAL so both engines fold exactly.
+    */
+  private val WindowSql =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(rank() OVER (PARTITION BY o_custkey
+      |                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+      |         OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
   private val LateralSql =
     """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
       |FROM customer c, LATERAL (
@@ -44,6 +60,15 @@ object Analytics extends QueryGroup {
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
   def queries = Map(
+    "sql_window" -> { (spark, dir) =>
+      // Both window functions share one PARTITION BY o_custkey, so
+      // Catalyst computes them over a single hash exchange + sort —
+      // the plan is Window(rank, sum) above one Exchange, then the
+      // rank filter. Same ANSI text is the DuckDB oracle.
+      Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(WindowSql)
+    },
+
     "sql_lateral" -> { (spark, dir) =>
       // SQL front-end entry: a correlated LATERAL derived table with
       // ORDER BY ... LIMIT — the per-row top-N idiom. Catalyst
@@ -217,6 +242,8 @@ object Analytics extends QueryGroup {
   )
 
   def oracle = Map(
+    "sql_window" -> WindowSql,
+
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)

@@ -109,6 +109,35 @@ object Joins extends QueryGroup {
         .orderBy(liKey.map(col): _*)
     },
 
+    "join_interval" -> { (spark, dir) =>
+      // Interval-OVERLAP join (temporal allen-relation class): each order
+      // carries a half-open activity interval [s, e) in integer epoch-days
+      // (length derived from the key so both engines compute it exactly);
+      // pairs of the same customer's orders whose intervals intersect.
+      // The equi key (o_custkey) blocks candidates — the overlap predicate
+      // only ever evaluates within a customer's ~10 orders, so the join is
+      // a standard shuffle equi-join with a residual range condition, not
+      // an all-pairs scan. For UNBLOCKED interval sets the same query
+      // bands by fixed-width time bucket first (sequence() + explode as in
+      // events_gap_fill, equi-join on bucket, dedup pairs) — overlap then
+      // costs Σ per-bucket concurrency², never n². Integer day arithmetic
+      // end-to-end: no float, no interval dtype skew.
+      val epoch = lit("1970-01-01").cast("date")
+      val iv = Tables.table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("s"))
+        .withColumn("e", col("s") + (col("o_orderkey") % 60) + lit(1))
+      iv.as("a").join(iv.as("b"),
+          col("a.o_custkey") === col("b.o_custkey")
+            && col("a.o_orderkey") < col("b.o_orderkey")
+            && col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+        .select(col("a.o_custkey").as("custkey"),
+          col("a.o_orderkey").as("k1"), col("b.o_orderkey").as("k2"),
+          (least(col("a.e"), col("b.e"))
+            - greatest(col("a.s"), col("b.s"))).as("overlap_days"))
+        .orderBy("custkey", "k1", "k2")
+    },
+
     "join_range_nonequi" -> { (spark, dir) =>
       // Total order WITHOUT shuffling the 7.8M-row join output: a plain
       // orderBy on the result samples the child for range bounds (which
@@ -279,6 +308,21 @@ object Joins extends QueryGroup {
          |FROM lineitem JOIN orders
          |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
          |ORDER BY $liKeySql""".stripMargin,
+
+    "join_interval" ->
+      // DATE − DATE is BIGINT days in DuckDB; Spark's datediff INT is
+      // cast long to match.
+      """WITH i AS (SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + (o_orderkey % 60) + 1 AS e
+        |  FROM orders)
+        |SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_days
+        |FROM i a JOIN i b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND a.s < b.e AND b.s < a.e
+        |ORDER BY custkey, k1, k2""".stripMargin,
 
     "join_range_nonequi" ->
       """SELECT a.p_brand AS brand, a.p_partkey AS k1, b.p_partkey AS k2,

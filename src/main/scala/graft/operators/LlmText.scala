@@ -316,6 +316,28 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id", "rank")
     },
 
+    "text_vocab" -> { (spark, dir) =>
+      // Per-language document-frequency vocabulary: top-10 tokens per
+      // lang by the number of DISTINCT documents containing them — the
+      // df table behind idf weighting and vocab pruning (text_tokenize
+      // is raw term counts; this is presence). array_distinct runs
+      // per-row BEFORE the explode, so the shuffle carries each
+      // (doc, token) once however often the token repeats in the doc;
+      // the per-lang top-10 is a WindowGroupLimit (map-side rank
+      // pruning), never a global sort of the vocabulary.
+      val dfc = Tables.table(spark, dir, "documents")
+        .select(col("lang"),
+          explode(array_distinct(toks(col("text")))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n_docs"))
+      dfc.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(col("n_docs").desc, col("token"))))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"),
+          col("token"), col("n_docs"))
+        .orderBy("lang", "rnk")
+    },
+
     "text_contamination" -> { (spark, dir) =>
       // train/eval decontamination — the benchmark-leakage check every
       // LLM data pipeline runs before training: eval set = doc_id ≡ 0
@@ -898,6 +920,16 @@ object LlmText extends QueryGroup {
         |  FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_vocab" ->
+      """WITH t AS (SELECT lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS n_docs FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_docs DESC, token) AS rnk FROM c)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, n_docs
+        |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
 
     "text_contamination" ->
       """WITH t AS (SELECT doc_id,

@@ -221,6 +221,27 @@ object Streaming extends QueryGroup {
         .orderBy("bucket_us", "event_type")
     },
 
+    "stream_sliding" -> { (spark, dir) =>
+      // SLIDING window (1 h width, 30 min slide) — the overlapping-window
+      // streaming aggregate the tumbling query can't express. Spark's
+      // window() generates both covering windows per event BEFORE the
+      // shuffle (a 2× Expand map-side), then the state store keys on
+      // (window, event_type) — state is bounded by watermark eviction,
+      // and each window's partial aggregates merge associatively, so at
+      // cluster scale the 2× fanout is the only overlap cost. Output on
+      // the canonical epoch-µs axis: every event lands in exactly two
+      // 30-min-aligned window starts.
+      val agg = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(window(col("ts_t"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Canon.meanOf(col("value")).as("avg_value"))
+        .select(unix_micros(col("window.start")).as("start_us"),
+          col("event_type"), col("n"), col("avg_value"))
+      runToMemory(spark, agg, OutputMode.Complete())
+        .orderBy("start_us", "event_type")
+    },
+
     "stream_late_drop" -> { (spark, dir) =>
       // Watermark LATE-DATA semantics made deterministic and therefore
       // oracle-checkable: three pinned micro-batches (see
@@ -433,6 +454,19 @@ object Streaming extends QueryGroup {
          |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_value
          |FROM events
          |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      // 1 h windows on a 30 min slide ⇒ every event is in exactly two
+      // 30-min-aligned windows: starts floor₃₀(t) and floor₃₀(t) − 30 min
+      // (t < floor₃₀(t) + 30 min < either start + 1 h always holds). The
+      // 2-way UNION ALL is that cover, relationally.
+      s"""WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+         |x AS (SELECT t - (t % $GapUs) AS start_us, event_type, value FROM e
+         |      UNION ALL
+         |      SELECT t - (t % $GapUs) - $GapUs AS start_us, event_type, value FROM e)
+         |SELECT start_us, event_type, count(*) AS n,
+         |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_value
+         |FROM x GROUP BY 1, 2 ORDER BY start_us, event_type""".stripMargin,
 
     "stream_session_window" ->
       // islands formulation; session end = last event + gap, matching

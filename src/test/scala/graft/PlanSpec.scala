@@ -167,4 +167,39 @@ class PlanSpec extends SparkSpec {
     assert("Exchange \\(\\d+\\)".r.findAllIn(pack).length <= 2,
       "packing must reuse the lang exchange: window + final sort only")
   }
+
+  test("agg_unpivot: the melt expands AFTER the aggregate, not the scan") {
+    val s = p("agg_unpivot")
+    assert(s.contains("Expand"), "unpivot should plan as Expand")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "partial+final hash agg below the melt")
+    // tree prints parents first: Expand above the aggregate means the 5×
+    // fanout hits |statuses| rows, not the 150k-row fact scan
+    assert(s.indexOf("Expand") < s.indexOf("HashAggregate"),
+      "Expand must sit above the aggregate in the tree")
+  }
+
+  test("join_interval: equi-blocked overlap join, never all-pairs") {
+    val s = p("join_interval")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "the o_custkey equi key must drive the join; overlap is residual")
+  }
+
+  test("text_vocab: per-lang top-10 prunes map-side, distinct before explode") {
+    val s = p("text_vocab")
+    assert(s.contains("WindowGroupLimit"),
+      "rnk<=10 should engage partial window-group-limit pruning")
+    assert(s.indexOf("Generate") > s.indexOf("WindowGroupLimit"),
+      "explode (Generate) feeds the agg below the group-limit in the tree")
+  }
+
+  test("sql_window: both window functions share one hash exchange") {
+    val s = p("sql_window")
+    assert(s.contains("Window"))
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(s).length >= 1 &&
+      "Exchange \\(\\d+\\)".r.findAllIn(s).length <= 2,
+      "rank + partition sum must reuse the o_custkey exchange; only the " +
+        "final orderBy may add a range exchange")
+  }
 }

@@ -237,4 +237,16 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("n")).head().getLong(0)
     assert(total == expected)
   }
+
+  test("stream_sliding: every event lands in exactly two covering windows") {
+    val out = q("stream_sliding")
+    val covered = out.agg(sum("n")).head().getLong(0)
+    val events = Tables.table(spark, sfDir, "events").count()
+    assert(covered == 2 * events,
+      "1 h window on a 30 min slide must cover each event exactly twice")
+    // window starts are 30-min aligned on the µs axis
+    val misaligned = out.filter(col("start_us") % (30L * 60 * 1000 * 1000)
+      =!= 0).count()
+    assert(misaligned == 0)
+  }
 }
