@@ -480,6 +480,36 @@ object LlmText extends QueryGroup {
         n = 3, threshold = 0.2)
     },
 
+    "dedup_edit" -> { (spark, dir) =>
+      // EDIT-DISTANCE near-dup — the character-level metric the
+      // token-set family (jaccard/minhash) can't see (transpositions,
+      // small in-word edits). Candidate generation is the standard
+      // pipeline form: shingle-banded pairs first (segment banding is
+      // NOT lossless under insertions — indels shift every later
+      // position — so candidates come from the order-insensitive n-gram
+      // index, which IS robust to them), then an exact Levenshtein
+      // rescore on the 64-char prefix. Sub-quadratic end-to-end: the
+      // O(64²) DP only ever runs on candidate pairs. Integer distance —
+      // bit-exact cross-engine (ASCII fixtures; DuckDB counts bytes,
+      // Spark counts chars — equal on ASCII, asserted corpus-wide in
+      // LlmOpsSpec).
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs,
+        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
+        n = 3, threshold = 0.2)
+      val pfx = docs.select(col("doc_id"),
+        substring(col("text"), 1, 64).as("pfx"))
+      pairs
+        .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")),
+          "doc_a")
+        .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")),
+          "doc_b")
+        .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("lev") <= 16)
+        .select(col("doc_a"), col("doc_b"), col("lev"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     "dedup_clusters" -> { (spark, dir) =>
       // pairs → components → canonical assignment: the step that turns
       // near-dup PAIRS into dedup DECISIONS (keep canonical_id, drop the
@@ -1001,6 +1031,19 @@ object LlmText extends QueryGroup {
       // would truncate to `|`.)
       ("WITH " + ngramGlobalPairsCte +
         "\nSELECT doc_a, doc_b, jaccard FROM gpairs\nORDER BY doc_a, doc_b"),
+
+    "dedup_edit" ->
+      // same candidate CTE as dedup_ngram_global + integer Levenshtein
+      // rescore on the 64-char prefix (ASCII corpus ⇒ byte≡char)
+      ("WITH " + ngramGlobalPairsCte + """,
+        |p AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents)
+        |SELECT g.doc_a, g.doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+        |FROM gpairs g
+        |JOIN p a ON g.doc_a = a.doc_id
+        |JOIN p b ON g.doc_b = b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_clusters" ->
       // transitive closure per component via a recursive CTE (fixture

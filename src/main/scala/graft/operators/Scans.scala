@@ -110,6 +110,42 @@ object Scans extends QueryGroup {
         .orderBy("month")
     },
 
+    "source_zorder" -> { (spark, dir) =>
+      // Multi-dimensional layout: lineitem re-laid clustered by the
+      // MORTON (Z-order) interleave of (l_partkey, l_suppkey) in small
+      // row groups, then scanned with a range predicate on BOTH dims.
+      // Sorting by the bit-interleave bounds row groups in both key
+      // spaces simultaneously, so the pushed min/max stats skip groups
+      // for either-dim (or both-dim) predicates — the 2-D generalization
+      // of source_sorted_pruned's single-column clustering, and at
+      // 100 TB the standard answer to "we filter by part AND supplier
+      // but can only sort by one thing". The interleave is 16 codegen'd
+      // bit ops per dim — no UDF, no shuffle beyond the range layout.
+      def morton(x: org.apache.spark.sql.Column,
+                 y: org.apache.spark.sql.Column) =
+        (0 until 16).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i)
+            .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+        }.reduce(_.bitwiseOR(_))
+      val out = s"/tmp/graft_zorder/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.table(spark, dir, "lineitem")
+        .withColumn("z", morton(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(4, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 512 * 1024)
+        .parquet(out)
+      spark.read.parquet(out)
+        .filter(col("l_partkey").between(1, 150)
+          && col("l_suppkey").between(1, 8))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Canon.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+
     "source_orc" -> { (spark, dir) =>
       // Second columnar format: orders round-tripped through ORC (the
       // jars ship with Spark; same vectorized reader + pushdown + Hive
@@ -156,6 +192,17 @@ object Scans extends QueryGroup {
   )
 
   def oracle = Map(
+    "source_zorder" ->
+      // oracle reads the ORIGINAL parquet: value-equality after the
+      // Z-order re-layout IS the assertion (layout must never change
+      // results, only which row groups a scan touches)
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 150 AND l_suppkey BETWEEN 1 AND 8
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "source_orc" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)

@@ -96,6 +96,26 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "win_fill_forward" -> { (spark, dir) =>
+      // Forward fill (last-observation-carried-forward) — the sensor /
+      // time-series gap repair every telemetry store needs: nulls are
+      // injected deterministically (event_id ≡ 0 mod 7), then repaired
+      // with last(..., ignoreNulls) over the growing frame. The fill is
+      // value COPYING, not arithmetic — bit-exact cross-engine by
+      // construction. One user_id exchange, running state is a single
+      // value per partition stream; rows whose null survives (no prior
+      // observation) stay null and hash as such on both engines.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .withColumn("v_gap",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("v_gap"),
+          last(col("v_gap"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "win_percent_rank" -> { (spark, dir) =>
       // Relative-rank analytics: percent_rank = (rank−1)/(n−1) and
       // cume_dist = peers_at_or_below/n within brand, ordered by retail
@@ -164,6 +184,16 @@ object Windows extends QueryGroup {
       """SELECT c_custkey, c_acctbal,
         |       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "win_fill_forward" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_gap
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, v_gap,
+        |  last_value(v_gap IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM g ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "win_first_last" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,

@@ -227,6 +227,13 @@ class AnalyticsSpec extends SparkSpec {
       p.contains("l_shipdate"), "expected shipdate pushdown on the sorted copy")
   }
 
+  test("source_zorder: both dims push into the Z-ordered scan") {
+    val p = plan(q("source_zorder"))
+    assert(p.contains("PushedFilters") && p.contains("l_partkey")
+      && p.contains("l_suppkey"),
+      "expected part AND supplier pushdown on the Morton-clustered copy")
+  }
+
   test("dedup_survivors: one survivor per cluster, longest wins, sizes conserve") {
     val surv = q("dedup_survivors").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

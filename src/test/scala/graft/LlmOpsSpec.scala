@@ -203,4 +203,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(js.length == 1 && js(0).getDouble(2) == 1.0,
       "token-SET jaccard must still see the reversed pair as identical")
   }
+
+  test("dedup_edit: ASCII precondition, bounded distances, candidate subset") {
+    // the cross-engine parity claim (DuckDB bytes ≡ Spark chars) holds
+    // only on ASCII prefixes — assert it corpus-wide so a future
+    // non-ASCII fixture fails loudly instead of silently mismatching
+    val docs = Tables.table(spark, sfDir, "documents")
+    val nonAscii = docs.filter(octet_length(substring(col("text"), 1, 64))
+      =!= length(substring(col("text"), 1, 64))).count()
+    assert(nonAscii == 0, s"$nonAscii docs break the ASCII prefix premise")
+    val out = q("dedup_edit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, lev) => a < b && lev >= 0 && lev <= 16 })
+    // rescore only ever narrows the banded candidate set
+    val cand = q("dedup_ngram_global").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet.subsetOf(cand),
+      "edit pairs must come from the n-gram candidate set")
+  }
 }

@@ -39,7 +39,7 @@ class PlanSpec extends SparkSpec {
   test("LSH/band joins never degrade to nested-loop or cartesian") {
     Seq("dedup_minhash", "dedup_jaccard", "dedup_simhash", "knn_ivf",
         "dedup_ngram", "dedup_ngram_global", "knn_search_ivf",
-        "dedup_embed_lsh")
+        "dedup_embed_lsh", "dedup_edit")
       .foreach { name =>
         val s = p(name)
         assert(!s.contains("CartesianProduct"), name)
