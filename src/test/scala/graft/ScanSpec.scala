@@ -98,6 +98,49 @@ class ScanSpec extends SparkSpec {
       "spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // the row-level complement of dynamic partition pruning: when a
+    // selective dim filter can't prune partitions, Spark can still build
+    // a bloom filter over the dim's join keys at runtime and push
+    // might_contain into the fact scan — at 100 TB this turns a full
+    // probe-side shuffle into a pre-filtered one. Fixture scans are
+    // far below the 10 GB application-side threshold, so lower it (and
+    // force the shuffle join the rule targets); at real scale the
+    // defaults fire on their own.
+    import org.apache.spark.sql.functions._
+    val prevScan = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sel = Tables.table(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 450000)
+      val joined = Tables.table(spark, sfDir, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("might_contain"),
+        s"expected a runtime bloom filter on the lineitem scan:\n$physical")
+      // the filter is pruning-only — results match the unfiltered plan
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        prevScan)
+      val expected = Tables.table(spark, sfDir, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        expected.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        prevScan)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("source_orc: the ORC roundtrip agg equals the parquet-side agg") {
     import org.apache.spark.sql.functions._
     val viaOrc = q("source_orc").collect()
