@@ -88,6 +88,28 @@ object Functions extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "fn_null" -> { (spark, dir) =>
+      // NULL-semantics surface (group H): coalesce fallback chains,
+      // nullif sentinel erasure, null-skipping least/greatest (both
+      // engines skip NULLs — the non-standard but universal behavior),
+      // and IS NULL flags. Nulls are injected deterministically so the
+      // fixture (which carries none) exercises every branch. Pure value
+      // selection/copying — no arithmetic — so the doubles that come
+      // out are bit-copies of the doubles that went in.
+      val t = Tables.table(spark, dir, "lineitem")
+        .withColumn("d",
+          when(col("l_linenumber") % 3 === 0, lit(null)).otherwise(col("l_discount")))
+        .withColumn("x",
+          when(col("l_linenumber") % 4 === 0, lit(null)).otherwise(col("l_tax")))
+      t.select((Scans.lineitemKey.map(col) ++ Seq(
+          coalesce(col("d"), col("x"), lit(0.5)).as("c_fallback"),
+          nullif(col("d"), lit(0.02)).as("d_no02"),
+          least(col("d"), col("x")).as("lo"),
+          greatest(col("d"), col("x")).as("hi"),
+          (col("d").isNull && col("x").isNull).as("both_null"))): _*)
+        .orderBy(Scans.lineitemKey.map(col): _*)
+    },
+
     "fn_json" -> { (spark, dir) =>
       // from_json with an explicit schema (typed, codegen-friendly) —
       // get_json_object would re-parse per extraction; the struct parses
@@ -265,6 +287,19 @@ object Functions extends QueryGroup {
     // (the installed oracle engine, SURVEY.md §5.2.1) — the [1] unwraps
     // it. DuckDB >= 1.2 changed map subscript to return the value
     // directly; if the oracle engine is ever upgraded, drop the [1].
+    "fn_null" ->
+      s"""WITH t AS (SELECT *,
+         |    CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_discount END AS d,
+         |    CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_tax END AS x
+         |  FROM lineitem)
+         |SELECT ${Scans.lineitemKeySql},
+         |  coalesce(d, x, 0.5) AS c_fallback,
+         |  nullif(d, 0.02) AS d_no02,
+         |  least(d, x) AS lo,
+         |  greatest(d, x) AS hi,
+         |  (d IS NULL AND x IS NULL) AS both_null
+         |FROM t ORDER BY ${Scans.lineitemKeySql}""".stripMargin,
+
     "fn_map" ->
       """SELECT o_orderkey,
         |  MAP(['status','priority'], [o_orderstatus, o_orderpriority])['status'][1] AS status_v,

@@ -197,4 +197,29 @@ class PropertySpec extends SparkSpec {
       assert(got == brute)
     }
   }
+
+  test("join_interval == brute-force overlap scan on the fixture intervals") {
+    // recompute the declared query's pair set with a plain in-JVM double
+    // loop over each customer's intervals — same [s, e) half-open
+    // overlap definition, same integer day arithmetic
+    val epochDay = java.time.LocalDate.of(1970, 1, 1)
+    val orders = Tables.table(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map { r =>
+        val s = java.time.temporal.ChronoUnit.DAYS.between(
+          epochDay, r.getAs[java.time.LocalDateTime](2).toLocalDate)
+        (r.getLong(0), r.getLong(1), s, s + (r.getLong(1) % 60) + 1)
+      }
+    val brute = orders.groupBy(_._1).values.flatMap { arr =>
+      val os = arr.toSeq
+      for {
+        a <- os; b <- os
+        if a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+      } yield (a._1, a._2, b._2, math.min(a._4, b._4) - math.max(a._3, b._3))
+    }.toSet
+    val got = q("join_interval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
 }
