@@ -59,7 +59,43 @@ object Analytics extends QueryGroup {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
+  /** Recursive-CTE body shared by the Spark entry and the DuckDB oracle;
+    * only the `events_c` preamble differs (Spark reads the canonical
+    * ts_us view, DuckDB computes epoch_us(ts) itself). The edge set is
+    * restricted to src < dst, so the transition graph is a DAG and the
+    * UNION ALL recursion provably terminates (path labels strictly
+    * increase); min(hops) per reachable pair = shortest path length.
+    */
+  private val RecursiveBody =
+    """p AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, event_id) AS prev
+      |      FROM events_c),
+      |e AS (SELECT DISTINCT prev AS src, event_type AS dst FROM p
+      |      WHERE prev IS NOT NULL AND prev < event_type),
+      |r AS (SELECT src, dst, 1 AS hops FROM e
+      |      UNION ALL
+      |      SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON r.dst = e.src)
+      |SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+      |FROM r GROUP BY src, dst ORDER BY src, dst""".stripMargin
+
   def queries = Map(
+    "sql_recursive" -> { (spark, dir) =>
+      // WITH RECURSIVE through the SQL front end (Catalyst's UnionLoop):
+      // per-iteration the loop body is an ordinary equi-join + project,
+      // distributed like any other plan; the driver only orchestrates
+      // iterations, exactly like Graph.connectedComponents' hand-rolled
+      // loop — this is the declarative spelling. Reachability with
+      // min-hops over the transition DAG derived from per-user event
+      // sequences (one user_id exchange for the lag window).
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .createOrReplaceTempView("events_v")
+      spark.sql("WITH RECURSIVE\nevents_c AS (SELECT * FROM events_v),\n"
+        + RecursiveBody)
+    },
+
     "sql_window" -> { (spark, dir) =>
       // Both window functions share one PARTITION BY o_custkey, so
       // Catalyst computes them over a single hash exchange + sort —
@@ -242,6 +278,11 @@ object Analytics extends QueryGroup {
   )
 
   def oracle = Map(
+    "sql_recursive" ->
+      ("WITH RECURSIVE\nevents_c AS (SELECT user_id, event_id, "
+        + "epoch_us(ts) AS ts_us, event_type FROM events),\n"
+        + RecursiveBody),
+
     "sql_window" -> WindowSql,
 
     "events_funnel" ->
