@@ -227,6 +227,39 @@ class AnalyticsSpec extends SparkSpec {
       p.contains("l_shipdate"), "expected shipdate pushdown on the sorted copy")
   }
 
+  test("sql_recursive == in-JVM BFS over the same transition DAG") {
+    // plan shape: the recursion must be a genuine UnionLoop, and each
+    // iteration's body an ordinary join (no cartesian)
+    val p = plan(q("sql_recursive"))
+    assert(p.contains("UnionLoop"), "WITH RECURSIVE must plan as UnionLoop")
+    assert(!p.contains("CartesianProduct"))
+    // semantics: min_hops per reachable pair == BFS shortest path
+    val events = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val edges = events.groupBy(_._1).values.flatMap { arr =>
+      arr.sortBy(e => (e._3, e._2)).map(_._4).toSeq.sliding(2).collect {
+        case Seq(a, b) if a < b => (a, b)
+      }
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bfs = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (src <- adj.keys) {
+      var frontier = Set(src); var hops = 0L
+      val seen = scala.collection.mutable.Set(src)
+      while (frontier.nonEmpty) {
+        hops += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(seen.contains)
+        frontier.foreach { d => seen += d; bfs((src, d)) = hops }
+      }
+    }
+    val got = q("sql_recursive").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == bfs.toMap)
+    assert(got.nonEmpty)
+  }
+
   test("source_zorder: both dims push into the Z-ordered scan") {
     val p = plan(q("source_zorder"))
     assert(p.contains("PushedFilters") && p.contains("l_partkey")
