@@ -316,6 +316,41 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id", "rank")
     },
 
+    "text_bigram_lm" -> { (spark, dir) =>
+      // Count-based bigram language model with add-one smoothing — the
+      // classic n-gram LM table (the statistical ancestor of every
+      // pretraining corpus): p(b|a) = (c_ab + 1) / (c_a + V). All inputs
+      // are exact integers (pair counts, first-token totals, vocabulary
+      // size), so the smoothed probability is one double division —
+      // IEEE-identical cross-engine — rounded per the round-6 policy.
+      // Plan: bigrams explode map-side (zip_with over two slices, no
+      // shuffle), one (a,b) partial+final agg, c_a derived from c_ab by
+      // a second tiny agg (never a re-scan), top-10 heads via
+      // TakeOrderedAndProject (no global sort), broadcast back, per-head
+      // top-5 window on ≤ 10 partitions.
+      val docs = Tables.table(spark, dir, "documents")
+      val t = toks(col("text"))
+      val pairs = docs.select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+      val vocab = docs.select(explode(t).as("tok")).distinct().count()
+      val topA = ca.orderBy(col("c_a").desc, col("a")).limit(10)
+      cab.join(broadcast(topA), "a")
+        .withColumn("p", Canon.round6(
+          (col("c_ab") + 1).cast("double")
+            / (col("c_a") + lit(vocab)).cast("double")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("a")
+            .orderBy(col("c_ab").desc, col("b"))))
+        .filter(col("rnk") <= 5)
+        .select(col("a"), col("rnk").cast("long").as("rnk"), col("b"),
+          col("c_ab"), col("c_a"), col("p"))
+        .orderBy("a", "rnk")
+    },
+
     "text_vocab" -> { (spark, dir) =>
       // Per-language document-frequency vocabulary: top-10 tokens per
       // lang by the number of DISTINCT documents containing them — the
@@ -950,6 +985,24 @@ object LlmText extends QueryGroup {
         |  FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH td AS (SELECT string_split(text, ' ') AS s FROM documents),
+        |ix AS (SELECT s, unnest(range(1, len(s))) AS i FROM td),
+        |pr AS (SELECT s[i] AS a, s[i+1] AS b FROM ix),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |ta AS (SELECT a, c_a FROM ca ORDER BY c_a DESC, a LIMIT 10),
+        |r AS (SELECT cab.a, cab.b, cab.c_ab, ta.c_a,
+        |    CAST(round(CAST(cab.c_ab + 1 AS DOUBLE)
+        |      / CAST(ta.c_a + (SELECT n FROM v) AS DOUBLE), 6) AS DOUBLE) AS p,
+        |    row_number() OVER (PARTITION BY cab.a
+        |      ORDER BY cab.c_ab DESC, cab.b) AS rnk
+        |  FROM cab JOIN ta ON cab.a = ta.a)
+        |SELECT a, CAST(rnk AS BIGINT) AS rnk, b, c_ab, c_a, p
+        |FROM r WHERE rnk <= 5 ORDER BY a, rnk""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT lang,

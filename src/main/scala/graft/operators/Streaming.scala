@@ -177,6 +177,34 @@ object Streaming extends QueryGroup {
       }
   }
 
+  /** Online last-observation-carried-forward over (user, ts, id, v?):
+    * state = last observed value per user. Same admission precondition
+    * as [[funnelStages]]: exact whenever no admitted event is older than
+    * one already folded per user (time-sharded batches satisfy it; a
+    * watermark alone does not).
+    */
+  private[graft] def fillForward(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Double])])
+      : org.apache.spark.sql.Dataset[
+        (Long, Long, Long, Option[Double], Option[Double])] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Double),
+        (Long, Long, Long, Option[Double], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, Option[Double])],
+            state: GroupState[(Boolean, Double)]) =>
+          var last: Option[Double] = state.getOption
+            .collect { case (true, v) => v }
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+            if (r._4.isDefined) last = r._4
+            (r._1, r._2, r._3, r._4, if (r._4.isDefined) r._4 else last)
+          }
+          state.update(last.map((true, _)).getOrElse((false, 0.0)))
+          out.iterator
+      }
+  }
+
   def queries = Map(
     // ---- batch twins (oracle-checked) ----
     "win_tumbling_batch" -> { (spark, dir) =>
@@ -362,6 +390,29 @@ object Streaming extends QueryGroup {
         .orderBy("step")
     },
 
+    "stream_fill_forward" -> { (spark, dir) =>
+      // Online LOCF — the streaming twin of win_fill_forward (same
+      // oracle): state = the last observed value per user (one boxed
+      // double). Each batch's group rows sort by (ts_us, event_id) and
+      // fold left-to-right; every event emits its filled value. Exact
+      // under per-user time-ordered batch admission — the AvailableNow
+      // replay and time-sharded batches satisfy it; a watermark alone
+      // would NOT (a late event would both need earlier state and
+      // revise already-emitted later fills — same precondition as
+      // funnelStages, see its scaladoc).
+      import spark.implicits._
+      val typed = eventStream(spark, dir)
+        .withColumn("v_gap",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("v_gap"))
+        .as[(Long, Long, Long, Option[Double])]
+      runToMemory(spark,
+        fillForward(typed)
+          .toDF("user_id", "ts_us", "event_id", "v_gap", "v_filled"),
+        OutputMode.Append())
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "stream_cdc_latest" -> { (spark, dir) =>
       // Streaming CDC compaction — the online twin of cdc_latest (same
       // oracle): flatMapGroupsWithState keeps ONE winner per
@@ -514,6 +565,9 @@ object Streaming extends QueryGroup {
 
     // the online compaction converges to the batch compaction — one
     // oracle serves both (same contract as stream_funnel/events_funnel)
-    "stream_cdc_latest" -> DataEng.oracle("cdc_latest")
+    "stream_cdc_latest" -> DataEng.oracle("cdc_latest"),
+
+    // online LOCF converges to the batch window fill — one oracle
+    "stream_fill_forward" -> Windows.oracle("win_fill_forward")
   )
 }

@@ -238,6 +238,42 @@ class StreamingSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("stream_fill_forward LOCF state survives time-sharded multi-batch replay") {
+    // same admission contract as the funnel: time-range shards, one
+    // file per trigger — the carried value must flow across batches
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("v_gap",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("v_gap"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.33, 0.66), 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ffshard").toString
+    Seq(
+      ev.filter(col("ts_us") <= cuts(0)),
+      ev.filter(col("ts_us") > cuts(0) && col("ts_us") <= cuts(1)),
+      ev.filter(col("ts_us") > cuts(1))
+    ).zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/shard_$i")
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/shard_*")
+      .as[(Long, Long, Long, Option[Double])]
+    val qs = operators.Streaming.fillForward(stream)
+      .toDF("user_id", "ts_us", "event_id", "v_gap", "v_filled")
+      .writeStream.format("memory").queryName("ff_shard_sink")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    qs.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))
+    val streamed = spark.table("ff_shard_sink").collect().map(key).toSet
+    val batch = q("win_fill_forward").collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_sliding: every event lands in exactly two covering windows") {
     val out = q("stream_sliding")
     val covered = out.agg(sum("n")).head().getLong(0)
