@@ -166,6 +166,30 @@ object LlmVectors extends QueryGroup {
         .orderBy("i", "j")
     },
 
+    "vec_norm_stats" -> { (spark, dir) =>
+      // Feature-normalization FIT step (the StandardScaler statistics
+      // every embedding pipeline computes before whitening/quantizing):
+      // per-dimension n / mean / std / min / max over the whole corpus.
+      // Decimal power sums (Σx, Σx²) with the final algebra in double —
+      // the agg_stats moment policy, deterministic at any parallelism —
+      // over a posexplode keyed by dimension: 64 output rows at any
+      // corpus size, one partial+final hash agg, no window, no collect.
+      val ex = Tables.table(spark, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("vd", col("v").cast("double"))
+      val n = count(lit(1))
+      val s1 = sum(col("vd").cast(DecimalType(38, 20))).cast("double")
+      val s2 = sum((col("vd") * col("vd"))
+        .cast(DecimalType(38, 20))).cast("double")
+      ex.groupBy(col("pos").cast("long").as("pos"))
+        .agg(n.as("n"),
+          Canon.round6(s1 / n).as("mean"),
+          Canon.round6(sqrt((s2 - s1 * s1 / n) / (n - lit(1)))).as("sd"),
+          Canon.round6(min(col("vd"))).as("lo"),
+          Canon.round6(max(col("vd"))).as("hi"))
+        .orderBy("pos")
+    },
+
     "knn_centroid_dist" -> { (spark, dir) =>
       // Per-label centroid (decimal-exact mean per position), then each
       // vector's L2 distance to its own-label centroid; top-20 outliers.
@@ -483,6 +507,20 @@ object LlmVectors extends QueryGroup {
         |SELECT label, clabel AS assigned, count(*) AS n
         |FROM r WHERE rn = 1 GROUP BY label, assigned
         |ORDER BY label, assigned""".stripMargin,
+
+    "vec_norm_stats" ->
+      """WITH ex AS (SELECT CAST(i AS BIGINT) AS pos,
+        |    CAST(embedding[i + 1] AS DOUBLE) AS vd
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i))
+        |SELECT pos, count(*) AS n,
+        |  CAST(round(CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean,
+        |  CAST(round(sqrt((CAST(sum(CAST(vd * vd AS DECIMAL(38,20))) AS DOUBLE)
+        |    - CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE)
+        |      * CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE) / count(*))
+        |    / (count(*) - 1)), 6) AS DOUBLE) AS sd,
+        |  CAST(round(min(vd), 6) AS DOUBLE) AS lo,
+        |  CAST(round(max(vd), 6) AS DOUBLE) AS hi
+        |FROM ex GROUP BY pos ORDER BY pos""".stripMargin,
 
     "knn_centroid_dist" ->
       """WITH ex AS (SELECT vec_id, label, i AS pos,

@@ -96,6 +96,33 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "win_streak" -> { (spark, dir) =>
+      // Gaps-and-islands STREAK analytics: per user, the longest run of
+      // consecutive high-value events (value > 35, ~median split) in
+      // time order, with its start. Islands via the row_number
+      // difference trick — rn over all events minus rn over qualifying
+      // events is constant within a run — so the whole query is TWO
+      // windows and a groupBy sharing ONE user_id exchange, then a
+      // per-user top-1; integer arithmetic end-to-end except the raw
+      // value comparison. The canonical sessionization-without-
+      // timestamps shape (login streaks, SLA runs, hot sensors).
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val hot = Tables.events(spark, dir)
+        .withColumn("rn_all", row_number().over(byUser))
+        .filter(col("value") > 35)
+        .withColumn("rn_hot", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+        .withColumn("isl", col("rn_all") - col("rn_hot"))
+      val runs = hot.groupBy("user_id", "isl")
+        .agg(count(lit(1)).as("len"), min("ts_us").as("start_us"))
+      runs.withColumn("rk", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("len").desc, col("start_us"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("len").as("streak_len"), col("start_us"))
+        .orderBy("user_id")
+    },
+
     "win_fill_forward" -> { (spark, dir) =>
       // Forward fill (last-observation-carried-forward) — the sensor /
       // time-series gap repair every telemetry store needs: nulls are
@@ -184,6 +211,22 @@ object Windows extends QueryGroup {
       """SELECT c_custkey, c_acctbal,
         |       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "win_streak" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn_all
+        |  FROM events),
+        |h AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS rn_hot
+        |  FROM e WHERE value > 35),
+        |runs AS (SELECT user_id, rn_all - rn_hot AS isl,
+        |    count(*) AS len, min(ts_us) AS start_us
+        |  FROM h GROUP BY user_id, isl),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, start_us) AS rk FROM runs)
+        |SELECT user_id, CAST(len AS BIGINT) AS streak_len, start_us
+        |FROM top WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "win_fill_forward" ->
       """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

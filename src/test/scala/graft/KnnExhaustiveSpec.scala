@@ -65,4 +65,27 @@ class KnnExhaustiveSpec extends SparkSpec {
     assert(got == truth)
     assert(got.map(_._3).sum == vecs.length.toLong)
   }
+
+  test("vec_norm_stats == sequential per-dimension moments") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    val got = q("vec_norm_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length == dims && got.map(_._1).toSeq == (0L until dims))
+    got.foreach { case (pos, n, mean, sd, lo, hi) =>
+      val xs = vecs.map(_(pos.toInt))
+      assert(n == xs.length)
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      // query rounds to 1e-6; sequential double folding may differ by
+      // ulps from the decimal-exact path near a bin edge
+      assert(math.abs(mean - m) < 2e-6, s"mean dim $pos")
+      assert(math.abs(sd - math.sqrt(v)) < 2e-6, s"sd dim $pos")
+      assert(math.abs(lo - xs.min) < 2e-6 && math.abs(hi - xs.max) < 2e-6)
+      assert(sd > 0 && hi > lo)
+    }
+  }
 }

@@ -111,4 +111,28 @@ class WindowSpec extends SparkSpec {
     assert(cell.count() == n0)
     assert(cell.select("user_id").distinct().count() == u0)
   }
+
+  test("win_streak == per-user sequential longest-run recompute") {
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = evs.groupBy(_._1).view.mapValues { arr =>
+      val hot = arr.sortBy(e => (e._2, e._3)).map(_._4 > 35)
+      val starts = arr.sortBy(e => (e._2, e._3)).map(_._2)
+      // walk runs of consecutive true, tracking (len, start)
+      var best = (0L, Long.MaxValue); var cur = 0L; var curStart = 0L
+      hot.indices.foreach { i =>
+        if (hot(i)) {
+          if (cur == 0) curStart = starts(i)
+          cur += 1
+          if (cur > best._1) best = (cur, curStart)
+        } else cur = 0
+      }
+      best
+    }.filter(_._2._1 > 0).toMap
+    val got = q("win_streak").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
 }
