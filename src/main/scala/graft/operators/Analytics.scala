@@ -118,6 +118,50 @@ object Analytics extends QueryGroup {
       spark.sql(LateralSql)
     },
 
+    "events_concurrency" -> { (spark, dir) =>
+      // Peak CONCURRENT sessions per day — the sweep-line analytic
+      // (capacity planning, license counting, fleet load): sessionize
+      // (30-min gap islands), emit +1/−1 boundary deltas, prefix-sum in
+      // time order. The prefix sum is DISTRIBUTED two-phase, the same
+      // trick pack_chunks uses per language: a within-day running sum
+      // (windows partitioned by day — parallel) plus per-day carry-in
+      // offsets (one window over the aggregated |days| rows — bounded
+      // at any corpus size). Half-open [start, last+gap) semantics ⇒
+      // at equal timestamps −1 sorts before +1 (delta asc), so a
+      // session ending exactly when another starts never double-counts.
+      val GapUs = 30L * 60 * 1000 * 1000
+      val DayUs = 86400000000L
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("brk",
+          when(lag("ts_us", 1).over(byUser).isNull
+            || col("ts_us") - lag("ts_us", 1).over(byUser) >= GapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("brk").over(run))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("s_us"),
+          (max("ts_us") + GapUs).as("e_us"))
+      val deltas = sess.select(col("s_us").as("ts"), lit(1).as("delta"))
+        .unionByName(sess.select(col("e_us").as("ts"), lit(-1).as("delta")))
+        .withColumn("day", expr(s"ts div $DayUs"))
+      val inDay = Window.partitionBy("day").orderBy(col("ts"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withRun = deltas.withColumn("run", sum("delta").over(inDay))
+      val offs = deltas.groupBy("day").agg(sum("delta").as("tot"))
+        .withColumn("off", coalesce(sum("tot").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("day", "off")
+      withRun.join(offs, "day")
+        .withColumn("conc", col("off") + col("run"))
+        .groupBy("day")
+        .agg(max("conc").as("peak"))
+        .orderBy("day")
+    },
+
     "events_funnel" -> { (spark, dir) =>
       // Ordered-funnel conversion: view → click-after-view →
       // purchase-after-click, strictly increasing timestamps per user —
@@ -278,6 +322,29 @@ object Analytics extends QueryGroup {
   )
 
   def oracle = Map(
+    "events_concurrency" ->
+      // global-window spelling of the same sweep (fixture scale); the
+      // engine side computes the identical prefix sum two-phase
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b),
+        |sess AS (SELECT user_id, min(ts_us) AS s_us,
+        |    max(ts_us) + 1800000000 AS e_us
+        |  FROM s GROUP BY user_id, sid),
+        |d AS (SELECT s_us AS ts, 1 AS delta FROM sess
+        |      UNION ALL SELECT e_us, -1 FROM sess),
+        |c AS (SELECT ts // 86400000000 AS day,
+        |  CAST(sum(delta) OVER (ORDER BY ts, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |  FROM d)
+        |SELECT day, max(conc) AS peak FROM c GROUP BY day ORDER BY day""".stripMargin,
+
     "sql_recursive" ->
       ("WITH RECURSIVE\nevents_c AS (SELECT user_id, event_id, "
         + "epoch_us(ts) AS ts_us, event_type FROM events),\n"

@@ -166,6 +166,29 @@ object LlmVectors extends QueryGroup {
         .orderBy("i", "j")
     },
 
+    "multimodal_stats" -> { (spark, dir) =>
+      // The multimodal query that needs NO decode and therefore has a
+      // full oracle: per-media-type payload inventory (count, byte
+      // totals, size range) over the opaque binary column + typed
+      // metadata — the storage-planning / shard-sizing query every
+      // multimodal corpus runs before any GPU touches a byte. Byte
+      // lengths are metadata (octet_length), so unlike the decode stubs
+      // this is exact: one partial+final agg on ≤ 3 media types.
+      Tables.table(spark, dir, "documents")
+        .select(
+          when(col("lang").isin("en", "de"), "image")
+            .when(col("lang") === "zh", "audio")
+            .otherwise("video").as("media_type"),
+          octet_length(col("text").cast("binary")).cast("long").as("bytes"))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n"),
+          sum("bytes").as("total_bytes"),
+          min("bytes").as("min_bytes"),
+          max("bytes").as("max_bytes"),
+          Canon.meanOf(col("bytes")).as("avg_bytes"))
+        .orderBy("media_type")
+    },
+
     "vec_norm_stats" -> { (spark, dir) =>
       // Feature-normalization FIT step (the StandardScaler statistics
       // every embedding pipeline computes before whitening/quantizing):
@@ -507,6 +530,20 @@ object LlmVectors extends QueryGroup {
         |SELECT label, clabel AS assigned, count(*) AS n
         |FROM r WHERE rn = 1 GROUP BY label, assigned
         |ORDER BY label, assigned""".stripMargin,
+
+    "multimodal_stats" ->
+      // strlen(text) is DuckDB's byte length — equal to Spark's
+      // octet_length over the cast binary payload
+      """WITH m AS (SELECT
+        |    CASE WHEN lang IN ('en', 'de') THEN 'image'
+        |         WHEN lang = 'zh' THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(strlen(text) AS BIGINT) AS bytes
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(bytes) AS min_bytes, max(bytes) AS max_bytes,
+        |  CAST(round(CAST(sum(CAST(bytes AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_bytes
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
 
     "vec_norm_stats" ->
       """WITH ex AS (SELECT CAST(i AS BIGINT) AS pos,

@@ -260,6 +260,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("events_concurrency == sequential sweep over collected sessions") {
+    val GapUs = 30L * 60 * 1000 * 1000
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sessionize sequentially per user, then one global sweep
+    val sessions = evs.groupBy(_._1).values.flatMap { arr =>
+      val sorted = arr.sortBy(e => (e._3, e._2)).map(_._3)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = sorted.head; var prev = sorted.head
+      sorted.tail.foreach { t =>
+        if (t - prev >= GapUs) { out += ((start, prev + GapUs)); start = t }
+        prev = t
+      }
+      out += ((start, prev + GapUs))
+      out
+    }
+    val deltas = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .toSeq.sortBy(d => (d._1, d._2))
+    var c = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (ts, d) =>
+      c += d
+      val day = ts / 86400000000L
+      if (c > peaks.getOrElse(day, Long.MinValue)) peaks(day) = c
+    }
+    assert(c == 0L, "every session must close")
+    val got = q("events_concurrency").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == peaks.toMap)
+    assert(got.values.max >= 1)
+  }
+
   test("source_zorder: both dims push into the Z-ordered scan") {
     val p = plan(q("source_zorder"))
     assert(p.contains("PushedFilters") && p.contains("l_partkey")
