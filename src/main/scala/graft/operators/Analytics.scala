@@ -162,6 +162,32 @@ object Analytics extends QueryGroup {
         .orderBy("day")
     },
 
+    "events_dau_wau" -> { (spark, dir) =>
+      // DAU / WAU / stickiness — the engagement dashboard triple. The
+      // trailing-7-day distinct is NOT a sliding count-distinct window
+      // (unsupported and unscalable); instead each (user, active-day)
+      // pair EXPLODES to the 7 target days it covers, dedupes, and
+      // counts — a 7× map-side fanout of the already-distinct pair set,
+      // two partial+final aggs, no self-join, no window. The same shape
+      // any trailing-distinct metric takes at 100 TB (the bitmap-word
+      // variant in agg_bitmap_distinct is the compressed sibling).
+      val DayUs = 86400000000L
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .withColumn("stickiness",
+          Canon.round6(col("dau").cast("double") / col("wau").cast("double")))
+        .select("day", "dau", "wau", "stickiness")
+        .orderBy("day")
+    },
+
     "events_funnel" -> { (spark, dir) =>
       // Ordered-funnel conversion: view → click-after-view →
       // purchase-after-click, strictly increasing timestamps per user —
@@ -322,6 +348,18 @@ object Analytics extends QueryGroup {
   )
 
   def oracle = Map(
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |d AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |cov AS (SELECT DISTINCT user_id, day + o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o)),
+        |w AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+        |    AS DOUBLE) AS stickiness
+        |FROM d JOIN w ON d.day = w.day ORDER BY d.day""".stripMargin,
+
     "events_concurrency" ->
       // global-window spelling of the same sweep (fixture scale); the
       // engine side computes the identical prefix sum two-phase

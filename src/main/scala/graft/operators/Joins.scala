@@ -184,6 +184,31 @@ object Joins extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "join_asof_tolerance" -> { (spark, dir) =>
+      // As-of with BOUNDED STALENESS (pandas merge_asof's `tolerance`):
+      // the matched purchase must be within 24 h of the signup, else the
+      // match is discarded — stale state is worse than no state in
+      // enrichment pipelines. Same single window pass as join_asof
+      // (one user_id exchange, zero joins); the tolerance is a post-hoc
+      // null-out of the matched timestamp, so the plan cost is identical
+      // and at scale the bound also CAPS the state any implementation
+      // must retain (the streaming analog keeps 24 h, not forever).
+      val TolUs = 86400000000L
+      val e = Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.withColumn("prev_ts",
+          last(when(col("event_type") === "purchase", col("ts_us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "signup")
+        .withColumn("prev_purchase_ts",
+          when(col("ts_us") - col("prev_ts") <= TolUs, col("prev_ts")))
+        .select("user_id", "event_id", "ts_us", "prev_purchase_ts")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "join_bucketed" -> { (spark, dir) =>
       // Co-located fact-fact join: both sides bucketed (8 buckets) and
       // sorted on the join key at write time, so the sort-merge join
@@ -334,6 +359,18 @@ object Joins extends QueryGroup {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('purchase','signup')),
+        |     s AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'signup'),
+        |     p AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.event_id, s.ts_us,
+        |  CASE WHEN s.ts_us - p.ts_us <= 86400000000 THEN p.ts_us END
+        |    AS prev_purchase_ts
+        |FROM s ASOF LEFT JOIN p
+        |  ON s.user_id = p.user_id AND s.ts_us > p.ts_us
+        |ORDER BY s.user_id, s.ts_us, s.event_id""".stripMargin,
 
     "join_asof" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

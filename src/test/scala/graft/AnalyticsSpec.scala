@@ -260,6 +260,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("events_dau_wau == brute-force trailing-7-day distinct") {
+    val DayUs = 86400000000L
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = pairs.groupBy(_._2)
+    val got = q("events_dau_wau").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == byDay.keySet)
+    got.foreach { case (day, dau, wau, stick) =>
+      assert(dau == byDay(day).length.toLong)
+      val expectWau = pairs.collect {
+        case (u, d) if d <= day && d >= day - 6 => u
+      }.distinct.length.toLong
+      assert(wau == expectWau, s"day $day")
+      assert(wau >= dau && stick > 0 && stick <= 1)
+    }
+  }
+
   test("events_concurrency == sequential sweep over collected sessions") {
     val GapUs = 30L * 60 * 1000 * 1000
     val evs = Tables.events(spark, sfDir)

@@ -79,4 +79,22 @@ class JoinSpec extends SparkSpec {
     val prices = rows.map(_.getAs[Double]("o_totalprice"))
     assert(prices.sameElements(prices.sortBy(-(_: Double))))
   }
+
+  test("join_asof_tolerance == join_asof with stale matches nulled") {
+    val TolUs = 86400000000L
+    def rows(name: String) = q(name).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }
+    val base = rows("join_asof")
+    val bounded = rows("join_asof_tolerance")
+    assert(base.length == bounded.length, "same signup rows either way")
+    base.zip(bounded).foreach { case ((u, e, ts, prev), (u2, e2, ts2, p2)) =>
+      assert((u, e, ts) == (u2, e2, ts2))
+      val expect = prev.filter(p => ts - p <= TolUs)
+      assert(p2 == expect, s"signup $e: base=$prev bounded=$p2")
+    }
+    // the bound must actually discard something on the fixtures
+    assert(bounded.count(_._4.isEmpty) > base.count(_._4.isEmpty))
+  }
 }
