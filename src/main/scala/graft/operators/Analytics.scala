@@ -162,6 +162,44 @@ object Analytics extends QueryGroup {
         .orderBy("day")
     },
 
+    "orders_rfm" -> { (spark, dir) =>
+      // RFM segmentation (recency / frequency / monetary) — the classic
+      // customer-scoring shape. The quintile assignment deliberately
+      // avoids ntile()/percent_rank over all customers (a single-
+      // partition global sort at scale): instead ONE tiny aggregate
+      // computes the four cut points per measure (exact percentile —
+      // same cross-engine-proven interpolation as agg_percentile) and
+      // broadcasts them back, so binning is a map-side CASE chain and
+      // the plan is two aggs + two broadcast joins, no global window.
+      val probes = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+      val dayOf = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))
+      val orders = Tables.table(spark, dir, "orders")
+      val perCust = orders.groupBy("o_custkey").agg(
+        max(dayOf).cast("long").as("last_day"),
+        count(lit(1)).as("f"),
+        Canon.moneySum(col("o_totalprice")).as("m"))
+      val ref = orders.agg(max(dayOf).cast("long").as("ref_day"))
+      val rfm = perCust.crossJoin(broadcast(ref))
+        .withColumn("r_days", col("ref_day") - col("last_day"))
+      val cuts = rfm.agg(
+        expr(s"percentile(r_days, $probes)").as("rc"),
+        expr(s"percentile(f, $probes)").as("fc"),
+        expr(s"percentile(m, $probes)").as("mc"))
+      def bin(v: org.apache.spark.sql.Column, cuts: String) =
+        ((1 to 4).map(i =>
+          when(v > element_at(col(cuts), i), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)).cast("long")
+      rfm.crossJoin(broadcast(cuts))
+        .withColumn("r_bin", bin(col("r_days").cast("double"), "rc"))
+        .withColumn("f_bin", bin(col("f").cast("double"), "fc"))
+        .withColumn("m_bin", bin(col("m"), "mc"))
+        .groupBy("r_bin", "f_bin", "m_bin")
+        .agg(count(lit(1)).as("n_customers"),
+          Canon.meanOf(col("m")).as("avg_m"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    },
+
     "events_dau_wau" -> { (spark, dir) =>
       // DAU / WAU / stickiness — the engagement dashboard triple. The
       // trailing-7-day distinct is NOT a sliding count-distinct window
@@ -348,6 +386,42 @@ object Analytics extends QueryGroup {
   )
 
   def oracle = Map(
+    "orders_rfm" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    o_totalprice FROM orders),
+        |pc AS (SELECT o_custkey, max(d) AS last_day, count(*) AS f,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS m
+        |  FROM o GROUP BY 1),
+        |ref AS (SELECT max(d) AS ref_day FROM o),
+        |rfm AS (SELECT o_custkey, ref_day - last_day AS r_days, f, m
+        |  FROM pc CROSS JOIN ref),
+        |cuts AS (SELECT
+        |    quantile_cont(CAST(r_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |    quantile_cont(CAST(f AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mc FROM rfm),
+        |b AS (SELECT m,
+        |    CAST(1 + (CASE WHEN CAST(r_days AS DOUBLE) > rc[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(r_days AS DOUBLE) > rc[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(r_days AS DOUBLE) > rc[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(r_days AS DOUBLE) > rc[4] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r_bin,
+        |    CAST(1 + (CASE WHEN CAST(f AS DOUBLE) > fc[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(f AS DOUBLE) > fc[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(f AS DOUBLE) > fc[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(f AS DOUBLE) > fc[4] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f_bin,
+        |    CAST(1 + (CASE WHEN m > mc[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m > mc[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m > mc[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m > mc[4] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_bin
+        |  FROM rfm CROSS JOIN cuts)
+        |SELECT r_bin, f_bin, m_bin, count(*) AS n_customers,
+        |  CAST(round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+        |    AS DOUBLE) AS avg_m
+        |FROM b GROUP BY 1, 2, 3 ORDER BY r_bin, f_bin, m_bin""".stripMargin,
+
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
