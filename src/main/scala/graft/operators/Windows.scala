@@ -71,13 +71,50 @@ object Windows extends QueryGroup {
     },
 
     "win_ntile" -> { (spark, dir) =>
-      // Global (unpartitioned) window: single-task by construction. OK at
-      // customer cardinality; the 100 TB variant computes approx quantile
-      // boundaries and joins them in (no global sort).
-      val w = Window.orderBy("c_acctbal", "c_custkey")
-      Tables.table(spark, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).cast("long").as("quartile"))
+      // Distributed EXACT ntile — no global single-task window. Phase 1:
+      // one tiny aggregate takes B-1 approx-percentile cuts of the sort
+      // column; bucket = |cuts strictly < value| is monotone in
+      // (c_acctbal, c_custkey) because equal acctbal values always land
+      // in the SAME bucket, so per-bucket local order + carry-in offsets
+      // reproduce the exact global rank (the events_concurrency
+      // two-phase pattern). The cuts only balance work — ANY cut set
+      // yields identical output, so approx_percentile's error is
+      // irrelevant to correctness. Phase 2: row_number within bucket
+      // (ONE hash exchange, ~N/B rows per task) + broadcast B-row offset
+      // table; ntile(4) is then pure integer arithmetic on (rank, N):
+      // the first N%4 quartiles get one extra row, same as the SQL spec.
+      // Tie-skew note: if one acctbal value dominated, its bucket would
+      // be big; the fix is cutting on struct(c_acctbal, c_custkey) —
+      // unnecessary at any realistic acctbal distribution.
+      val cust = Tables.table(spark, dir, "customer")
+        .select("c_custkey", "c_acctbal")
+      val B = 32
+      val qs = (1 until B).map(i => i.toDouble / B).mkString(",")
+      val cuts = cust.agg(
+        expr(s"approx_percentile(c_acctbal, array($qs), 10000)").as("cuts"))
+      val bucketed = cust.crossJoin(broadcast(cuts))
+        .withColumn("bkt", expr("size(filter(cuts, c -> c < c_acctbal))"))
+        .drop("cuts")
+      val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n", sum("cnt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bkt", "off", "n")
+      val inBkt = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
+      bucketed
+        .withColumn("rn", row_number().over(inBkt).cast("long"))
+        .join(broadcast(offs), "bkt")
+        .withColumn("r", col("off") + col("rn"))
+        .withColumn("quartile",
+          // CASE is lazy: the ELSE division by base only runs when
+          // r > rem (impossible at base = 0, where every r <= n = rem)
+          expr("""CASE WHEN r <= (n % 4) * (n div 4 + 1)
+                 |     THEN (r - 1) div (n div 4 + 1) + 1
+                 |     ELSE n % 4 + (r - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+                 |END""".stripMargin))
+        .select("c_custkey", "c_acctbal", "quartile")
         .orderBy("c_custkey")
     },
 

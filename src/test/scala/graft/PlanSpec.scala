@@ -202,4 +202,20 @@ class PlanSpec extends SparkSpec {
       "rank + partition sum must reuse the o_custkey exchange; only the " +
         "final orderBy may add a range exchange")
   }
+
+  test("win_ntile: no unpartitioned window over the raw input (r4 weak #1)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = q("win_ntile").queryExecution.sparkPlan
+    val globals = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    globals.foreach { w =>
+      assert(w.find {
+        case _: BaseAggregateExec => true; case _ => false
+      }.isDefined,
+        "an unpartitioned window may only run over the tiny B-row bucket " +
+          "aggregate (carry-in offsets), never the input table")
+    }
+    assert(sp.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
+      .nonEmpty, "the per-bucket local rank must be a partitioned window")
+  }
 }

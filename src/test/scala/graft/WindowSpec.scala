@@ -32,6 +32,16 @@ class WindowSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("win_ntile == single-window ntile row-for-row (distributed rewrite)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("c_acctbal", "c_custkey")
+    val ref = Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    val got = q("win_ntile")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
+
   test("win_lag_delta: deltas non-negative (ordered per user)") {
     assert(q("win_lag_delta")
       .filter(col("delta_us") < 0).count() == 0)
