@@ -508,11 +508,13 @@ object LlmText extends QueryGroup {
       // across sources, so no blocking column at all — the posting join
       // key is the shingle hash alone, still high-cardinality and
       // shuffle-partitioned (the inverted index needs no block to stay
-      // sub-quadratic; blocks only shrink the posting lists).
-      TextDedup.ngramJaccardPairs(
-        Tables.table(spark, dir, "documents"),
-        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
-        n = 3, threshold = 0.2)
+      // sub-quadratic; blocks only shrink the posting lists). Reads the
+      // materialized [[TextDedup.sharedNgramPairs]] index (r4 VERDICT
+      // item 2) — mined once per (process, corpus, params) and shared
+      // with the five other corpus-wide pipeline queries; the re-sort is
+      // over the tiny surviving pair set only.
+      TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
+        .orderBy("doc_a", "doc_b")
     },
 
     "dedup_edit" -> { (spark, dir) =>
@@ -529,9 +531,7 @@ object LlmText extends QueryGroup {
       // Spark counts chars — equal on ASCII, asserted corpus-wide in
       // LlmOpsSpec).
       val docs = Tables.table(spark, dir, "documents")
-      val pairs = TextDedup.ngramJaccardPairs(docs,
-        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
-        n = 3, threshold = 0.2)
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
       val pfx = docs.select(col("doc_id"),
         substring(col("text"), 1, 64).as("pfx"))
       pairs
@@ -553,10 +553,10 @@ object LlmText extends QueryGroup {
       // (hash-min label propagation — one equi-join + partial-agg min
       // per round, rounds = component diameter ≈ 2 for near-dup
       // cliques); singleton docs rejoin with their own id as canonical.
+      // Edges read from the shared materialized pair index — mined once
+      // per (process, corpus, params), not once per consumer (r4 item 2).
       val docs = Tables.table(spark, dir, "documents")
-      val pairs = TextDedup.ngramJaccardPairs(docs,
-        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
-        n = 3, threshold = 0.2)
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
       val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
       docs.select(col("doc_id"))
@@ -578,11 +578,10 @@ object LlmText extends QueryGroup {
       // mining: pairs → components → survivors → anti-join the rest out.
       // Scale shape: the rank-1 filter is one window over the component
       // exchange (WindowGroupLimit prunes map-side); nothing beyond the
-      // label-propagation rounds ever shuffles the corpus again.
+      // label-propagation rounds ever shuffles the corpus again. Edges
+      // come from the shared materialized pair index.
       val docs = Tables.table(spark, dir, "documents")
-      val pairs = TextDedup.ngramJaccardPairs(docs,
-        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
-        n = 3, threshold = 0.2)
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
       val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
       val assigned = docs.select(col("doc_id"), col("n_chars"))
@@ -608,13 +607,11 @@ object LlmText extends QueryGroup {
       // pairs → components → keep-the-longest survivors → per-language
       // report of what survives (docs, tokens) and what gets dropped
       // (docs, chars). This is the dataset-card / ablation number a
-      // training-data pipeline publishes per snapshot — and because it
-      // is one lazy plan, Catalyst shares the pair-mining subtree with
-      // nothing recomputed eagerly and the whole thing runs distributed.
+      // training-data pipeline publishes per snapshot. Pair edges come
+      // from the shared materialized index, so the only corpus pass here
+      // is the per-doc token/char map feeding the final aggregate.
       val docs = Tables.table(spark, dir, "documents")
-      val pairs = TextDedup.ngramJaccardPairs(docs,
-        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
-        n = 3, threshold = 0.2)
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
       val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
       val w = org.apache.spark.sql.expressions.Window
@@ -641,12 +638,11 @@ object LlmText extends QueryGroup {
       // each duplicate family is the hub the variants derive from
       // (complementing dedup_survivors' length heuristic with a
       // structural one). Edges = the same corpus-wide n-gram pairs as
-      // dedup_clusters; 3 fixed power-iteration rounds, d = 0.85 —
-      // [[Graph.pagerank]], join+agg per round, no driver state.
+      // dedup_clusters (read from the shared materialized pair index);
+      // 3 fixed power-iteration rounds, d = 0.85 — [[Graph.pagerank]],
+      // join+agg per round, no driver state.
       val docs = Tables.table(spark, dir, "documents")
-      val pairs = TextDedup.ngramJaccardPairs(docs,
-        idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
-        n = 3, threshold = 0.2)
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
       Graph.pagerank(pairs, "doc_a", "doc_b",
           docs.select(col("doc_id")), iters = 3, damping = 0.85)
         .select(col("id").as("doc_id"), Canon.round6(col("rank")).as("rank"))
