@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Canon
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,25 +58,80 @@ object Knn {
   def search(queries: DataFrame, index: DataFrame, k: Int,
       bits: Int = 0, probes: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val spark = queries.sparkSession
-    import spark.implicits._
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val ix = index.select(col("vec_id").as("idx_id"), col("embedding").as("ie"))
     val paired =
       if (bits <= 0)
         ix.join(broadcast(q), col("q_id") =!= col("idx_id"))
-      else {
-        val ib = ix.withColumn("bucket", lshBucket(col("ie"), bits))
-        val probeBuckets =
-          if (probes <= 0) array(col("qbucket"))
-          else array(col("qbucket") +:
-            (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)
-        val qb = q.withColumn("qbucket", lshBucket(col("qe"), bits))
-          .withColumn("bucket", explode(probeBuckets))
-          .drop("qbucket")
-        ib.join(broadcast(qb), Seq("bucket"))
-          .filter(col("q_id") =!= col("idx_id"))
-      }
+      else
+        probeJoin(q, ix.withColumn("bucket", lshBucket(col("ie"), bits)),
+          bits, probes)
+    topk(paired, k)
+  }
+
+  /** Persisted ANN index (r4 VERDICT item 3): the embeddings written
+    * ONCE as a bucket-PARTITIONED parquet layout (`bucket=<id>/` dirs —
+    * the source_partitioned machinery), so serving-time probes prune to
+    * the probed buckets via dynamic partition pruning instead of
+    * re-bucketing the whole corpus per query run. Build-on-first-use,
+    * (pid, corpus, bits)-keyed like [[TextDedup.sharedNgramPairs]];
+    * `_SUCCESS` is Spark's job-commit marker, so existence ⟺ complete.
+    * At 100 TB the layout job runs once per snapshot; every query after
+    * it reads `probes+1` of the 2^bits partitions.
+    */
+  def persistedIndex(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val out = s"/tmp/graft_annidx/p${ProcessHandle.current().pid()}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/b$bits"
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      graft.Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id").as("idx_id"), col("embedding").as("ie"))
+        .withColumn("bucket", lshBucket(col("ie"), bits))
+        .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** [[search]] over a pre-bucketed index (e.g. [[persistedIndex]]):
+    * identical output to `search(queries, index, k, bits, probes)` —
+    * same bucketing function, same exact rescore — but the index side
+    * arrives already laid out by bucket, so the scan is partition-pruned
+    * by the probe join (asserted in ScanSpec) rather than recomputed.
+    */
+  def searchBucketed(queries: DataFrame, bucketedIndex: DataFrame, k: Int,
+      bits: Int, probes: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    topk(probeJoin(q, bucketedIndex, bits, probes), k)
+  }
+
+  /** Candidate equi-join on bucket id: broadcast probe rows (query ×
+    * (probes·bits + 1) buckets) against the streamed/pruned index. The
+    * probe-side bucket is cast to the index side's bucket dtype so a
+    * partition-column attribute stays RAW in the join key — the
+    * precondition for dynamic partition pruning on a persisted layout
+    * (parquet partition inference reads `bucket=` values back as int).
+    */
+  private def probeJoin(q: DataFrame, ib: DataFrame,
+      bits: Int, probes: Int): DataFrame = {
+    val bucketType = ib.schema("bucket").dataType
+    val probeBuckets =
+      if (probes <= 0) array(col("qbucket"))
+      else array(col("qbucket") +:
+        (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)
+    val qb = q.withColumn("qbucket", lshBucket(col("qe"), bits))
+      .withColumn("__b", explode(probeBuckets)) // explode can't nest in cast
+      .withColumn("bucket", col("__b").cast(bucketType))
+      .drop("qbucket", "__b")
+    ib.join(broadcast(qb), Seq("bucket"))
+      .filter(col("q_id") =!= col("idx_id"))
+  }
+
+  /** Exact two-phase top-k reducer shared by every candidate mode (see
+    * object doc): per-partition bounded heaps under the full output
+    * ordering, then one window pass over the pruned union.
+    */
+  private def topk(paired: DataFrame, k: Int): DataFrame = {
+    val spark = paired.sparkSession
+    import spark.implicits._
     val scored = paired
       .select(col("q_id"), col("idx_id"),
         Canon.round6(

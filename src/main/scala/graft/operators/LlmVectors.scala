@@ -135,9 +135,14 @@ object LlmVectors extends QueryGroup {
       // DuckDB can replicate — approximation ≠ nondeterminism. Candidates
       // come from the bucket equi-join (index side streamed, probe rows
       // broadcast), never a full scan per query; recall vs the exact
-      // top-k is measured in KnnRecallSpec.
+      // top-k is measured in KnnRecallSpec. The index side is the
+      // PERSISTED bucket-partitioned layout ([[Knn.persistedIndex]],
+      // r4 VERDICT item 3) — laid down once per (process, corpus),
+      // probed via dynamic partition pruning, identical output to
+      // bucketing inline (same LSH function, same exact rescore).
       val emb = Tables.table(spark, dir, "embeddings")
-      Knn.search(emb.filter(col("vec_id") % 50 === 0), emb,
+      Knn.searchBucketed(emb.filter(col("vec_id") % 50 === 0),
+          Knn.persistedIndex(spark, dir, bits = 6),
           k = 3, bits = 6, probes = 1)
         .orderBy("q_id", "rank")
     },
