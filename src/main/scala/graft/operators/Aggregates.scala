@@ -376,6 +376,32 @@ object Aggregates extends QueryGroup {
         .agg(
           expr("percentile_approx(value, 0.5)").as("p50"),
           expr("percentile_approx(value, 0.95)").as("p95"))
+    },
+
+    "agg_topk_exact" -> { (spark, dir) =>
+      // EXACT corpus heavy hitters — the oracle-checked twin of
+      // agg_topk_approx (same pairing policy as agg_approx_distinct /
+      // agg_hll_merge): top-20 tokens by raw term count, ties to the
+      // smaller token. Partial+final hash agg over the vocabulary, then
+      // TakeOrderedAndProject — never a global sort. At 100 TB the
+      // vocabulary-sized shuffle is exactly what the sketch twin avoids.
+      Tables.table(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    },
+
+    "agg_topk_approx" -> { (spark, dir) =>
+      // Misra-Gries frequent-items sketch (r4 VERDICT item 4): top-20
+      // tokens by merged m=64-counter summaries — one corpus pass,
+      // ≤ partitions·64 rows shuffled instead of the vocabulary. No
+      // cross-engine oracle exists (summary content depends on the
+      // engine's partition layout), so rows-only here — AggregateSpec
+      // proves the underestimate / error-bound / heavy-hitter-coverage
+      // laws against the exact counts, the same pattern as agg_hll_merge.
+      Sketches.misraGriesTokens(
+          Tables.table(spark, dir, "documents"), "text", m = 64)
+        .orderBy(col("est").desc, col("token")).limit(20)
     }
   )
 
@@ -387,6 +413,12 @@ object Aggregates extends QueryGroup {
     "l_returnflag", "l_shipdate", "l_suppkey", "l_tax")
 
   def oracle = Map(
+    "agg_topk_exact" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n FROM tok
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n,

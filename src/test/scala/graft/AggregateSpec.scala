@@ -130,4 +130,34 @@ class AggregateSpec extends SparkSpec {
     }
     assert(got.size == orders.map(_._1).distinct.length)
   }
+
+  test("misra-gries: underestimate, n/(m+1) error bound, heavy-hitter coverage") {
+    import org.apache.spark.sql.functions._
+    val m = 64
+    val docs = Tables.table(spark, sfDir, "documents")
+    val sketch = operators.Sketches.misraGriesTokens(docs, "text", m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n.toDouble / (m + 1)
+    // law 1+2: every estimate is a lower bound within n/(m+1) of truth
+    sketch.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t: est $est > exact ${exact(t)}")
+      assert(exact(t) - est <= bound,
+        s"$t: error ${exact(t) - est} exceeds n/(m+1) = $bound")
+    }
+    // law 3: the sketch is a superset of the true heavy hitters
+    val heavy = exact.filter(_._2 > bound).keySet
+    assert(heavy.nonEmpty, "fixture must contain at least one heavy hitter")
+    assert(heavy.subsetOf(sketch.keySet),
+      s"missing heavy hitters: ${heavy -- sketch.keySet}")
+    // and the declared query returns the sketch's top-20 deterministically
+    val top = q("agg_topk_approx").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = sketch.toSeq.sortBy { case (t, e) => (-e, t) }.take(20)
+    assert(top.toSeq == want.toSeq)
+  }
 }
