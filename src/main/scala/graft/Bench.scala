@@ -109,8 +109,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => Json.str(k) + ":" + sec(v) }
-    val fixed = s""","unit":"sec","metric":"total","value":${sec(total)},"n_queries":${results.size},"failed":$fs,"sf":${Json.str(sfDir)}}"""
-    val budget = 1500 - fixed.length - """{"queries":{}""".length
+    // headline keys FIRST (r4 VERDICT item 7): the driver's wire tail
+    // clips the line, so metric/value/n_queries must survive any
+    // truncation — the adaptive per-query map goes last
+    val head = s"""{"metric":"total","value":${sec(total)},"n_queries":${results.size},"unit":"sec","failed":$fs,"sf":${Json.str(sfDir)}"""
+    val budget = 1500 - head.length - ""","queries":{}}""".length
     val shown = new StringBuilder
     var used = 0
     fullQs.takeWhile { e =>
@@ -121,10 +124,14 @@ object Bench {
     }
     try {
       val w = new java.io.PrintWriter("BENCH_FULL_LAST.json", "UTF-8")
-      try w.println(s"""{"queries":${fullQs.mkString("{", ",", "}")}$fixed""")
+      try w.println(s"""$head,"queries":${fullQs.mkString("{", ",", "}")}}""")
       finally w.close()
-    } catch { case _: Throwable => () }
-    println(s"""{"queries":{$shown}$fixed""")
+    } catch {
+      case t: Throwable =>
+        // a silent failure would leave a STALE committed record (r4 ADVICE)
+        System.err.println(s"[bench] WARN: BENCH_FULL_LAST.json not written: $t")
+    }
+    println(s"""$head,"queries":{$shown}}""")
     spark.stop()
   }
 }

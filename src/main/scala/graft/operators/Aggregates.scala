@@ -269,6 +269,9 @@ object Aggregates extends QueryGroup {
       // words (word = id div 63, bit = id mod 63; 63 not 64 because a
       // `1<<63` shift overflows signed int64 in the oracle engine),
       // OR the words per (day, word_idx), then popcount+sum per day.
+      // pmod + floor-div keep the encoding total for NEGATIVE ids too
+      // (plain `%`/`div` would yield negative bit indices, and shift-
+      // count masking silently corrupts words — r4 ADVICE).
       // vs count(DISTINCT): the shuffle carries one int64 per occupied
       // word per day instead of every distinct id, partial aggregation
       // (bit_or is assoc/comm) combines map-side, and day-level rollups
@@ -278,8 +281,9 @@ object Aggregates extends QueryGroup {
       // bitmap plan computes true exact cardinality.
       Tables.events(spark, dir)
         .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
-        .groupBy(col("day"), expr("user_id div 63").as("w"))
-        .agg(expr("bit_or(shiftleft(1L, int(user_id % 63)))").as("word"))
+        .groupBy(col("day"),
+          expr("(user_id - pmod(user_id, 63)) div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, int(pmod(user_id, 63))))").as("word"))
         .groupBy("day")
         .agg(expr("sum(bit_count(word))").as("n_users"))
         .orderBy("day")

@@ -76,7 +76,11 @@ object Streaming extends QueryGroup {
   private[graft] def lateReplayStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
+    // pid-keyed like source_zorder/join_bucketed (r4 ADVICE): two JVMs
+    // running concurrently must never read each other's half-written
+    // replay, and a fixture regenerated between runs gets a fresh build
     val root = Paths.get("/tmp/graft_replay3",
+      s"p${ProcessHandle.current().pid()}",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val data = root.resolve("data")
     if (!Files.exists(root.resolve("_READY"))) {
@@ -99,8 +103,11 @@ object Streaming extends QueryGroup {
       files.zipWithIndex.foreach { case ((name, df), i) =>
         val tmp = root.resolve(s"tmp_$name")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .findFirst.get
+        // Files.list holds a directory stream — close it (fd leak, r4 ADVICE)
+        val ls = Files.list(tmp)
+        val part =
+          try ls.filter(_.toString.endsWith(".parquet")).findFirst.get
+          finally ls.close()
         Files.move(part, data.resolve(s"$name.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(data.resolve(s"$name.parquet"),
