@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * Rounds needed = graph diameter. Near-dup components are dense
   * near-cliques (similarity is nearly transitive at high thresholds), so
   * diameter is tiny (2-3) and this beats the O(log n) large-star /
-  * small-star scheme (Kiveris et al.) in practice — that variant is the
-  * documented upgrade path for adversarially-chained graphs. Lineage is
-  * truncated per round with localCheckpoint so plans don't nest.
+  * small-star scheme (Kiveris et al.) in practice. For adversarially-
+  * chained graphs (diameter ≫ rounds) the propagation loop now HANDS
+  * OFF (r4 VERDICT item 6): after `switchAfter` non-converged rounds it
+  * contracts the graph by the labels learned so far and finishes with
+  * alternating [[starComponents]] — O(log² n) rounds on any topology —
+  * so a 100 M-vertex path costs ~`switchAfter` + O(log n) shuffles, not
+  * 100 M. Lineage is truncated per round with localCheckpoint so plans
+  * don't nest.
   */
 object Graph {
 
@@ -30,7 +35,7 @@ object Graph {
     * isolated vertices back with coalesce(component, id).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, switchAfter: Int = 8): DataFrame = {
     // checkpoint the DIRECTED pairs before mirroring: the union's two
     // branches are separate plan subtrees, so checkpointing only after
     // the union runs the caller's whole pair-generation pipeline TWICE
@@ -45,7 +50,7 @@ object Graph {
       .localCheckpoint()
     var round = 0
     var converged = false
-    while (!converged && round < maxIter) {
+    while (!converged && round < math.min(switchAfter, maxIter)) {
       val nbrMin = undirected
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
@@ -59,8 +64,87 @@ object Graph {
       labels = next.select("id", "lbl")
       round += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id"), col("lbl").as("component"))
+    if (converged)
+      labels.select(col("id"), col("lbl").as("component"))
+    else {
+      // Adversarial-diameter fallback: CONTRACT by the labels learned so
+      // far (each label class is k-hop connected, so contraction is
+      // sound), finish the residual graph — whose diameter shrank by
+      // ~switchAfter — with the O(log² n) star scheme, then compose.
+      val residual = undirected
+        .join(labels.select(col("id").as("src"), col("lbl").as("ls")), "src")
+        .join(labels.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+        .select(col("ls").as("src"), col("ld").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val comp = starComponents(residual, maxIter)
+      labels
+        .join(comp.select(col("id").as("lbl"), col("component")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("lbl")).as("component"))
+    }
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", KDD'14 — public
+    * algorithm): converges in O(log² n) rounds on ANY topology, so it is
+    * the guard against graphs whose diameter defeats label propagation
+    * (long chains, adversarial skew). Each round is two map+agg+dedupe
+    * passes over the CURRENT edge set — which only ever shrinks toward
+    * the star forest — with convergence = edge-set fixpoint.
+    *
+    *  - large-star(u): every neighbor v > u links to
+    *    m(u) = min(N(u) ∪ {u}) — strictly-larger vertices hop to the
+    *    local minimum, preserving connectivity;
+    *  - small-star(u): u and its smaller neighbors all link to the
+    *    minimum among them — star edges canonicalize.
+    *
+    * At fixpoint every vertex holds an edge to its component minimum, so
+    * labels read off as least(id, min neighbor).
+    */
+  private[graft] def starComponents(edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    var e = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // LARGE-STAR over the symmetric neighbor view
+      val nbrL = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val mL = nbrL.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val afterLarge = nbrL.join(mL, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(least(col("b"), col("m")).as("u"),
+          greatest(col("b"), col("m")).as("v"))
+        .distinct().localCheckpoint()
+      // SMALL-STAR over the larger→smaller directed view
+      val nbrS = afterLarge.select(col("v").as("a"), col("u").as("b"))
+      val mS = nbrS.groupBy("a").agg(min("b").as("m"))
+      val afterSmall = nbrS.join(mS, "a")
+        .select(col("b").as("x"), col("m"))
+        .union(mS.select(col("a").as("x"), col("m"))) // u itself links to m(u)
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("u"),
+          greatest(col("x"), col("m")).as("v"))
+        .distinct().localCheckpoint()
+      // fixpoint: the canonical edge set stopped changing
+      converged = afterSmall.count() == e.count() &&
+        afterSmall.exceptAll(e).limit(1).isEmpty
+      e = afterSmall
+      round += 1
+    }
+    require(converged, s"starComponents did not converge in $maxIter rounds")
+    val symFinal = e.select(col("u").as("id"), col("v").as("lbl"))
+      .union(e.select(col("v").as("id"), col("u").as("lbl")))
+    symFinal.groupBy("id").agg(min("lbl").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("component"))
   }
 
   /** Fixed-iteration PageRank over an undirected edge set — the

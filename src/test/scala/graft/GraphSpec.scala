@@ -31,6 +31,36 @@ class GraphSpec extends SparkSpec {
     assert(cc(edges) == cc(edges.reverse))
   }
 
+  test("adversarial 10k-vertex chain converges via star-contraction fallback") {
+    // diameter 9 999 ≫ switchAfter: pure label propagation would need a
+    // round per hop (the r4 VERDICT maxIter blowup); the fallback must
+    // finish in switchAfter + O(log² n) rounds and still label every
+    // vertex with the chain minimum
+    import spark.implicits._
+    val n = 10000
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+    val got = cc(edges)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L), "whole chain is one component rooted at 1")
+  }
+
+  test("starComponents == label propagation on assorted topologies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random sparse graph + path + clique, exercised through BOTH paths
+    val cases = Seq(
+      Seq.tabulate(60)(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2),
+      (1 until 12).map(i => (i.toLong, (i + 1).toLong)),
+      (for (a <- 1 to 5; b <- 1 to 5 if a < b) yield (a.toLong, b.toLong)))
+    cases.foreach { edges =>
+      val viaStar = Graph.starComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == cc(edges), s"edges: $edges")
+    }
+  }
+
   test("pagerank matches a sequential power-iteration recompute") {
     import spark.implicits._
     // triangle 1-2-3 + pendant 4 off 3 + isolated 9
