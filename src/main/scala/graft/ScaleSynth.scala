@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize a ~Nx corpus from an existing SF dir by replica
+  * expansion, for local scale-smoke runs (r4 VERDICT item 5 — "does the
+  * Σc² / diameter / recall math hold at 10×?").
+  *
+  * Replication is NOT naive copying: identical copies would multiply
+  * every posting-list count c by N and the exact dedup family's Σc²
+  * work by N² — a skew stress test, not a scale test. Instead replica
+  * r > 0 rewrites every 4th token to the replica tag, so
+  *
+  *  - intra-replica near-dup structure is PRESERVED (both members of a
+  *    pair mutate the same positions → their Jaccard barely moves);
+  *  - cross-replica similarity drops below the 0.2 mining threshold
+  *    (only ~1/4 of shingles survive in both → J ≈ 0.14), like fresh
+  *    crawl content that shares boilerplate but not documents;
+  *  - posting lists grow ~linearly in N (each replica contributes its
+  *    own shingle occurrences; hot boilerplate shingles overlap, which
+  *    is exactly the skew a real 10× crawl brings).
+  *
+  * Embeddings: replica vectors are the source vectors rotated left by r
+  * positions — norm-preserving, deterministic, and far from the
+  * originals in cosine, so ANN bucket occupancy grows ~linearly too.
+  *
+  * Usage: runMain graft.ScaleSynth <srcSfDir> <outDir> <replicas>
+  */
+object ScaleSynth {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val reps = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val IdStride = 10000000L
+    val docs = Tables.table(spark, src, "documents")
+    (0 until reps).map { r =>
+      val mutated =
+        if (r == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        else docs.select(
+          (col("doc_id") + lit(r * IdStride)).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), " +
+            s"(t, i) -> IF(i % 4 = 0, 'x$r', t)), ' ')").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      mutated
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val emb = Tables.table(spark, src, "embeddings")
+    (0 until reps).map { r =>
+      if (r == 0) emb.select(col("vec_id"), col("embedding"), col("label"))
+      else emb.select(
+        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    println(s"[synth] wrote ${reps}x ${src} -> $out")
+    spark.stop()
+  }
+}
