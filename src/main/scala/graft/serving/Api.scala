@@ -1,0 +1,123 @@
+package graft.serving
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Json, SparkEntry, Tables}
+
+/** Minimal HTTP JSON serving tier over the query library — the analog of
+  * the reference's API service (an HTTP JSON API over Spark jobs;
+  * SURVEY.md §0.3 reconstructs endpoints for vehicle enumeration, a
+  * per-vehicle trace window, and per-vehicle summaries). The engine
+  * underneath is this repo's distributed query library: each endpoint
+  * only PARAMETERIZES a declared query (or its library form) and
+  * serializes the small result — single-vehicle slices and fixed-size
+  * reports — so the collect here is the response payload itself, never a
+  * corpus materialization. Pushdown does the serving-time work: the
+  * vehicle filter lands on the parquet scan (grouping-key predicates
+  * push through the aggregate), so a trace request reads one vehicle's
+  * row groups, not the fleet's.
+  *
+  * JDK built-in `com.sun.net.httpserver` (public JRE API since Java 6):
+  * the zero-egress build cannot resolve a web framework and does not
+  * need one to prove the serving shape. Port 0 = ephemeral (tests).
+  */
+object Api {
+
+  /** Parameterized per-vehicle trace — the library form of the fixed
+    * `events_trace` harness query: one vehicle, half-open time window.
+    */
+  def trace(spark: SparkSession, dir: String, userId: Long,
+      fromUs: Option[Long], toUs: Option[Long]): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("user_id") === userId)
+    val lo = fromUs.map(f => col("ts_us") >= f).getOrElse(lit(true))
+    val hi = toUs.map(t => col("ts_us") < t).getOrElse(lit(true))
+    base.filter(lo && hi)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+      .orderBy("ts_us", "event_id")
+  }
+
+  /** Rows as a JSON document `{"n":N,"rows":[{...},...]}`. `limit`
+    * bounds the payload (serving endpoints return slices, not corpora).
+    */
+  def toJson(df: DataFrame, limit: Int = 10000): String = {
+    val schema = df.schema
+    val rows = df.limit(limit).collect()
+    val body = rows.map { r =>
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val v =
+          if (r.isNullAt(i)) "null"
+          else f.dataType match {
+            case StringType => Json.str(r.getString(i))
+            case BooleanType => r.getBoolean(i).toString
+            case FloatType | DoubleType | _: DecimalType |
+                 ByteType | ShortType | IntegerType | LongType =>
+              r.get(i).toString
+            case _ => Json.str(String.valueOf(r.get(i)))
+          }
+        Json.str(f.name) + ":" + v
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    s"""{"n":${rows.length},"rows":$body}"""
+  }
+
+  private val VehiclePath = "^/vehicles/(-?\\d+)/(trace|summary)$".r
+
+  /** Start the API over one corpus dir; returns the running server
+    * (ephemeral port when `port` = 0 — read it off `getAddress`).
+    */
+  def start(spark: SparkSession, dir: String, port: Int = 0): HttpServer = {
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+    def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      x.getResponseHeaders.set("Content-Type", "application/json")
+      x.sendResponseHeaders(code, bytes.length)
+      val os = x.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+    def param(x: HttpExchange, name: String): Option[Long] =
+      Option(x.getRequestURI.getQuery).toSeq
+        .flatMap(_.split("&"))
+        .collectFirst {
+          case kv if kv.startsWith(name + "=") =>
+            kv.substring(name.length + 1)
+        }
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+
+    server.createContext("/", (x: HttpExchange) => {
+      try {
+        val path = x.getRequestURI.getPath
+        path match {
+          case "/vehicles" =>
+            // vehicle enumeration = the declared events_distinct_users
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_distinct_users")(spark, dir)))
+          case "/stats/heatmap" =>
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_heatmap")(spark, dir)))
+          case VehiclePath(id, "summary") =>
+            // grouping-key predicate pushes below the aggregate to the scan
+            val df = SparkEntry.queries("events_user_summary")(spark, dir)
+              .filter(col("user_id") === id.toLong)
+            respond(x, 200, toJson(df))
+          case VehiclePath(id, "trace") =>
+            respond(x, 200, toJson(
+              trace(spark, dir, id.toLong,
+                param(x, "from_us"), param(x, "to_us"))))
+          case _ =>
+            respond(x, 404, s"""{"error":"not found","path":${Json.str(path)}}""")
+        }
+      } catch {
+        case t: Throwable =>
+          respond(x, 500, s"""{"error":${Json.str(String.valueOf(t))}}""")
+      }
+    })
+    server.start()
+    server
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.functions._
+
+/** The serving tier (graft.serving.Api) over the fixture corpus: every
+  * endpoint's JSON payload is cross-checked against a direct recompute
+  * of the query it parameterizes, plus protocol behavior (404, bounded
+  * payloads, window params).
+  */
+class ServingSpec extends SparkSpec {
+
+  private lazy val server = serving.Api.start(spark, sfDir, port = 0)
+  private lazy val base = {
+    val p = server.getAddress.getPort
+    s"http://127.0.0.1:$p"
+  }
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  test("/vehicles enumerates every distinct vehicle exactly once") {
+    val (code, body) = get("/vehicles")
+    assert(code == 200)
+    val nVehicles = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(body.startsWith(s"""{"n":$nVehicles,"""), body.take(80))
+    assert("\"user_id\":1[,}]".r.findFirstIn(body).isDefined)
+  }
+
+  test("/vehicles/{id}/summary returns that vehicle's aggregate row") {
+    val (code, body) = get("/vehicles/1/summary")
+    assert(code == 200)
+    val exp = Tables.events(spark, sfDir)
+      .filter(col("user_id") === 1L)
+      .agg(count(lit(1)).as("n")).head().getLong(0)
+    assert(body.startsWith("""{"n":1,"""), body.take(80))
+    assert(body.contains(s""""n_events":$exp"""), body)
+  }
+
+  test("/vehicles/{id}/trace honors the half-open time window") {
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") === 2L)
+    val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val (code, body) = get(s"/vehicles/2/trace?from_us=$lo&to_us=$mid")
+    assert(code == 200)
+    val exp = ev.filter(col("ts_us") >= lo && col("ts_us") < mid).count()
+    assert(body.startsWith(s"""{"n":$exp,"""), body.take(80))
+    assert(!body.contains(s""""ts_us":$hi"""), "window upper bound is exclusive")
+  }
+
+  test("/stats/heatmap rows cover the weekly grid, counts conserved") {
+    val (code, body) = get("/stats/heatmap")
+    assert(code == 200)
+    val total = "\"n_events\":(\\d+)".r.findAllMatchIn(body)
+      .map(_.group(1).toLong).sum
+    assert(total == Tables.events(spark, sfDir).count(),
+      "heatmap cells must partition all events")
+  }
+
+  test("unknown routes 404 with a JSON error") {
+    val (code, body) = get("/nope")
+    assert(code == 404 && body.contains("\"error\""))
+    assert(get("/vehicles/abc/trace")._1 == 404,
+      "non-numeric vehicle id is not a route")
+  }
+}
