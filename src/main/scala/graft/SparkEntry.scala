@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Streaming,
     operators.Telemetry,
     operators.Analytics,
-    operators.DataEng
+    operators.DataEng,
+    operators.Corpus
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

@@ -847,7 +847,7 @@ object LlmText extends QueryGroup {
     * `gpairs(doc_a, doc_b, jaccard)` — the edge set for both
     * dedup_ngram_global and dedup_clusters.
     */
-  private val ngramGlobalPairsCte =
+  private[operators] val ngramGlobalPairsCte =
     """t AS (SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]

@@ -146,6 +146,40 @@ object Scans extends QueryGroup {
         .orderBy("l_returnflag")
     },
 
+    "source_csv" -> { (spark, dir) =>
+      // Typed CSV roundtrip — the value-fidelity upgrade over
+      // source_roundtrip's cardinality check: orders (BIGINT keys, DOUBLE
+      // money, TIMESTAMP dates, free strings) written to CSV and read
+      // back with an explicit schema, then emitted row-for-row. The
+      // oracle reads the ORIGINAL parquet, so a hash match proves every
+      // value survived text serialization: Java's shortest-roundtrip
+      // double formatting and ISO timestamps are lossless both ways.
+      // At scale CSV is the interchange format you ingest, not the one
+      // you store — the reader is still the distributed splittable text
+      // scan (one task per split, schema applied per-record, no driver
+      // funnel).
+      val out = s"/tmp/graft_csv/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val orders = Tables.table(spark, dir, "orders")
+      orders.write.mode("overwrite").option("header", "true").csv(out)
+      spark.read.option("header", "true").schema(orders.schema).csv(out)
+        .orderBy("o_orderkey")
+    },
+
+    "source_json" -> { (spark, dir) =>
+      // Same value-fidelity assertion through JSON-lines — the
+      // semi-structured ingest format. Schema-on-read with an explicit
+      // schema (never inference at scale: inference is a full extra pass
+      // over 100 TB); each line parses independently so the scan stays
+      // splittable and fully parallel.
+      val out = s"/tmp/graft_json/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val orders = Tables.table(spark, dir, "orders")
+      orders.write.mode("overwrite").json(out)
+      spark.read.schema(orders.schema).json(out)
+        .orderBy("o_orderkey")
+    },
+
     "source_orc" -> { (spark, dir) =>
       // Second columnar format: orders round-tripped through ORC (the
       // jars ship with Spark; same vectorized reader + pushdown + Hive
@@ -202,6 +236,18 @@ object Scans extends QueryGroup {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 1 AND 150 AND l_suppkey BETWEEN 1 AND 8
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "source_csv" ->
+      // oracle reads the ORIGINAL parquet — value equality across the
+      // text roundtrip IS the assertion
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "source_json" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "source_orc" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

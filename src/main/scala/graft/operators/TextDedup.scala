@@ -51,6 +51,35 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double,
       hashOf: Column => Column = hash56): DataFrame = {
+    val post = ngramPostings(docs, idCol, textCol, blockCols, n, hashOf)
+    post.as("x").join(post.as("y"),
+        col("x.block") === col("y.block")
+          && col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("doc_a"), col("doc_b"),
+        Canon.round6(col("i") / (col("na") + col("nb") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The inverted-index POSTINGS of [[ngramJaccardPairs]], exposed as its
+    * own artifact: one row per (doc, distinct n-gram shingle) with the
+    * doc's shingle-set size carried alongside — `(doc_id, block, nsh,
+    * h)`. This is the thing a 100 TB deployment PERSISTS (bucketed by
+    * `h`): batch-vs-corpus incremental dedup joins a new snapshot's
+    * postings against this index instead of re-mining corpus×corpus —
+    * see the `dedup_incremental` query. Shingle sets are built in one
+    * JVM pass behind the mapPartitions barrier (the `transform`-lambda
+    * SQL form re-splits the text per element access after
+    * CollapseProject — measured O(L²)/doc).
+    */
+  def ngramPostings(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int,
+      hashOf: Column => Column = hash56): DataFrame = {
     require(n >= 1, "shingle width must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -64,7 +93,7 @@ object TextDedup {
       else docs
         .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
         .withColumn("__block", to_json(struct(blockCols.map(col): _*)))
-    val post = blocked
+    blocked
       .select(col(idCol).cast("long"), col("__block"), col(textCol))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, block, text) =>
@@ -86,18 +115,6 @@ object TextDedup {
       .toDF("doc_id", "block", "nsh", "sh")
       .select(col("doc_id"), col("block"), col("nsh"),
         hashOf(col("sh")).as("h"))
-    post.as("x").join(post.as("y"),
-        col("x.block") === col("y.block")
-          && col("x.h") === col("y.h")
-          && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.nsh").as("na"), col("y.nsh").as("nb"))
-      .agg(count(lit(1)).as("i"))
-      .select(col("doc_a"), col("doc_b"),
-        Canon.round6(col("i") / (col("na") + col("nb") - col("i")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Build-on-first-use MATERIALIZED candidate-pair index (r4 VERDICT

@@ -1,0 +1,136 @@
+package graft
+
+/** JVM brute-force ground truth for the round-5 corpus-pipeline group
+  * (operators/Corpus.scala) — independent of both the Spark expressions
+  * and the DuckDB oracle.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private def sha56(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (0 until 7).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xffL))
+  }
+
+  private def r6(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+    else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+  private lazy val docs: Array[(Long, String)] =
+    Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  private def shingles(text: String): Set[String] = {
+    val t = text.split(" ", -1)
+    (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+  }
+
+  /** All-pairs n=3 Jaccard ≥ 0.2, round6 like the query — (a, b), a < b. */
+  private lazy val truthPairs: Set[(Long, Long)] = {
+    val sh = docs.map { case (id, t) => (id, shingles(t)) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (ia, xa) <- sh; (ib, xb) <- sh if ia < ib
+      i = xa.intersect(xb).size
+      if i > 0
+      j = r6(i.toDouble / (xa.size + xb.size - i))
+      if j >= 0.2
+    } yield (ia, ib)).toSet
+  }
+
+  test("graph_triangles == brute-force census of the all-pairs edge set") {
+    val e = truthPairs
+    val adj = (e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupMap(_._1)(_._2).map { case (v, ns) => (v, ns.toSet) }
+    val wedges = adj.valuesIterator
+      .map(ns => ns.size.toLong * (ns.size - 1) / 2).sum
+    val tri = e.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b).toLong
+    }.sum
+    val r = q("graph_triangles").collect().head
+    assert(r.getLong(0) == e.size.toLong, "n_edges")
+    assert(r.getLong(1) == wedges, "n_wedges")
+    assert(r.getLong(2) == tri, "n_triangles")
+    val expected =
+      if (wedges > 0) r6(3.0 * tri / wedges) else 0.0
+    assert(r.getDouble(3) == expected, "clustering")
+  }
+
+  test("dedup_incremental == brute-force batch verdicts; batch-join plan never mines corpus-corpus") {
+    val truth = docs.filter(_._1 % 10 == 0).map { case (id, _) =>
+      val partners = truthPairs.collect {
+        case (a, b) if a == id => b
+        case (a, b) if b == id => a
+      }
+      val nc = partners.count(_ % 10 != 0).toLong
+      val nb = partners.count(_ % 10 == 0).toLong
+      val verdict =
+        if (nc > 0) "dup_of_corpus"
+        else if (nb > 0) "new_dup_group" else "unique"
+      (id, nc, nb, verdict)
+    }.sortBy(_._1)
+    val got = q("dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == truth.toSeq)
+    // every vertex of every mined pair must touch the batch — the
+    // incremental property (corpus×corpus pairs never materialize)
+    assert(truth.exists(_._4 != "unique"), "fixture has batch dups")
+  }
+
+  test("bpe_pair_counts == brute-force weighted char-pair counts") {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.split(" ", -1).foreach(w =>
+      wc.update(w, wc.getOrElse(w, 0L) + 1)))
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+        }
+    }
+    val truth = pc.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    val got = q("bpe_pair_counts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == truth)
+  }
+
+  test("train_shuffle == brute-force seeded-hash order; exhaustive and deterministic") {
+    val truth = docs.map { case (id, _) => (sha56(s"shuf42:$id") % 8, sha56(s"shuf42:$id"), id) }
+      .sortBy { case (s, h, id) => (s, h, id) }
+    val gotRows = q("train_shuffle").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // shard sequence and within-shard order match; pos is 1..n per shard
+    assert(gotRows.map(_._3).toSeq == truth.map(_._3).toSeq)
+    gotRows.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq)
+    }
+    // every doc appears exactly once — a shuffle is a permutation
+    assert(gotRows.map(_._3).toSet == docs.map(_._1).toSet)
+    assert(gotRows.length == docs.length)
+  }
+
+  test("text_lm_score == brute-force pooled bigram probability") {
+    val bigrams = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      (id, w.zip(w.drop(1)).toSeq)
+    }
+    val cab = scala.collection.mutable.Map.empty[(String, String), Long]
+    bigrams.foreach(_._2.foreach(p =>
+      cab.update(p, cab.getOrElse(p, 0L) + 1)))
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => (a, m.values.sum) }
+    val v = docs.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+    val truth = bigrams.filter(_._2.nonEmpty).map { case (id, bgs) =>
+      val num = bgs.map(cab(_) + 1).sum
+      val den = bgs.map(p => ca(p._1) + v).sum
+      (id, bgs.length.toLong, r6(num.toDouble / den.toDouble))
+    }.sortBy(_._1)
+    val got = q("text_lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == truth.toSeq)
+    // self-trained LM: every score is a valid probability-ish ratio
+    got.foreach { case (_, _, s) => assert(s > 0.0 && s <= 1.0) }
+  }
+}

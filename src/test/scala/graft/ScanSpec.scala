@@ -175,4 +175,19 @@ class ScanSpec extends SparkSpec {
     assert(viaOrc.toSeq == direct.toSeq)
     assert(viaOrc.nonEmpty)
   }
+
+  test("source_csv / source_json: text roundtrips are value-lossless") {
+    // every value — BIGINT keys, shortest-repr DOUBLE money, ISO
+    // timestamps, free strings — must survive serialization bit-exactly;
+    // compares the full row set against the parquet original
+    val direct = Tables.table(spark, sfDir, "orders")
+      .orderBy("o_orderkey").collect().map(_.toSeq)
+    Seq("source_csv", "source_json").foreach { k =>
+      val back = q(k).collect().map(_.toSeq)
+      assert(back.length == direct.length, k)
+      back.zip(direct).zipWithIndex.foreach { case ((b, d), i) =>
+        assert(b == d, s"$k row $i: $b != $d")
+      }
+    }
+  }
 }
