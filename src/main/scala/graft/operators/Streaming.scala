@@ -256,6 +256,30 @@ object Streaming extends QueryGroup {
         .orderBy("bucket_us", "event_type")
     },
 
+    "stream_topk" -> { (spark, dir) =>
+      // Streaming heavy hitters: per-(hour, type) counts accumulate in
+      // keyed StateStore partitions exactly like stream_tumbling; the
+      // top-3 CUT is a batch post-step over the landed aggregate — the
+      // serving-layer read. That split is deliberate: ranks are not
+      // incrementally maintainable without re-emitting whole windows on
+      // every update, so the streaming artifact is the (associative,
+      // mergeable) count table and rank stays a cheap window over ≤
+      // |types| rows per bucket at read time.
+      val agg = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .withColumn("bucket_us", col("ts_us") - (col("ts_us") % HourUs))
+        .groupBy("bucket_us", "event_type")
+        .agg(count(lit(1)).as("n"))
+      runToMemory(spark, agg, OutputMode.Complete())
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("bucket_us")
+            .orderBy(col("n").desc, col("event_type"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("bucket_us", "rnk", "event_type", "n")
+        .orderBy("bucket_us", "rnk")
+    },
+
     "stream_sliding" -> { (spark, dir) =>
       // SLIDING window (1 h width, 30 min slide) — the overlapping-window
       // streaming aggregate the tumbling query can't express. Spark's
@@ -512,6 +536,17 @@ object Streaming extends QueryGroup {
          |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_value
          |FROM events
          |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "stream_topk" ->
+      s"""WITH c AS (SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us,
+         |    event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT bucket_us, event_type, n,
+         |    row_number() OVER (PARTITION BY bucket_us
+         |                       ORDER BY n DESC, event_type) AS rnk
+         |  FROM c)
+         |SELECT bucket_us, CAST(rnk AS BIGINT) AS rnk, event_type, n
+         |FROM r WHERE rnk <= 3 ORDER BY bucket_us, rnk""".stripMargin,
 
     "stream_sliding" ->
       // 1 h windows on a 30 min slide ⇒ every event is in exactly two

@@ -67,6 +67,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows("stream_tumbling") == rows("win_tumbling_batch"))
   }
 
+  test("stream_topk is the per-bucket top-3 cut of stream_tumbling's counts") {
+    // the heavy-hitter query and the tumbling aggregate must agree on
+    // counts (same state keying), and the cut must be exactly top-3 by
+    // (n desc, type) within every bucket
+    val counts = q("stream_tumbling").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = counts.groupBy(_._1._1).toSeq.flatMap { case (b, m) =>
+      m.toSeq.map { case ((_, t), n) => (t, n) }
+        .sortBy { case (t, n) => (-n, t) }.take(3)
+        .zipWithIndex.map { case ((t, n), i) => (b, i + 1L, t, n) }
+    }.sortBy(r => (r._1, r._2))
+    val got = q("stream_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
   test("stream_session_window sessions match batch islands") {
     val stream = q("stream_session_window").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
