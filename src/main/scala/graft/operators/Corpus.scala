@@ -57,6 +57,23 @@ object Corpus extends QueryGroup {
             .otherwise(lit(0.0))).as("clustering"))
     },
 
+    "graph_degree_dist" -> { (spark, dir) =>
+      // Degree distribution of the near-dup graph — the eighth consumer
+      // of the shared pair index, and the diagnostic read before any
+      // cluster collapse: a heavy tail here means hub documents
+      // (boilerplate) that would glue unrelated clusters together, the
+      // signal to cap or drop hot shingles BEFORE running components.
+      // Two aggregates over |E| mined pairs (degree per vertex, then
+      // vertex count per degree) — nothing touches the corpus, and the
+      // output is at most max-degree rows regardless of corpus size.
+      val e = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
+      e.select(col("doc_a").as("v"))
+        .unionAll(e.select(col("doc_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("d")
+    },
+
     "dedup_incremental" -> { (spark, dir) =>
       // Incremental dedup — the arrival-time shape of the dedup family:
       // a new snapshot (batch = doc_id % 10 == 0, a stand-in for
@@ -204,6 +221,15 @@ object Corpus extends QueryGroup {
         |    THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6) AS DOUBLE)
         |    AS clustering
         |FROM ne, w, tr""".stripMargin),
+
+    "graph_degree_dist" ->
+      ("WITH " + LlmText.ngramGlobalPairsCte + """,
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT doc_a AS v FROM gpairs
+        |   UNION ALL SELECT doc_b AS v FROM gpairs)
+        |  GROUP BY v)
+        |SELECT d, count(*) AS n_vertices FROM deg
+        |GROUP BY d ORDER BY d""".stripMargin),
 
     "dedup_incremental" ->
       // oracle mines the FULL pair set (corpus×corpus included — the

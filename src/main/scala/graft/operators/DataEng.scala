@@ -187,10 +187,53 @@ object DataEng extends QueryGroup {
           col("pack_first"),
           (col("pack_last") - col("pack_first") + 1).as("n_packs"))
         .orderBy("doc_id")
+    },
+
+    "agg_incremental" -> { (spark, dir) =>
+      // Incremental materialized-aggregate maintenance: the per-customer
+      // order rollup is kept as MERGEABLE partials (count + exact decimal
+      // sum), so refreshing with a new day's delta re-aggregates only the
+      // delta and COMBINES partials — it never rescans history. Here the
+      // "snapshot" is orders before 1997-01-01 and the "delta" is the
+      // rest; both produce the same partial shape and the merge is
+      // union → one hash agg over (already tiny) per-key partials.
+      // Derived columns (avg) come LAST, from merged partials — the rule
+      // that makes any algebraic aggregate incrementally maintainable.
+      // At 100 TB the snapshot partials are a stored artifact keyed by
+      // custkey; the daily refresh shuffles only |delta| rows + |keys|
+      // partials, and the decimal partial-sum policy (Canon) means the
+      // merged result is bit-identical to a full recompute — which is
+      // exactly what the oracle checks.
+      val orders = Tables.table(spark, dir, "orders")
+      val split = lit("1997-01-01").cast("timestamp")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_part"),
+            sum(col("o_totalprice").cast(Canon.Dec)).as("sum_part"))
+      val snapshot = partials(orders.filter(col("o_orderdate") < split))
+      val delta = partials(orders.filter(col("o_orderdate") >= split))
+      snapshot.unionAll(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n_part").as("n_orders"),
+          sum("sum_part").as("total_dec"))
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("total_dec"), 4).cast("double").as("total_price"),
+          Canon.round4(col("total_dec").cast("double") / col("n_orders"))
+            .as("avg_price"))
+        .orderBy("o_custkey")
     }
   )
 
   def oracle = Map(
+    "agg_incremental" ->
+      // full recompute — the invariant incremental maintenance must hold
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS total_price,
+        |  CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |      AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "cdc_latest" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
         |    event_id, value FROM events),

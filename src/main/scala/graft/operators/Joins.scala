@@ -280,10 +280,47 @@ object Joins extends QueryGroup {
         .agg(Canon.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "join_nullsafe" -> { (spark, dir) =>
+      // Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): the "unknown
+      // matches unknown" semantics every entity-resolution join needs —
+      // here nation 10 is masked to NULL on both sides (a stand-in for
+      // unparsed/unknown region codes), and the null-safe key makes the
+      // two unknown buckets join each other instead of silently dropping.
+      // Catalyst keeps EqualNullSafe a first-class equi-join key, so this
+      // stays a broadcast/shuffle HASH join — no fallback to a cartesian
+      // with a residual. 100 TB caveat at the declaration site: NULLs
+      // collapse to ONE hash bucket, so a high null fraction is a skew
+      // hotspot — the mitigations are the usual ones (salt the null key,
+      // or split off `IS NULL` rows into a separate cheap cross-count);
+      // at this fixture's null rate the plain plan is right.
+      val c = Tables.table(spark, dir, "customer")
+        .select(expr("nullif(c_nationkey, 10)").cast("long").as("k"),
+          col("c_custkey"))
+      val s = Tables.table(spark, dir, "supplier")
+        .select(expr("nullif(s_nationkey, 10)").cast("long").as("sk"),
+          col("s_acctbal"))
+      c.join(broadcast(s), col("k") <=> col("sk"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          Canon.moneySum(col("s_acctbal")).as("bal_sum"))
+        .orderBy(col("k").asc_nulls_first)
     }
   )
 
   def oracle = Map(
+    "join_nullsafe" ->
+      """WITH c AS (SELECT CAST(nullif(c_nationkey, 10) AS BIGINT) AS k,
+        |            c_custkey FROM customer),
+        |     s AS (SELECT CAST(nullif(s_nationkey, 10) AS BIGINT) AS sk,
+        |            s_acctbal FROM supplier)
+        |SELECT k, count(*) AS n_pairs,
+        |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS bal_sum
+        |FROM c JOIN s ON k IS NOT DISTINCT FROM sk
+        |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
+
     "join_salted" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue

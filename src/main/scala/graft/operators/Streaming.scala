@@ -280,6 +280,28 @@ object Streaming extends QueryGroup {
         .orderBy("bucket_us", "rnk")
     },
 
+    "stream_static_join" -> { (spark, dir) =>
+      // Stream–static dimension enrichment — THE production streaming
+      // join: each micro-batch of the event stream joins the static
+      // customer dimension (user_id ↔ c_custkey) and aggregates per
+      // (hour, market segment). The static side is broadcast, so the
+      // join is stateless — no StateStore, no watermark interaction on
+      // the dim side (unlike stream_stream_join, where both sides hold
+      // state). At 100 TB this is the right split: dimension changes go
+      // through a slowly-refreshed broadcast (or a keyed state rebuild),
+      // while per-event state stays bounded by the window watermark.
+      val dim = Tables.table(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val agg = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .join(broadcast(dim), Seq("user_id"))
+        .withColumn("bucket_us", col("ts_us") - (col("ts_us") % HourUs))
+        .groupBy("bucket_us", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), Canon.meanOf(col("value")).as("avg_value"))
+      runToMemory(spark, agg, OutputMode.Complete())
+        .orderBy("bucket_us", "c_mktsegment")
+    },
+
     "stream_sliding" -> { (spark, dir) =>
       // SLIDING window (1 h width, 30 min slide) — the overlapping-window
       // streaming aggregate the tumbling query can't express. Spark's
@@ -547,6 +569,17 @@ object Streaming extends QueryGroup {
          |  FROM c)
          |SELECT bucket_us, CAST(rnk AS BIGINT) AS rnk, event_type, n
          |FROM r WHERE rnk <= 3 ORDER BY bucket_us, rnk""".stripMargin,
+
+    "stream_static_join" ->
+      // inner join drops events whose user_id exceeds the customer range
+      // (none on this referentially-total fixture, but the semantics are
+      // the join's, not an assumption)
+      s"""SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us,
+         |  c_mktsegment, count(*) AS n,
+         |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 4) AS DOUBLE) AS avg_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY bucket_us, c_mktsegment""".stripMargin,
 
     "stream_sliding" ->
       // 1 h windows on a 30 min slide ⇒ every event is in exactly two

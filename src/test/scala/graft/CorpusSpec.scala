@@ -133,4 +133,20 @@ class CorpusSpec extends SparkSpec {
     // self-trained LM: every score is a valid probability-ish ratio
     got.foreach { case (_, _, s) => assert(s > 0.0 && s <= 1.0) }
   }
+
+  test("graph_degree_dist == brute-force degree histogram of the edge set") {
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    truthPairs.foreach { case (a, b) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1)
+      deg.update(b, deg.getOrElse(b, 0L) + 1)
+    }
+    val truth = deg.values.groupBy(identity)
+      .map { case (d, vs) => (d, vs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = q("graph_degree_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == truth)
+    // histogram mass = vertex count of the pair graph
+    assert(got.map(_._2).sum == deg.size.toLong)
+  }
 }

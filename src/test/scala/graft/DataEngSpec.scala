@@ -105,4 +105,25 @@ class DataEngSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("agg_incremental: merged partials are bit-identical to a full recompute") {
+    val full = Tables.table(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Canon.moneySum(col("o_totalprice")).as("total_price"),
+        Canon.round4(sum(col("o_totalprice").cast(Canon.Dec)).cast("double")
+          / count(lit(1))).as("avg_price"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val got = q("agg_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == full.toSeq)
+    // both sides of the split must be non-empty for the test to mean
+    // anything (otherwise "incremental" degenerates to the full agg)
+    val split = lit("1997-01-01").cast("timestamp")
+    val orders = Tables.table(spark, sfDir, "orders")
+    assert(orders.filter(col("o_orderdate") < split).count() > 0)
+    assert(orders.filter(col("o_orderdate") >= split).count() > 0)
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Group C specs — semantics invariants + the physical plans that matter
   * at scale (SURVEY.md §2.C, §4).
   */
@@ -96,5 +98,32 @@ class JoinSpec extends SparkSpec {
     }
     // the bound must actually discard something on the fixtures
     assert(bounded.count(_._4.isEmpty) > base.count(_._4.isEmpty))
+  }
+
+  test("join_nullsafe: NULL bucket matches NULL, non-null rows equal the plain join") {
+    // sf0.01: sf0.001 has zero nation-10 suppliers, so only the larger
+    // fixture exercises the NULL×NULL match this query exists for
+    val dir = sfDir01
+    val rows = q("join_nullsafe", dir).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1)))
+    val nCust10 = Tables.table(spark, dir, "customer")
+      .filter(col("c_nationkey") === 10).count()
+    val nSupp10 = Tables.table(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 10).count()
+    // under <=> the two masked sides cross-match: |C10| × |S10| pairs
+    assert(rows.find(_._1.isEmpty).map(_._2).contains(nCust10 * nSupp10),
+      "null-bucket pair count")
+    assert(nCust10 * nSupp10 > 0, "fixture exercises the NULL bucket")
+    // non-null groups agree with a plain (null-dropping) equi join
+    val plain = Tables.table(spark, dir, "customer")
+      .filter(col("c_nationkey") =!= 10)
+      .join(Tables.table(spark, dir, "supplier")
+        .filter(col("s_nationkey") =!= 10),
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("c_nationkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (Some(r.getLong(0)), r.getLong(1))).toSet
+    assert(rows.filter(_._1.isDefined).toSet == plain)
   }
 }

@@ -83,6 +83,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("stream_static_join equals its batch join+agg twin") {
+    // the stream-static enrichment replayed to completion must equal the
+    // same join computed in batch — the unified-model statement for the
+    // stateless dimension join
+    val batch = Tables.events(spark, sfDir)
+      .join(Tables.table(spark, sfDir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        Seq("user_id"))
+      .withColumn("bucket_us",
+        col("ts_us") - (col("ts_us") % (3600L * 1000 * 1000)))
+      .groupBy("bucket_us", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), Canon.meanOf(col("value")).as("avg_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    val got = q("stream_static_join").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("stream_session_window sessions match batch islands") {
     val stream = q("stream_session_window").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
