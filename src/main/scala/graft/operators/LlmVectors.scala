@@ -115,6 +115,23 @@ object LlmVectors extends QueryGroup {
         .orderBy("q_id", "rank")
     },
 
+    "knn_graph" -> { (spark, dir) =>
+      // kNN-GRAPH construction — queries = the whole index: every
+      // vector's exact top-3 neighbors, the build step for graph-based
+      // ANN (NSW/NN-descent seeding), embedding-space diversity
+      // sampling, and graph dedup over [[Graph]] components. Same
+      // two-phase exact reducer as knn_search (per-partition bounded
+      // heaps → one window over ≤ P·n·k survivors); self-pairs excluded
+      // by [[Knn.search]]. The broadcast side here is the FULL vector
+      // set — fine while n·dim fits executors (it does at every test
+      // sf); the 100 TB build swaps candidate generation to the IVF
+      // bucket join (`bits > 0`, the knn_search_ivf path) or the classic
+      // NN-descent iteration, keeping this exact form as the per-bucket
+      // rescore. Output is n·k rows — linear in the corpus, never n².
+      val emb = Tables.table(spark, dir, "embeddings")
+      Knn.search(emb, emb, k = 3).orderBy("q_id", "rank")
+    },
+
     "knn_search_filtered" -> { (spark, dir) =>
       // filtered ANN — the serving-time reality of vector search
       // (tenant/category-scoped retrieval): top-k among index vectors
@@ -476,6 +493,16 @@ object LlmVectors extends QueryGroup {
          |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
          |  FROM embeddings q JOIN embeddings i
          |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_graph" ->
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
          |  FROM s)

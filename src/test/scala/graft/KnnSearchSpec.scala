@@ -53,6 +53,24 @@ class KnnSearchSpec extends SparkSpec {
     assert(got.toSeq == truth)
   }
 
+  test("knn_graph == JVM brute-force self-kNN, no self-edges, n·k rows") {
+    val data = vecs(120, 64, seed = 7)
+    val d = df(data)
+    val truth = data.flatMap { case (qid, qe) =>
+      data.filter(_._1 != qid)
+        .map { case (iid, ie) => (r6(cos(qe, ie)), iid) }
+        .sortBy { case (c, iid) => (-c, iid) }
+        .take(3)
+        .zipWithIndex
+        .map { case ((c, iid), r) => (qid, (r + 1).toLong, iid, c) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Knn.search(d, d, k = 3).orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == truth)
+    assert(got.forall { case (q, _, i, _) => q != i }, "no self-edges")
+    assert(got.length == data.length * 3, "n·k rows")
+  }
+
   test("filtered ANN: results drawn only from the filtered index") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val allowed = emb.filter(col("label") === 3)
