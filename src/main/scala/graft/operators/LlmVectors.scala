@@ -294,6 +294,54 @@ object LlmVectors extends QueryGroup {
         .orderBy("label", "assigned")
     },
 
+    "vec_kmeans" -> { (spark, dir) =>
+      // Lloyd's k-means, TWO full iterations (E + M, twice), k = 4,
+      // deterministic seeding (cl = vec_id % 4) — the IVF coarse-
+      // quantizer TRAINING step that vec_centroid_assign's single E-step
+      // and knn_centroid_dist's single M-step together gesture at. Every
+      // iteration is the same two shuffles regardless of corpus size:
+      // (1) M-step = posexplode → decimal-exact per-(cluster, pos) mean
+      // (k·64 rows out, map-side combinable), re-assembled to k arrays;
+      // (2) E-step = broadcast k centroids × streamed vectors, codegen
+      // SqDist, per-vector argmin (row_number over k rows). Nothing ever
+      // concentrates: centroids are the only driver-sized artifact and
+      // they move as a broadcast. Determinism is the vec_centroid_assign
+      // contract (decimal means; sequential float64 distance fold =
+      // DuckDB's list_sum); inertia sums d2 through DECIMAL(38,20) so
+      // member order can't perturb the float total. Output: k rows
+      // (size + inertia per cluster) — the training diagnostic.
+      val K = 4
+      val emb = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      def centroids(assign: DataFrame): DataFrame =
+        assign.select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("vd", col("v").cast("double"))
+          .groupBy("cl", "pos")
+          .agg((sum(col("vd").cast(DecimalType(38, 20))).cast("double")
+            / count(lit(1))).as("c"))
+          .groupBy(col("cl").as("ccl"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+            s => s.getField("c")).as("carr"))
+      def assignTo(cent: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d2"), col("ccl"))
+        emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("ccl"),
+            graft.functions.SqDist.sqDist(col("embedding"), col("carr"))
+              .as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"),
+            col("ccl").as("cl"), col("d2"))
+      }
+      val a0 = emb.withColumn("cl", col("vec_id") % K)
+      val a2 = assignTo(centroids(assignTo(centroids(a0))))
+      a2.groupBy("cl")
+        .agg(count(lit(1)).as("n_members"),
+          Canon.round6(sum(col("d2").cast(DecimalType(38, 20)))
+            .cast("double")).as("inertia"))
+        .orderBy("cl")
+    },
+
     "dedup_embed_lsh" -> { (spark, dir) =>
       // the 100 TB form of dedup_embed_cosine: banded sign-LSH candidate
       // generation (16 deterministic sign bits → 4 bands × 4 bits,
@@ -539,6 +587,47 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "vec_kmeans" ->
+      // two unrolled Lloyd iterations; every numeric step mirrors the
+      // Spark side exactly (decimal means, list_sum distance fold,
+      // decimal inertia sum)
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |a0 AS (SELECT vec_id, embedding, vec_id % 4 AS cl FROM e),
+        |ex1 AS (SELECT cl, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS vd
+        |  FROM a0 CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |ce1 AS (SELECT cl, pos,
+        |    CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS c
+        |  FROM ex1 GROUP BY cl, pos),
+        |ca1 AS (SELECT cl AS ccl, list(c ORDER BY pos) AS ca
+        |  FROM ce1 GROUP BY cl),
+        |d1 AS (SELECT vec_id, embedding, ccl,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - ca[i])
+        |         * (CAST(embedding[i] AS DOUBLE) - ca[i]))) AS d2
+        |  FROM e CROSS JOIN ca1),
+        |a1 AS (SELECT vec_id, embedding, ccl AS cl, d2 FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY d2, ccl) AS rn FROM d1) WHERE rn = 1),
+        |ex2 AS (SELECT cl, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS vd
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |ce2 AS (SELECT cl, pos,
+        |    CAST(sum(CAST(vd AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS c
+        |  FROM ex2 GROUP BY cl, pos),
+        |ca2 AS (SELECT cl AS ccl, list(c ORDER BY pos) AS ca
+        |  FROM ce2 GROUP BY cl),
+        |d2t AS (SELECT vec_id, ccl,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - ca[i])
+        |         * (CAST(embedding[i] AS DOUBLE) - ca[i]))) AS d2
+        |  FROM e CROSS JOIN ca2),
+        |a2 AS (SELECT vec_id, ccl AS cl, d2 FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY d2, ccl) AS rn FROM d2t) WHERE rn = 1)
+        |SELECT cl, count(*) AS n_members,
+        |  CAST(round(CAST(sum(CAST(d2 AS DECIMAL(38,20))) AS DOUBLE), 6)
+        |    AS DOUBLE) AS inertia
+        |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin,
 
     "vec_centroid_assign" ->
       // the distance is a sequential float64 fold over positions —

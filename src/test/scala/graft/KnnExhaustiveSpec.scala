@@ -66,6 +66,50 @@ class KnnExhaustiveSpec extends SparkSpec {
     assert(got.map(_._3).sum == vecs.length.toLong)
   }
 
+  test("vec_kmeans == exhaustive 2-iteration Lloyd (sizes exact, inertia ~)") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+    val dim = vecs.head._2.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def centroids(assign: Map[Long, Long]): Map[Long, Array[Double]] =
+      vecs.groupBy(v => assign(v._1)).map { case (cl, vs) =>
+        val c = new Array[Double](dim)
+        vs.foreach(v => (0 until dim).foreach(i => c(i) += v._2(i)))
+        (0 until dim).foreach(i => c(i) /= vs.length)
+        cl -> c
+      }
+    def estep(cents: Map[Long, Array[Double]])
+        : (Map[Long, Long], Map[Long, Double]) = {
+      val pairs = vecs.map { case (id, v) =>
+        val (d, cl) = cents.toSeq.map { case (cl, c) => (d2(v, c), cl) }.min
+        (id, cl, d)
+      }
+      (pairs.map(p => p._1 -> p._2).toMap, pairs.map(p => p._1 -> p._3).toMap)
+    }
+    val a0 = vecs.map(v => v._1 -> v._1 % 4).toMap
+    val (a1, _) = estep(centroids(a0))
+    val (a2, dists) = estep(centroids(a1))
+    val truthSizes = a2.groupBy(_._2).map { case (cl, m) =>
+      (cl, m.size.toLong) }
+    val truthInertia = a2.groupBy(_._2).map { case (cl, m) =>
+      (cl, m.keysIterator.map(dists).sum) }
+    val got = q("vec_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(r => (r._1, r._2)).toSeq.sorted == truthSizes.toSeq.sorted,
+      "cluster sizes")
+    got.foreach { case (cl, _, inertia) =>
+      assert(math.abs(inertia - truthInertia(cl)) < 1e-4,
+        s"inertia drift for cluster $cl")
+    }
+    assert(got.map(_._2).sum == vecs.length.toLong, "partition of the corpus")
+  }
+
   test("vec_norm_stats == sequential per-dimension moments") {
     val vecs = Tables.table(spark, sfDir, "embeddings")
       .select("embedding").collect()
