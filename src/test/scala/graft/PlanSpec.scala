@@ -218,4 +218,38 @@ class PlanSpec extends SparkSpec {
     assert(sp.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
       .nonEmpty, "the per-bucket local rank must be a partitioned window")
   }
+
+  test("join_nullsafe stays a hash join — <=> is a first-class equi key") {
+    val s = p("join_nullsafe")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      "null-safe equality must plan as a hash/merge join")
+    assert(!s.contains("BroadcastNestedLoopJoin")
+      && !s.contains("CartesianProduct"),
+      "never a nested-loop fallback")
+  }
+
+  test("knn_graph: broadcast self-join + partial top-k, no cartesian") {
+    val s = p("knn_graph")
+    assert(s.contains("BroadcastExchange"), "index side must broadcast")
+    assert(!s.contains("CartesianProduct"))
+    // same two-phase reducer as knn_search: bounded heaps emit before
+    // the single window pass ranks survivors
+    assert(s.contains("Window"), "global rank over pruned survivors")
+  }
+
+  test("vec_kmeans: both E-steps broadcast centroids, no cartesian") {
+    val s = p("vec_kmeans")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).length >= 2
+      || "BroadcastExchange".r.findAllIn(s).length >= 2,
+      "each Lloyd iteration must broadcast its k-row centroid side")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("agg_incremental: partials combine via hash agg, no re-scan join") {
+    val s = p("agg_incremental")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "partial + final aggregation")
+    assert(!s.contains("Join"),
+      "merge of partials is a union + agg, never a join back to history")
+  }
 }
