@@ -189,6 +189,52 @@ object DataEng extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "scd2_merge" -> { (spark, dir) =>
+      // Incremental SCD-2 loading — the daily-merge form of
+      // scd2_intervals: the versioned dimension already exists (built
+      // from history < T), a change batch arrives (>= T), and the merge
+      // (1) closes the open head of every TOUCHED key at the batch's
+      // first change time, (2) version-numbers batch rows from the key's
+      // stored max version, (3) appends. Equal BY CONSTRUCTION to the
+      // full rebuild — which is exactly what the shared scd2_intervals
+      // oracle checks. At 100 TB the wins over rebuild are what the plan
+      // shows: history enters only as the stored dim (never the raw
+      // log), the head-close join keys on (user, type) and moves
+      // |touched keys| rows, and version offsets come from the dim's own
+      // per-key count — so the merge cost scales with the batch, not
+      // the corpus.
+      val T = 1705708800000000L // 2024-01-20: the incremental boundary
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      def build(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("valid_from", col("ts_us"))
+        .withColumn("valid_to",
+          coalesce(lead("ts_us", 1).over(w), lit(-1L)))
+        .withColumn("version", row_number().over(w).cast("long"))
+      val hist = build(ev.filter(col("ts_us") < T))
+      val batch = ev.filter(col("ts_us") >= T)
+      val firstChange = batch.groupBy("user_id", "event_type")
+        .agg(min("ts_us").as("first_ts"))
+      val histAdj = hist
+        .join(firstChange, Seq("user_id", "event_type"), "left")
+        .withColumn("valid_to",
+          when(col("valid_to") === -1L && col("first_ts").isNotNull,
+            col("first_ts")).otherwise(col("valid_to")))
+      val offsets = hist.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("voff"))
+      val batchV = build(batch)
+        .join(offsets, Seq("user_id", "event_type"), "left")
+        .withColumn("version", col("version") + coalesce(col("voff"), lit(0L)))
+      val cols = Seq("user_id", "event_type", "valid_from", "valid_to",
+        "version", "event_id", "value")
+      histAdj.select(cols.map(col): _*)
+        .unionAll(batchV.select(cols.map(col): _*))
+        .orderBy("user_id", "event_type", "version")
+    },
+
     "agg_incremental" -> { (spark, dir) =>
       // Incremental materialized-aggregate maintenance: the per-customer
       // order rollup is kept as MERGEABLE partials (count + exact decimal
@@ -224,6 +270,21 @@ object DataEng extends QueryGroup {
     }
   )
 
+  /** Full SCD-2 rebuild over the whole log — the oracle for both the
+    * direct build (scd2_intervals) and the incremental merge
+    * (scd2_merge), whose correctness claim is precisely "merge ≡
+    * rebuild".
+    */
+  private val Scd2RebuildSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |    event_id, value FROM events)
+      |SELECT user_id, event_type, ts_us AS valid_from,
+      |  COALESCE(lead(ts_us) OVER w, -1) AS valid_to,
+      |  CAST(row_number() OVER w AS BIGINT) AS version, event_id, value
+      |FROM e WINDOW w AS (PARTITION BY user_id, event_type
+      |                    ORDER BY ts_us, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin
+
   def oracle = Map(
     "agg_incremental" ->
       // full recompute — the invariant incremental maintenance must hold
@@ -242,15 +303,10 @@ object DataEng extends QueryGroup {
         |SELECT user_id, event_type, ts_us, event_id, value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
-    "scd2_intervals" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
-        |    event_id, value FROM events)
-        |SELECT user_id, event_type, ts_us AS valid_from,
-        |  COALESCE(lead(ts_us) OVER w, -1) AS valid_to,
-        |  CAST(row_number() OVER w AS BIGINT) AS version, event_id, value
-        |FROM e WINDOW w AS (PARTITION BY user_id, event_type
-        |                    ORDER BY ts_us, event_id)
-        |ORDER BY user_id, event_type, version""".stripMargin,
+    "scd2_intervals" -> Scd2RebuildSql,
+
+    // incremental merge ≡ full rebuild — the invariant IS the oracle
+    "scd2_merge" -> Scd2RebuildSql,
 
     "scd2_lookup" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,

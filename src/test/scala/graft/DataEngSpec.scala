@@ -106,6 +106,24 @@ class DataEngSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("scd2_merge == scd2_intervals rebuild, and the merge really merges") {
+    def rows(name: String) = q(name).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows("scd2_merge").toSeq == rows("scd2_intervals").toSeq)
+    // both sides of the T-split are populated, and at least one open
+    // head was closed by the batch (else the merge path went untested)
+    val T = 1705708800000000L
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.filter(col("ts_us") < T).count() > 0, "history non-empty")
+    assert(ev.filter(col("ts_us") >= T).count() > 0, "batch non-empty")
+    val touched = ev.filter(col("ts_us") >= T)
+      .join(ev.filter(col("ts_us") < T)
+        .select("user_id", "event_type").distinct(),
+        Seq("user_id", "event_type"))
+    assert(touched.count() > 0, "batch touches existing keys")
+  }
+
   test("agg_incremental: merged partials are bit-identical to a full recompute") {
     val full = Tables.table(spark, sfDir, "orders")
       .groupBy("o_custkey")
