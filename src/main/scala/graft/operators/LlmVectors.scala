@@ -128,8 +128,15 @@ object LlmVectors extends QueryGroup {
       // bucket join (`bits > 0`, the knn_search_ivf path) or the classic
       // NN-descent iteration, keeping this exact form as the per-bucket
       // rescore. Output is n·k rows — linear in the corpus, never n².
+      // The streamed INDEX side is explicitly repartitioned: the n²
+      // scoring work rides its partition count, which is invisible to
+      // size-based planning (the allPairsCos pin — a 2000-row parquet
+      // is one file ⇒ one partition ⇒ serial scoring; measured warm
+      // 2.6 → 1.0 s at sf0.1 with the pin).
       val emb = Tables.table(spark, dir, "embeddings")
-      Knn.search(emb, emb, k = 3).orderBy("q_id", "rank")
+      val idx = emb.repartition(
+        spark.sparkContext.defaultParallelism, col("vec_id"))
+      Knn.search(emb, idx, k = 3).orderBy("q_id", "rank")
     },
 
     "knn_search_filtered" -> { (spark, dir) =>
