@@ -253,6 +253,32 @@ object Analytics extends QueryGroup {
         .orderBy("cohort_day", "week_offset")
     },
 
+    "basket_pairs" -> { (spark, dir) =>
+      // Market-basket co-occurrence mining — the counting core of
+      // association rules / "bought together": part pairs co-occurring
+      // in an order, top-20 by frequency. The pair generator is a
+      // SELF-equi-join on the basket key (one co-partitioned hash
+      // exchange; the a<b residual halves the fanout), so pair volume
+      // is Σ basket² — bounded by basket size, never corpus² — and the
+      // count agg combines map-side. Top-20 cut via
+      // TakeOrderedAndProject; the rank window runs AFTER the limit
+      // over 20 constant rows (the bpe_pair_counts pattern).
+      val li = Tables.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("part_a"), col("part_b")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("part_a"), col("part_b")))
+          .cast("long"))
+        .select("rnk", "part_a", "part_b", "n")
+        .orderBy("rnk")
+    },
+
     "agg_pivot" -> { (spark, dir) =>
       // Pivot = groupBy(status) × explicit priority domain, two measures
       // per cell. Explicit `values` keeps the plan single-pass (no
@@ -386,6 +412,14 @@ object Analytics extends QueryGroup {
   )
 
   def oracle = Map(
+    "basket_pairs" ->
+      """WITH p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |c AS (SELECT part_a, part_b, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, part_a, part_b)
+        |    AS BIGINT) AS rnk, part_a, part_b, n
+        |FROM c ORDER BY n DESC, part_a, part_b LIMIT 20""".stripMargin,
     "orders_rfm" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,

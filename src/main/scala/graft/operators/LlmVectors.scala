@@ -171,6 +171,22 @@ object LlmVectors extends QueryGroup {
         .orderBy("q_id", "rank")
     },
 
+    "knn_graph_ivf" -> { (spark, dir) =>
+      // the 100 TB form of knn_graph: graph construction over the
+      // PERSISTED IVF layout — every vector probes its own bucket plus
+      // the 6 hamming-1 neighbors, exact rescore within candidates
+      // (deterministic approximation, fully oracle-checked, recall
+      // measured in KnnRecallSpec for this bucketing). Candidate cost
+      // is Σ occupancy² per probed bucket — sub-quadratic — versus
+      // knn_graph's exact n²; at 100 TB this (or NN-descent refinement
+      // seeded by it) IS the build, with knn_graph's broadcast form
+      // surviving only as the per-bucket rescore kernel.
+      val emb = Tables.table(spark, dir, "embeddings")
+      Knn.searchBucketed(emb, Knn.persistedIndex(spark, dir, bits = 6),
+          k = 3, bits = 6, probes = 1)
+        .orderBy("q_id", "rank")
+    },
+
     "vec_gram" -> { (spark, dir) =>
       // The 64×64 Gram matrix Σ x xᵀ over a label slice — the
       // distributed half of PCA/whitening (the driver-side eigensolve
@@ -582,6 +598,26 @@ object LlmVectors extends QueryGroup {
          |qe0 AS (SELECT vec_id AS q_id, embedding AS qe,
          |    CAST(${lshBucketDuckBits("embedding", 6)} AS BIGINT) AS qb
          |  FROM embeddings WHERE vec_id % 50 = 0),
+         |probes AS (SELECT q_id, qe,
+         |    unnest(list_prepend(qb, list_transform(range(6),
+         |      i -> xor(qb, CAST(1 << i AS BIGINT))))) AS bucket
+         |  FROM qe0),
+         |s AS (SELECT q_id, idx_id,
+         |    CAST(round(${cosDuck("qe", "ie")}, 6) AS DOUBLE) AS cosine
+         |  FROM probes JOIN ie USING (bucket) WHERE q_id <> idx_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_graph_ivf" ->
+      s"""WITH ie AS (SELECT vec_id AS idx_id, embedding AS ie,
+         |    CAST(${lshBucketDuckBits("embedding", 6)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |qe0 AS (SELECT vec_id AS q_id, embedding AS qe,
+         |    CAST(${lshBucketDuckBits("embedding", 6)} AS BIGINT) AS qb
+         |  FROM embeddings),
          |probes AS (SELECT q_id, qe,
          |    unnest(list_prepend(qb, list_transform(range(6),
          |      i -> xor(qb, CAST(1 << i AS BIGINT))))) AS bucket

@@ -463,4 +463,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), "expected an equi-join on segments")
   }
+
+  test("basket_pairs == brute-force per-order pair counts, top-20") {
+    val baskets = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupMap(_._1)(_._2)
+    val pc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.valuesIterator.foreach { parts =>
+      val ps = parts.toArray
+      for (i <- ps.indices; j <- ps.indices
+           if ps(i) < ps(j))
+        pc.update((ps(i), ps(j)), pc.getOrElse((ps(i), ps(j)), 0L) + 1)
+    }
+    val truth = pc.toSeq.map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+      .zipWithIndex.map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+    val got = q("basket_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == truth)
+  }
 }

@@ -55,6 +55,33 @@ class KnnRecallSpec extends SparkSpec {
     assert(r41 > 0.25, f"bits=4+probe recall collapsed: $r41%.3f")
   }
 
+  test("knn_graph_ivf: rescore exactness and measured recall vs knn_graph") {
+    // within its candidate set the IVF graph rescore is exact: any
+    // (q, idx) edge both graphs emit must carry the identical round-6
+    // cosine, and per-query recall vs the exact top-3 is measured
+    val exactG = q("knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    val ivfG = q("knn_graph_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(ivfG.nonEmpty)
+    val exactScores = exactG.toMap
+    ivfG.foreach { case (edge, c) =>
+      exactScores.get(edge).foreach(e =>
+        assert(e == c, s"score drift at $edge"))
+    }
+    val exactSets = exactG.map(_._1).groupMap(_._1)(_._2)
+      .view.mapValues(_.toSet).toMap
+    val ivfSets = ivfG.map(_._1).groupMap(_._1)(_._2)
+      .view.mapValues(_.toSet).toMap
+    val per = exactSets.map { case (q, t) =>
+      ivfSets.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+    val r = per.sum / per.size
+    info(f"knn-graph recall (6 bits, hamming-1 probes, k=3): $r%.3f")
+    // measured on the sf0.001 fixture; floor with wide margin — the
+    // point is collapse detection, not a tuning target
+    assert(r > 0.1, f"graph recall collapsed: $r%.3f")
+  }
+
   test("dedup_embed_lsh: subset of the exact pair set, identical scores, measured recall") {
     // banding only ever DROPS pairs — every recalled pair must appear in
     // the exact dedup_embed_cosine output with the same round-6 score
