@@ -117,6 +117,30 @@ object Corpus extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "text_chunks" -> { (spark, dir) =>
+      // Overlapping sliding-window chunking — the RAG/context-window
+      // sibling of pack_chunks (which concatenates; this SPLITS):
+      // window 64 tokens, stride 48 (16-token overlap so no boundary
+      // ever cuts context on both sides). Chunk boundaries are a pure
+      // arithmetic function of the per-doc token count — one projection
+      // + explode(sequence), no shuffle at all until the output sort;
+      // rows out = Σ ceil(n_tok/stride), linear in the corpus. At
+      // 100 TB this runs embarrassingly parallel and the downstream
+      // embed/index stages key on (doc_id, chunk_id).
+      val W = 64L; val S = 48L
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("start_tok", explode(
+          sequence(lit(0L), greatest(col("n_tok") - 1, lit(0L)), lit(S))))
+        .select(col("doc_id"), (col("start_tok") / S).cast("long").as("chunk_id"),
+          col("start_tok"),
+          least(col("start_tok") + W, col("n_tok")).as("end_tok"),
+          (least(col("start_tok") + W, col("n_tok")) - col("start_tok"))
+            .as("n_tok_chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     "bpe_pair_counts" -> { (spark, dir) =>
       // The counting step of BPE tokenizer training: adjacent CHARACTER
       // pair frequencies weighted by word frequency — the statistic the
@@ -253,6 +277,17 @@ object Corpus extends QueryGroup {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN cnt USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "text_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tok,
+        |    unnest(range(0, greatest(n_tok, 1), 48)) AS start_tok FROM d)
+        |SELECT doc_id, start_tok // 48 AS chunk_id, start_tok,
+        |  least(start_tok + 64, n_tok) AS end_tok,
+        |  least(start_tok + 64, n_tok) - start_tok AS n_tok_chunk
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT w, count(*) AS wc FROM

@@ -134,6 +134,31 @@ class CorpusSpec extends SparkSpec {
     got.foreach { case (_, _, s) => assert(s > 0.0 && s <= 1.0) }
   }
 
+  test("text_chunks: chunks tile each doc with exact 16-token overlaps") {
+    val nTok = docs.map { case (id, t) => (id, t.split(" ", -1).length.toLong) }.toMap
+    val got = q("text_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // ids dense from 0; starts on the stride grid; last chunk ends at n_tok
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, cid, s, e, n) =>
+        assert(s == cid * 48, "stride grid")
+        assert(e == math.min(s + 64, nTok(id)), "window end")
+        assert(n == e - s, "length")
+      }
+      assert(sorted.last._4 == nTok(id), "coverage to the last token")
+      // consecutive chunks overlap by exactly 64 - 48 = 16 (when full)
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a._4 == a._3 + 64 =>
+          assert(a._4 - b._3 == 16, s"overlap drift at doc $id")
+        case _ => ()
+      }
+    }
+    assert(got.map(_._1).distinct.length == docs.length, "every doc chunked")
+  }
+
   test("graph_degree_dist == brute-force degree histogram of the edge set") {
     val deg = scala.collection.mutable.Map.empty[Long, Long]
     truthPairs.foreach { case (a, b) =>
