@@ -107,6 +107,47 @@ object Telemetry extends QueryGroup {
         .groupBy("user_id")
         .agg(min(col("ts_us")).as("first_seen_us"))
         .orderBy("user_id")
+    },
+
+    "events_trend" -> { (spark, dir) =>
+      // Per-vehicle signal DRIFT: least-squares slope of value over
+      // seconds-since-first-report — the fleet-health regression every
+      // telemetry backend runs (a drifting sensor shows up as |slope|).
+      // Numeric policy: the five regression sums accumulate in EXACT
+      // decimal with tight types (x ≤ ~2.6e6 s fits DECIMAL(10,0);
+      // products stay inside precision 38 with zero loss), each sum is
+      // cast to double ONCE, and the closed-form slope combines those
+      // five doubles — scalar IEEE arithmetic, identical in any engine.
+      // Shape: one (user) exchange shared by the min-ts window and the
+      // final agg; at 100 TB this is a single keyed partial+final agg
+      // after a per-key min broadcast-back — no row ever leaves its
+      // user partition twice.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val decX = org.apache.spark.sql.types.DecimalType(10, 0)
+      val decY = org.apache.spark.sql.types.DecimalType(18, 6)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("value"))
+        .withColumn("dx", col("ts_us") - min("ts_us").over(w))
+        // `div` = exact integer division on longs (the `/` Column
+        // operator would go through double)
+        .withColumn("x", expr("dx div 1000000"))
+        .select(col("user_id"), col("x").cast(decX).as("xd"),
+          col("value").cast(decY).as("yd"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+          sum(col("xd") * col("yd")).as("sxy"),
+          sum(col("xd") * col("xd")).as("sxx"))
+        .select(col("user_id"), col("n"),
+          Canon.round6(
+            when(col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") > 0,
+              (col("n") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double"))
+                / (col("n") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double")))
+              .otherwise(lit(0.0))).as("slope_per_s"))
+        .orderBy("user_id")
     }
   )
 
@@ -149,6 +190,32 @@ object Telemetry extends QueryGroup {
       """SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
         |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin
+        |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+
+    "events_trend" ->
+      // identical numeric staging: exact decimal sums → one double cast
+      // each → the closed-form slope in scalar IEEE arithmetic
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |b AS (SELECT user_id, value,
+        |    (ts_us - min(ts_us) OVER (PARTITION BY user_id)) // 1000000
+        |      AS x FROM e),
+        |s AS (SELECT user_id, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(10,0))) AS sx,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(10,0)) * CAST(value AS DECIMAL(18,6)))
+        |      AS sxy,
+        |    sum(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0)))
+        |      AS sxx
+        |  FROM b GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CAST(round(CASE WHEN n * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    THEN (n * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (n * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS DOUBLE) AS slope_per_s
+        |FROM s ORDER BY user_id""".stripMargin
   )
 }

@@ -145,4 +145,31 @@ class WindowSpec extends SparkSpec {
     assert(got == brute)
     assert(got.nonEmpty)
   }
+
+  test("events_trend == brute-force least-squares slope per vehicle") {
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = rows.groupBy(_._1).map { case (u, rs) =>
+      val minTs = rs.map(_._2).min
+      val xs = rs.map(r => ((r._2 - minTs) / 1000000L).toDouble)
+      val ys = rs.map(_._3)
+      val n = rs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(x => x * x).sum
+      val den = n * sxx - sx * sx
+      u -> (rs.length.toLong, if (den > 0) (n * sxy - sx * sy) / den else 0.0)
+    }
+    val got = q("events_trend").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == truth.size)
+    got.foreach { case (u, n, slope) =>
+      val (tn, tslope) = truth(u)
+      assert(n == tn, s"count for vehicle $u")
+      // JVM double sums differ from exact-decimal staging by float
+      // accumulation order only — tolerance, not equality
+      assert(math.abs(slope - tslope) < 1e-6, s"slope drift for $u")
+    }
+  }
 }
