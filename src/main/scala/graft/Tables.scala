@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central fixture loader for the ten parquet tables (FIXTURES.md).
   *
@@ -30,10 +31,46 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with the canonical cross-engine time column: epoch
-    * MICROseconds as long (`ts div 1000` on the Spark side ≡ DuckDB
-    * `epoch_us(ts)` — verified byte-equal, SURVEY.md §1.2).
+  /** Canonical epoch-µs derivation from whatever physical form the
+    * fixture's `ts` column carries. The driver has shipped the events
+    * table BOTH ways across rounds — parquet timestamp[ns] (read as
+    * epoch-ns LONG under `nanosAsLong`) and plain timestamp[us] (read
+    * as TIMESTAMP_NTZ) — so the engine branches on the resolved type
+    * instead of assuming one. All sessions pin UTC, making the
+    * NTZ→instant cast wall-clock-identical to DuckDB's `epoch_us(ts)`
+    * on the same naive value. Branching is schema-time (plan-time), not
+    * per-row: each branch is a plain codegen'd column expression.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+  def tsUsCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case _                => unix_micros(col("ts"))
+  }
+
+  /** Pushdown-friendly `ts ∈ [fromUs, toUs)` predicate: comparisons are
+    * against a CONSTANT of ts's own physical type (long or foldable
+    * timestamp literal), so the parquet scan keeps min/max row-group
+    * skipping — filtering on the derived `ts_us` expression instead
+    * would hide the bound from the reader at 100 TB.
+    */
+  def tsRange(df: DataFrame, fromUs: Long, toUs: Long): Column =
+    df.schema("ts").dataType match {
+      case LongType =>
+        col("ts") >= fromUs * 1000L && col("ts") < toUs * 1000L
+      case TimestampNTZType =>
+        col("ts") >= timestamp_micros(lit(fromUs)).cast(TimestampNTZType) &&
+          col("ts") < timestamp_micros(lit(toUs)).cast(TimestampNTZType)
+      case _ =>
+        col("ts") >= timestamp_micros(lit(fromUs)) &&
+          col("ts") < timestamp_micros(lit(toUs))
+    }
+
+  /** `events` with the canonical cross-engine time column: epoch
+    * MICROseconds as long (≡ DuckDB `epoch_us(ts)` — verified
+    * byte-equal, SURVEY.md §1.2), whatever the physical ts type.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.withColumn("ts_us", tsUsCol(df))
+  }
 }

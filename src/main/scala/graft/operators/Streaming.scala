@@ -46,10 +46,10 @@ object Streaming extends QueryGroup {
     Files.createDirectories(replay)
     Files.copy(Paths.get(s"$dir/events.parquet"),
       replay.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val schema = Tables.table(spark, dir, "events").schema // sets nanosAsLong
-    spark.readStream.schema(schema).parquet(replay.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val batchTwin = Tables.table(spark, dir, "events") // sets nanosAsLong
+    val raw = spark.readStream.schema(batchTwin.schema).parquet(replay.toString)
+    raw.withColumn("ts_us", Tables.tsUsCol(raw))
+      .withColumn("ts_t", timestamp_micros(Tables.tsUsCol(raw)))
   }
 
   /** Three-file replay that yields three DETERMINISTIC micro-batches
@@ -85,8 +85,8 @@ object Streaming extends QueryGroup {
     val data = root.resolve("data")
     if (!Files.exists(root.resolve("_READY"))) {
       Files.createDirectories(data)
-      val ev = Tables.table(spark, dir, "events")
-        .withColumn("us", expr("ts div 1000"))
+      val evRaw = Tables.table(spark, dir, "events")
+      val ev = evRaw.withColumn("us", Tables.tsUsCol(evRaw))
       // integer midpoint: deterministic in both engines, no percentile
       // interpolation ulp hazard
       val r = ev.agg(min("us"), max("us")).head()
@@ -115,12 +115,12 @@ object Streaming extends QueryGroup {
       }
       Files.createFile(root.resolve("_READY"))
     }
-    val schema = Tables.table(spark, dir, "events").schema // sets nanosAsLong
-    spark.readStream.schema(schema)
+    val batchTwin = Tables.table(spark, dir, "events") // sets nanosAsLong
+    val raw = spark.readStream.schema(batchTwin.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(data.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    raw.withColumn("ts_us", Tables.tsUsCol(raw))
+      .withColumn("ts_t", timestamp_micros(Tables.tsUsCol(raw)))
   }
 
   /** Run `df` (streaming) to completion into a memory sink, return the
