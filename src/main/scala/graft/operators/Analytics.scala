@@ -408,6 +408,52 @@ object Analytics extends QueryGroup {
       // plan (the scalar is a subquery-reuse literal at execution).
       Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
       spark.sql(ScalarSql)
+    },
+
+    "events_cum_uniques" -> { (spark, dir) =>
+      // Cumulative distinct users by day ("total vehicles ever seen") —
+      // the growth curve every fleet dashboard draws. The naive form is
+      // a per-day COUNT(DISTINCT) over an expanding window — quadratic
+      // re-scans. The distributed-exact form: first-seen day per user
+      // is ONE hash agg (the only pass over events); new-users-per-day
+      // is an agg OF that aggregate; the running total is a prefix sum
+      // over ≤ |days| rows — the same two-phase pattern as
+      // events_concurrency (heavy work keyed and distributed, the
+      // global window only ever sees the tiny reduced set).
+      val DayUs = 86400000000L
+      val first = Tables.events(spark, dir)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+        .groupBy("user_id").agg(min("day").as("d0"))
+      val perDay = first.groupBy(col("d0").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.withColumn("cum_users", sum("n_new").over(w))
+        .orderBy("day")
+    },
+
+    "part_skyline" -> { (spark, dir) =>
+      // Pareto frontier (skyline): parts where no other part is both
+      // cheaper-or-equal AND larger-or-equal with at least one strict —
+      // the classic multi-criteria shortlist. The oracle states it as
+      // the O(n²) NOT EXISTS; the engine's distributed form reduces
+      // first: min price per size is ONE hash agg (≤ |sizes| rows),
+      // the strictly-larger-size suffix-min is a window over that tiny
+      // aggregate, broadcast back. A part survives iff it matches its
+      // size's min price and every strictly larger size costs more —
+      // so the corpus pass is agg + broadcast-join + filter, never a
+      // self-join of the big table.
+      val part = Tables.table(spark, dir, "part")
+      val bySize = part.groupBy("p_size").agg(min("p_retailprice").as("mp"))
+      val w = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cuts = bySize.withColumn("m_strict", min("mp").over(w))
+      part.join(broadcast(cuts), "p_size")
+        .filter(col("p_retailprice") === col("mp")
+          && (col("m_strict").isNull
+            || col("m_strict") > col("p_retailprice")))
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
     }
   )
 
@@ -588,6 +634,26 @@ object Analytics extends QueryGroup {
     "sql_exists" -> ExistsSql,
 
     "sql_scalar_agg" -> ScalarSql,
-    "sql_lateral" -> LateralSql
+    "sql_lateral" -> LateralSql,
+
+    "events_cum_uniques" ->
+      """WITH f AS (SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY day)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
+    "part_skyline" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |      OR q.p_size > p.p_size))
+        |ORDER BY p_size, p_partkey""".stripMargin
   )
 }

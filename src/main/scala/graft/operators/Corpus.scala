@@ -220,6 +220,30 @@ object Corpus extends QueryGroup {
           Canon.round6(sum(col("c_ab") + 1).cast("double")
             / sum(col("c_a") + col("v")).cast("double")).as("lm_score"))
         .orderBy("doc_id")
+    },
+
+    "sample_quota" -> { (spark, dir) =>
+      // Fixed-k per-group deterministic sample — the per-domain QUOTA
+      // draw that builds fixed-budget eval slices: rank each language's
+      // docs by the engine-independent seeded hash of their id, keep
+      // the 5 smallest. Unlike sample_stratified (rate-based, output
+      // grows with the corpus), the quota form guarantees ≤ k rows per
+      // group at ANY corpus size, and the seeded-hash order makes the
+      // draw reproducible and append-stable (new docs displace rather
+      // than reshuffle). Plan: ONE (lang) window exchange; at 100 TB
+      // the per-partition top-k could further pre-cut before the
+      // exchange (the Knn partial-heap pattern) — at k=5 × |langs| the
+      // plain window is already bounded.
+      val d = Tables.table(spark, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), col("source"),
+          hash56(concat(lit("quota|"), col("doc_id").cast("string")))
+            .as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("lang", "rk", "doc_id", "source")
+        .orderBy("lang", "rk")
     }
   )
 
@@ -328,6 +352,17 @@ object Corpus extends QueryGroup {
         |  CAST(round(CAST(sum(c_ab + 1) AS DOUBLE)
         |    / CAST(sum(c_a + (SELECT v FROM v)) AS DOUBLE), 6) AS DOUBLE)
         |    AS lm_score
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_quota" ->
+      s"""WITH h AS (SELECT doc_id, lang, source,
+         |    ${h56Sql("concat('quota|', CAST(doc_id AS VARCHAR))")} AS hh
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id, source,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+         |      AS rk
+         |  FROM h)
+         |SELECT lang, rk, doc_id, source FROM r WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin
   )
 }

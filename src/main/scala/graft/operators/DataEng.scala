@@ -267,6 +267,30 @@ object DataEng extends QueryGroup {
           Canon.round4(col("total_dec").cast("double") / col("n_orders"))
             .as("avg_price"))
         .orderBy("o_custkey")
+    },
+
+    "table_checksum" -> { (spark, dir) =>
+      // Replication / anti-entropy checksum: an ORDER-INDEPENDENT
+      // per-group content fingerprint (bit_xor of a cross-engine row
+      // hash) — the primitive for verifying a copied table without
+      // sorting or moving its rows to one place. XOR is commutative and
+      // associative, so HashAggregate combines map-side partials and no
+      // file layout / partitioning / shuffle order can change the
+      // result; hash56 is the sha256-prefix hash the dedup family
+      // already proves byte-equal in both engines. Doubles are excluded
+      // from the hashed string on purpose: float→text rendering is NOT
+      // a cross-engine invariant, while longs, strings, and epoch-µs
+      // are. At 100 TB this is one scan + one tiny agg per verified
+      // partition — the Cassandra-era Merkle-tree check, flattened.
+      val o = Tables.table(spark, dir, "orders")
+      o.select(col("o_orderstatus"),
+          TextDedup.hash56(concat_ws("|",
+            col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            unix_micros(col("o_orderdate").cast("timestamp")))).as("h"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -372,6 +396,14 @@ object DataEng extends QueryGroup {
         |    AS off FROM d)
         |SELECT doc_id, lang, n_tok, off, off // 2048 AS pack_first,
         |  (off + greatest(n_tok, 1) - 1) // 2048 - off // 2048 + 1 AS n_packs
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "table_checksum" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  bit_xor(CAST(concat('0x', substring(sha256(concat_ws('|',
+        |    o_orderkey, o_custkey, o_orderpriority,
+        |    epoch_us(o_orderdate))), 1, 14)) AS BIGINT)) AS checksum
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

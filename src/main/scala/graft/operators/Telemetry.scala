@@ -26,13 +26,13 @@ object Telemetry extends QueryGroup {
   def queries = Map(
     "events_trace" -> { (spark, dir) =>
       // time-range trace fetch for a set of entities — THE reference
-      // endpoint (vin + from + to), ns→µs canonicalized
-      // predicates on the RAW ns column (not the derived ts_us) so they
-      // push into the parquet scan; bounds are equivalent since
-      // ts div 1000 >= F  ⟺  ts >= F*1000 for positive longs
-      Tables.events(spark, dir)
-        .filter(col("user_id").isin(1L, 2L, 3L)
-          && col("ts") >= FromUs * 1000 && col("ts") < ToUs * 1000)
+      // endpoint (vin + from + to), canonicalized to epoch-µs.
+      // Predicates go on the RAW ts column via Tables.tsRange (constant
+      // of ts's own physical type) so they push into the parquet scan —
+      // filtering the derived ts_us expression would not.
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("user_id").isin(1L, 2L, 3L)
+          && Tables.tsRange(ev, FromUs, ToUs))
         .select("user_id", "ts_us", "event_id", "event_type", "value")
         .orderBy("user_id", "ts_us", "event_id")
     },
@@ -43,8 +43,8 @@ object Telemetry extends QueryGroup {
       // a 2D range on the two continuous telemetry axes (time × signal
       // value). Both predicates push to the scan; at 100 TB with
       // ts-partitioned layout the time edge becomes partition pruning.
-      Tables.events(spark, dir)
-        .filter(col("ts") >= FromUs * 1000 && col("ts") < ToUs * 1000
+      val ev = Tables.events(spark, dir)
+      ev.filter(Tables.tsRange(ev, FromUs, ToUs)
           && col("value") >= 20.0 && col("value") < 60.0)
         .select("user_id", "ts_us", "event_id", "event_type", "value")
         .orderBy("user_id", "ts_us", "event_id")
@@ -148,6 +148,35 @@ object Telemetry extends QueryGroup {
                   - col("sx").cast("double") * col("sx").cast("double")))
               .otherwise(lit(0.0))).as("slope_per_s"))
         .orderBy("user_id")
+    },
+
+    "events_ohlc" -> { (spark, dir) =>
+      // Candlestick compaction: per (vehicle, hour) open/high/low/close
+      // of the signal — the canonical telemetry downsample for charting
+      // long time ranges. Open/close are picked by deterministic
+      // (ts_us, event_id) order so equal-timestamp ties cannot flip
+      // them cross-engine. Shape: both row_number windows and the final
+      // aggregate key on (user_id, hr), so ONE hash exchange feeds two
+      // in-partition sorts and a map-side-combinable agg; at 100 TB the
+      // exchange carries each row once and output is bounded by
+      // |entities| × |hours|. Values pass through min/max/pick only —
+      // no float arithmetic, so raw doubles are hash-safe.
+      val HourUs = 3600000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "hr")
+      Tables.events(spark, dir)
+        .withColumn("hr", expr(s"ts_us div $HourUs * $HourUs"))
+        .withColumn("rn_a",
+          row_number().over(w.orderBy(col("ts_us"), col("event_id"))))
+        .withColumn("rn_d",
+          row_number().over(w.orderBy(col("ts_us").desc, col("event_id").desc)))
+        .groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"))
+        .orderBy("user_id", "hr")
     }
   )
 
@@ -216,6 +245,24 @@ object Telemetry extends QueryGroup {
         |      / (n * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    ELSE 0.0 END, 6) AS DOUBLE) AS slope_per_s
-        |FROM s ORDER BY user_id""".stripMargin
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "events_ohlc" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |    FROM events),
+        |b AS (SELECT user_id,
+        |    ts_us // 3600000000 * 3600000000 AS hr, ts_us, event_id, value
+        |  FROM e),
+        |r AS (SELECT user_id, hr, value,
+        |    row_number() OVER (PARTITION BY user_id, hr
+        |      ORDER BY ts_us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, hr
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT user_id, hr, count(*) AS n,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin
   )
 }

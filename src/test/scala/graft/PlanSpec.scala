@@ -252,4 +252,45 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Join"),
       "merge of partials is a union + agg, never a join back to history")
   }
+
+  test("events_ohlc: both windows and the agg share one hash exchange") {
+    // exchanges are inserted by EnsureRequirements — assert on the
+    // formatted executed plan, not sparkPlan (which predates them)
+    val s = p("events_ohlc")
+    assert("hashpartitioning\\(".r.findAllIn(s).length == 1,
+      "rn_a window, rn_d window and the (user, hr) agg must all reuse " +
+        "a single (user_id, hr) exchange — each row crosses the wire once")
+  }
+
+  test("events_cum_uniques: prefix sum runs over the aggregate, not events") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = q("events_cum_uniques").queryExecution.sparkPlan
+    val globals = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.nonEmpty)
+    globals.foreach { w =>
+      assert(w.find {
+        case _: BaseAggregateExec => true; case _ => false
+      }.isDefined,
+        "the unpartitioned running sum may only see the ≤|days|-row " +
+          "per-day aggregate, never raw events")
+    }
+  }
+
+  test("part_skyline: reduced-set broadcast back, no self-join of part") {
+    val s = p("part_skyline")
+    assert(s.contains("BroadcastHashJoin"),
+      "suffix-min cuts join back via broadcast")
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"),
+      "the O(n²) NOT EXISTS form belongs to the oracle only")
+  }
+
+  test("table_checksum: xor fingerprint combines map-side") {
+    val s = p("table_checksum")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "bit_xor is associative/commutative — partial aggregation required")
+    assert(!s.contains("Exchange rangepartitioning, [o_orderstatus"),
+      "no sort-based path for an order-independent checksum")
+  }
 }
