@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group D (aggregations) — SURVEY.md §2.D.
@@ -406,6 +407,32 @@ object Aggregates extends QueryGroup {
       Sketches.misraGriesTokens(
           Tables.table(spark, dir, "documents"), "text", m = 64)
         .orderBy(col("est").desc, col("token")).limit(20)
+    },
+
+    "agg_weighted_median" -> { (spark, dir) =>
+      // Exact weighted median (quantity weighted by revenue) per
+      // returnflag — the value-histogram form: one hash agg collapses
+      // the table to ≤ |distinct values| rows per group with exact
+      // decimal weight sums, a per-group prefix sum walks that tiny
+      // histogram, and the median is the first value whose cumulative
+      // weight reaches half the total. Nothing global, nothing sorted
+      // at table scale — the shape every "approx weighted quantile is
+      // not enough" pipeline uses when the value domain is bounded
+      // (quantities, sizes, ratings). All comparisons are exact
+      // decimal·2 vs decimal — no float threshold ulp hazard.
+      val byVal = Tables.table(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(col("l_extendedprice").cast(Canon.Dec)).as("wsum"))
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("cum", sum("wsum").over(w))
+        .withColumn("tot",
+          sum("wsum").over(Window.partitionBy("l_returnflag")))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min("l_quantity").as("w_median"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -417,6 +444,19 @@ object Aggregates extends QueryGroup {
     "l_returnflag", "l_shipdate", "l_suppkey", "l_tax")
 
   def oracle = Map(
+    "agg_weighted_median" ->
+      """WITH bv AS (SELECT l_returnflag, l_quantity,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_quantity,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM bv)
+        |SELECT l_returnflag, min(l_quantity) AS w_median
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "agg_topk_exact" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
         |  FROM documents)

@@ -454,6 +454,84 @@ object Analytics extends QueryGroup {
             || col("m_strict") > col("p_retailprice")))
         .select("p_partkey", "p_name", "p_size", "p_retailprice")
         .orderBy("p_size", "p_partkey")
+    },
+
+    "orders_pareto" -> { (spark, dir) =>
+      // Revenue concentration by customer decile — the 80/20 dashboard
+      // stat. Same anti-ntile architecture as orders_rfm: per-customer
+      // revenue is ONE hash agg; the nine decile cuts are a tiny exact-
+      // percentile aggregate broadcast back (cross-engine interpolation
+      // parity proven at agg_percentile); binning is a map-side CASE
+      // chain; shares are exact decimal revenue sums with ONE IEEE
+      // division each at the end. No global window, no single-task
+      // sort — the shape survives any customer cardinality.
+      val probes =
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+      val perCust = Tables.table(spark, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(Canon.moneySum(col("o_totalprice")).as("m"))
+      val cuts = perCust.agg(expr(s"percentile(m, $probes)").as("mc"))
+      val tot = perCust.agg(sum(col("m").cast(Canon.Dec)).as("tot"))
+      perCust.crossJoin(broadcast(cuts))
+        .withColumn("decile",
+          ((1 to 9).map(i =>
+            when(col("m") > element_at(col("mc"), i), 1).otherwise(0))
+            .reduce(_ + _) + lit(1)).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m").cast(Canon.Dec)).as("rev_dec"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          round(col("rev_dec"), 4).cast("double").as("revenue"),
+          Canon.round6(col("rev_dec").cast("double")
+            / col("tot").cast("double")).as("share"))
+        .orderBy("decile")
+    },
+
+    "er_blocked" -> { (spark, dir) =>
+      // Record-linkage candidate generation — the entity-resolution
+      // front half: block on structured attributes, score pairs inside
+      // blocks only. Blocking on (brand, size) makes pair volume
+      // Σ block² instead of n² (at sf0.1: 160 k scored pairs of 200 M
+      // possible); the Levenshtein rescore is codegen'd and runs
+      // data-local inside the hash-join partitions. At 100 TB the same
+      // plan holds — finer blocking keys (brand × size × name-prefix)
+      // bound block growth, exactly like the dedup family's banding.
+      val p = Tables.table(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_name")
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand")
+            && col("a.p_size") === col("b.p_size")
+            && col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("part_a"),
+          col("b.p_partkey").as("part_b"),
+          levenshtein(col("a.p_name"), col("b.p_name"))
+            .cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("part_a", "part_b")
+    },
+
+    "events_attribution" -> { (spark, dir) =>
+      // Last-touch conversion attribution: each purchase is credited to
+      // the user's most recent PRIOR non-purchase event type ('direct'
+      // if none) — the marketing-analytics shape behind every channel
+      // dashboard. One (user_id) window exchange computes the carry-
+      // forward last touch (ignoreNulls over the preceding frame — no
+      // self-join of events to events), then a tiny channel aggregate.
+      // Deterministic order (ts_us, event_id) fixes same-µs ties; at
+      // 100 TB the plan is one keyed exchange + one ≤|event types| agg.
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(spark, dir)
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          Canon.moneySum(col("value")).as("revenue"))
+        .orderBy("channel")
     }
   )
 
@@ -654,6 +732,52 @@ object Analytics extends QueryGroup {
         |    AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice
         |      OR q.p_size > p.p_size))
-        |ORDER BY p_size, p_partkey""".stripMargin
+        |ORDER BY p_size, p_partkey""".stripMargin,
+
+    "orders_pareto" -> {
+      val binCases = (1 to 9).map(i =>
+        s"(CASE WHEN m > mc[$i] THEN 1 ELSE 0 END)").mkString("\n|     + ")
+      s"""WITH pc AS (SELECT o_custkey,
+         |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+         |      AS DOUBLE) AS m
+         |  FROM orders GROUP BY 1),
+         |cuts AS (SELECT quantile_cont(m,
+         |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS mc FROM pc),
+         |b AS (SELECT m, CAST(1 + $binCases AS BIGINT) AS decile
+         |  FROM pc CROSS JOIN cuts),
+         |g AS (SELECT decile, count(*) AS n_customers,
+         |    sum(CAST(m AS DECIMAL(18,6))) AS rd FROM b GROUP BY 1),
+         |t AS (SELECT sum(CAST(m AS DECIMAL(18,6))) AS tot FROM pc)
+         |SELECT decile, n_customers,
+         |  CAST(round(rd, 4) AS DOUBLE) AS revenue,
+         |  CAST(round(CAST(rd AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         |    AS DOUBLE) AS share
+         |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
+    },
+
+    "er_blocked" ->
+      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY part_a, part_b""".stripMargin,
+
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type, value FROM events),
+        |t AS (SELECT *, last_value(
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT COALESCE(touch, 'direct') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -244,6 +244,74 @@ object Corpus extends QueryGroup {
         .filter(col("rk") <= 5)
         .select("lang", "rk", "doc_id", "source")
         .orderBy("lang", "rk")
+    },
+
+    "text_cooccur" -> { (spark, dir) =>
+      // Token co-occurrence lift over the corpus — the collocation /
+      // topic-drift diagnostic. Unbounded pair mining is Σ tokens² per
+      // doc; restricting to the top-30 vocabulary (a tiny broadcast
+      // built from the same token pass) caps the per-doc fanout at
+      // C(30,2) whatever the doc length, so the self-join stays linear
+      // in corpus size. Lift = n_ab·N / (df_a·df_b) is exact integer
+      // products to ONE IEEE division (both factors < 2^53 — exact in
+      // double), then round6 — engine-reproducible without log/PMI
+      // libm hazards. Top-20 via TakeOrderedAndProject, never a global
+      // sort.
+      val docs = Tables.table(spark, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(30)
+      val vt = toks.join(broadcast(vocab), "tok")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      vt.as("a").join(vt.as("b"),
+          col("a.doc_id") === col("b.doc_id")
+            && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"),
+          max(col("a.df")).as("df_a"), max(col("b.df")).as("df_b"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"),
+          Canon.round6((col("n_ab") * col("n_docs")).cast("double")
+            / (col("df_a") * col("df_b")).cast("double")).as("lift"))
+        .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+        .limit(20)
+    },
+
+    "graph_communities" -> { (spark, dir) =>
+      // Synchronous label propagation (2 unrolled plurality rounds,
+      // deterministic (count DESC, label ASC) tie-break) over the
+      // shared near-dup graph — community detection as the topic-
+      // cluster diagnostic BEFORE hard dedup collapses components.
+      // Ninth consumer of the materialized pair index: every round is
+      // one equi-join of the |E|-row edge list against the |V|-row
+      // label table + one hash agg + one per-vertex window over ≤ deg
+      // rows — the pure dataflow LPA, no driver state, rounds are a
+      // fixed unroll so the oracle can mirror them as CTE stages.
+      // (Connected components = the transitive-closure limit lives at
+      // dedup_clusters; LPA's plurality vote splits chained components
+      // that CC would merge — the two answers are complementary.)
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+        threshold = 0.2)
+      val e = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      val v = Tables.table(spark, dir, "documents")
+        .select(col("doc_id").as("vid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("mv").orderBy(col("c").desc, col("lbl"))
+      def round(l: org.apache.spark.sql.DataFrame) = {
+        val best = e.join(l, e("d") === l("vid"))
+          .groupBy(e("s").as("mv"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("mv"), col("lbl").as("new_lbl"))
+        v.join(best, v("vid") === best("mv"), "left")
+          .select(col("vid"), coalesce(col("new_lbl"), col("vid")).as("lbl"))
+      }
+      val l2 = round(round(v.select(col("vid"), col("vid").as("lbl"))))
+      l2.select(col("vid").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
     }
   )
 
@@ -363,6 +431,48 @@ object Corpus extends QueryGroup {
          |      AS rk
          |  FROM h)
          |SELECT lang, rk, doc_id, source FROM r WHERE rk <= 5
-         |ORDER BY lang, rk""".stripMargin
+         |ORDER BY lang, rk""".stripMargin,
+
+    "text_cooccur" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1
+        |  ORDER BY df DESC, tok LIMIT 30),
+        |vt AS (SELECT doc_id, tok, df FROM tk JOIN v USING (tok)),
+        |c AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab,
+        |    max(a.df) AS df_a, max(b.df) AS df_b
+        |  FROM vt a JOIN vt b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok_a, tok_b, n_ab,
+        |  CAST(round(CAST(n_ab * n_docs AS DOUBLE)
+        |    / CAST(df_a * df_b AS DOUBLE), 6) AS DOUBLE) AS lift
+        |FROM c CROSS JOIN n
+        |ORDER BY n_ab DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+
+    "graph_communities" ->
+      ("WITH " + LlmText.ngramGlobalPairsCte + """,
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM gpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM gpairs),
+        |v AS (SELECT doc_id AS vid FROM documents),
+        |l0 AS (SELECT vid, vid AS lbl FROM v),
+        |m1 AS (SELECT e.s AS mv, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON e.d = l0.vid GROUP BY 1, 2),
+        |b1 AS (SELECT mv, lbl FROM (SELECT mv, lbl, row_number()
+        |    OVER (PARTITION BY mv ORDER BY c DESC, lbl) AS rn FROM m1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT v.vid, COALESCE(b1.lbl, v.vid) AS lbl
+        |  FROM v LEFT JOIN b1 ON v.vid = b1.mv),
+        |m2 AS (SELECT e.s AS mv, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON e.d = l1.vid GROUP BY 1, 2),
+        |b2 AS (SELECT mv, lbl FROM (SELECT mv, lbl, row_number()
+        |    OVER (PARTITION BY mv ORDER BY c DESC, lbl) AS rn FROM m2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT v.vid, COALESCE(b2.lbl, v.vid) AS lbl
+        |  FROM v LEFT JOIN b2 ON v.vid = b2.mv)
+        |SELECT vid AS doc_id, lbl AS community FROM l2
+        |ORDER BY doc_id""".stripMargin)
   )
 }

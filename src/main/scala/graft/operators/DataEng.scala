@@ -291,6 +291,36 @@ object DataEng extends QueryGroup {
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("checksum"))
         .orderBy("o_orderstatus")
+    },
+
+    "table_diff" -> { (spark, dir) =>
+      // Snapshot diff — the regression-testing primitive for pipeline
+      // changes: compare two versions of a keyed aggregate (here the
+      // per-customer order rollup before 1997-01-01 vs the full
+      // history) and classify every key added / changed / unchanged
+      // (removed is the symmetric branch). Both sides reduce FIRST
+      // (hash agg to one row per key — the diff join moves |keys|
+      // rows, never |rows|), the comparison is exact decimal equality
+      // (no float drift can misclassify), and the output is the tiny
+      // per-status census. At 100 TB: two aggs + one co-partitioned
+      // full outer join — the same wire cost as one groupBy.
+      val orders = Tables.table(spark, dir, "orders")
+      val split = lit("1997-01-01").cast("timestamp")
+      def agg(df: org.apache.spark.sql.DataFrame, nc: String, sc: String) =
+        df.groupBy("o_custkey")
+          .agg(count(lit(1)).as(nc),
+            sum(col("o_totalprice").cast(Canon.Dec)).as(sc))
+      val v1 = agg(orders.filter(col("o_orderdate") < split), "n1", "s1")
+      val v2 = agg(orders, "n2", "s2")
+      v1.join(v2, Seq("o_custkey"), "full_outer")
+        .select(when(col("n1").isNull, "added")
+          .when(col("n2").isNull, "removed")
+          .when(col("n1") === col("n2") && col("s1") === col("s2"),
+            "unchanged")
+          .otherwise("changed").as("diff_status"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("diff_status")
     }
   )
 
@@ -404,6 +434,22 @@ object DataEng extends QueryGroup {
         |    o_orderkey, o_custkey, o_orderpriority,
         |    epoch_us(o_orderdate))), 1, 14)) AS BIGINT)) AS checksum
         |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "table_diff" ->
+      """WITH v1 AS (SELECT o_custkey, count(*) AS n1,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s1
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |v2 AS (SELECT o_custkey, count(*) AS n2,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s2
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT CASE WHEN v1.o_custkey IS NULL THEN 'added'
+        |    WHEN v2.o_custkey IS NULL THEN 'removed'
+        |    WHEN n1 = n2 AND s1 = s2 THEN 'unchanged'
+        |    ELSE 'changed' END AS diff_status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey)
+        |SELECT diff_status, count(*) AS n_keys FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

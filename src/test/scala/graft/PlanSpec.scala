@@ -286,6 +286,60 @@ class PlanSpec extends SparkSpec {
       "the O(n²) NOT EXISTS form belongs to the oracle only")
   }
 
+  test("orders_pareto: percentile-cut binning, no window at all") {
+    val s = p("orders_pareto")
+    assert(!s.contains("Window"),
+      "deciles come from broadcast percentile cuts + CASE binning — " +
+        "never ntile/rank over all customers")
+    assert(s.contains("BroadcastExchange"),
+      "cuts and the total must broadcast back")
+  }
+
+  test("er_blocked: blocking keys drive a hash join, never all-pairs") {
+    val s = p("er_blocked")
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"),
+      "pair generation must be the (brand, size) equi-join")
+  }
+
+  test("text_cooccur: vocab broadcast + top-k, no global sort") {
+    val s = p("text_cooccur")
+    assert(s.contains("TakeOrderedAndProject"))
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("agg_weighted_median: all windows partitioned by the group key") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = q("agg_weighted_median").queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty,
+      "the histogram prefix sum runs per returnflag — no global window")
+  }
+
+  test("events_attribution: carry-forward touch is one keyed window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = q("events_attribution").queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "last-touch must be per-user, never a global window")
+    assert(sp.collect { case w: WindowExec => w }.nonEmpty)
+  }
+
+  test("table_diff: both snapshots reduce before the diff join") {
+    val s = p("table_diff")
+    assert("HashAggregate".r.findAllIn(s).length >= 4,
+      "each snapshot needs partial+final aggregation before joining — " +
+        "the diff join moves |keys| rows, never |rows|")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("graph_communities: LPA rounds are equi-joins, never all-pairs") {
+    val s = p("graph_communities")
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("table_checksum: xor fingerprint combines map-side") {
     val s = p("table_checksum")
     assert("HashAggregate".r.findAllIn(s).length >= 2,
