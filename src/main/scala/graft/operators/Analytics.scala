@@ -532,6 +532,37 @@ object Analytics extends QueryGroup {
         .agg(count(lit(1)).as("n_conversions"),
           Canon.moneySum(col("value")).as("revenue"))
         .orderBy("channel")
+    },
+
+    "orders_cohort_ltv" -> { (spark, dir) =>
+      // Cohort LTV triangle — the money sibling of events_retention:
+      // customers bucket by first-order month, revenue accrues by
+      // months-since-first-order, and cumulative revenue per cohort is
+      // the curve a lifetime-value model fits. Months are exact integer
+      // indices (year·12+month — no date formatting parity risk).
+      // Shape: cohort assignment is one hash agg; orders join their
+      // customer's cohort co-partitioned on custkey; the (cohort, age)
+      // rollup reduces to a ≤|months|² grid and ONLY that tiny grid
+      // sees the cumulative window (partitioned by cohort). Exact
+      // decimal revenue all the way; at 100 TB the big-side cost is
+      // one custkey exchange shared by the agg and the join.
+      val o = Tables.table(spark, dir, "orders")
+        .withColumn("m",
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long"))
+      val cohort = o.groupBy("o_custkey").agg(min("m").as("cohort_m"))
+      val g = o.join(cohort, "o_custkey")
+        .withColumn("age_m", col("m") - col("cohort_m"))
+        .groupBy("cohort_m", "age_m")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Canon.Dec)).as("rev_dec"))
+      val w = Window.partitionBy("cohort_m").orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_dec", sum("rev_dec").over(w))
+        .select(col("cohort_m"), col("age_m"), col("n_orders"),
+          round(col("rev_dec"), 4).cast("double").as("revenue"),
+          round(col("cum_dec"), 4).cast("double").as("cum_revenue"))
+        .orderBy("cohort_m", "age_m")
     }
   )
 
@@ -778,6 +809,23 @@ object Analytics extends QueryGroup {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
         |    AS revenue
         |FROM t WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, o_totalprice,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+        |g AS (SELECT cohort_m, m - cohort_m AS age_m,
+        |    count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort_m, age_m, n_orders,
+        |  CAST(round(rev_dec, 4) AS DOUBLE) AS revenue,
+        |  CAST(round(sum(rev_dec) OVER (PARTITION BY cohort_m
+        |    ORDER BY age_m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS DOUBLE) AS cum_revenue
+        |FROM g ORDER BY cohort_m, age_m""".stripMargin
   )
 }

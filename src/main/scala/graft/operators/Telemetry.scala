@@ -177,6 +177,34 @@ object Telemetry extends QueryGroup {
           min(col("value")).as("low"),
           max(when(col("rn_d") === 1, col("value"))).as("close"))
         .orderBy("user_id", "hr")
+    },
+
+    "events_cadence" -> { (spark, dir) =>
+      // Reporting-cadence health: the distribution of gaps between a
+      // vehicle's consecutive reports of the SAME signal type — the
+      // fleet check that finds silent sensors (p99 gap ≫ expected
+      // cadence) before they become data loss. One (user, type) window
+      // exchange derives the lag gaps; the exact percentile aggregate
+      // (cross-engine interpolation parity proven at agg_percentile)
+      // reduces to ≤|event types| rows. At 100 TB: one keyed exchange,
+      // one agg — and the per-type output is serving-layer sized.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val probes = "array(0.5D, 0.9D, 0.99D)"
+      Tables.events(spark, dir)
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          // cast to double BEFORE the percentile so both engines
+          // interpolate the same operand type (gaps < 2^53: exact)
+          expr(s"percentile(cast(gap_us as double), $probes)").as("p"))
+        .select(col("event_type"), col("n_gaps"),
+          element_at(col("p"), 1).as("p50_us"),
+          element_at(col("p"), 2).as("p90_us"),
+          element_at(col("p"), 3).as("p99_us"))
+        .orderBy("event_type")
     }
   )
 
@@ -263,6 +291,19 @@ object Telemetry extends QueryGroup {
         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rn_d = 1 THEN value END) AS close
-        |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin
+        |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin,
+
+    "events_cadence" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |g AS (SELECT event_type, ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id) AS gap_us FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  quantile_cont(CAST(gap_us AS DOUBLE), 0.5) AS p50_us,
+        |  quantile_cont(CAST(gap_us AS DOUBLE), 0.9) AS p90_us,
+        |  quantile_cont(CAST(gap_us AS DOUBLE), 0.99) AS p99_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

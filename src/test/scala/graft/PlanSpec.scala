@@ -340,6 +340,16 @@ class PlanSpec extends SparkSpec {
       && !s.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("cohort LTV and cadence: every window keyed, none global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("orders_cohort_ltv", "events_cadence").foreach { name =>
+      val sp = q(name).queryExecution.sparkPlan
+      assert(sp.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty, s"$name: cumulative/lag windows must be partitioned")
+    }
+  }
+
   test("table_checksum: xor fingerprint combines map-side") {
     val s = p("table_checksum")
     assert("HashAggregate".r.findAllIn(s).length >= 2,
