@@ -211,6 +211,46 @@ object LlmVectors extends QueryGroup {
         .orderBy("i", "j")
     },
 
+    "vec_top_eigvec" -> { (spark, dir) =>
+      // Distributed power iteration: the top principal direction of the
+      // label-0 Gram matrix — PCA's first component computed ENTIRELY
+      // in the engine, no driver-side eigensolve. The corpus-scale work
+      // is the Gram accumulation (the vec_gram shape: shuffle bounded
+      // by partitions·d², not vector count); each of the three
+      // unrolled iterations is then a d²-row join + d-row agg — cluster
+      // cost independent of corpus size. Determinism is the point:
+      // every matrix·vector dot product accumulates in exact
+      // DECIMAL(38,20) (the double multiply is IEEE-identical, the
+      // decimal fold is order-free), normalization divides by the
+      // exact decimal max-|component| (selection, not arithmetic), so
+      // the emitted eigvec is bit-identical in any engine — where a
+      // naive float power iteration would drift with partial-agg order.
+      val ex = Tables.table(spark, dir, "embeddings")
+        .filter(col("label") === 0)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("x").cast("double").as("x"))
+      val g = ex.as("a").join(ex.as("b"), "vec_id")
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.x") * col("b.x")).cast(DecimalType(38, 20)).as("xy"))
+        .groupBy("i", "j")
+        .agg(Canon.round6(sum(col("xy")).cast("double")).as("gram"))
+      def step(v: org.apache.spark.sql.DataFrame) = {
+        val prod = g.join(v, "j")
+          .select(col("i"),
+            (col("gram") * col("v")).cast(DecimalType(38, 20)).as("t"))
+          .groupBy("i").agg(sum("t").as("s"))
+        val m = prod.agg(max(abs(col("s"))).as("m"))
+        prod.crossJoin(broadcast(m))
+          .select(col("i").as("j"),
+            (col("s").cast("double") / col("m").cast("double")).as("v"))
+      }
+      val v0 = spark.range(64).select(col("id").as("j"), lit(1.0).as("v"))
+      val v3 = step(step(step(v0)))
+      v3.select(col("j").as("dim"), Canon.round6(col("v")).as("weight"))
+        .orderBy("dim")
+    },
+
     "multimodal_stats" -> { (spark, dir) =>
       // The multimodal query that needs NO decode and therefore has a
       // full oracle: per-media-type payload inventory (count, byte
@@ -747,6 +787,35 @@ object LlmVectors extends QueryGroup {
         |      FROM e a JOIN e b USING (vec_id))
         |SELECT i, j, CAST(round(CAST(sum(xy) AS DOUBLE), 6) AS DOUBLE) AS gram
         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+
+    "vec_top_eigvec" ->
+      """WITH sel AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+        |e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |      FROM sel CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |             CAST(a.x * b.x AS DECIMAL(38,20)) AS xy
+        |      FROM e a JOIN e b USING (vec_id)),
+        |gm AS (SELECT i, j,
+        |    CAST(round(CAST(sum(xy) AS DOUBLE), 6) AS DOUBLE) AS gram
+        |  FROM p GROUP BY i, j),
+        |v0 AS (SELECT unnest(range(64)) AS j, 1.0 AS v),
+        |s1 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
+        |  FROM gm JOIN v0 ON gm.j = v0.j GROUP BY 1),
+        |m1 AS (SELECT max(abs(s)) AS m FROM s1),
+        |v1 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
+        |  FROM s1 CROSS JOIN m1),
+        |s2 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
+        |  FROM gm JOIN v1 ON gm.j = v1.j GROUP BY 1),
+        |m2 AS (SELECT max(abs(s)) AS m FROM s2),
+        |v2 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
+        |  FROM s2 CROSS JOIN m2),
+        |s3 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
+        |  FROM gm JOIN v2 ON gm.j = v2.j GROUP BY 1),
+        |m3 AS (SELECT max(abs(s)) AS m FROM s3),
+        |v3 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
+        |  FROM s3 CROSS JOIN m3)
+        |SELECT j AS dim, CAST(round(v, 6) AS DOUBLE) AS weight
+        |FROM v3 ORDER BY dim""".stripMargin,
 
     "dedup_embed_lsh" ->
       // the banding is a pure function of the vectors, so the recalled

@@ -350,6 +350,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vec_top_eigvec: iterations are joins+aggs, norms broadcast") {
+    val s = p("vec_top_eigvec")
+    assert("BroadcastExchange".r.findAllIn(s).length >= 3,
+      "each of the 3 normalizations must broadcast its 1-row max")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("table_checksum: xor fingerprint combines map-side") {
     val s = p("table_checksum")
     assert("HashAggregate".r.findAllIn(s).length >= 2,
