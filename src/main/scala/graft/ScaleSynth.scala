@@ -69,6 +69,45 @@ object ScaleSynth {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
+    // Entity tables for the analytics/telemetry smoke: replicas shift
+    // every key by a disjoint stride, so a 10× synth has 10× entities
+    // (users / customers / parts) each carrying its original series —
+    // per-entity plan work is UNCHANGED and only entity cardinality
+    // scales, which is exactly how a 10× fleet/market grows. Events get
+    // a +r-second jitter so replica timelines interleave instead of
+    // colliding on identical timestamps.
+    val ev = Tables.events(spark, src)
+    (0 until reps).map { r =>
+      ev.select(
+        (col("event_id") + lit(r * IdStride)).as("event_id"),
+        timestamp_micros(col("ts_us") + lit(r * 1000000L)).as("ts"),
+        (col("user_id") + lit(r * IdStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    val ord = Tables.table(spark, src, "orders")
+    (0 until reps).map { r =>
+      ord.select(
+        (col("o_orderkey") + lit(r * IdStride)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * IdStride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+
+    val part = Tables.table(spark, src, "part")
+    (0 until reps).map { r =>
+      part.select(
+        (col("p_partkey") + lit(r * IdStride)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+
     println(s"[synth] wrote ${reps}x ${src} -> $out")
     spark.stop()
   }
