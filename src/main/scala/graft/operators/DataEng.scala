@@ -111,6 +111,47 @@ object DataEng extends QueryGroup {
         .orderBy(col("n").desc, col("from_type"), col("to_type"))
     },
 
+    "events_markov_stationary" -> { (spark, dir) =>
+      // Stationary distribution of the event-type Markov chain — "where
+      // does user behavior settle": π with πP = π, computed by the same
+      // bit-deterministic power iteration as vec_top_eigvec. The
+      // corpus-scale work is the transition count (ONE user exchange +
+      // a |types|²-cell agg); the three unrolled π·P rounds then run on
+      // that tiny matrix — each a join + decimal-fold agg + exact-sum
+      // normalization, so the result is engine-bit-identical and fully
+      // oracle-checked (a float chain would drift with agg order). At
+      // 100 TB only the count pass grows.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 20)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tr = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val ftot = tr.groupBy("from_type").agg(sum("n").as("nf"))
+      val p = tr.join(ftot, "from_type")
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("nf").cast("double")).as("p"))
+      def step(pi: org.apache.spark.sql.DataFrame) = {
+        val s = p.join(pi, p("from_type") === pi("t"))
+          .select(col("to_type"), (col("p") * col("pi")).cast(dec).as("m"))
+          .groupBy("to_type").agg(sum("m").as("sm"))
+        val tot = s.agg(sum("sm").as("tot"))
+        s.crossJoin(broadcast(tot))
+          .select(col("to_type").as("t"),
+            (col("sm").cast("double") / col("tot").cast("double"))
+              .as("pi"))
+      }
+      val pi0 = Tables.events(spark, dir).select("event_type").distinct()
+        .select(col("event_type").as("t"), lit(1.0).as("pi"))
+      val pi3 = step(step(step(pi0)))
+      pi3.select(col("t").as("event_type"),
+          Canon.round6(col("pi")).as("pi"))
+        .orderBy("event_type")
+    },
+
     "events_gap_fill" -> { (spark, dir) =>
       // Time-series gap filling: hourly event counts+sums with EVERY
       // hour between the corpus min and max present, zeros filled — the
@@ -435,6 +476,41 @@ object DataEng extends QueryGroup {
         |    epoch_us(o_orderdate))), 1, 14)) AS BIGINT)) AS checksum
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "events_markov_stationary" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |tr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM c
+        |  GROUP BY 1),
+        |p AS (SELECT c.from_type, c.to_type,
+        |    CAST(n AS DOUBLE) / CAST(nf AS DOUBLE) AS p
+        |  FROM c JOIN f USING (from_type)),
+        |pi0 AS (SELECT DISTINCT event_type AS t, 1.0 AS pi FROM e),
+        |s1 AS (SELECT to_type, sum(CAST(p * pi AS DECIMAL(38,20))) AS sm
+        |  FROM p JOIN pi0 ON p.from_type = pi0.t GROUP BY 1),
+        |t1 AS (SELECT sum(sm) AS tot FROM s1),
+        |pi1 AS (SELECT to_type AS t,
+        |    CAST(sm AS DOUBLE) / CAST(tot AS DOUBLE) AS pi
+        |  FROM s1 CROSS JOIN t1),
+        |s2 AS (SELECT to_type, sum(CAST(p * pi AS DECIMAL(38,20))) AS sm
+        |  FROM p JOIN pi1 ON p.from_type = pi1.t GROUP BY 1),
+        |t2 AS (SELECT sum(sm) AS tot FROM s2),
+        |pi2 AS (SELECT to_type AS t,
+        |    CAST(sm AS DOUBLE) / CAST(tot AS DOUBLE) AS pi
+        |  FROM s2 CROSS JOIN t2),
+        |s3 AS (SELECT to_type, sum(CAST(p * pi AS DECIMAL(38,20))) AS sm
+        |  FROM p JOIN pi2 ON p.from_type = pi2.t GROUP BY 1),
+        |t3 AS (SELECT sum(sm) AS tot FROM s3),
+        |pi3 AS (SELECT to_type AS t,
+        |    CAST(sm AS DOUBLE) / CAST(tot AS DOUBLE) AS pi
+        |  FROM s3 CROSS JOIN t3)
+        |SELECT t AS event_type, CAST(round(pi, 6) AS DOUBLE) AS pi
+        |FROM pi3 ORDER BY event_type""".stripMargin,
 
     "table_diff" ->
       """WITH v1 AS (SELECT o_custkey, count(*) AS n1,

@@ -357,6 +357,17 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("events_markov_stationary: one keyed window, iterations broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = q("events_markov_stationary").queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "lead() must stay per-user")
+    val s = p("events_markov_stationary")
+    assert("BroadcastExchange".r.findAllIn(s).length >= 3,
+      "each normalization broadcasts its 1-row total")
+  }
+
   test("table_checksum: xor fingerprint combines map-side") {
     val s = p("table_checksum")
     assert("HashAggregate".r.findAllIn(s).length >= 2,
