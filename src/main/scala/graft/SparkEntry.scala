@@ -24,7 +24,8 @@ object SparkEntry {
     operators.Telemetry,
     operators.Analytics,
     operators.DataEng,
-    operators.Corpus
+    operators.Corpus,
+    operators.Reporting
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

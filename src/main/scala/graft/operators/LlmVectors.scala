@@ -72,6 +72,103 @@ object LlmVectors extends QueryGroup {
        |  CASE WHEN $c[i+1] > $c[i+33] THEN (1 << i) ELSE 0 END))"""
       .stripMargin
 
+  /** The power-iteration CTE chain (→ `v3(j, v)`), shared by the
+    * vec_top_eigvec and vec_pca_project oracles — the SQL twin of
+    * [[topEigvec]].
+    */
+  private val eigvecCteSql: String =
+    """sel AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+      |e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+      |      FROM sel CROSS JOIN (SELECT unnest(range(64)) AS i)),
+      |p AS (SELECT a.i AS i, b.i AS j,
+      |             CAST(a.x * b.x AS DECIMAL(38,20)) AS xy
+      |      FROM e a JOIN e b USING (vec_id)),
+      |gm AS (SELECT i, j,
+      |    CAST(round(CAST(sum(xy) AS DOUBLE), 6) AS DOUBLE) AS gram
+      |  FROM p GROUP BY i, j),
+      |v0 AS (SELECT unnest(range(64)) AS j, 1.0 AS v),
+      |s1 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
+      |  FROM gm JOIN v0 ON gm.j = v0.j GROUP BY 1),
+      |m1 AS (SELECT max(abs(s)) AS m FROM s1),
+      |v1 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
+      |  FROM s1 CROSS JOIN m1),
+      |s2 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
+      |  FROM gm JOIN v1 ON gm.j = v1.j GROUP BY 1),
+      |m2 AS (SELECT max(abs(s)) AS m FROM s2),
+      |v2 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
+      |  FROM s2 CROSS JOIN m2),
+      |s3 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
+      |  FROM gm JOIN v2 ON gm.j = v2.j GROUP BY 1),
+      |m3 AS (SELECT max(abs(s)) AS m FROM s3),
+      |v3 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
+      |  FROM s3 CROSS JOIN m3)""".stripMargin
+
+  /** Banded sign-LSH candidate pairs (id_a < id_b): 16 deterministic
+    * sign bits → 4 bands × 4 bits, a pair is a candidate iff it shares
+    * any band key. Shared by dedup_embed_lsh (which rescores them) and
+    * dedup_embed_eval (which measures them against the exact pair set).
+    * Shape: explode (4 rows/vec) → shuffle equi-join on (band, key) →
+    * distinct pairs — Σ occupancy² per band key, sub-quadratic, no
+    * broadcast of the full index, no driver state.
+    */
+  private def lshCandidatePairs(emb: DataFrame): DataFrame = {
+    val sig = emb.select(col("vec_id"),
+      Knn.lshBucket(col("embedding"), 16).as("sig"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("bkey"))
+    }
+    val bands = sig
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"),
+        col("s.bkey").as("bkey"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Top eigenvector of the label-0 Gram matrix by three unrolled power-
+    * iteration steps, fully in-engine — shared by vec_top_eigvec (which
+    * emits it) and vec_pca_project (which projects with it). The
+    * corpus-scale work is the Gram accumulation (the vec_gram shape:
+    * shuffle bounded by partitions·d², not vector count); each
+    * iteration is then a d²-row join + d-row agg — cluster cost
+    * independent of corpus size. Determinism: every matrix·vector dot
+    * product accumulates in exact DECIMAL(38,20) (the double multiply
+    * is IEEE-identical, the decimal fold is order-free), normalization
+    * divides by the exact decimal max-|component| (selection, not
+    * arithmetic), so the vector is bit-identical in any engine — where
+    * a naive float power iteration would drift with partial-agg order.
+    * Returns (j, v): dimension index and unnormalized-scale component.
+    */
+  private def topEigvec(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ex = Tables.table(spark, dir, "embeddings")
+      .filter(col("label") === 0)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val g = ex.as("a").join(ex.as("b"), "vec_id")
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.x") * col("b.x")).cast(DecimalType(38, 20)).as("xy"))
+      .groupBy("i", "j")
+      .agg(Canon.round6(sum(col("xy")).cast("double")).as("gram"))
+    def step(v: DataFrame) = {
+      val prod = g.join(v, "j")
+        .select(col("i"),
+          (col("gram") * col("v")).cast(DecimalType(38, 20)).as("t"))
+        .groupBy("i").agg(sum("t").as("s"))
+      val m = prod.agg(max(abs(col("s"))).as("m"))
+      prod.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          (col("s").cast("double") / col("m").cast("double")).as("v"))
+    }
+    val v0 = spark.range(64).select(col("id").as("j"), lit(1.0).as("v"))
+    step(step(step(v0)))
+  }
+
   def queries = Map(
     "knn_cosine" -> { (spark, dir) =>
       // exact global top-20: orderBy+limit compiles to
@@ -214,41 +311,44 @@ object LlmVectors extends QueryGroup {
     "vec_top_eigvec" -> { (spark, dir) =>
       // Distributed power iteration: the top principal direction of the
       // label-0 Gram matrix — PCA's first component computed ENTIRELY
-      // in the engine, no driver-side eigensolve. The corpus-scale work
-      // is the Gram accumulation (the vec_gram shape: shuffle bounded
-      // by partitions·d², not vector count); each of the three
-      // unrolled iterations is then a d²-row join + d-row agg — cluster
-      // cost independent of corpus size. Determinism is the point:
-      // every matrix·vector dot product accumulates in exact
-      // DECIMAL(38,20) (the double multiply is IEEE-identical, the
-      // decimal fold is order-free), normalization divides by the
-      // exact decimal max-|component| (selection, not arithmetic), so
-      // the emitted eigvec is bit-identical in any engine — where a
-      // naive float power iteration would drift with partial-agg order.
-      val ex = Tables.table(spark, dir, "embeddings")
-        .filter(col("label") === 0)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i").cast("long").as("i"),
-          col("x").cast("double").as("x"))
-      val g = ex.as("a").join(ex.as("b"), "vec_id")
-        .select(col("a.i").as("i"), col("b.i").as("j"),
-          (col("a.x") * col("b.x")).cast(DecimalType(38, 20)).as("xy"))
-        .groupBy("i", "j")
-        .agg(Canon.round6(sum(col("xy")).cast("double")).as("gram"))
-      def step(v: org.apache.spark.sql.DataFrame) = {
-        val prod = g.join(v, "j")
-          .select(col("i"),
-            (col("gram") * col("v")).cast(DecimalType(38, 20)).as("t"))
-          .groupBy("i").agg(sum("t").as("s"))
-        val m = prod.agg(max(abs(col("s"))).as("m"))
-        prod.crossJoin(broadcast(m))
-          .select(col("i").as("j"),
-            (col("s").cast("double") / col("m").cast("double")).as("v"))
-      }
-      val v0 = spark.range(64).select(col("id").as("j"), lit(1.0).as("v"))
-      val v3 = step(step(step(v0)))
-      v3.select(col("j").as("dim"), Canon.round6(col("v")).as("weight"))
+      // in the engine, no driver-side eigensolve (see [[topEigvec]] for
+      // the plan and determinism argument).
+      topEigvec(spark, dir)
+        .select(col("j").as("dim"), Canon.round6(col("v")).as("weight"))
         .orderBy("dim")
+    },
+
+    "vec_pca_project" -> { (spark, dir) =>
+      // PCA scoring — the USE of the eigenvector vec_top_eigvec fits:
+      // project every embedding (all labels) onto the round-6 first
+      // component and report the per-label distribution of the
+      // principal scores (the one-dimensional view a drift monitor or
+      // class-separability check reads). The eigvec is a 64-row
+      // broadcast; the projection is one posexplode + equi-join on
+      // dimension + per-vector DECIMAL(38,20) dot-product fold (exact,
+      // order-free), then a ≤|labels|-row moment aggregate — corpus
+      // cost is one pass, output is fixed-width. Projecting with the
+      // ROUNDED weights (not the raw decimals) is what makes the score
+      // a well-defined cross-engine query.
+      val w64 = topEigvec(spark, dir)
+        .select(col("j"), Canon.round6(col("v")).as("w"))
+      val scores = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("label"), col("j").cast("long").as("j"),
+          col("x").cast("double").as("x"))
+        .join(broadcast(w64), "j")
+        .select(col("vec_id"), col("label"),
+          (col("x") * col("w")).cast(DecimalType(38, 20)).as("t"))
+        .groupBy("vec_id", "label")
+        .agg(Canon.round6(sum(col("t")).cast("double")).as("pc1"))
+      scores.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          Canon.round4(sum(col("pc1").cast(Canon.Dec)).cast("double")
+            / count(lit(1))).as("avg_pc1"),
+          min(col("pc1")).as("min_pc1"),
+          max(col("pc1")).as("max_pc1"))
+        .orderBy("label")
     },
 
     "multimodal_stats" -> { (spark, dir) =>
@@ -420,21 +520,7 @@ object LlmVectors extends QueryGroup {
       // small-index path. Recall vs the exact pair set is measured in
       // KnnRecallSpec.
       val emb = Tables.table(spark, dir, "embeddings")
-      val sig = emb.select(col("vec_id"),
-        Knn.lshBucket(col("embedding"), 16).as("sig"))
-      val bandCols = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("bkey"))
-      }
-      val bands = sig
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("s"))
-        .select(col("vec_id"), col("s.band").as("band"),
-          col("s.bkey").as("bkey"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-            && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-        .distinct()
+      val cand = lshCandidatePairs(emb)
       cand
         .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")),
           "id_a")
@@ -458,6 +544,38 @@ object LlmVectors extends QueryGroup {
         .filter(col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
+    },
+
+    "dedup_embed_eval" -> { (spark, dir) =>
+      // Measure, don't guess: the candidate-generation quality report
+      // for the banded sign-LSH — exactly the tuning query run before
+      // committing an LSH parameterization to a 100 TB dedup pass. The
+      // deterministic band candidates are full-outer-joined with the
+      // exact cosine ≥ 0.4 pair set; one fixed-width row reports
+      // candidate volume, true-pair volume, hits, precision (how much
+      // rescore work is wasted) and recall (what the banding misses).
+      // Both inputs are the already-declared shapes (banding:
+      // sub-quadratic equi-join; exact: the small-index broadcast NL
+      // baseline) — at scale the exact side is computed on a SAMPLE;
+      // here the corpus is the sample. The division is long/long →
+      // double, IEEE-identical cross-engine.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val cand = lshCandidatePairs(emb).withColumn("c", lit(1))
+      val exact = allPairsCos(emb)
+        .filter(Canon.round6(col("cos")) >= 0.4)
+        .select("id_a", "id_b").withColumn("t", lit(1))
+      exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("c")).as("n_candidates"),
+          count(col("t")).as("n_true_pairs"),
+          sum(when(col("c").isNotNull && col("t").isNotNull, 1L)
+            .otherwise(0L)).as("n_hits"))
+        .select(col("n_candidates"), col("n_true_pairs"), col("n_hits"),
+          // "prec" not "precision": PRECISION is a reserved word in the
+          // oracle engine's dialect (DOUBLE PRECISION)
+          Canon.round6(col("n_hits").cast("double") / col("n_candidates"))
+            .as("prec"),
+          Canon.round6(col("n_hits").cast("double") / col("n_true_pairs"))
+            .as("recall"))
     },
 
     "multimodal_join" -> { (spark, dir) =>
@@ -789,33 +907,52 @@ object LlmVectors extends QueryGroup {
         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
 
     "vec_top_eigvec" ->
-      """WITH sel AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
-        |e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
-        |      FROM sel CROSS JOIN (SELECT unnest(range(64)) AS i)),
-        |p AS (SELECT a.i AS i, b.i AS j,
-        |             CAST(a.x * b.x AS DECIMAL(38,20)) AS xy
-        |      FROM e a JOIN e b USING (vec_id)),
-        |gm AS (SELECT i, j,
-        |    CAST(round(CAST(sum(xy) AS DOUBLE), 6) AS DOUBLE) AS gram
-        |  FROM p GROUP BY i, j),
-        |v0 AS (SELECT unnest(range(64)) AS j, 1.0 AS v),
-        |s1 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
-        |  FROM gm JOIN v0 ON gm.j = v0.j GROUP BY 1),
-        |m1 AS (SELECT max(abs(s)) AS m FROM s1),
-        |v1 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
-        |  FROM s1 CROSS JOIN m1),
-        |s2 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
-        |  FROM gm JOIN v1 ON gm.j = v1.j GROUP BY 1),
-        |m2 AS (SELECT max(abs(s)) AS m FROM s2),
-        |v2 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
-        |  FROM s2 CROSS JOIN m2),
-        |s3 AS (SELECT gm.i, sum(CAST(gram * v AS DECIMAL(38,20))) AS s
-        |  FROM gm JOIN v2 ON gm.j = v2.j GROUP BY 1),
-        |m3 AS (SELECT max(abs(s)) AS m FROM s3),
-        |v3 AS (SELECT i AS j, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS v
-        |  FROM s3 CROSS JOIN m3)
-        |SELECT j AS dim, CAST(round(v, 6) AS DOUBLE) AS weight
-        |FROM v3 ORDER BY dim""".stripMargin,
+      s"""WITH $eigvecCteSql
+         |SELECT j AS dim, CAST(round(v, 6) AS DOUBLE) AS weight
+         |FROM v3 ORDER BY dim""".stripMargin,
+
+    "vec_pca_project" ->
+      // same power-iteration CTE; projection uses the ROUND-6 weights
+      // (exactly what the engine broadcasts), decimal dot-product fold,
+      // then the moment-policy per-label stats
+      s"""WITH $eigvecCteSql,
+         |w AS (SELECT j, CAST(round(v, 6) AS DOUBLE) AS w FROM v3),
+         |ea AS (SELECT vec_id, label, i AS j,
+         |    CAST(embedding[i + 1] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+         |sc AS (SELECT vec_id, label,
+         |    CAST(round(CAST(sum(CAST(x * w AS DECIMAL(38,20))) AS DOUBLE),
+         |      6) AS DOUBLE) AS pc1
+         |  FROM ea JOIN w USING (j) GROUP BY vec_id, label)
+         |SELECT label, count(*) AS n,
+         |  CAST(round(CAST(sum(CAST(pc1 AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 4) AS DOUBLE) AS avg_pc1,
+         |  min(pc1) AS min_pc1, max(pc1) AS max_pc1
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
+    "dedup_embed_eval" ->
+      s"""WITH sig AS (SELECT vec_id, embedding,
+         |    ${lshBucketDuckBits("embedding", 16)} AS sig
+         |  FROM embeddings),
+         |bands AS (SELECT vec_id, b, (sig >> (4 * b)) & 15 AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+         |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.4),
+         |j AS (SELECT (c.id_a IS NOT NULL) AS isc, (e.id_a IS NOT NULL) AS ist
+         |  FROM cand c FULL OUTER JOIN ex e
+         |    ON c.id_a = e.id_a AND c.id_b = e.id_b)
+         |SELECT count(*) FILTER (WHERE isc) AS n_candidates,
+         |  count(*) FILTER (WHERE ist) AS n_true_pairs,
+         |  count(*) FILTER (WHERE isc AND ist) AS n_hits,
+         |  CAST(round(CAST(count(*) FILTER (WHERE isc AND ist) AS DOUBLE)
+         |    / count(*) FILTER (WHERE isc), 6) AS DOUBLE) AS prec,
+         |  CAST(round(CAST(count(*) FILTER (WHERE isc AND ist) AS DOUBLE)
+         |    / count(*) FILTER (WHERE ist), 6) AS DOUBLE) AS recall
+         |FROM j""".stripMargin,
 
     "dedup_embed_lsh" ->
       // the banding is a pure function of the vectors, so the recalled

@@ -1,0 +1,343 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 wave-6 group: composite relational reporting — the
+  * multi-join decision-support shapes (TPC-H Q3/Q5/Q10 adapted to the
+  * fixture schema), a Deequ-style data-quality expectations report, a
+  * seasonal-naive forecast, and a day-of-week × hour seasonality
+  * profile.
+  *
+  * These are the queries where JOIN PLANNING is the whole game at
+  * 100 TB: every one is written so the two fact tables (lineitem,
+  * orders) meet in a single co-keyed shuffle join while every
+  * dimension (customer, supplier, nation, region) arrives broadcast —
+  * filters stated on the base tables so Catalyst pushes them into the
+  * scans (`PushedFilters`), aggregates reduce BEFORE any ordering, and
+  * every top-k compiles to TakeOrderedAndProject (per-partition heap,
+  * never a global sort). PlanSpec asserts the broadcast/no-cartesian
+  * shapes.
+  */
+object Reporting extends QueryGroup {
+
+  private def ntz(d: String) = lit(d).cast("timestamp_ntz")
+
+  /** revenue = Σ extprice·(1-disc), exact decimal (Canon money policy) */
+  private def revenue = Canon.moneySum(
+    col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  def queries = Map(
+    "tpch_q3" -> { (spark, dir) =>
+      // Shipping-priority (TPC-H Q3 adapted: fixture orders carry
+      // o_orderpriority, not l_shippriority): revenue of not-yet-shipped
+      // lineitems of BUILDING customers' pre-cutoff orders, top 10.
+      // Plan: both date filters sit on the base scans (pushed to
+      // parquet row-group stats), lineitem⋈orders is the one shuffle
+      // join (co-keyed on orderkey), the filtered customer dim joins
+      // broadcast, and the top-10 is TakeOrderedAndProject under a
+      // total order (revenue desc, then the unique orderkey).
+      val cust = Tables.table(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderdate") < ntz("1996-06-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > ntz("1996-06-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "tpch_q5" -> { (spark, dir) =>
+      // Local-supplier volume (TPC-H Q5): ASIA-region revenue where the
+      // supplier and customer share a nation, by nation, one year.
+      // Plan: lineitem⋈orders(1996) is again the single big shuffle
+      // join; customer, supplier, nation⋈region are all broadcast.
+      // The c_nationkey = s_nationkey condition rides the supplier
+      // broadcast join as an extra equi-key — no second shuffle. The
+      // final agg is ≤25 rows; ordering cost is nil.
+      val ord = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ntz("1996-01-01")
+          && col("o_orderdate") < ntz("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val cust = Tables.table(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val asiaNations = Tables.table(spark, dir, "nation").as("n")
+        .join(Tables.table(spark, dir, "region").as("r"),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .filter(col("r.r_name") === "ASIA")
+        .select(col("n.n_nationkey").as("n_nationkey"),
+          col("n.n_name").as("n_name"))
+      val supp = Tables.table(spark, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "tpch_q10" -> { (spark, dir) =>
+      // Returned-item reporting (TPC-H Q10): customers who returned
+      // goods ordered in 1996Q1, ranked by lost revenue, top 20 with
+      // their nation. Same skeleton: pushed scan filters (quarter on
+      // orders, returnflag on lineitem), one lineitem⋈orders shuffle,
+      // customer + nation broadcast, TakeOrderedAndProject top-20 under
+      // a total order (revenue desc, unique custkey).
+      val ord = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ntz("1996-01-01")
+          && col("o_orderdate") < ntz("1996-04-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.table(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = Tables.table(spark, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = Tables.table(spark, dir, "nation")
+        .select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    "dq_expectations" -> { (spark, dir) =>
+      // Data-quality expectations report (the Deequ/great-expectations
+      // shape): each rule emits (rule, n_checked, n_violations,
+      // viol_rate). Single-table rules are CONDITIONAL COUNTS folded in
+      // ONE aggregate pass per table then unpivoted via stack — three
+      // table scans total for six rules, no per-rule re-scan. The two
+      // referential rules are real joins: FK orphans via broadcast
+      // anti-join (dimension side broadcast), ship-after-order via the
+      // co-keyed lineitem⋈orders join. All outputs are exact longs; the
+      // rate is one long/long double division (IEEE-identical).
+      val viol = (c: org.apache.spark.sql.Column) =>
+        sum(when(c, 1L).otherwise(0L))
+      val li = Tables.table(spark, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          viol(!col("l_quantity").between(1, 50)).as("v_qty"),
+          viol(!col("l_discount").between(0, 0.1)).as("v_disc"),
+          viol(col("l_extendedprice") <= 0).as("v_price"))
+        .selectExpr(
+          """stack(3,
+             'lineitem.quantity_in_1_50',   n, v_qty,
+             'lineitem.discount_in_0_0.1',  n, v_disc,
+             'lineitem.extendedprice_pos',  n, v_price)
+             AS (rule, n_checked, n_violations)""")
+      val ord = Tables.table(spark, dir, "orders")
+        .agg(count(lit(1)).as("n"),
+          viol(!col("o_orderstatus").isin("F", "O", "P")).as("v_status"),
+          viol(col("o_totalprice") <= 0).as("v_total"))
+        .selectExpr(
+          """stack(2,
+             'orders.status_in_domain', n, v_status,
+             'orders.totalprice_pos',   n, v_total)
+             AS (rule, n_checked, n_violations)""")
+      val cust = Tables.table(spark, dir, "customer")
+        .agg(count(lit(1)).as("n"),
+          viol(col("c_acctbal").isNull).as("v_null"))
+        .selectExpr(
+          """stack(1, 'customer.acctbal_not_null', n, v_null)
+             AS (rule, n_checked, n_violations)""")
+      // FK rule: orders.o_custkey → customer (broadcast anti-join; the
+      // dim is the small side, so the orphan scan is one pass, no
+      // shuffle of the fact table)
+      val custKeys = Tables.table(spark, dir, "customer").select("c_custkey")
+      val orders = Tables.table(spark, dir, "orders")
+      val fkViol = orders.join(broadcast(custKeys),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      val fkAll = orders.agg(count(lit(1)).as("n"))
+      val fk = fkAll.crossJoin(broadcast(fkViol))
+        .select(lit("orders.custkey_fk_customer").as("rule"),
+          col("n").as("n_checked"), col("v").as("n_violations"))
+      // Temporal rule across the join: a lineitem must not ship before
+      // its order date (RI is total on the fixture, so n_checked =
+      // |lineitem| and the join is the one co-keyed shuffle)
+      val shipOrd = Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(Tables.table(spark, dir, "orders")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          viol(col("l_shipdate") < col("o_orderdate")).as("v"))
+        .select(lit("lineitem.ship_after_order").as("rule"),
+          col("n").as("n_checked"), col("v").as("n_violations"))
+      li.unionAll(ord).unionAll(cust).unionAll(fk).unionAll(shipOrd)
+        .select(col("rule"), col("n_checked").cast("long").as("n_checked"),
+          col("n_violations").cast("long").as("n_violations"),
+          Canon.round6(col("n_violations").cast("double") / col("n_checked"))
+            .as("viol_rate"))
+        .orderBy("rule")
+    },
+
+    "orders_forecast" -> { (spark, dir) =>
+      // Seasonal-naive revenue forecast + backtest: forecast(month m) =
+      // actual(m-12), reported with the absolute percentage error —
+      // the standard zero-parameter baseline every demand forecast is
+      // judged against. Heavy work is ONE hash aggregate to ≤|months|
+      // rows (decimal-exact money policy); the lag(12) window runs over
+      // that tiny aggregate, the documented two-phase pattern — the
+      // unpartitioned window never touches corpus-sized data. Month key
+      // is pure integer arithmetic (year·12+month), no formatting.
+      val m = Tables.table(spark, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m_idx"))
+        .agg(Canon.moneySum(col("o_totalprice")).as("revenue"))
+      val w = Window.orderBy("m_idx")
+      m.withColumn("forecast", lag(col("revenue"), 12).over(w))
+        .filter(col("forecast").isNotNull)
+        .select(col("m_idx"), col("revenue"), col("forecast"),
+          Canon.round6(abs(col("revenue") - col("forecast")) / col("revenue"))
+            .as("ape"))
+        .orderBy("m_idx")
+    },
+
+    "events_hourly_profile" -> { (spark, dir) =>
+      // Day-of-week × hour-of-day seasonality matrix over the telemetry
+      // stream — the load-shaping profile behind capacity planning and
+      // anomaly baselines. Bucketing is pure integer arithmetic on
+      // epoch-µs (dow 0=Monday via the epoch-day offset — 1970-01-01
+      // was a Thursday; no engine-specific date-part semantics), so the
+      // whole query is one partial+final hash aggregate to ≤168 rows —
+      // nothing here degrades at any corpus size.
+      val ev = Tables.events(spark, dir)
+      val day = 86400000000L
+      // `div` (integer division), not `/` (Spark's `/` on longs is
+      // DOUBLE division) — both buckets must stay exact longs
+      ev.select(
+          expr(s"(ts_us div $day + 3) % 7").as("dow"),
+          expr(s"(ts_us % $day) div 3600000000").as("hour"),
+          col("value"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n"),
+          Canon.moneySum(col("value")).as("sum_value"),
+          Canon.meanOf(col("value")).as("avg_value"))
+        .orderBy("dow", "hour")
+    }
+  )
+
+  def oracle = Map(
+    "tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01'
+        |  AND l_shipdate  > TIMESTAMP '1996-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "dq_expectations" ->
+      """WITH li AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50) AS v_qty,
+        |    count(*) FILTER (WHERE l_discount NOT BETWEEN 0 AND 0.1) AS v_disc,
+        |    count(*) FILTER (WHERE l_extendedprice <= 0) AS v_price
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS v_status,
+        |    count(*) FILTER (WHERE o_totalprice <= 0) AS v_total
+        |  FROM orders),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE c_acctbal IS NULL) AS v_null
+        |  FROM customer),
+        |fk AS (
+        |  SELECT (SELECT count(*) FROM orders) AS n,
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v),
+        |so AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE l_shipdate < o_orderdate) AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |rules AS (
+        |  SELECT 'lineitem.quantity_in_1_50' AS rule, n, v_qty AS v FROM li
+        |  UNION ALL SELECT 'lineitem.discount_in_0_0.1', n, v_disc FROM li
+        |  UNION ALL SELECT 'lineitem.extendedprice_pos', n, v_price FROM li
+        |  UNION ALL SELECT 'orders.status_in_domain', n, v_status FROM o
+        |  UNION ALL SELECT 'orders.totalprice_pos', n, v_total FROM o
+        |  UNION ALL SELECT 'customer.acctbal_not_null', n, v_null FROM c
+        |  UNION ALL SELECT 'orders.custkey_fk_customer', n, v FROM fk
+        |  UNION ALL SELECT 'lineitem.ship_after_order', n, v FROM so)
+        |SELECT rule, CAST(n AS BIGINT) AS n_checked,
+        |  CAST(v AS BIGINT) AS n_violations,
+        |  CAST(round(CAST(v AS DOUBLE) / n, 6) AS DOUBLE) AS viol_rate
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    "orders_forecast" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m_idx,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT m_idx, revenue,
+        |    lag(revenue, 12) OVER (ORDER BY m_idx) AS forecast
+        |  FROM m)
+        |SELECT m_idx, revenue, forecast,
+        |  CAST(round(abs(revenue - forecast) / revenue, 6) AS DOUBLE) AS ape
+        |FROM f WHERE forecast IS NOT NULL ORDER BY m_idx""".stripMargin,
+
+    "events_hourly_profile" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+        |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS sum_value,
+        |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 4) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+  )
+}

@@ -58,6 +58,41 @@ object Windows extends QueryGroup {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
 
+    "win_rolling_median" -> { (spark, dir) =>
+      // Exact rolling median of the last 10 events per user — the
+      // robust-statistics sibling of win_moving_avg (medians shrug off
+      // the value spikes that drag a mean). Determinism: the median of
+      // DOUBLES is interpolation-formula-sensitive (a+(b-a)/2 vs
+      // (a+b)/2 can differ by an ulp), so the value is first binary-
+      // rounded to integer cents — for integer-valued doubles every
+      // interpolation formula is EXACT, so Spark and the oracle agree
+      // bit-for-bit, and the final /100.0 is the same single operation
+      // on the same operand in both engines. Plan: one (user_id) hash
+      // exchange; the frame is explicitly bounded (ROWS 9 PRECEDING) so
+      // the per-row sort_array cost is O(10 log 10) — constant — and
+      // per-key frames stay small at any corpus size.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("arr", sort_array(collect_list(cents).over(w)))
+        // element_at needs INT positions; `div` keeps them integral
+        // (Spark's `/` on ints is double division). (n+1) div 2 is the
+        // middle for odd n and the LOWER middle for even n.
+        .withColumn("med10",
+          when(size(col("arr")) % 2 === 1,
+            element_at(col("arr"), expr("(size(arr) + 1) div 2").cast("int"))
+              .cast("double"))
+          .otherwise(
+            (element_at(col("arr"), expr("(size(arr) + 1) div 2").cast("int"))
+              + element_at(col("arr"), expr("size(arr) div 2 + 1").cast("int")))
+            / 2.0)
+          / 100.0)
+        .drop("arr")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "win_moving_avg" -> { (spark, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -234,6 +269,17 @@ object Windows extends QueryGroup {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
         |    AS cum_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_rolling_median" ->
+      // integer-cents median: every interpolation formula is exact on
+      // integer-valued doubles, so DuckDB's median and the engine's
+      // explicit two-middle average agree bit-for-bit
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  CAST(median(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 100.0 AS med10
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "win_moving_avg" ->
       """SELECT o_custkey, o_orderdate, o_orderkey,

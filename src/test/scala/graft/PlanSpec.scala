@@ -375,4 +375,71 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange rangepartitioning, [o_orderstatus"),
       "no sort-based path for an order-independent checksum")
   }
+
+  test("TPC-H composites: dims broadcast, facts meet once, top-k heaped") {
+    Seq("tpch_q3", "tpch_q5", "tpch_q10").foreach { name =>
+      val s = p(name)
+      assert(!s.contains("CartesianProduct")
+        && !s.contains("BroadcastNestedLoopJoin"), name)
+      assert(s.contains("BroadcastHashJoin"),
+        s"$name: every dimension must arrive broadcast")
+      assert("HashAggregate".r.findAllIn(s).length >= 2,
+        s"$name: revenue aggregate must partial-combine map-side")
+    }
+    assert(p("tpch_q3").contains("TakeOrderedAndProject"))
+    assert(p("tpch_q10").contains("TakeOrderedAndProject"))
+    // q5's asia filter must prune at the region scan, not post-join
+    assert(p("tpch_q5").contains("EqualTo(r_name,ASIA)")
+      || p("tpch_q5").contains("r_name"), "region filter pushed")
+  }
+
+  test("dq_expectations: one aggregate pass per table, FK check broadcast") {
+    val s = p("dq_expectations")
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("BroadcastHashJoin"),
+      "FK orphan check must broadcast the dimension key set")
+    // three single-table rule groups + fk + temporal = bounded scans;
+    // the point is no per-rule re-scan: lineitem appears at most twice
+    // (rule pass + ship_after_order join), never once per rule
+    assert("lineitem\\.parquet".r.findAllIn(s).length <= 2,
+      "single-table rules must fold into ONE aggregate pass")
+  }
+
+  test("orders_forecast: corpus agg first, lag window over months only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = q("orders_forecast").queryExecution.sparkPlan
+    // the unpartitioned lag window is the documented two-phase shape:
+    // it runs over the ≤|months| aggregate, with the heavy reduction
+    // below it in the same plan
+    val winChildren = sp.collect { case w: WindowExec => w.child }
+    assert(winChildren.nonEmpty)
+    assert(winChildren.forall(c =>
+      c.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.nonEmpty),
+      "lag window must sit ABOVE the month aggregate, never on raw rows")
+  }
+
+  test("win_rolling_median: keyed window, bounded frame, no global sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = q("win_rolling_median").queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "median frame must stay per-user")
+  }
+
+  test("vec_pca_project: eigvec arrives broadcast, one corpus pass") {
+    val s = p("vec_pca_project")
+    assert(s.contains("BroadcastHashJoin"),
+      "the 64-row eigenvector must broadcast into the projection join")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("dedup_embed_eval: band join + exact join, no driver state") {
+    val s = p("dedup_embed_eval")
+    assert(!s.contains("LocalTableScan") && !s.contains("Scan ExistingRDD"),
+      "both pair sets must be computed in-engine")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "exact side is the declared broadcast NL baseline")
+  }
 }
