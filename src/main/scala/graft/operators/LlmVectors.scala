@@ -155,6 +155,13 @@ object LlmVectors extends QueryGroup {
         (col("a.x") * col("b.x")).cast(DecimalType(38, 20)).as("xy"))
       .groupBy("i", "j")
       .agg(Canon.round6(sum(col("xy")).cast("double")).as("gram"))
+      // the d²-row Gram feeds all three iterations, and each step
+      // references its input TWICE (the max-norm agg + the normalized
+      // product), so the unchecked lineage recomputes the corpus-sized
+      // Gram join ~2³ times; truncating it here (4 096 rows, one
+      // partition's worth) makes every step read the materialized
+      // matrix — the corpus is scanned ONCE per query at any scale
+      .localCheckpoint(false)
     def step(v: DataFrame) = {
       val prod = g.join(v, "j")
         .select(col("i"),
