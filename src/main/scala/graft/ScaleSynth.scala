@@ -108,6 +108,49 @@ object ScaleSynth {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
 
+    // Full relational closure for the composite-join smoke (tpch_*,
+    // dq_expectations): lineitem rides its order's replica (all three
+    // FKs shift by the same stride, so referential totality is
+    // preserved replica-by-replica); customer/supplier shift keys;
+    // nation/region are genuinely global dimensions and stay as-is —
+    // exactly the part of the schema that does NOT grow with the fleet.
+    val li = Tables.table(spark, src, "lineitem")
+    (0 until reps).map { r =>
+      li.select(
+        (col("l_orderkey") + lit(r * IdStride)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * IdStride)).as("l_partkey"),
+        (col("l_suppkey") + lit(r * IdStride)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+
+    val cust = Tables.table(spark, src, "customer")
+    (0 until reps).map { r =>
+      cust.select(
+        (col("c_custkey") + lit(r * IdStride)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+
+    val supp = Tables.table(spark, src, "supplier")
+    (0 until reps).map { r =>
+      supp.select(
+        (col("s_suppkey") + lit(r * IdStride)).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
+
+    Tables.table(spark, src, "nation")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/nation.parquet")
+    Tables.table(spark, src, "region")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/region.parquet")
+
     println(s"[synth] wrote ${reps}x ${src} -> $out")
     spark.stop()
   }
