@@ -190,6 +190,49 @@ object Streaming extends QueryGroup {
     * one already folded per user (time-sharded batches satisfy it; a
     * watermark alone does not).
     */
+  /** The stream_anomaly state machine, exposed for the replay-contract
+    * spec: per-user exact integer prefix moments (n, Σcents, Σcents²),
+    * each micro-batch sorted by (ts_us, event_id) then folded; an event
+    * is emitted iff its user had ≥10 prior readings, positive prefix
+    * variance, and |z| > 2.5. Every double op mirrors the oracle's
+    * prefix-window SQL operand-for-operand, so emits hash-match it.
+    * Correct under per-user time-ordered admission (same contract as
+    * [[fillForward]]/[[funnelStages]]).
+    */
+  private[graft] def onlineAnomaly(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Double, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, Long, Long, Double, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = Seq.newBuilder[(Long, Long, Long, Double, Double)]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            val c = math.floor(r._4 * 100 + 0.5).toLong
+            if (n >= 10) {
+              val mu = s1.toDouble / n
+              val va = (s2.toDouble - s1.toDouble * s1.toDouble / n) /
+                (n - 1)
+              if (va > 0) {
+                val z = (c - mu) / math.sqrt(va)
+                if (math.abs(z) > 2.5) {
+                  val z4 = (if (z >= 0) math.floor(z * 1e4 + 0.5)
+                            else -math.floor(-z * 1e4 + 0.5)) / 1e4
+                  out += ((r._1, r._2, r._3, r._4, z4))
+                }
+              }
+            }
+            n += 1; s1 += c; s2 += c * c
+          }
+          state.update((n, s1, s2))
+          out.result().iterator
+      }
+  }
+
   private[graft] def fillForward(
       ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Double])])
       : org.apache.spark.sql.Dataset[
@@ -466,6 +509,29 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "stream_anomaly" -> { (spark, dir) =>
+      // Online anomaly detection — the STREAMING z-score: each event is
+      // judged against its user's statistics over events seen BEFORE it
+      // (≥10 prior readings, |z| > 2.5), the semantics a live detector
+      // actually has (events_anomaly's full-corpus z is the offline
+      // twin). State per user is three exact integers — n, Σcents,
+      // Σcents² (value is 2-dp, so cents are lossless longs and the
+      // prefix moments are order-exact) — ~24 bytes however long the
+      // stream runs. The z arithmetic is double ops on those integers,
+      // mirrored operation-for-operation by the oracle's prefix-window
+      // SQL, so the online emits are fully hash-checkable. Correct
+      // under per-user time-ordered admission (AvailableNow replay;
+      // same precondition as fillForward/funnelStages).
+      import spark.implicits._
+      val typed = eventStream(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      runToMemory(spark,
+        onlineAnomaly(typed).toDF("user_id", "ts_us", "event_id", "value", "z"),
+        OutputMode.Append())
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "stream_cdc_latest" -> { (spark, dir) =>
       // Streaming CDC compaction — the online twin of cdc_latest (same
       // oracle): flatMapGroupsWithState keeps ONE winner per
@@ -643,6 +709,35 @@ object Streaming extends QueryGroup {
     "stream_cdc_latest" -> DataEng.oracle("cdc_latest"),
 
     // online LOCF converges to the batch window fill — one oracle
-    "stream_fill_forward" -> Windows.oracle("win_fill_forward")
+    "stream_fill_forward" -> Windows.oracle("win_fill_forward"),
+
+    "stream_anomaly" ->
+      // the prefix-window twin of the online detector: moments over
+      // ROWS ... 1 PRECEDING are exactly "events seen before this one";
+      // integer-cents sums make them order-exact, and every double op
+      // mirrors the state machine's arithmetic operand-for-operand
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |p AS (SELECT user_id, ts_us, event_id, value, c,
+        |    count(*) OVER w AS n,
+        |    sum(c) OVER w AS s1,
+        |    sum(c * c) OVER w AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT user_id, ts_us, event_id, value,
+        |    (c - CAST(s1 AS DOUBLE) / n) /
+        |      sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+        |      AS z,
+        |    (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS va,
+        |    n
+        |  FROM p WHERE n >= 10)
+        |SELECT user_id, ts_us, event_id, value,
+        |  CAST(round(z, 4) AS DOUBLE) AS z
+        |FROM sc WHERE va > 0 AND abs(z) > 2.5
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

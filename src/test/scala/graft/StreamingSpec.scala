@@ -310,6 +310,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_anomaly prefix moments survive time-sharded multi-batch replay") {
+    // same admission contract as funnel/LOCF: three time-range shards,
+    // one file per trigger — the integer prefix moments must carry
+    // across batches and the sharded emits must equal the single-batch
+    // (oracle-matched) query's rows exactly
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.33, 0.66), 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anshard").toString
+    Seq(
+      ev.filter(col("ts_us") <= cuts(0)),
+      ev.filter(col("ts_us") > cuts(0) && col("ts_us") <= cuts(1)),
+      ev.filter(col("ts_us") > cuts(1))
+    ).zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/shard_$i")
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/shard_*")
+      .as[(Long, Long, Long, Double)]
+    val qs = operators.Streaming.onlineAnomaly(stream)
+      .toDF("user_id", "ts_us", "event_id", "value", "z")
+      .writeStream.format("memory").queryName("an_shard_sink")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    qs.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))
+    val streamed = spark.table("an_shard_sink").collect().map(key).toSet
+    val single = q("stream_anomaly").collect().map(key).toSet
+    assert(streamed == single)
+    assert(streamed.nonEmpty)
+    // warmup contract: a user's first 10 events are never flagged
+    val ranks = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("ts_us", "event_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))
+        -> r.getInt(3)).toMap
+    assert(streamed.forall { case (u, t, e, _, _) => ranks((u, t, e)) > 10 })
+  }
+
   test("stream_sliding: every event lands in exactly two covering windows") {
     val out = q("stream_sliding")
     val covered = out.agg(sum("n")).head().getLong(0)
