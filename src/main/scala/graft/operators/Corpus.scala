@@ -117,6 +117,37 @@ object Corpus extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "dedup_chunks" -> { (spark, dir) =>
+      // Sub-document boilerplate mining: exact dedup at CHUNK
+      // granularity (the text_chunks 64/48 sliding windows) — finds the
+      // repeated spans (headers, disclaimers, navigation) that
+      // document-level dedup can never see because their host documents
+      // differ. The standard pre-training pass after doc-level dedup.
+      // Plan: chunking is the text_chunks projection+explode (no
+      // shuffle), each chunk reduces to its 56-bit sha fingerprint
+      // map-side, ONE hash aggregate groups by fingerprint, and only
+      // groups spanning ≥2 documents survive — output is bounded by the
+      // boilerplate population, not the corpus. At 100 TB the report
+      // keys (h) feed a broadcast semi-join that strips the spans.
+      val W = 64L; val S = 48L
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("start_tok", explode(
+          sequence(lit(0L), greatest(col("n_tok") - 1, lit(0L)), lit(S))))
+        .select(col("doc_id"),
+          TextDedup.hash56(array_join(
+            slice(col("toks"), (col("start_tok") + 1).cast("int"),
+              least(lit(W), col("n_tok") - col("start_tok")).cast("int")),
+            " ")).as("h"))
+        .groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
+    },
+
     "text_chunks" -> { (spark, dir) =>
       // Overlapping sliding-window chunking — the RAG/context-window
       // sibling of pack_chunks (which concatenates; this SPLITS):
@@ -369,6 +400,24 @@ object Corpus extends QueryGroup {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN cnt USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "dedup_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, n_tok,
+        |    unnest(range(0, greatest(n_tok, 1), 48)) AS st FROM d),
+        |c AS (SELECT doc_id,
+        |    array_to_string(list_slice(toks, st + 1, least(st + 64, n_tok)),
+        |      ' ') AS t
+        |  FROM s),
+        |hh AS (SELECT doc_id,
+        |    CAST(concat('0x', substring(sha256(t), 1, 14)) AS BIGINT) AS h
+        |  FROM c)
+        |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |  min(doc_id) AS first_doc
+        |FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, h""".stripMargin,
 
     "text_chunks" ->
       """WITH d AS (SELECT doc_id,

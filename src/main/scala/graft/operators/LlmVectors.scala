@@ -553,6 +553,42 @@ object LlmVectors extends QueryGroup {
         .orderBy("id_a", "id_b")
     },
 
+    "knn_recall_matrix" -> { (spark, dir) =>
+      // The bucket-width PARAMETER SWEEP behind vec_ivf_stats and
+      // dedup_embed_eval: pair recall of the knn_ivf bucket scheme at 4
+      // widths in one query — the table an ANN build reads to pick
+      // `bits` (coarser buckets = higher recall, more rescore work).
+      // The exact cosine ≥ 0.4 pair set is computed ONCE
+      // (lineage-truncated — it is the quadratic gold standard, run on
+      // a sample at real scale) and each width contributes one
+      // sub-quadratic bucket equi self-join + a pair-id join; output is
+      // 4 fixed-width rows.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val exact = allPairsCos(emb)
+        .filter(Canon.round6(col("cos")) >= 0.4)
+        .select("id_a", "id_b").withColumn("t", lit(1))
+        .localCheckpoint(false)
+      Seq(4, 6, 8, 10).map { bits =>
+        val bk = emb.select(col("vec_id"),
+          Knn.lshBucket(col("embedding"), bits).as("bucket"))
+        val cand = bk.as("x").join(bk.as("y"),
+            col("x.bucket") === col("y.bucket")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .withColumn("c", lit(1))
+        exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("c")).as("n_candidates"),
+            count(col("t")).as("n_true_pairs"),
+            sum(when(col("c").isNotNull && col("t").isNotNull, 1L)
+              .otherwise(0L)).as("n_hits"))
+          .select(lit(bits.toLong).as("bits"), col("n_candidates"),
+            col("n_true_pairs"), col("n_hits"),
+            Canon.round6(col("n_hits").cast("double") / col("n_true_pairs"))
+              .as("recall"))
+      }.reduce(_ unionAll _)
+        .orderBy("bits")
+    },
+
     "vec_outliers" -> { (spark, dir) =>
       // Embedding outlier detection: top-20 vectors by diagonal
       // Mahalanobis distance (Σ_d z_d² with per-dimension μ/σ from the
@@ -993,6 +1029,35 @@ object LlmVectors extends QueryGroup {
          |    / count(*), 4) AS DOUBLE) AS avg_pc1,
          |  min(pc1) AS min_pc1, max(pc1) AS max_pc1
          |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
+    "knn_recall_matrix" -> {
+      val exactCte =
+        s"""ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |  WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.4)"""
+          .stripMargin
+      val perWidth = Seq(4, 6, 8, 10).map { bits =>
+        s"""SELECT CAST($bits AS BIGINT) AS bits,
+           |  count(*) FILTER (WHERE isc) AS n_candidates,
+           |  count(*) FILTER (WHERE ist) AS n_true_pairs,
+           |  count(*) FILTER (WHERE isc AND ist) AS n_hits,
+           |  CAST(round(CAST(count(*) FILTER (WHERE isc AND ist) AS DOUBLE)
+           |    / count(*) FILTER (WHERE ist), 6) AS DOUBLE) AS recall
+           |FROM (
+           |  SELECT (c.id_a IS NOT NULL) AS isc, (e.id_a IS NOT NULL) AS ist
+           |  FROM (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           |        FROM (SELECT vec_id,
+           |                ${lshBucketDuckBits("embedding", bits)} AS bucket
+           |              FROM embeddings) x
+           |        JOIN (SELECT vec_id,
+           |                ${lshBucketDuckBits("embedding", bits)} AS bucket
+           |              FROM embeddings) y
+           |          ON x.bucket = y.bucket AND x.vec_id < y.vec_id) c
+           |  FULL OUTER JOIN ex e
+           |    ON c.id_a = e.id_a AND c.id_b = e.id_b)""".stripMargin
+      }.mkString("\n UNION ALL \n")
+      s"WITH $exactCte\n$perWidth\nORDER BY bits"
+    },
 
     "vec_outliers" ->
       """WITH ex AS (SELECT vec_id, label, i AS d,

@@ -159,6 +159,63 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == docs.length, "every doc chunked")
   }
 
+  test("dedup_chunks: fingerprints match a JVM re-chunk; thresholds hold") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("dedup_chunks").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"),
+        "occurrences count every chunk, docs count distinct hosts")
+    }
+    // brute-force recount: chunk every doc 64/48 in plain Scala, hash
+    // with the same sha256-56 scheme, and compare the full report
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def h56(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(7).map(b => f"$b%02x").mkString, 16)
+    }
+    val byHash = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect().foreach { r =>
+        val toks = r.getString(1).split(" ")
+        var st = 0
+        while (st < math.max(toks.length, 1)) {
+          val chunk = toks.slice(st, math.min(st + 64, toks.length))
+            .mkString(" ")
+          byHash.getOrElseUpdate(h56(chunk),
+            scala.collection.mutable.ArrayBuffer.empty) += r.getLong(0)
+          st += 48
+        }
+      }
+    val truth = byHash.filter(_._2.distinct.size >= 2).map { case (h, ds) =>
+      (h, ds.distinct.size.toLong, ds.size.toLong, ds.min)
+    }.toSet
+    val got = rows.map(r => (r.getAs[Long]("h"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_occ"), r.getAs[Long]("first_doc"))).toSet
+    assert(got == truth)
+  }
+
+  test("knn_recall_matrix: coarser buckets recall more, truth is constant") {
+    val rows = q("knn_recall_matrix").collect()
+      .sortBy(_.getAs[Long]("bits"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("n_true_pairs")).distinct.length == 1,
+      "the exact gold standard must not vary with the sweep parameter")
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b <= a },
+      "more bits = finer buckets = fewer candidate pairs")
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a },
+      "recall is monotone non-increasing in bits")
+    assert(recalls.forall(r => r >= 0 && r <= 1))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_true_pairs"))
+    }
+  }
+
   test("graph_degree_dist == brute-force degree histogram of the edge set") {
     val deg = scala.collection.mutable.Map.empty[Long, Long]
     truthPairs.foreach { case (a, b) =>
