@@ -553,6 +553,35 @@ object LlmVectors extends QueryGroup {
         .orderBy("id_a", "id_b")
     },
 
+    "knn_recall_at_k" -> { (spark, dir) =>
+      // THE serving metric: recall@3 of the deployed IVF path
+      // (knn_search_ivf — persisted 6-bit index, hamming-1 probes)
+      // against the exact top-3 (knn_search), averaged over the query
+      // set. Complements knn_recall_matrix (which scores PAIR recall of
+      // the bucket scheme): this scores what a user of the serving API
+      // actually experiences. Both sides are the already-declared
+      // serving plans; the comparison itself is one (q_id, idx_id)
+      // equi-join over ≤3·Q rows and a 1-row aggregate — the eval adds
+      // nothing corpus-sized. hits/n are exact longs; the ratio is one
+      // IEEE division.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Knn.search(qs, emb, k = 3)
+        .select(col("q_id"), col("idx_id"))
+      val approx = Knn.searchBucketed(qs,
+          Knn.persistedIndex(spark, dir, bits = 6), k = 3, bits = 6,
+          probes = 1)
+        .select(col("q_id").as("aq"), col("idx_id").as("ai"))
+      val hits = exact.join(approx,
+          col("q_id") === col("aq") && col("idx_id") === col("ai"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("ai")).as("n_hits"))
+      qs.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), col("n_exact"), col("n_hits"),
+          Canon.round6(col("n_hits").cast("double") / col("n_exact"))
+            .as("recall_at_3"))
+    },
+
     "knn_recall_matrix" -> { (spark, dir) =>
       // The bucket-width PARAMETER SWEEP behind vec_ivf_stats and
       // dedup_embed_eval: pair recall of the knn_ivf bucket scheme at 4
@@ -1029,6 +1058,43 @@ object LlmVectors extends QueryGroup {
          |    / count(*), 4) AS DOUBLE) AS avg_pc1,
          |  min(pc1) AS min_pc1, max(pc1) AS max_pc1
          |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
+    "knn_recall_at_k" ->
+      s"""WITH es AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i
+         |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id),
+         |er AS (SELECT q_id, idx_id, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM es),
+         |e AS (SELECT q_id, idx_id FROM er WHERE rank <= 3),
+         |ie AS (SELECT vec_id AS idx_id, embedding AS iemb,
+         |    CAST(${lshBucketDuckBits("embedding", 6)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |qe0 AS (SELECT vec_id AS q_id, embedding AS qemb,
+         |    CAST(${lshBucketDuckBits("embedding", 6)} AS BIGINT) AS qb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |probes AS (SELECT q_id, qemb,
+         |    unnest(list_prepend(qb, list_transform(range(6),
+         |      i -> xor(qb, CAST(1 << i AS BIGINT))))) AS bucket
+         |  FROM qe0),
+         |as0 AS (SELECT q_id, idx_id,
+         |    CAST(round(${cosDuck("qemb", "iemb")}, 6) AS DOUBLE) AS cosine
+         |  FROM probes JOIN ie USING (bucket) WHERE q_id <> idx_id),
+         |ar AS (SELECT q_id, idx_id, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM as0),
+         |a AS (SELECT q_id, idx_id FROM ar WHERE rank <= 3),
+         |j AS (SELECT e.q_id, (a.q_id IS NOT NULL) AS hit
+         |  FROM e LEFT JOIN a ON e.q_id = a.q_id AND e.idx_id = a.idx_id)
+         |SELECT
+         |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+         |    AS n_queries,
+         |  count(*) AS n_exact,
+         |  count(*) FILTER (WHERE hit) AS n_hits,
+         |  CAST(round(CAST(count(*) FILTER (WHERE hit) AS DOUBLE)
+         |    / count(*), 6) AS DOUBLE) AS recall_at_3
+         |FROM j""".stripMargin,
 
     "knn_recall_matrix" -> {
       val exactCte =

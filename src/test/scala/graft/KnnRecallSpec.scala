@@ -120,6 +120,26 @@ class KnnRecallSpec extends SparkSpec {
     assert(math.abs(trace - n) < 1e-2, s"trace $trace vs n=$n")
   }
 
+  test("knn_recall_at_k: accounting exact, equals an independent recount") {
+    val r = q("knn_recall_at_k").collect().head
+    val nq = r.getAs[Long]("n_queries")
+    assert(nq == emb.filter(col("vec_id") % 50 === 0).count())
+    assert(r.getAs[Long]("n_exact") == 3 * nq,
+      "every query has exactly k=3 exact neighbors")
+    assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact"))
+    val rec = r.getAs[Double]("recall_at_3")
+    assert(rec >= 0 && rec <= 1)
+    // independent recount through the library API (bits=6, probes=1 —
+    // the same deployment the query declares)
+    val qs50 = emb.filter(col("vec_id") % 50 === 0)
+    val ex = Knn.search(qs50, emb, 3).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(2))).toSet
+    val ann = Knn.search(qs50, emb, 3, bits = 6, probes = 1).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(2))).toSet
+    val hits = ex.count(ann)
+    assert(r.getAs[Long]("n_hits") == hits.toLong)
+  }
+
   test("exact path equals knn-style self-query of the fixture") {
     // sanity anchor: every query's own top-1 neighbor by the exact path
     // must have cosine >= any ivf-returned neighbor's cosine
