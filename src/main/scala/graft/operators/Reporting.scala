@@ -270,6 +270,76 @@ object Reporting extends QueryGroup {
         .orderBy("rule")
     },
 
+    "orders_ship_latency" -> { (spark, dir) =>
+      // Fulfillment-latency SLA report: days from order placement to
+      // FIRST and to LAST line shipment, distributed as exact p50/p90
+      // per order priority — the "does URGENT actually ship faster"
+      // check. Corpus work is one co-keyed lineitem aggregate + the
+      // orders join on the same orderkey; the exact-percentile
+      // aggregate (interpolation parity proven at agg_percentile)
+      // reduces to ≤|priorities| rows. Latencies are exact integer
+      // days, cast double BEFORE the percentile so both engines
+      // interpolate identical operands.
+      val ship = Tables.table(spark, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(min(col("l_shipdate")).as("first_d"),
+          max(col("l_shipdate")).as("last_d"))
+      val probes = "array(0.5D, 0.9D)"
+      Tables.table(spark, dir, "orders")
+        .join(ship, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("first_d").cast("date"), col("o_orderdate").cast("date"))
+            .cast("double").as("lat_first"),
+          datediff(col("last_d").cast("date"), col("o_orderdate").cast("date"))
+            .cast("double").as("lat_last"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          expr(s"percentile(lat_first, $probes)").as("pf"),
+          expr(s"percentile(lat_last, $probes)").as("pl"),
+          Canon.meanOf(col("lat_first")).as("avg_first"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          element_at(col("pf"), 1).as("p50_first"),
+          element_at(col("pf"), 2).as("p90_first"),
+          element_at(col("pl"), 1).as("p50_last"),
+          element_at(col("pl"), 2).as("p90_last"),
+          col("avg_first"))
+        .orderBy("o_orderpriority")
+    },
+
+    "events_funnel_time" -> { (spark, dir) =>
+      // Time-to-convert: for users completing view → click → purchase
+      // under strict event-time ordering (the stream_funnel/
+      // events_funnel transition rule), the exact p50/p90 of the two
+      // stage-to-stage delays. Three milestone aggregates chain on the
+      // SAME user_id key (min-view, then min-click-after, then
+      // min-purchase-after — each one hash agg + one co-keyed join);
+      // the final percentile aggregate reduces to ONE row. Delays are
+      // exact integer µs cast double pre-percentile.
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"), min("t1").as("t1"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"),
+          min("t1").as("t1"), min("t2").as("t2"))
+      val probes = "array(0.5D, 0.9D)"
+      t3.select(
+          (col("t2") - col("t1")).cast("double").as("d12"),
+          (col("t3") - col("t2")).cast("double").as("d23"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr(s"percentile(d12, $probes)").as("p12"),
+          expr(s"percentile(d23, $probes)").as("p23"))
+        .select(col("n_converted"),
+          element_at(col("p12"), 1).as("p50_view_click_us"),
+          element_at(col("p12"), 2).as("p90_view_click_us"),
+          element_at(col("p23"), 1).as("p50_click_purchase_us"),
+          element_at(col("p23"), 2).as("p90_click_purchase_us"))
+    },
+
     "orders_forecast" -> { (spark, dir) =>
       // Seasonal-naive revenue forecast + backtest: forecast(month m) =
       // actual(m-12), reported with the absolute percentage error —
@@ -449,6 +519,46 @@ object Reporting extends QueryGroup {
         |  CAST(v AS BIGINT) AS n_violations,
         |  CAST(round(CAST(v AS DOUBLE) / n, 6) AS DOUBLE) AS viol_rate
         |FROM rules ORDER BY rule""".stripMargin,
+
+    "orders_ship_latency" ->
+      """WITH ship AS (SELECT l_orderkey, min(l_shipdate) AS first_d,
+        |    max(l_shipdate) AS last_d
+        |  FROM lineitem GROUP BY 1),
+        |l AS (SELECT o_orderpriority,
+        |    CAST(CAST(first_d AS DATE) - CAST(o_orderdate AS DATE) AS DOUBLE)
+        |      AS lat_first,
+        |    CAST(CAST(last_d AS DATE) - CAST(o_orderdate AS DATE) AS DOUBLE)
+        |      AS lat_last
+        |  FROM orders JOIN ship ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  quantile_cont(lat_first, 0.5) AS p50_first,
+        |  quantile_cont(lat_first, 0.9) AS p90_first,
+        |  quantile_cont(lat_last, 0.5) AS p50_last,
+        |  quantile_cont(lat_last, 0.9) AS p90_last,
+        |  CAST(round(CAST(sum(CAST(lat_first AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 4) AS DOUBLE) AS avg_first
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |m1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |m2 AS (SELECT user_id, min(ts_us) AS t2, min(t1) AS t1
+        |  FROM e JOIN m1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+        |m3 AS (SELECT user_id, min(ts_us) AS t3, min(t1) AS t1,
+        |    min(t2) AS t2
+        |  FROM e JOIN m2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1),
+        |d AS (SELECT CAST(t2 - t1 AS DOUBLE) AS d12,
+        |    CAST(t3 - t2 AS DOUBLE) AS d23 FROM m3)
+        |SELECT count(*) AS n_converted,
+        |  quantile_cont(d12, 0.5) AS p50_view_click_us,
+        |  quantile_cont(d12, 0.9) AS p90_view_click_us,
+        |  quantile_cont(d23, 0.5) AS p50_click_purchase_us,
+        |  quantile_cont(d23, 0.9) AS p90_click_purchase_us
+        |FROM d""".stripMargin,
 
     "orders_forecast" ->
       """WITH m AS (

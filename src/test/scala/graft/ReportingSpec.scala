@@ -161,6 +161,57 @@ class ReportingSpec extends SparkSpec {
       "max/avg occupancy ratio is >= 1 by definition")
   }
 
+  test("orders_ship_latency: all priorities, ordered percentiles, totals") {
+    val rows = q("orders_ship_latency").collect()
+    assert(rows.length == 5, "all five order priorities present")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_first") <= r.getAs[Double]("p90_first"))
+      assert(r.getAs[Double]("p50_last") <= r.getAs[Double]("p90_last"))
+      // last shipment cannot precede the first
+      assert(r.getAs[Double]("p50_first") <= r.getAs[Double]("p50_last"))
+    }
+    // not every order has lineitems at sf0.001 (27/1500 never ship):
+    // the report covers exactly the orders that DO ship, once each
+    assert(rows.map(_.getAs[Long]("n_orders")).sum
+      == Tables.table(spark, sfDir, "lineitem")
+        .select("l_orderkey").distinct().count())
+  }
+
+  test("events_funnel_time: delays positive, percentiles ordered, bounded") {
+    val r = q("events_funnel_time").collect().head
+    val n = r.getAs[Long]("n_converted")
+    assert(n > 0)
+    assert(n <= Tables.events(spark, sfDir).select("user_id")
+      .distinct().count())
+    assert(r.getAs[Double]("p50_view_click_us") > 0)
+    assert(r.getAs[Double]("p50_view_click_us")
+      <= r.getAs[Double]("p90_view_click_us"))
+    assert(r.getAs[Double]("p50_click_purchase_us")
+      <= r.getAs[Double]("p90_click_purchase_us"))
+  }
+
+  test("graph_link_predict: predictions are open wedges, counts verified") {
+    val preds = q("graph_link_predict").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("common_neighbors")))
+    assert(preds.nonEmpty)
+    val cns = preds.map(_._3)
+    assert(cns.sameElements(cns.sortBy(-_)))
+    // rebuild the undirected kNN edge set through the library API and
+    // check: no predicted pair is an edge, and its common-neighbor
+    // count is exact
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val edges = operators.Knn.search(emb, emb, k = 3).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(2)),
+        math.max(r.getLong(0), r.getLong(2)))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ws) => v -> ws.map(_._2).toSet }
+    preds.foreach { case (a, b, cn) =>
+      assert(!edges((a, b)), s"($a,$b) must not already be an edge")
+      assert((adj(a) & adj(b)).size.toLong == cn, s"count at ($a,$b)")
+    }
+  }
+
   test("dedup_embed_eval: hits bounded by both sides, rates in [0,1]") {
     val r = q("dedup_embed_eval").collect().head
     val (cand, tru, hits) = (r.getAs[Long]("n_candidates"),
