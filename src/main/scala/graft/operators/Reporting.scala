@@ -115,6 +115,72 @@ object Reporting extends QueryGroup {
         .limit(20)
     },
 
+    "tpch_q7" -> { (spark, dir) =>
+      // Volume shipping between two nations (TPC-H Q7): bilateral
+      // trade revenue by (supplier nation, customer nation, ship year)
+      // for one nation pair, both directions. Same fact skeleton as
+      // q3/q5/q10 — one co-keyed lineitem⋈orders shuffle; supplier and
+      // customer each arrive broadcast with their nation name already
+      // attached (the two tiny dims pre-join broadcast-side), and the
+      // pair filter ((n1,n2) or (n2,n1)) prunes before the aggregate.
+      // Ship year is integer year() — no date formatting.
+      // pair chosen non-degenerate at ALL three SFs (verified:
+      // bilateral 1996-97 trade exists even at sf0.001)
+      val (na, nb) = ("NATION_0", "NATION_12")
+      val nat = Tables.table(spark, dir, "nation")
+        .select("n_nationkey", "n_name")
+      val supp = Tables.table(spark, dir, "supplier").as("s")
+        .join(nat.as("sn"), col("s.s_nationkey") === col("sn.n_nationkey"))
+        .select(col("s.s_suppkey").as("s_suppkey"),
+          col("sn.n_name").as("supp_nation"))
+      val cust = Tables.table(spark, dir, "customer").as("c")
+        .join(nat.as("cn"), col("c.c_nationkey") === col("cn.n_nationkey"))
+        .select(col("c.c_custkey").as("c_custkey"),
+          col("cn.n_name").as("cust_nation"))
+      val ord = Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      Tables.table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-01-01")
+          && col("l_shipdate") < ntz("1998-01-01"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === na && col("cust_nation") === nb)
+          || (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue.as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    "tpch_q14" -> { (spark, dir) =>
+      // Promotion effect (TPC-H Q14): the share of one month's revenue
+      // from PROMO parts — a conditional/total ratio from ONE decimal
+      // aggregate pass. The month filter is pushed to the lineitem
+      // scan, part arrives broadcast, and both sums fold exactly in
+      // DECIMAL so the percentage is one IEEE division of two exact
+      // operands.
+      val part = Tables.table(spark, dir, "part").select("p_partkey", "p_type")
+      Tables.table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-03-01")
+          && col("l_shipdate") < ntz("1996-04-01"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(Canon.Dec)).otherwise(lit(0).cast(Canon.Dec)))
+            .as("promo"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(Canon.Dec)).as("total"))
+        .select(
+          // decRound4, not binRound: both engines round the EXACT
+          // decimal, which is the moneySum policy
+          Canon.decRound4(col("promo")).as("promo_revenue"),
+          Canon.decRound4(col("total")).as("total_revenue"),
+          Canon.round4(lit(100.0) * col("promo").cast("double")
+            / col("total").cast("double")).as("promo_pct"))
+    },
+
     "tpch_q18" -> { (spark, dir) =>
       // Large-volume customers (TPC-H Q18): orders whose total line
       // quantity exceeds 200, with their customer, ranked by order
@@ -432,6 +498,44 @@ object Reporting extends QueryGroup {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_12')
+        |    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_0'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch_q14" ->
+      """SELECT
+        |  CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_revenue,
+        |  CAST(round(100.0
+        |    * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |          AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS promo_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
 
     "tpch_q18" ->
       """WITH big AS (

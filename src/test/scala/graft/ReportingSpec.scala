@@ -109,6 +109,29 @@ class ReportingSpec extends SparkSpec {
     }
   }
 
+  test("tpch_q7: both directions appear, years in range, revenue positive") {
+    val rows = q("tpch_q7").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val y = r.getAs[Long]("l_year")
+      assert(y == 1996 || y == 1997)
+      assert(r.getAs[Double]("revenue") > 0)
+      val pair = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(pair == ("NATION_0", "NATION_12")
+        || pair == ("NATION_12", "NATION_0"))
+    }
+  }
+
+  test("tpch_q14: promo share consistent with its own components") {
+    val r = q("tpch_q14").collect().head
+    val (p, t, pct) = (r.getAs[Double]("promo_revenue"),
+      r.getAs[Double]("total_revenue"), r.getAs[Double]("promo_pct"))
+    assert(p >= 0 && p <= t)
+    assert(pct >= 0 && pct <= 100)
+    assert(math.abs(pct - 100.0 * p / t) < 0.01,
+      "percentage must re-derive from the reported components")
+  }
+
   test("tpch_q18: every reported order's quantity sum really exceeds 200") {
     val rows = q("tpch_q18").collect()
     assert(rows.nonEmpty && rows.length <= 20)
