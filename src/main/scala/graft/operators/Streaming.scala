@@ -44,8 +44,20 @@ object Streaming extends QueryGroup {
     val replay = Paths.get("/tmp/graft_replay",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
     Files.createDirectories(replay)
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      replay.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val src = Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(src)) {
+      // Spark-written fixture (e.g. a ScaleSynth dir): events.parquet
+      // is a DIRECTORY of part files — copy each; a naive copy of the
+      // directory entry would create an EMPTY replay and the stream
+      // would silently process zero rows
+      val s = Files.list(src)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, replay.resolve(p.getFileName),
+          StandardCopyOption.REPLACE_EXISTING): Unit)
+      finally s.close()
+    } else
+      Files.copy(src, replay.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
     val batchTwin = Tables.table(spark, dir, "events") // sets nanosAsLong
     val raw = spark.readStream.schema(batchTwin.schema).parquet(replay.toString)
     raw.withColumn("ts_us", Tables.tsUsCol(raw))
