@@ -444,6 +444,39 @@ object Streaming extends QueryGroup {
         .orderBy("s_user", "s_event", "p_event")
     },
 
+    "stream_join_outer" -> { (spark, dir) =>
+      // Stream-stream LEFT OUTER join — the completion semantics the
+      // inner join can't show: a signup with no purchase in its hour
+      // emits null-extended ONLY once the watermark proves no match can
+      // still arrive. That gate is deterministic under the AvailableNow
+      // replay (the final no-data micro-batch advances the watermark to
+      // max event time − 10 min and flushes evictable state), so the
+      // oracle can state it in SQL: matched pairs ∪ unmatched signups
+      // whose entire match window [s_t, s_t+1h] closed before the final
+      // watermark. Signups younger than that hold state and emit
+      // NOTHING — exactly what a continuous run would do, and the
+      // measurable difference between outer-join streaming semantics
+      // and the batch left join.
+      val ev = eventStream(spark, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("s_event"),
+          col("ts_t").as("s_t"), col("ts_us").as("s_us"))
+        .withWatermark("s_t", "10 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+          col("ts_t").as("p_t"), col("ts_us").as("p_us"))
+        .withWatermark("p_t", "10 minutes")
+      val joined = signups.join(purchases,
+          col("s_user") === col("p_user")
+            && col("p_t") >= col("s_t")
+            && col("p_t") <= col("s_t") + expr("interval 1 hour"),
+          "left_outer")
+        .select(col("s_user"), col("s_event"), col("p_event"),
+          col("s_us"), col("p_us"))
+      runToMemory(spark, joined, OutputMode.Append())
+        .orderBy("s_user", "s_event", "p_event")
+    },
+
     "stream_stateful_counter" -> { (spark, dir) =>
       import spark.implicits._
       val counted = eventStream(spark, dir)
@@ -709,6 +742,33 @@ object Streaming extends QueryGroup {
         |       p.event_id AS p_event, s.ts_us AS s_us, p.ts_us AS p_us
         |FROM s JOIN p ON s.user_id = p.user_id
         |  AND p.ts_us >= s.ts_us AND p.ts_us <= s.ts_us + 3600000000
+        |ORDER BY s_user, s_event, p_event""".stripMargin,
+
+    "stream_join_outer" ->
+      // matched pairs ∪ null-extended signups whose full match window
+      // closed before the final watermark. The global watermark is the
+      // MIN over the two watermark operators (each branch tracks its
+      // own max event time − 10 min) — verified empirically: the
+      // max-over-all-events candidate over-emits by exactly the rows
+      // between the two thresholds. Signups younger than wm − 1 h hold
+      // state and emit nothing
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('signup', 'purchase')),
+        |s AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts_us) FROM s),
+        |                    (SELECT max(ts_us) FROM p)) - 600000000 AS w),
+        |m AS (SELECT s.user_id AS s_user, s.event_id AS s_event,
+        |        p.event_id AS p_event, s.ts_us AS s_us, p.ts_us AS p_us
+        |      FROM s JOIN p ON s.user_id = p.user_id
+        |        AND p.ts_us >= s.ts_us AND p.ts_us <= s.ts_us + 3600000000),
+        |um AS (SELECT s.user_id AS s_user, s.event_id AS s_event,
+        |        CAST(NULL AS BIGINT) AS p_event, s.ts_us AS s_us,
+        |        CAST(NULL AS BIGINT) AS p_us
+        |      FROM s LEFT JOIN m ON s.event_id = m.s_event
+        |      WHERE m.s_event IS NULL
+        |        AND s.ts_us + 3600000000 < (SELECT w FROM wm))
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
         |ORDER BY s_user, s_event, p_event""".stripMargin,
 
     // the streaming funnel's full replay converges to the batch funnel

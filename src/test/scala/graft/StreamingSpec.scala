@@ -310,6 +310,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_join_outer: matched set equals inner join, nulls watermark-gated") {
+    import org.apache.spark.sql.functions.col
+    val out = q("stream_join_outer").collect()
+    val matched = out.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inner = q("stream_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched == inner,
+      "outer join's matched rows must be exactly the inner join")
+    // null-extended rows: unmatched AND their window closed before the
+    // final watermark; no unmatched signup younger than wm − 1h emits
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us")).collect()
+    val wm = math.min(
+      ev.filter(_.getString(0) == "signup").map(_.getLong(1)).max,
+      ev.filter(_.getString(0) == "purchase").map(_.getLong(1)).max
+    ) - 600000000L
+    val nulls = out.filter(_.isNullAt(2))
+    assert(nulls.nonEmpty)
+    nulls.foreach { r =>
+      assert(r.getLong(3) + 3600000000L < wm,
+        "an emitted null-extension's match window must have closed")
+      assert(!matched.exists(m => m._2 == r.getLong(1)),
+        "null-extended signups must have no match at all")
+    }
+  }
+
   test("stream_anomaly prefix moments survive time-sharded multi-batch replay") {
     // same admission contract as funnel/LOCF: three time-range shards,
     // one file per trigger — the integer prefix moments must carry
