@@ -242,6 +242,29 @@ object Aggregates extends QueryGroup {
         .orderBy("o_orderstatus", "pri")
     },
 
+    "agg_minmax_by" -> { (spark, dir) =>
+      // The arg-min/arg-max surface (max_by/min_by): per
+      // (returnflag, linestatus), WHICH order carried the priciest and
+      // cheapest lineitem. max_by is tie-nondeterministic on raw
+      // price, so the ordering key is the exact integer
+      // cents·10⁷ + orderkey — unique (orderkey < 10⁷ on every
+      // fixture, spec-asserted), pure BIGINT arithmetic in both
+      // engines, and it folds with partial+final combine like any
+      // max. One hash aggregate, six-row output.
+      val key = (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        * 10000000L + col("l_orderkey"))
+      Tables.table(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_extendedprice"), key.as("k"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          max(col("l_extendedprice")).as("max_price"),
+          max_by(col("l_orderkey"), col("k")).as("top_order"),
+          min(col("l_extendedprice")).as("min_price"),
+          min_by(col("l_orderkey"), col("k")).as("bottom_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     "agg_mode" -> { (spark, dir) =>
       // Deterministic mode (most frequent value per group): count →
       // window rank with an explicit value tie-break. Built-in mode()
@@ -555,6 +578,20 @@ object Aggregates extends QueryGroup {
         |UNION ALL SELECT o_orderstatus, 'p4', p4 FROM w
         |UNION ALL SELECT o_orderstatus, 'p5', p5 FROM w
         |ORDER BY o_orderstatus, pri""".stripMargin,
+
+    "agg_minmax_by" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus, l_orderkey,
+        |    l_extendedprice,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000
+        |      + l_orderkey AS k
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  max(l_extendedprice) AS max_price,
+        |  arg_max(l_orderkey, k) AS top_order,
+        |  min(l_extendedprice) AS min_price,
+        |  arg_min(l_orderkey, k) AS bottom_order
+        |FROM l GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n

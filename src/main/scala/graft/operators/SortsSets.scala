@@ -81,6 +81,45 @@ object SortsSets extends QueryGroup {
           .select(col("s_nationkey").as("nationkey")))
         .distinct()
         .orderBy("nationkey")
+    },
+
+    "set_intersect_all" -> { (spark, dir) =>
+      // INTERSECT ALL — MULTISET intersection (min of the two
+      // multiplicities per row), the bag semantics set_intersect's
+      // distinct form erases. Spark plans intersectAll as a
+      // count-compare aggregate, partial+final — no row explosion
+      // beyond min(counts). Inputs are two dup-heavy projections of
+      // lineitem (overlapping ship-date halves), so multiplicities
+      // genuinely exceed 1 and differ between sides.
+      val li = Tables.table(spark, dir, "lineitem")
+      def half(lo: String, hi: String) = li
+        .filter(col("l_shipdate") >= lit(lo).cast("timestamp_ntz")
+          && col("l_shipdate") < lit(hi).cast("timestamp_ntz"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("int").as("qty"))
+      half("1995-01-01", "1998-01-01")
+        .intersectAll(half("1997-01-01", "2002-01-01"))
+        .orderBy("l_returnflag", "l_linestatus", "qty")
+    },
+
+    "set_except_all" -> { (spark, dir) =>
+      // EXCEPT ALL — multiset difference (multiplicities subtract,
+      // floored at zero). Same dup-heavy halves; the result keeps
+      // max(count_a − count_b, 0) copies per row, which the distinct
+      // EXCEPT collapses to 0/1.
+      // operand order matters for non-degeneracy: the LATE half minus
+      // the EARLY half keeps the 1998-2002 surplus at every SF (the
+      // other direction is empty at sf0.01+ — the late half dominates
+      // every multiplicity)
+      val li = Tables.table(spark, dir, "lineitem")
+      def half(lo: String, hi: String) = li
+        .filter(col("l_shipdate") >= lit(lo).cast("timestamp_ntz")
+          && col("l_shipdate") < lit(hi).cast("timestamp_ntz"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("int").as("qty"))
+      half("1997-01-01", "2002-01-01")
+        .exceptAll(half("1995-01-01", "1998-01-01"))
+        .orderBy("l_returnflag", "l_linestatus", "qty")
     }
   )
 
@@ -129,6 +168,30 @@ object SortsSets extends QueryGroup {
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
         |SELECT s_nationkey AS nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |INTERSECT ALL
+        |SELECT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '2002-01-01'
+        |ORDER BY l_returnflag, l_linestatus, qty""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '2002-01-01'
+        |EXCEPT ALL
+        |SELECT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |ORDER BY l_returnflag, l_linestatus, qty""".stripMargin
   )
 }

@@ -160,4 +160,53 @@ class AggregateSpec extends SparkSpec {
     val want = sketch.toSeq.sortBy { case (t, e) => (-e, t) }.take(20)
     assert(top.toSeq == want.toSeq)
   }
+
+  test("set_intersect_all / set_except_all follow multiset algebra") {
+    import org.apache.spark.sql.functions.col
+    def half(lo: String, hi: String) =
+      Tables.table(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= org.apache.spark.sql.functions
+          .lit(lo).cast("timestamp_ntz")
+          && col("l_shipdate") < org.apache.spark.sql.functions
+          .lit(hi).cast("timestamp_ntz"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("int").as("qty"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    def counts(xs: Array[(String, String, Int)]) =
+      xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val a = counts(half("1995-01-01", "1998-01-01"))
+    val b = counts(half("1997-01-01", "2002-01-01"))
+    val inter = (a.keySet & b.keySet).toSeq
+      .map(k => math.min(a(k), b(k))).sum
+    assert(q("set_intersect_all").count() == inter,
+      "INTERSECT ALL keeps min(count_a, count_b) copies")
+    val diff = b.map { case (k, cb) => math.max(cb - a.getOrElse(k, 0L), 0L) }
+      .sum
+    assert(q("set_except_all").count() == diff,
+      "EXCEPT ALL keeps max(count_late - count_early, 0) copies")
+    assert(inter > 0 && diff > 0, "both results non-degenerate")
+  }
+
+  test("agg_minmax_by: arg-max verified brute-force, key precondition holds") {
+    import org.apache.spark.sql.functions.col
+    val maxKey = Tables.table(spark, sfDir, "lineitem")
+      .agg(org.apache.spark.sql.functions.max("l_orderkey"))
+      .collect().head.getLong(0)
+    assert(maxKey < 10000000L,
+      "cents*10^7 + orderkey uniqueness requires orderkey < 10^7")
+    val rows = q("agg_minmax_by").collect()
+    assert(rows.length == 6, "all six (returnflag, linestatus) combos")
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { r =>
+      val g = li.filter(x => x._1 == r.getString(0) && x._2 == r.getString(1))
+      val top = g.maxBy(x => (x._4, x._3))
+      assert(r.getAs[Long]("top_order") == top._3)
+      assert(r.getAs[Double]("max_price") == top._4)
+      val bot = g.minBy(x => (x._4, x._3))
+      assert(r.getAs[Long]("bottom_order") == bot._3)
+    }
+  }
 }
