@@ -109,6 +109,44 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_changepoint" -> { (spark, dir) =>
+      // CUSUM change-point detection per vehicle: the point where the
+      // cumulative deviation from the vehicle's own mean peaks — the
+      // classic single-changepoint locator (regime shift / sensor
+      // drift onset) behind telemetry drift monitors. Determinism by
+      // INTEGER arithmetic throughout: values enter as exact cents,
+      // and the mean division is eliminated by scaling the CUSUM by n
+      // (n·Σ_{j≤i}c_j − i·Σc — a first decimal-cast draft lost one
+      // sf0.1 row to a double→decimal boundary; integers cannot).
+      // |scaled CUSUM| ranks exactly, ties break by (ts, event), and
+      // only the REPORTED value divides back down — one IEEE division
+      // of exact operands. ONE user_id exchange serves all windows
+      // (totals, running sum, argmax rank); one row per vehicle out.
+      val W = org.apache.spark.sql.expressions.Window
+      val wAll = W.partitionBy("user_id")
+      val wRun = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val wRank = W.partitionBy("user_id")
+        .orderBy(abs(col("cusum_scaled")).desc, col("ts_us"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("c", cents)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("c")).over(wAll))
+        .withColumn("run", sum(col("c")).over(wRun))
+        .withColumn("i", row_number().over(
+          W.partitionBy("user_id").orderBy("ts_us", "event_id")).cast("long"))
+        .withColumn("cusum_scaled", col("n") * col("run") - col("i") * col("s"))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("ts_us").as("cp_ts_us"),
+          col("event_id").as("cp_event"),
+          Canon.round4(col("cusum_scaled").cast("double")
+            / (col("n") * lit(100.0))).as("peak_cusum"))
+        .orderBy("user_id")
+    },
+
     "events_trend" -> { (spark, dir) =>
       // Per-vehicle signal DRIFT: least-squares slope of value over
       // seconds-since-first-report — the fleet-health regression every
@@ -209,6 +247,30 @@ object Telemetry extends QueryGroup {
   )
 
   def oracle = Map(
+    "events_changepoint" ->
+      // integer mirror: exact cents, scaled CUSUM n·run − i·total, one
+      // double division only in the reported value
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (SELECT *,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS i
+        |  FROM e),
+        |c2 AS (SELECT *, n * run - i * s AS cusum_scaled FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY abs(cusum_scaled) DESC, ts_us, event_id) AS rk
+        |  FROM c2)
+        |SELECT user_id, ts_us AS cp_ts_us, event_id AS cp_event,
+        |  CAST(round(CAST(cusum_scaled AS DOUBLE) / (n * 100.0), 4)
+        |    AS DOUBLE) AS peak_cusum
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
     "events_trace" ->
       s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
          |FROM events

@@ -483,4 +483,33 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == truth)
   }
+
+  test("events_changepoint == brute-force scaled-CUSUM argmax per user") {
+    import org.apache.spark.sql.functions.col
+    val got = q("events_changepoint").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("peak_cusum"))).toMap
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == events.map(_._1).distinct.length, "one row per user")
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val cents = sorted.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      val n = cents.length.toLong
+      val s = cents.sum
+      var run = 0L
+      val scaled = cents.zipWithIndex.map { case (c, i) =>
+        run += c; n * run - (i + 1) * s
+      }
+      val best = scaled.zipWithIndex
+        .maxBy { case (v, i) =>
+          (math.abs(v), -sorted(i)._2, -sorted(i)._3) }._2
+      val (ts, ev, peak) = got(u)
+      assert((ts, ev) == (sorted(best)._2, sorted(best)._3), s"user $u")
+      assert(math.abs(peak - scaled(best).toDouble / (n * 100.0)) < 1e-3,
+        s"user $u peak value")
+    }
+  }
 }
