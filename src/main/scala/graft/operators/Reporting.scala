@@ -4,11 +4,12 @@ import graft.{Canon, QueryGroup, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-5 wave-6 group: composite relational reporting — the
-  * multi-join decision-support shapes (TPC-H Q3/Q5/Q10 adapted to the
-  * fixture schema), a Deequ-style data-quality expectations report, a
-  * seasonal-naive forecast, and a day-of-week × hour seasonality
-  * profile.
+/** Round-5 composite relational reporting group: the multi-join
+  * decision-support shapes (TPC-H Q3/Q5/Q7/Q10/Q14/Q18 and the Q16
+  * shape, adapted to the fixture schema), a Deequ-style data-quality
+  * expectations report, seasonal-naive forecasting, fulfillment- and
+  * funnel-latency SLAs, an open-order backlog sweep, and a dow×hour
+  * seasonality profile.
   *
   * These are the queries where JOIN PLANNING is the whole game at
   * 100 TB: every one is written so the two fact tables (lineitem,
