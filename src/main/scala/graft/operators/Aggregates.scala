@@ -242,6 +242,27 @@ object Aggregates extends QueryGroup {
         .orderBy("o_orderstatus", "pri")
     },
 
+    "agg_string_agg" -> { (spark, dir) =>
+      // The LISTAGG/string_agg surface: per nation, the ordered CSV of
+      // market segments its customers span plus how many distinct ones.
+      // Determinism: collect_list order is partition-dependent, so the
+      // list is built DISTINCT then sort_array'd before the join —
+      // equivalent to string_agg(DISTINCT … ORDER BY …), the only
+      // portable listagg form. Two-phase distinct (map-side combine)
+      // then a ≤|nations|-row aggregate; the dimension joins broadcast.
+      val cust = Tables.table(spark, dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+      val nat = Tables.table(spark, dir, "nation")
+        .select("n_nationkey", "n_name")
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment")).distinct()
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_segments"),
+          array_join(sort_array(collect_list(col("c_mktsegment"))), ",")
+            .as("segments"))
+        .orderBy("n_name")
+    },
+
     "agg_minmax_by" -> { (spark, dir) =>
       // The arg-min/arg-max surface (max_by/min_by): per
       // (returnflag, linestatus), WHICH order carried the priciest and
@@ -578,6 +599,13 @@ object Aggregates extends QueryGroup {
         |UNION ALL SELECT o_orderstatus, 'p4', p4 FROM w
         |UNION ALL SELECT o_orderstatus, 'p5', p5 FROM w
         |ORDER BY o_orderstatus, pri""".stripMargin,
+
+    "agg_string_agg" ->
+      """WITH d AS (SELECT DISTINCT n_name, c_mktsegment
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, count(*) AS n_segments,
+        |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM d GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "agg_minmax_by" ->
       """WITH l AS (SELECT l_returnflag, l_linestatus, l_orderkey,
