@@ -63,7 +63,8 @@ object Api {
     s"""{"n":${rows.length},"rows":$body}"""
   }
 
-  private val VehiclePath = "^/vehicles/(-?\\d+)/(trace|summary)$".r
+  private val VehiclePath =
+    "^/vehicles/(-?\\d+)/(trace|summary|changepoint)$".r
 
   /** Start the API over one corpus dir; returns the running server
     * (ephemeral port when `port` = 0 — read it off `getAddress`).
@@ -100,6 +101,14 @@ object Api {
           case "/stats/heatmap" =>
             respond(x, 200, toJson(
               SparkEntry.queries("events_heatmap")(spark, dir)))
+          case "/stats/quality" =>
+            // the Deequ-style expectations report as an ops endpoint
+            respond(x, 200, toJson(
+              SparkEntry.queries("dq_expectations")(spark, dir)))
+          case "/stats/index" =>
+            // ANN index health: occupancy/skew row for the serving index
+            respond(x, 200, toJson(
+              SparkEntry.queries("vec_ivf_stats")(spark, dir)))
           case VehiclePath(id, "summary") =>
             // grouping-key predicate pushes below the aggregate to the scan
             val df = SparkEntry.queries("events_user_summary")(spark, dir)
@@ -109,6 +118,12 @@ object Api {
             respond(x, 200, toJson(
               trace(spark, dir, id.toLong,
                 param(x, "from_us"), param(x, "to_us"))))
+          case VehiclePath(id, "changepoint") =>
+            // per-vehicle CUSUM change point; the user filter prunes
+            // the window input below the exchanges like summary's
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_changepoint")(spark, dir)
+                .filter(col("user_id") === id.toLong)))
           case _ =>
             respond(x, 404, s"""{"error":"not found","path":${Json.str(path)}}""")
         }

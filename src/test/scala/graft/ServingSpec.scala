@@ -70,6 +70,32 @@ class ServingSpec extends SparkSpec {
       "heatmap cells must partition all events")
   }
 
+  test("/stats/quality serves the full expectations report") {
+    val (code, body) = get("/stats/quality")
+    assert(code == 200)
+    assert(body.startsWith("""{"n":8,"""), body.take(80))
+    assert(body.contains(""""rule":"orders.custkey_fk_customer""""))
+    assert(body.contains(""""n_violations":"""))
+  }
+
+  test("/stats/index serves the ANN occupancy row") {
+    val (code, body) = get("/stats/index")
+    assert(code == 200)
+    assert(body.startsWith("""{"n":1,"""), body.take(80))
+    val nVec = Tables.table(spark, sfDir, "embeddings").count()
+    assert(body.contains(s""""n_vectors":$nVec"""), body)
+  }
+
+  test("/vehicles/{id}/changepoint returns that vehicle's CUSUM peak") {
+    val (code, body) = get("/vehicles/3/changepoint")
+    assert(code == 200)
+    val exp = q("events_changepoint")
+      .filter(col("user_id") === 3L).head()
+    assert(body.startsWith("""{"n":1,"""), body.take(80))
+    assert(body.contains(s""""cp_event":${exp.getAs[Long]("cp_event")}"""),
+      body)
+  }
+
   test("unknown routes 404 with a JSON error") {
     val (code, body) = get("/nope")
     assert(code == 404 && body.contains("\"error\""))
