@@ -182,6 +182,30 @@ object Reporting extends QueryGroup {
             / col("total").cast("double")).as("promo_pct"))
     },
 
+    "tpch_q19" -> { (spark, dir) =>
+      // Discounted revenue under an OR-of-ANDs predicate (TPC-H Q19
+      // shape): three brand/size/quantity conjunct groups OR'd across
+      // the lineitem⋈part join. The planning point: Catalyst extracts
+      // the COMMON single-side conjuncts from the OR (the p_brand IN
+      // set, the covering size/quantity ranges) and pushes them below
+      // the join into both scans, so the broadcast join sees pre-pruned
+      // inputs — exactly what a hand-split UNION of three joins would
+      // buy, without writing it. One decimal aggregate row out.
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+          && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+          && col("l_quantity").between(20, 50))
+      Tables.table(spark, dir, "lineitem")
+        .join(broadcast(Tables.table(spark, dir, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"), revenue.as("revenue"))
+    },
+
     "tpch_q18" -> { (spark, dir) =>
       // Large-volume customers (TPC-H Q18): orders whose total line
       // quantity exceeds 200, with their customer, ranked by order
@@ -537,6 +561,18 @@ object Reporting extends QueryGroup {
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
 
     "tpch_q18" ->
       """WITH big AS (

@@ -435,6 +435,20 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("tpch_q19: common conjuncts of the OR extract below the join") {
+    val s = p("tpch_q19")
+    assert(s.contains("BroadcastHashJoin"))
+    assert(!s.contains("CartesianProduct"))
+    // Catalyst must extract `p_brand IN (…)` (or per-brand Or chain)
+    // from the OR-of-ANDs and push it into the part scan
+    assert(s.contains("PushedFilters: [IsNotNull(p_partkey), Or(")
+      || s.contains("In(p_brand")
+      || s.contains("EqualTo(p_brand,Brand#1)"),
+      "part-side conjuncts of the OR must reach the scan:\n" +
+        s.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+  }
+
   test("tpch_q18: filtering aggregate reduces lineitem before the join") {
     val s = p("tpch_q18")
     assert("HashAggregate".r.findAllIn(s).length >= 2,
