@@ -291,6 +291,32 @@ object Reporting extends QueryGroup {
         .orderBy("m_idx")
     },
 
+    "tpch_q22" -> { (spark, dir) =>
+      // Global-sales-opportunity (TPC-H Q22 shape): wealthy customers
+      // (balance above the positive-balance average) with NO recent
+      // order, by nation. Three classic pieces in one plan: a 1-row
+      // scalar aggregate BROADCAST back as the threshold (the
+      // correlated-subquery decorrelation), a broadcast ANTI-join
+      // against the recent-purchaser key set, and a ≤|nations| final
+      // aggregate. The threshold average is decimal-sum/count so the
+      // comparison boundary is bit-identical cross-engine.
+      val cust = Tables.table(spark, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(Canon.Dec)).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      val recent = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ntz("2001-01-01"))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(broadcast(recent), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_custs"),
+          Canon.moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_nationkey")
+    },
+
     "dq_expectations" -> { (spark, dir) =>
       // Data-quality expectations report (the Deequ/great-expectations
       // shape): each rule emits (rule, n_checked, n_violations,
@@ -622,6 +648,21 @@ object Reporting extends QueryGroup {
         |    AS backlog
         |FROM grid LEFT JOIN deltas ON m_idx = m
         |ORDER BY m_idx""".stripMargin,
+
+    "tpch_q22" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS a
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > a
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "dq_expectations" ->
       """WITH li AS (

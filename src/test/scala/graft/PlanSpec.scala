@@ -449,6 +449,17 @@ class PlanSpec extends SparkSpec {
           .mkString("\n"))
   }
 
+  test("tpch_q22: scalar threshold and anti-join both broadcast") {
+    val s = p("tpch_q22")
+    assert("BroadcastExchange".r.findAllIn(s).length >= 2,
+      "the 1-row average AND the recent-purchaser key set broadcast")
+    assert(s.contains("LeftAnti"))
+    // the 1-row threshold joins as a broadcast nested loop (fine for a
+    // single row); a CartesianProduct would mean the broadcast was lost
+    assert(!s.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(s).length >= 2)
+  }
+
   test("tpch_q18: filtering aggregate reduces lineitem before the join") {
     val s = p("tpch_q18")
     assert("HashAggregate".r.findAllIn(s).length >= 2,
