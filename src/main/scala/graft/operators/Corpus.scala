@@ -147,6 +147,27 @@ object Corpus extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "text_zipf" -> { (spark, dir) =>
+      // Zipf diagnostic of the corpus vocabulary — the rank-frequency
+      // table with the freq·rank product whose (rough) constancy IS
+      // Zipf's law, kept log-free on purpose: fitting the slope would
+      // drag libm log into the hash compare, while the integer product
+      // carries the same diagnostic exactly. The corpus-scale work is
+      // ONE token-count aggregate (partial+final); the rank window runs
+      // over the vocabulary-sized aggregate only (the documented
+      // two-phase rule), and the top-20 cut bounds the output.
+      val freq = Tables.table(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token"))
+      freq.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("token"), col("freq"),
+          (col("freq") * col("rank")).as("freq_x_rank"))
+        .orderBy("rank")
+    },
+
     "dedup_chunks" -> { (spark, dir) =>
       // Sub-document boilerplate mining: exact dedup at CHUNK
       // granularity (the text_chunks 64/48 sliding windows) — finds the
@@ -457,6 +478,15 @@ object Corpus extends QueryGroup {
         |  WHERE g.a IS NULL)
         |SELECT a, b, common_neighbors FROM nc
         |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin,
+
+    "text_zipf" ->
+      """WITH f AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS freq FROM f GROUP BY token),
+        |r AS (SELECT token, freq, CAST(row_number() OVER
+        |    (ORDER BY freq DESC, token) AS BIGINT) AS rank FROM c)
+        |SELECT rank, token, freq, freq * rank AS freq_x_rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "dedup_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,

@@ -618,6 +618,37 @@ object LlmVectors extends QueryGroup {
         .orderBy("bits")
     },
 
+    "vec_diversity" -> { (spark, dir) =>
+      // Corpus diversity per label WITHOUT pairwise work: the moment
+      // identity E‖x−y‖² = 2·(E‖x‖² − ‖E x‖²) turns the O(n²) mean
+      // pairwise squared distance into ONE linear pass of decimal
+      // moments (Σx_d, Σ‖x‖² per label) — the curation metric ("is
+      // this source collapsing to near-identical embeddings?") at any
+      // corpus size. All folds are exact DECIMAL; the final algebra is
+      // a fixed 64-term double sum evaluated in dimension order (a
+      // deterministic scalar reduction both engines state identically).
+      val ex = Tables.table(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("label"), col("d").cast("long").as("d"),
+          col("x").cast("double").as("x"))
+      val perDim = ex.groupBy("label", "d")
+        .agg(sum(col("x").cast(DecimalType(38, 20))).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 20))).as("sxx"),
+          count(lit(1)).as("n"))
+      // ‖Σx‖² is a 64-term double sum — evaluated SEQUENTIALLY in
+      // dimension order on both engines (sorted list fold; the same
+      // proven pattern as the cosine kernels), never a parallel agg
+      perDim.groupBy("label")
+        .agg(max(col("n")).as("n"),
+          sum(col("sxx")).cast("double").as("s2"),
+          sort_array(collect_list(struct(col("d"), col("sx")))).as("arr"))
+        .select(col("label"), col("n"),
+          Canon.round6(lit(2.0) * (col("s2") / col("n")
+            - expr("aggregate(arr, 0D, (a, e) -> a + e.sx * e.sx)")
+              / (col("n") * col("n")))).as("mean_pair_dist2"))
+        .orderBy("label")
+    },
+
     "vec_outliers" -> { (spark, dir) =>
       // Embedding outlier detection: top-20 vectors by diagonal
       // Mahalanobis distance (Σ_d z_d² with per-dimension μ/σ from the
@@ -1124,6 +1155,24 @@ object LlmVectors extends QueryGroup {
       }.mkString("\n UNION ALL \n")
       s"WITH $exactCte\n$perWidth\nORDER BY bits"
     },
+
+    "vec_diversity" ->
+      """WITH ex AS (SELECT label, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |pd AS (SELECT label, d,
+        |    CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE) AS sx,
+        |    sum(CAST(x * x AS DECIMAL(38,20))) AS sxx,
+        |    count(*) AS n
+        |  FROM ex GROUP BY label, d),
+        |agg AS (SELECT label, max(n) AS n,
+        |    CAST(sum(sxx) AS DOUBLE) AS s2,
+        |    list(sx ORDER BY d) AS l
+        |  FROM pd GROUP BY label)
+        |SELECT label, n,
+        |  CAST(round(2.0 * (s2 / n
+        |    - list_sum(list_transform(l, v -> v * v)) / (n * n)), 6)
+        |    AS DOUBLE) AS mean_pair_dist2
+        |FROM agg ORDER BY label""".stripMargin,
 
     "vec_outliers" ->
       """WITH ex AS (SELECT vec_id, label, i AS d,

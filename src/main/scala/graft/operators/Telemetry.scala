@@ -109,6 +109,31 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_gini" -> { (spark, dir) =>
+      // Distribution-diversity report: Gini impurity of the payload
+      // key per event type (1 − Σp² — the split-quality measure, and
+      // the log-free diversity statistic: entropy would drag libm ln
+      // into the hash compare, impurity is pure rational arithmetic).
+      // Two hash aggregates — (type, k) counts, then per-type Σc² as
+      // exact longs — and ONE double division at the end; output is
+      // ≤|event types| rows at any corpus size.
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k")
+      Tables.events(spark, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct_k"),
+          sum(col("c") * col("c")).as("sc2"))
+        .select(col("event_type"), col("n"), col("n_distinct_k"),
+          Canon.round6(lit(1.0) - col("sc2").cast("double")
+            / (col("n") * col("n"))).as("gini"))
+        .orderBy("event_type")
+    },
+
     "events_changepoint" -> { (spark, dir) =>
       // CUSUM change-point detection per vehicle: the point where the
       // cumulative deviation from the vehicle's own mean peaks — the
@@ -247,6 +272,17 @@ object Telemetry extends QueryGroup {
   )
 
   def oracle = Map(
+    "events_gini" ->
+      """WITH kk AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events),
+        |c AS (SELECT event_type, k, count(*) AS c FROM kk GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |  count(*) AS n_distinct_k,
+        |  CAST(round(1.0 - CAST(sum(c * c) AS DOUBLE)
+        |    / (sum(c) * sum(c)), 6) AS DOUBLE) AS gini
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_changepoint" ->
       // integer mirror: exact cents, scaled CUSUM n·run − i·total, one
       // double division only in the reported value

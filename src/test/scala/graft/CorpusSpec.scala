@@ -216,6 +216,74 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("vec_diversity == brute-force mean pairwise squared distance") {
+    import org.apache.spark.sql.functions.col
+    val got = q("vec_diversity").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_._1)
+    vecs.foreach { case (label, vs) =>
+      val xs = vs.map(_._2)
+      val n = xs.length
+      // E over ALL ordered pairs incl. self (matches the moment identity)
+      var s = 0.0
+      for (a <- xs; b <- xs) {
+        var d2 = 0.0
+        var i = 0
+        while (i < a.length) { val d = a(i) - b(i); d2 += d * d; i += 1 }
+        s += d2
+      }
+      val truth = s / (n.toLong * n)
+      val (gn, gv) = got(label)
+      assert(gn == n.toLong)
+      assert(math.abs(gv - truth) < 1e-4, s"label $label: $gv vs $truth")
+    }
+  }
+
+  test("events_gini: impurity bounds and a brute-force recount") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("events_gini").collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_distinct_k").toDouble
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0 && g <= 1 - 1 / k + 1e-9,
+        s"${r.getString(0)}: gini $g out of [0, 1-1/k]")
+    }
+    // recount one type from raw props
+    val t0 = rows.head.getString(0)
+    val ks = Tables.events(spark, sfDir)
+      .filter(col("event_type") === t0).select("props").collect()
+      .map(r => ujsonK(r.getString(0)))
+    val counts = ks.groupBy(identity).map(_._2.size.toLong)
+    val n = counts.sum
+    val truth = 1.0 - counts.map(c => c * c).sum.toDouble / (n * n)
+    assert(math.abs(rows.head.getAs[Double]("gini") - truth) < 1e-5)
+  }
+
+  private def ujsonK(s: String): Int = {
+    val m = """"k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s)
+    m.map(_.group(1).toInt).getOrElse(Int.MinValue)
+  }
+
+  test("text_zipf: ranks dense, frequencies non-increasing, top verified") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val rows = q("text_zipf").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length))
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => b <= a })
+    rows.foreach(r => assert(
+      r.getAs[Long]("freq_x_rank")
+        == r.getAs[Long]("freq") * r.getAs[Long]("rank")))
+    val top = Tables.table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t")).limit(1).collect().head
+    assert(rows.head.getAs[String]("token") == top.getString(0))
+    assert(rows.head.getAs[Long]("freq") == top.getLong(1))
+  }
+
   test("graph_degree_dist == brute-force degree histogram of the edge set") {
     val deg = scala.collection.mutable.Map.empty[Long, Long]
     truthPairs.foreach { case (a, b) =>
