@@ -25,7 +25,8 @@ object SparkEntry {
     operators.Analytics,
     operators.DataEng,
     operators.Corpus,
-    operators.Reporting
+    operators.Reporting,
+    operators.Tpch
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
