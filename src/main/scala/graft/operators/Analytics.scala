@@ -279,6 +279,48 @@ object Analytics extends QueryGroup {
         .orderBy("rnk")
     },
 
+    "basket_rules" -> { (spark, dir) =>
+      // Association rules over the basket pairs: support, the two
+      // directional confidences n_ab/n_a and n_ab/n_b, and lift =
+      // N·n_ab/(n_a·n_b) — the full a-priori rule surface on top of
+      // basket_pairs' counting core. Baskets dedupe per (order, part)
+      // FIRST (a part repeated across lineitems of one order counts
+      // once — the set semantics rules require), so the self-join fans
+      // out Σ basket², never corpus². Item counts are a ≤|part|-row
+      // aggregate that BROADCASTS back onto the pair table twice; N is
+      // a 1-row broadcast. Every score is integer/integer in one IEEE
+      // division; top-20 by rounded lift under a total order via
+      // TakeOrderedAndProject.
+      val b = Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val itemN = b.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_item"))
+      val nOrders = b.select("l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      b.as("a").join(b.as("c"),
+          col("a.l_orderkey") === col("c.l_orderkey")
+            && col("a.l_partkey") < col("c.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("c.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(broadcast(itemN), col("part_a") === col("pk"))
+        .withColumnRenamed("n_item", "n_a").drop("pk")
+        .join(broadcast(itemN), col("part_b") === col("pk"))
+        .withColumnRenamed("n_item", "n_b").drop("pk")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          Canon.round6(col("n_ab").cast("double") / col("n_a"))
+            .as("conf_a_b"),
+          Canon.round6(col("n_ab").cast("double") / col("n_b"))
+            .as("conf_b_a"),
+          Canon.round6((col("n_ab") * col("n_orders")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+
     "agg_pivot" -> { (spark, dir) =>
       // Pivot = groupBy(status) × explicit priority domain, two measures
       // per cell. Explicit `values` keeps the plan single-pass (no
@@ -575,6 +617,28 @@ object Analytics extends QueryGroup {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, part_a, part_b)
         |    AS BIGINT) AS rnk, part_a, part_b, n
         |FROM c ORDER BY n DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    "basket_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |it AS (SELECT l_partkey AS pk, count(*) AS n_item
+        |  FROM b GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+        |    count(*) AS n_ab
+        |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+        |    AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_ab,
+        |  ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(round(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS DOUBLE)
+        |    AS conf_a_b,
+        |  CAST(round(CAST(n_ab AS DOUBLE) / ib.n_item, 6) AS DOUBLE)
+        |    AS conf_b_a,
+        |  CAST(round(CAST(n_ab * n_orders AS DOUBLE)
+        |    / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS DOUBLE) AS lift
+        |FROM p JOIN it ia ON part_a = ia.pk
+        |JOIN it ib ON part_b = ib.pk CROSS JOIN n
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     "orders_rfm" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,

@@ -394,6 +394,60 @@ object Corpus extends QueryGroup {
       val l2 = round(round(v.select(col("vid"), col("vid").as("lbl"))))
       l2.select(col("vid").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")
+    },
+
+    "text_rarity" -> { (spark, dir) =>
+      // Per-document rarity score under the corpus's own unigram model —
+      // the perplexity-proxy quality filter (rare-token-heavy docs =
+      // OCR noise / gibberish candidates) kept TRANSCENDENTAL-FREE so it
+      // hash-matches cross-engine: instead of exp(mean −log p) the score
+      // is mean 1/p(t) = mean N/c_t — monotone in the same tail signal,
+      // but every operand is one exact-integer IEEE division folded
+      // through the decimal-mean policy. Plan: token counts are ONE
+      // aggregate (vocab-sized result → broadcast), the corpus total is
+      // a 1-row aggregate OF that aggregate (never a re-scan), and the
+      // per-doc mean is one partial+final agg keyed on doc_id. At 100 TB
+      // the vocab broadcast is the only state; nothing is corpus².
+      val tk = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val cnt = tk.groupBy("tok").agg(count(lit(1)).as("c_t"))
+      val tot = cnt.agg(sum("c_t").as("n_total"))
+      val rarity = col("n_total").cast("double") / col("c_t").cast("double")
+      tk.join(broadcast(cnt), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          (sum(rarity.cast(Canon.Dec)).cast("double") / count(lit(1)))
+            .as("avg_raw"),
+          max(rarity).as("max_raw"))
+        .select(col("doc_id"), col("n_tok"),
+          Canon.round6(col("avg_raw")).as("avg_rarity"),
+          Canon.round6(col("max_raw")).as("max_rarity"))
+        .orderBy("doc_id")
+    },
+
+    "dedup_containment" -> { (spark, dir) =>
+      // Directional near-dup detection: doc A CONTAINED in doc B when
+      // ≥70% of A's 3-gram shingles also occur in B — the excerpt/
+      // quotation case Jaccard structurally misses (small A inside big
+      // B ⇒ high I/|A|, low I/(|A|+|B|−I)). Same exact inverted-index
+      // engine as dedup_ngram (source-blocked postings, Σc² work, one
+      // equi-join — never all-pairs); both directions price out of the
+      // ONE intersection count, then explode to (contained, container)
+      // rows. The 100 TB consumer strips contained docs via a
+      // broadcast semi-join on the contained-id column.
+      val p = TextDedup.ngramContainmentPairs(
+        Tables.table(spark, dir, "documents"),
+        idCol = "doc_id", textCol = "text", blockCols = Seq("source"),
+        n = 3, threshold = 0.7)
+      p.select(explode(array(
+          struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+            col("cont_a").as("containment")),
+          struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+            col("cont_b").as("containment")))).as("d"))
+        .select(col("d.contained"), col("d.container"), col("d.containment"))
+        .filter(col("containment") >= 0.7)
+        .orderBy("contained", "container")
     }
   )
 
@@ -609,6 +663,42 @@ object Corpus extends QueryGroup {
         |l2 AS (SELECT v.vid, COALESCE(b2.lbl, v.vid) AS lbl
         |  FROM v LEFT JOIN b2 ON v.vid = b2.mv)
         |SELECT vid AS doc_id, lbl AS community FROM l2
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    "text_rarity" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c_t FROM tk GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM c)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(round(CAST(sum(CAST(CAST(n_total AS DOUBLE)
+        |      / CAST(c_t AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS DOUBLE) AS avg_rarity,
+        |  CAST(round(max(CAST(n_total AS DOUBLE) / CAST(c_t AS DOUBLE)),
+        |    6) AS DOUBLE) AS max_rarity
+        |FROM tk JOIN c USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' '
+        |      || string_split(text,' ')[i+1] || ' '
+        |      || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |post AS (SELECT doc_id, source, len(sh) AS nsh, unnest(sh) AS s
+        |  FROM t),
+        |cp AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    x.nsh AS na, y.nsh AS nb, count(*) AS i
+        |  FROM post x JOIN post y
+        |    ON x.s = y.s AND x.source = y.source AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |d AS (SELECT a AS contained, b AS container,
+        |    round(i / CAST(na AS DOUBLE), 6) AS c FROM cp
+        |  UNION ALL SELECT b, a, round(i / CAST(nb AS DOUBLE), 6) FROM cp)
+        |SELECT contained, container, CAST(c AS DOUBLE) AS containment
+        |FROM d WHERE c >= 0.7
+        |ORDER BY contained, container""".stripMargin
   )
 }

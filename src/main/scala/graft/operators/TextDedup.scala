@@ -66,6 +66,38 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** All same-block pairs with n-gram-shingle CONTAINMENT ≥ `threshold`
+    * in at least one direction — the ASYMMETRIC sibling of
+    * [[ngramJaccardPairs]] for excerpt/quotation detection: a short doc
+    * fully embedded in a long one has high containment I/|A| but low
+    * Jaccard I/(|A|+|B|−I), so a Jaccard-thresholded pass misses it.
+    * Same exact inverted-index plan (one posting equi-join, Σc² work,
+    * zero-overlap pairs never materialize); only the score differs —
+    * both directions come from the one intersection count, so the
+    * directional variant costs nothing extra.
+    *
+    * @return (doc_a, doc_b, na, nb, i, cont_a = I/|A|, cont_b = I/|B|)
+    *         with doc_a < doc_b, max(cont_a, cont_b) ≥ threshold,
+    *         sorted by (doc_a, doc_b)
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double,
+      hashOf: Column => Column = hash56): DataFrame = {
+    val post = ngramPostings(docs, idCol, textCol, blockCols, n, hashOf)
+    post.as("x").join(post.as("y"),
+        col("x.block") === col("y.block")
+          && col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("i"),
+        Canon.round6(col("i") / col("na")).as("cont_a"),
+        Canon.round6(col("i") / col("nb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The inverted-index POSTINGS of [[ngramJaccardPairs]], exposed as its
     * own artifact: one row per (doc, distinct n-gram shingle) with the
     * doc's shingle-set size carried alongside — `(doc_id, block, nsh,

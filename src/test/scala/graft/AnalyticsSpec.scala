@@ -512,4 +512,30 @@ class AnalyticsSpec extends SparkSpec {
         s"user $u peak value")
     }
   }
+
+  test("basket_rules: scores re-derive from independent set-count truth") {
+    val baskets = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val itemN = baskets.groupBy(_._2).map { case (p, xs) => (p, xs.length) }
+    val pairN = baskets.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => (k, v.size) }
+    val nOrders = baskets.map(_._1).distinct.length
+    val r6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = q("basket_rules").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.sameElements(lifts.sortBy(-(_: Double))), "lift desc")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val nab = pairN((a, b))
+      assert(r.getAs[Long]("n_ab") == nab && nab >= 2)
+      assert(r.getAs[Long]("n_a") == itemN(a).toLong)
+      assert(r.getAs[Double]("conf_a_b") == r6(nab.toDouble / itemN(a)))
+      assert(r.getAs[Double]("lift") ==
+        r6(nab.toDouble * nOrders / (itemN(a).toDouble * itemN(b))))
+    }
+  }
 }

@@ -299,4 +299,38 @@ class CorpusSpec extends SparkSpec {
     // histogram mass = vertex count of the pair graph
     assert(got.map(_._2).sum == deg.size.toLong)
   }
+
+  test("dedup_containment == brute-force directional shingle containment") {
+    val bySource = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._3)
+    val truth = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    bySource.values.foreach { ds =>
+      for ((ia, ta, _) <- ds; (ib, tb, _) <- ds if ia != ib) {
+        val (sa, sb) = (shingles(ta), shingles(tb))
+        if (sa.nonEmpty && sb.nonEmpty) {
+          val c = r6(sa.intersect(sb).size.toDouble / sa.size)
+          if (c >= 0.7) truth += ((ia, ib, c))
+        }
+      }
+    }
+    val got = q("dedup_containment").collect()
+      .map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+        r.getAs[Double]("containment")))
+    assert(got.toSet == truth.toSet, "exact directional pair set")
+    assert(got.nonEmpty, "fixture must exercise the containment path")
+  }
+
+  test("text_rarity: mean bounded by vocab size, max ≥ mean, all docs") {
+    val rows = q("text_rarity").collect()
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs, "one row per document")
+    rows.foreach { r =>
+      val (avg, mx) = (r.getAs[Double]("avg_rarity"), r.getAs[Double]("max_rarity"))
+      // mean of N/c_t is ≥ 1 (c_t ≤ N) and its corpus-wide average
+      // equals |vocab| — per-doc values scatter around that
+      assert(avg >= 1.0 && mx >= avg - 1e-9)
+    }
+  }
 }
