@@ -268,10 +268,94 @@ object Telemetry extends QueryGroup {
           element_at(col("p"), 2).as("p90_us"),
           element_at(col("p"), 3).as("p99_us"))
         .orderBy("event_type")
+    },
+
+    "events_resample_lerp" -> { (spark, dir) =>
+      // Regular-grid resampling with LINEAR interpolation — the
+      // time-series alignment step before any cross-vehicle join or
+      // model feature build (irregular telemetry → one value per
+      // vehicle per day boundary). Both bracketing neighbors come from
+      // ONE user-keyed window pass: anchors and grid rows union under a
+      // total order (t, is_grid, tie) where same-instant anchors sort
+      // BEFORE their grid row, so the backward frame's last-non-null is
+      // the ≤t anchor and the forward frame's first-non-null the >t one
+      // (exactly-on-grid events ⇒ fraction 0 ⇒ the event's own value).
+      // Spark plans all four IGNORE-NULLS frames in a single WindowExec
+      // (one exchange + one sort — same partitioning+ordering). Grid
+      // size is bounded by per-user day span, never event count; the
+      // lerp is scalar IEEE arithmetic on exact integer-µs operands —
+      // identical cross-engine. Grid rows use a sentinel tie id (no
+      // null ordering: Spark sorts nulls FIRST, DuckDB LAST — a silent
+      // cross-engine divergence if ties ever ordered by a null column).
+      val day = 86400000000L
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us").as("t"),
+          col("value").as("v"), col("event_id").as("tie"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("t").as("mn"), max("t").as("mx"))
+        .filter(expr(s"(mn + ${day - 1}) div $day") <= expr(s"mx div $day"))
+        .select(col("user_id"), explode(sequence(
+          expr(s"(mn + ${day - 1}) div $day"),
+          expr(s"mx div $day"))).as("d"))
+      val u = ev.select(col("user_id"), col("t"), col("v"),
+          lit(0).as("isg"), col("tie"))
+        .unionAll(grid.select(col("user_id"), (col("d") * day).as("t"),
+          lit(null).cast("double").as("v"),
+          lit(1).as("isg"), lit(Long.MaxValue).as("tie")))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("t", "isg", "tie")
+      val back = ord.rowsBetween(Long.MinValue, 0)
+      val fwd = ord.rowsBetween(0, Long.MaxValue)
+      val anchorT = when(col("isg") === 0, col("t"))
+      val anchorV = when(col("isg") === 0, col("v"))
+      u.select(col("user_id"), col("t"), col("isg"),
+          last(anchorT, ignoreNulls = true).over(back).as("t0"),
+          last(anchorV, ignoreNulls = true).over(back).as("v0"),
+          first(anchorT, ignoreNulls = true).over(fwd).as("t1"),
+          first(anchorV, ignoreNulls = true).over(fwd).as("v1"))
+        .filter(col("isg") === 1)
+        .select(col("user_id"), expr(s"t div $day").as("day"),
+          Canon.round6(when(col("t1") === col("t0"), col("v0"))
+            .otherwise(col("v0") + (col("v1") - col("v0"))
+              * (col("t") - col("t0")).cast("double")
+              / (col("t1") - col("t0")).cast("double"))).as("v_interp"))
+        .orderBy("user_id", "day")
     }
   )
 
   def oracle = Map(
+    "events_resample_lerp" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+        |    event_id AS tie FROM events),
+        |b AS (SELECT user_id, min(t) AS mn, max(t) AS mx
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    unnest(range((mn + 86399999999) // 86400000000,
+        |                 mx // 86400000000 + 1)) AS d
+        |  FROM b),
+        |u AS (SELECT user_id, t, v, 0 AS isg, tie FROM e
+        |  UNION ALL SELECT user_id, d * 86400000000, NULL, 1,
+        |    9223372036854775807 FROM g),
+        |w AS (SELECT user_id, t, isg,
+        |    last_value(CASE WHEN isg = 0 THEN t END IGNORE NULLS)
+        |      OVER wb AS t0,
+        |    last_value(CASE WHEN isg = 0 THEN v END IGNORE NULLS)
+        |      OVER wb AS v0,
+        |    first_value(CASE WHEN isg = 0 THEN t END IGNORE NULLS)
+        |      OVER wf AS t1,
+        |    first_value(CASE WHEN isg = 0 THEN v END IGNORE NULLS)
+        |      OVER wf AS v1
+        |  FROM u WINDOW
+        |  wb AS (PARTITION BY user_id ORDER BY t, isg, tie
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY t, isg, tie
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t // 86400000000 AS day,
+        |  CAST(round(CASE WHEN t1 = t0 THEN v0
+        |    ELSE v0 + (v1 - v0) * CAST(t - t0 AS DOUBLE)
+        |      / CAST(t1 - t0 AS DOUBLE) END, 6) AS DOUBLE) AS v_interp
+        |FROM w WHERE isg = 1 ORDER BY user_id, day""".stripMargin,
+
     "events_gini" ->
       """WITH kk AS (SELECT event_type,
         |    CAST(json_extract_string(props, '$.k') AS INT) AS k

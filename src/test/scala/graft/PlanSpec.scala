@@ -505,4 +505,41 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin"),
       "exact side is the declared broadcast NL baseline")
   }
+
+  test("events_resample_lerp: both frame directions share one exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val s = p("events_resample_lerp")
+    // exactly two user_id exchanges: the grid-bounds aggregate (inherent
+    // — min/max must reduce before the grid generates) and the ONE
+    // window exchange that all four IGNORE-NULLS frames share
+    assert("hashpartitioning\\(user_id".r.findAllIn(s).length == 2,
+      "grid-bounds agg + one shared window exchange, nothing more")
+    val sp = q("events_resample_lerp").queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.length == 1 && wins.forall(_.partitionSpec.nonEmpty),
+      "one keyed WindowExec must serve both frame directions")
+    // value check: every interpolated value lies between its bracketing
+    // anchors (convexity of lerp) — verified against raw events
+    val rows = q("events_resample_lerp").collect()
+    assert(rows.nonEmpty)
+    val byUser = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (u, d, v) = (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Double]("v_interp"))
+      val t = d * 86400000000L
+      val ev = byUser(u).sortBy(_._2)
+      // all candidate anchor values at the bracketing timestamps (robust
+      // to same-instant events with different values)
+      val tsBefore = ev.filter(_._2 <= t).map(_._2).max
+      val tsAfter = ev.filter(_._2 >= t).map(_._2).min
+      val cands = ev.filter(e => e._2 == tsBefore || e._2 == tsAfter)
+        .map(_._3)
+      val (lo, hi) = (cands.min, cands.max)
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6,
+        s"user $u day $d: $v outside [$lo, $hi]")
+    }
+  }
 }
