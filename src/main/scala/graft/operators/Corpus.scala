@@ -448,6 +448,61 @@ object Corpus extends QueryGroup {
         .select(col("d.contained"), col("d.container"), col("d.containment"))
         .filter(col("containment") >= 0.7)
         .orderBy("contained", "container")
+    },
+
+    "text_ngram_novelty" -> { (spark, dir) =>
+      // Crawl-increment novelty: per document (in doc_id = ingestion
+      // order), the fraction of its distinct 3-gram shingles appearing
+      // for the FIRST time in the corpus — the diminishing-returns
+      // curve behind "is another crawl batch still worth ingesting".
+      // First occurrence = min(doc_id) per shingle hash (one h-keyed
+      // aggregate over the SAME postings artifact the dedup family
+      // mines), joined back co-keyed on h, then one doc_id aggregate.
+      // All corpus-sized work is two co-keyed hash aggregates + one
+      // equi-join — Σ postings, nothing quadratic; at 100 TB the
+      // min-doc table is the persisted index's natural companion (an
+      // incremental batch updates it with ONE merge).
+      val post = TextDedup.ngramPostings(
+        Tables.table(spark, dir, "documents"),
+        idCol = "doc_id", textCol = "text", blockCols = Seq.empty, n = 3)
+      val firstSeen = post.groupBy(col("h").as("fh"))
+        .agg(min("doc_id").as("first_doc"))
+      post.join(firstSeen, col("h") === col("fh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nsh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("nsh"), col("n_novel"),
+          Canon.round6(col("n_novel").cast("double") / col("nsh"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    "graph_bfs" -> { (spark, dir) =>
+      // Breadth-first distances over the near-dup graph from a
+      // deterministic seed (the smallest vertex id in the pair set) —
+      // the reachability probe behind "how far does this boilerplate
+      // family spread", completing the graph family (components =
+      // reachability limit, pagerank = stationary mass, BFS = hop
+      // metric). Three frontier rounds unrolled as join+agg stages over
+      // the |E| mined pairs (tenth consumer of the shared index — the
+      // corpus is never touched): frontier ⋈ edges → min-dist union —
+      // the standard iterative-dataflow BFS, no driver state; the
+      // oracle mirrors the rounds as CTE stages.
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+        threshold = 0.2)
+      val e = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      val seed = pairs.agg(least(min("doc_a"), min("doc_b")).as("v"))
+        .select(col("v"), lit(0L).as("dist"))
+      def round(l: org.apache.spark.sql.DataFrame) =
+        l.unionAll(
+            e.join(l, e("s") === l("v"))
+              .select(e("d").as("v"), (col("dist") + 1L).as("dist")))
+          .groupBy("v").agg(min("dist").as("dist"))
+      round(round(round(seed)))
+        .select(col("v").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
     }
   )
 
@@ -699,6 +754,44 @@ object Corpus extends QueryGroup {
         |  UNION ALL SELECT b, a, round(i / CAST(nb AS DOUBLE), 6) FROM cp)
         |SELECT contained, container, CAST(c AS DOUBLE) AS containment
         |FROM d WHERE c >= 0.7
-        |ORDER BY contained, container""".stripMargin
+        |ORDER BY contained, container""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' '
+        |      || string_split(text,' ')[i+1] || ' '
+        |      || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |post AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |fs AS (SELECT s, min(doc_id) AS first_doc FROM post GROUP BY 1)
+        |SELECT doc_id, count(*) AS nsh,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1
+        |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS DOUBLE) AS novelty
+        |FROM post JOIN fs USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "graph_bfs" ->
+      ("WITH " + LlmText.ngramGlobalPairsCte + """,
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM gpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM gpairs),
+        |seed AS (SELECT least(min(doc_a), min(doc_b)) AS v,
+        |    CAST(0 AS BIGINT) AS dist FROM gpairs),
+        |l1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |  SELECT v, dist FROM seed
+        |  UNION ALL SELECT e.d, dist + 1 FROM e JOIN seed ON e.s = seed.v)
+        |  GROUP BY v),
+        |l2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |  SELECT v, dist FROM l1
+        |  UNION ALL SELECT e.d, dist + 1 FROM e JOIN l1 ON e.s = l1.v)
+        |  GROUP BY v),
+        |l3 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |  SELECT v, dist FROM l2
+        |  UNION ALL SELECT e.d, dist + 1 FROM e JOIN l2 ON e.s = l2.v)
+        |  GROUP BY v)
+        |SELECT v AS doc_id, dist FROM l3 ORDER BY doc_id""".stripMargin)
   )
 }

@@ -322,6 +322,38 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must exercise the containment path")
   }
 
+  test("text_ngram_novelty == brute-force first-occurrence fractions") {
+    val sh = docs.map { case (id, t) => (id, shingles(t)) }
+      .filter(_._2.nonEmpty)
+    val firstSeen = sh.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+    val truth = sh.map { case (id, ss) =>
+      val novel = ss.count(s => firstSeen(s) == id)
+      (id, ss.size.toLong, novel.toLong, r6(novel.toDouble / ss.size))
+    }.sortBy(_._1)
+    val got = q("text_ngram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == truth.toSeq)
+    // ingestion-order sanity: the first doc is 100% novel
+    assert(got.head._4 == 1.0)
+  }
+
+  test("graph_bfs == brute-force 3-hop BFS from the smallest vertex") {
+    val adj = truthPairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (v, ns) => (v, ns.toSet) }
+    val seed = truthPairs.flatMap(p => Seq(p._1, p._2)).min
+    var dist = Map(seed -> 0L)
+    (1 to 3).foreach { d =>
+      val frontier = dist.filter(_._2 == d - 1).keySet
+      frontier.flatMap(adj.getOrElse(_, Set.empty)).foreach { v =>
+        if (!dist.contains(v)) dist += (v -> d.toLong)
+      }
+    }
+    val got = q("graph_bfs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == dist, "hop distances must match the brute-force BFS")
+  }
+
   test("text_rarity: mean bounded by vocab size, max ≥ mean, all docs") {
     val rows = q("text_rarity").collect()
     val nDocs = Tables.table(spark, sfDir, "documents").count()
