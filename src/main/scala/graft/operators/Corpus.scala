@@ -503,6 +503,87 @@ object Corpus extends QueryGroup {
       round(round(round(seed)))
         .select(col("v").as("doc_id"), col("dist"))
         .orderBy("doc_id")
+    },
+
+    "dedup_semantic_hybrid" -> { (spark, dir) =>
+      // Multi-signal near-dup triage: the text candidate set (exact
+      // 3-gram Jaccard ≥ 0.2, from the shared pair index) FULL OUTER
+      // joined with the embedding candidate set (exact cosine ≥ 0.4) —
+      // real curation pipelines cross-check surface overlap against
+      // semantic similarity because each signal has blind spots
+      // (paraphrases have low Jaccard; short boilerplate has odd
+      // embeddings). Pairs carrying both signals are the high-
+      // confidence removals; single-signal pairs go to review. The
+      // outer join runs over two already-tiny pair sets (the corpus
+      // never re-joins); the cosine side is the declared lazy-broadcast
+      // NL scorer from dedup_embed_cosine. doc_id ≡ vec_id on the
+      // aligned prefix of the fixture (FIXTURES.md); text-only pairs
+      // outside the embedded prefix keep cosine NULL, which is exactly
+      // the triage answer ("no embedding yet").
+      val tp = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+        threshold = 0.2)
+      val e = Tables.table(spark, dir, "embeddings")
+      val ep = e.as("a")
+        .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Canon.round6(graft.functions.CosineSim.cosine(
+            col("a.embedding"), col("b.embedding"))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+      tp.join(ep, col("doc_a") === col("id_a")
+          && col("doc_b") === col("id_b"), "full_outer")
+        .select(
+          coalesce(col("doc_a"), col("id_a")).as("a"),
+          coalesce(col("doc_b"), col("id_b")).as("b"),
+          col("jaccard"), col("cosine"),
+          when(col("jaccard").isNotNull && col("cosine").isNotNull, "both")
+            .when(col("jaccard").isNotNull, "text")
+            .otherwise("embed").as("signal"))
+        .orderBy("a", "b")
+    },
+
+    "sample_importance" -> { (spark, dir) =>
+      // APPLYING the corpus_mixture weights: a deterministic
+      // importance sample targeting 20% of the corpus distributed by
+      // the temperature-scaled source weights (up-weighted sources keep
+      // more of their docs). Per-source acceptance rate r_s =
+      // min(1, 0.2·N·w_s/n_s) is rounded to 6 dp BEFORE the
+      // comparison (pow(·,0.7) could differ by an ulp cross-engine; the
+      // rounded rate can't), and acceptance is a pure hash-fraction
+      // test — reproducible at any cluster size, across engines, and
+      // under re-runs, unlike rand()-sampling. One source aggregate
+      // (|sources| rows, single-partition window over it), broadcast
+      // back, one filtered re-aggregation — two corpus passes, zero
+      // corpus shuffles.
+      val docs = Tables.table(spark, dir, "documents")
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val rates = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        .withColumn("raw", pow(col("tokens").cast("double"), 0.7))
+        // the normalizer folds each pow value through DECIMAL before the
+        // window sum — double addition is order-sensitive and the
+        // single-partition window row order is not pinned; the decimal
+        // fold is associative, so the normalizer is bit-identical at
+        // any row order and in both engines
+        .withColumn("sraw",
+          sum(col("raw").cast(Canon.Dec)).over(all).cast("double"))
+        .withColumn("weight", Canon.round6(col("raw") / col("sraw")))
+        .withColumn("rate", Canon.round6(least(lit(1.0),
+          lit(0.2) * sum("n_docs").over(all)
+            * (col("raw") / col("sraw")) / col("n_docs"))))
+        .select(col("source").as("rs"), col("n_docs"), col("weight"),
+          col("rate"))
+      val frac = pmod(TextDedup.hash56(
+        concat(lit("imp|"), col("doc_id").cast("string"))), lit(1000000L))
+        .cast("double") / 1e6
+      val sampled = docs.join(broadcast(rates), col("source") === col("rs"))
+        .filter(frac < col("rate"))
+        .groupBy(col("source").as("ss"))
+        .agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, col("rs") === col("ss"), "left")
+        .select(col("rs").as("source"), col("n_docs"), col("weight"),
+          col("rate"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
     }
   )
 
@@ -792,6 +873,46 @@ object Corpus extends QueryGroup {
         |  SELECT v, dist FROM l2
         |  UNION ALL SELECT e.d, dist + 1 FROM e JOIN l2 ON e.s = l2.v)
         |  GROUP BY v)
-        |SELECT v AS doc_id, dist FROM l3 ORDER BY doc_id""".stripMargin)
+        |SELECT v AS doc_id, dist FROM l3 ORDER BY doc_id""".stripMargin),
+
+    "dedup_semantic_hybrid" ->
+      ("WITH " + LlmText.ngramGlobalPairsCte + s""",
+        |ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(round(${LlmVectors.cosDuck("a.embedding", "b.embedding")},
+        |      6) AS DOUBLE) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(${LlmVectors.cosDuck("a.embedding", "b.embedding")},
+        |      6) >= 0.4)
+        |SELECT coalesce(doc_a, id_a) AS a, coalesce(doc_b, id_b) AS b,
+        |  jaccard, cosine,
+        |  CASE WHEN jaccard IS NOT NULL AND cosine IS NOT NULL THEN 'both'
+        |       WHEN jaccard IS NOT NULL THEN 'text'
+        |       ELSE 'embed' END AS signal
+        |FROM gpairs FULL OUTER JOIN ep
+        |  ON doc_a = id_a AND doc_b = id_b
+        |ORDER BY a, b""".stripMargin),
+
+    "sample_importance" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT *, pow(CAST(tokens AS DOUBLE), 0.7) AS raw FROM s),
+         |z AS (SELECT CAST(sum(CAST(raw AS DECIMAL(18,6))) AS DOUBLE)
+         |      AS sraw,
+         |    CAST(sum(n_docs) AS BIGINT) AS n FROM t),
+         |r AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |    CAST(round(raw / sraw, 6) AS DOUBLE) AS weight,
+         |    CAST(round(least(1.0, 0.2 * n * (raw / sraw) / n_docs), 6)
+         |      AS DOUBLE) AS rate
+         |  FROM t CROSS JOIN z),
+         |k AS (SELECT d.source, count(*) AS n_sampled
+         |  FROM documents d JOIN r ON d.source = r.source
+         |  WHERE CAST(${h56Sql("concat('imp|', CAST(doc_id AS VARCHAR))")}
+         |      % 1000000 AS DOUBLE) / 1000000.0 < rate
+         |  GROUP BY 1)
+         |SELECT r.source AS source, n_docs, weight, rate,
+         |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
+         |FROM r LEFT JOIN k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin
   )
 }

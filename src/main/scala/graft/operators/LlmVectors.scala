@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object LlmVectors extends QueryGroup {
 
-  private def cosDuck(a: String, b: String): String =
+  private[operators] def cosDuck(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, CAST(least(len($a), len($b)) AS BIGINT) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))

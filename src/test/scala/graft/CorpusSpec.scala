@@ -354,6 +354,60 @@ class CorpusSpec extends SparkSpec {
     assert(got == dist, "hop distances must match the brute-force BFS")
   }
 
+  test("dedup_semantic_hybrid: signal labels partition the two truth sets") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val embTruth = (for {
+      (ia, va) <- emb; (ib, vb) <- emb if ia < ib
+      if r6(cos(va, vb)) >= 0.4
+    } yield (ia, ib)).toSet
+    val rows = q("dedup_semantic_hybrid").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pair = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (inText, inEmb) = (truthPairs(pair), embTruth(pair))
+      val expect =
+        if (inText && inEmb) "both" else if (inText) "text" else "embed"
+      assert(r.getAs[String]("signal") == expect, s"$pair")
+      assert(inText || inEmb, s"$pair must come from a candidate set")
+    }
+    assert(rows.length == (truthPairs ++ embTruth).size,
+      "the outer join must cover the union exactly")
+  }
+
+  test("sample_importance: counts re-derive from the hash filter; " +
+      "weights sum to 1") {
+    val meta = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = q("sample_importance").collect()
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    val rates = rows.map(r =>
+      (r.getAs[String]("source"), r.getAs[Double]("rate"))).toMap
+    val truth = meta.groupBy(_._2).map { case (s, ds) =>
+      (s, ds.count { case (id, _) =>
+        (sha56(s"imp|$id") % 1000000L).toDouble / 1e6 < rates(s)
+      }.toLong)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") == truth(r.getAs[String]("source")))
+    }
+    // the 20% global target is roughly met (hash uniformity)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val kept = rows.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(kept / total > 0.1 && kept / total < 0.3)
+  }
+
   test("text_rarity: mean bounded by vocab size, max ≥ mean, all docs") {
     val rows = q("text_rarity").collect()
     val nDocs = Tables.table(spark, sfDir, "documents").count()
