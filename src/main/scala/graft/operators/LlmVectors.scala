@@ -243,6 +243,30 @@ object LlmVectors extends QueryGroup {
       Knn.search(emb, idx, k = 3).orderBy("q_id", "rank")
     },
 
+    "knn_mutual" -> { (spark, dir) =>
+      // MUTUAL-kNN pairs: (a, b) where each is in the other's exact
+      // top-3 — the symmetric robustness filter over the kNN graph
+      // (one-directional edges are often hub artifacts; mutual edges
+      // are the high-precision input to graph clustering and
+      // NN-descent). The edge list computes ONCE (lineage-truncated
+      // via localCheckpoint, the knn_recall_matrix pattern — without
+      // it the self-join would re-run the n² scoring twice), then the
+      // mutuality test is one equi-join of the n·k-row edge table with
+      // its own reversal — output-sized work at any corpus size.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val idx = emb.repartition(
+        spark.sparkContext.defaultParallelism, col("vec_id"))
+      val g = Knn.search(emb, idx, k = 3).localCheckpoint()
+      g.as("x").join(g.as("y"),
+          col("x.q_id") === col("y.idx_id")
+            && col("x.idx_id") === col("y.q_id")
+            && col("x.q_id") < col("x.idx_id"))
+        .select(col("x.q_id").as("a"), col("x.idx_id").as("b"),
+          col("x.cosine").as("cosine"),
+          col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"))
+        .orderBy("a", "b")
+    },
+
     "knn_search_filtered" -> { (spark, dir) =>
       // filtered ANN — the serving-time reality of vector search
       // (tenant/category-scoped retrieval): top-k among index vectors
@@ -897,6 +921,22 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_mutual" ->
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s),
+         |g AS (SELECT q_id, rank, idx_id, cosine FROM r WHERE rank <= 3)
+         |SELECT x.q_id AS a, x.idx_id AS b, x.cosine AS cosine,
+         |  CAST(x.rank AS BIGINT) AS rank_ab,
+         |  CAST(y.rank AS BIGINT) AS rank_ba
+         |FROM g x JOIN g y
+         |  ON x.q_id = y.idx_id AND x.idx_id = y.q_id
+         |  AND x.q_id < x.idx_id
+         |ORDER BY a, b""".stripMargin,
 
     "knn_search_filtered" ->
       s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,

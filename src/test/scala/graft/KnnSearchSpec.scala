@@ -95,4 +95,22 @@ class KnnSearchSpec extends SparkSpec {
     }
     assert(got.map(_._1).distinct.length == 10)
   }
+
+  test("knn_mutual == the symmetric subset of the knn_graph edge set") {
+    val edges = SparkEntry.queries("knn_graph")(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("idx_id")),
+        r.getAs[Long]("rank")))
+      .toMap
+    val truth = edges.keySet.collect {
+      case (a, b) if a < b && edges.contains((b, a)) => (a, b)
+    }
+    val got = SparkEntry.queries("knn_mutual")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("rank_ab"), r.getAs[Long]("rank_ba")))
+    assert(got.map(t => (t._1, t._2)).toSet == truth,
+      "mutual pairs = exactly the bidirectional edges")
+    got.foreach { case (a, b, rab, rba) =>
+      assert(edges((a, b)) == rab && edges((b, a)) == rba)
+    }
+  }
 }
