@@ -64,7 +64,7 @@ object Api {
   }
 
   private val VehiclePath =
-    "^/vehicles/(-?\\d+)/(trace|summary|changepoint)$".r
+    "^/vehicles/(-?\\d+)/(trace|summary|changepoint|resample)$".r
 
   /** Start the API over one corpus dir; returns the running server
     * (ephemeral port when `port` = 0 — read it off `getAddress`).
@@ -118,6 +118,36 @@ object Api {
             respond(x, 200, toJson(
               trace(spark, dir, id.toLong,
                 param(x, "from_us"), param(x, "to_us"))))
+          case "/reports/pricing" =>
+            // the TPC-H Q1 pricing summary as the flagship report
+            respond(x, 200, toJson(
+              SparkEntry.queries("agg_pricing_summary")(spark, dir)))
+          case "/stats/backlog" =>
+            // open-order backlog sweep (≤|months| rows by construction)
+            respond(x, 200, toJson(
+              SparkEntry.queries("orders_open_backlog")(spark, dir)))
+          case "/search/similar" =>
+            // ANN-as-a-service: exact top-k neighbors of one stored
+            // vector. The query side is a 1-row pushed-filter scan; at
+            // index scale the same call takes bits>0 and probes the
+            // persisted bucket-partitioned layout (knn_search_ivf path)
+            param(x, "vec_id") match {
+              case Some(id) =>
+                val k = param(x, "k").map(_.toInt).filter(_ >= 1)
+                  .map(math.min(_, 100)).getOrElse(5)
+                val emb = Tables.table(spark, dir, "embeddings")
+                respond(x, 200, toJson(graft.operators.Knn.search(
+                  emb.filter(col("vec_id") === id), emb, k)
+                  .orderBy("rank")))
+              case None =>
+                respond(x, 400, """{"error":"vec_id param required"}""")
+            }
+          case VehiclePath(id, "resample") =>
+            // the daily lerp-resampled series for one vehicle; the
+            // user filter prunes below the window exchange
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_resample_lerp")(spark, dir)
+                .filter(col("user_id") === id.toLong)))
           case VehiclePath(id, "changepoint") =>
             // per-vehicle CUSUM change point; the user filter prunes
             // the window input below the exchanges like summary's

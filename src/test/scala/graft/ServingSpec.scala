@@ -96,6 +96,35 @@ class ServingSpec extends SparkSpec {
       body)
   }
 
+  test("/search/similar serves exact top-k neighbors of a stored vector") {
+    val (code, body) = get("/search/similar?vec_id=7&k=3")
+    assert(code == 200)
+    assert(body.startsWith("""{"n":3,"""), body.take(80))
+    // cross-check against the library call the endpoint parameterizes
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val exp = operators.Knn.search(
+        emb.filter(col("vec_id") === 7L), emb, k = 3)
+      .orderBy("rank").collect()
+      .map(_.getAs[Long]("idx_id"))
+    exp.foreach(id => assert(body.contains(s""""idx_id":$id"""), body))
+    assert(get("/search/similar")._1 == 400, "missing vec_id is a 400")
+  }
+
+  test("/vehicles/{id}/resample serves that vehicle's daily lerp series") {
+    val (code, body) = get("/vehicles/4/resample")
+    assert(code == 200)
+    val exp = q("events_resample_lerp")
+      .filter(col("user_id") === 4L).count()
+    assert(body.startsWith(s"""{"n":$exp,"""), body.take(80))
+  }
+
+  test("/reports/pricing and /stats/backlog serve the declared reports") {
+    val (c1, b1) = get("/reports/pricing")
+    assert(c1 == 200 && b1.contains(""""l_returnflag""""))
+    val (c2, b2) = get("/stats/backlog")
+    assert(c2 == 200 && b2.contains(""""backlog""""))
+  }
+
   test("unknown routes 404 with a JSON error") {
     val (code, body) = get("/nope")
     assert(code == 404 && body.contains("\"error\""))
