@@ -427,6 +427,43 @@ object Aggregates extends QueryGroup {
           expr("percentile_approx(value, 0.95)").as("p95"))
     },
 
+    "agg_kmv_distinct" -> { (spark, dir) =>
+      // K-Minimum-Values distinct sketch (k = 64) per event type — the
+      // ONE sketch in the family with a FULL oracle: KMV has no RNG and
+      // no implementation-defined binning (unlike HLL/percentile_approx,
+      // rows-only above), just "the k smallest values of a fixed hash",
+      // so both engines compute the identical estimate and the driver
+      // hash-compares sketch AND exact twin side by side. Estimator:
+      // (k−1)·2^56/h_k (uniform sha-56 hash). Plan: distinct (type,
+      // hash) pairs first (map-side partial distinct), then a per-type
+      // rank selects h_k — at 100 TB the rank window over distinct
+      // hashes is replaced by a bounded k-heap aggregate, same answer;
+      // the sketch's point is that the k-row state merges across
+      // partitions/days without rescanning (union = keep k smallest).
+      val k = 64
+      val h = TextDedup.hash56(
+        concat(lit("kmv|"), col("user_id").cast("string")))
+      val hashes = Tables.events(spark, dir)
+        .select(col("event_type"), h.as("h")).distinct()
+      val kth = hashes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy("h")))
+        .filter(col("rk") === k)
+        .select(col("event_type").as("kt"), col("h").as("hk"))
+      val exact = Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val est = when(col("hk").isNull, col("n_exact").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(72057594037927936.0)
+          / col("hk").cast("double"))
+      exact.join(broadcast(kth), col("event_type") === col("kt"), "left")
+        .select(col("event_type"), col("n_exact"),
+          Canon.round2(est).as("kmv_est"),
+          Canon.round6(abs(est - col("n_exact"))
+            / col("n_exact")).as("rel_err"))
+        .orderBy("event_type")
+    },
+
     "agg_topk_exact" -> { (spark, dir) =>
       // EXACT corpus heavy hitters — the oracle-checked twin of
       // agg_topk_approx (same pairing policy as agg_approx_distinct /
@@ -506,6 +543,30 @@ object Aggregates extends QueryGroup {
         |  FROM documents)
         |SELECT token, count(*) AS n FROM tok
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "agg_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substring(sha256(
+        |      concat('kmv|', CAST(user_id AS VARCHAR))), 1, 14))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+        |kth AS (SELECT event_type AS kt, h AS hk FROM r WHERE rk = 64),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT event_type, n_exact,
+        |    CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+        |      -- e-notation forces DOUBLE: a decimal literal product
+        |      -- of 63.0 · 2^56 overflows DECIMAL(18)
+        |      ELSE 63.0 * 7.2057594037927936e16 / CAST(hk AS DOUBLE) END
+        |      AS est
+        |  FROM ex LEFT JOIN kth ON event_type = kt)
+        |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(round(est, 2) AS DOUBLE) AS kmv_est,
+        |  CAST(round(abs(est - n_exact) / n_exact, 6) AS DOUBLE)
+        |    AS rel_err
+        |FROM j ORDER BY event_type""".stripMargin,
 
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,

@@ -209,4 +209,34 @@ class AggregateSpec extends SparkSpec {
       assert(r.getAs[Long]("bottom_order") == bot._3)
     }
   }
+
+  test("agg_kmv_distinct: estimate re-derives from the k-th hash; " +
+      "error inside the KMV bound") {
+    val k = 64
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def h56(s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (0 until 7).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xffL))
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = q("agg_kmv_distinct").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val hs = ev.filter(_._1 == t).map(p => h56(s"kmv|${p._2}"))
+        .distinct.sorted
+      val exact = ev.count(_._1 == t).toLong
+      assert(r.getAs[Long]("n_exact") == exact)
+      val est =
+        if (hs.length < k) exact.toDouble
+        else (k - 1).toDouble * 7.2057594037927936e16 / hs(k - 1).toDouble
+      assert(math.abs(r.getAs[Double]("kmv_est")
+        - math.floor(est * 100 + 0.5) / 100) < 1e-9)
+      // KMV std error ≈ 1/sqrt(k-2) ≈ 12.7%; 4σ bound with headroom
+      assert(r.getAs[Double]("rel_err") < 0.5,
+        s"$t rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
 }
