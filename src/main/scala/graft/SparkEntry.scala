@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Udfs,
     operators.Streaming,
     operators.Telemetry,
+    operators.Spatial,
     operators.Analytics,
     operators.DataEng,
     operators.Corpus,

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial analytics over synthetic planar coordinates — the geo family
+  * the reference's vehicle-telemetry API implies (map display, proximity,
+  * trip mining) generalized to the fixtures, which carry no lat/lon
+  * (FIXTURES.md events schema): every event gets a deterministic point in
+  * a 1 000 000 × 1 000 000 integer grid derived from the engine-
+  * independent 56-bit sha256 hash ([[TextDedup.hash56]]), so Spark and
+  * the DuckDB oracle reconstruct the identical geometry and every
+  * distance is EXACT integer arithmetic (dx² + dy² ≤ 2·10¹² < 2⁶³) until
+  * one final correctly-rounded sqrt.
+  *
+  * Scale design:
+  *  - the radius join is a GRID-CELL equi-join (cell = coord div R, the
+  *    small side replicated to its 3×3 neighborhood), never a cross
+  *    product: at 100 TB the probe side shuffles once on the cell key —
+  *    or not at all while the POI side stays broadcastable;
+  *  - nearest-POI is the broadcast-NL + min_by pattern
+  *    (vec_centroid_assign's shape): k× row fanout with map-side
+  *    reduction, no shuffle of the big side beyond its partial agg;
+  *  - trip segmentation is ONE user-keyed exchange shared by the
+  *    gap-detection window and the per-trip aggregate; per-leg distances
+  *    are centi-unit longs so the per-trip sum is order-insensitive
+  *    (exact), never a parallel float fold.
+  */
+object Spatial extends QueryGroup {
+
+  /** Grid span: coordinates live in [0, 1e6) integer units. */
+  private val Span = 1000000L
+
+  /** Radius for the proximity join, also the grid-cell size. */
+  private val R = 60000L
+
+  /** Trip split threshold: a gap ≥ 24 h starts a new trip. */
+  private val GapUs = 86400000000L
+
+  /** Deterministic coordinate: 56-bit hash of a salted key, mod span. */
+  private def coord(salt: String, c: Column): Column =
+    TextDedup.hash56(concat(lit(salt), c.cast("string"))) % Span
+
+  private def coordSql(salt: String, e: String): String =
+    s"CAST(concat('0x', substring(sha256('$salt' || CAST($e AS VARCHAR)), 1, 14)) AS BIGINT) % $Span"
+
+  /** events + synthetic point (px, py). */
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coord("x:", col("event_id")).as("px"),
+        coord("y:", col("event_id")).as("py"))
+
+  private val pointsSql =
+    s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |  ${coordSql("x:", "event_id")} AS px,
+       |  ${coordSql("y:", "event_id")} AS py
+       |FROM events""".stripMargin
+
+  /** 25 POIs: one deterministic point per nation. */
+  private def pois(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("poi_id"),
+        coord("x:poi:", col("n_nationkey")).as("qx"),
+        coord("y:poi:", col("n_nationkey")).as("qy"))
+
+  private val poisSql =
+    s"""SELECT CAST(n_nationkey AS BIGINT) AS poi_id,
+       |  ${coordSql("x:poi:", "n_nationkey")} AS qx,
+       |  ${coordSql("y:poi:", "n_nationkey")} AS qy
+       |FROM nation""".stripMargin
+
+  def queries = Map(
+    "geo_grid_join" -> { (spark, dir) =>
+      // Radius join events↔POIs WITHOUT a cross product: both sides key
+      // by grid cell (cell edge = R), the tiny POI side replicated to
+      // its 3×3 neighborhood — every true pair shares a candidate cell
+      // because |dx|,|dy| ≤ R bounds the cell offset to ±1 — then the
+      // exact integer d² ≤ R² filter keeps true hits only. The oracle
+      // is the naive cross join: identical output PROVES the grid
+      // decomposition lossless. Plan: candidate side is broadcast (225
+      // replicated POI rows); the events scan reads 3 columns and never
+      // shuffles. At 100 TB with a large POI table the same plan
+      // becomes a shuffle equi-join on (cx, cy) — still linear.
+      val ev = points(spark, dir)
+        .withColumn("cx", expr(s"px div $R"))
+        .withColumn("cy", expr(s"py div $R"))
+      val cand = pois(spark, dir)
+        .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+        .select(col("poi_id"), col("qx"), col("qy"),
+          (expr(s"qx div $R") + col("dx")).as("cx"),
+          (expr(s"qy div $R") + col("dy")).as("cy"))
+      ev.join(broadcast(cand), Seq("cx", "cy"))
+        .withColumn("d2",
+          (col("px") - col("qx")) * (col("px") - col("qx"))
+            + (col("py") - col("qy")) * (col("py") - col("qy")))
+        .filter(col("d2") <= R * R)
+        .select(col("event_id"), col("poi_id"),
+          Canon.round2(sqrt(col("d2").cast("double"))).as("dist"))
+        .orderBy("event_id", "poi_id")
+    },
+
+    "geo_nearest_poi" -> { (spark, dir) =>
+      // Nearest POI per event — broadcast 25-row dim, 25× fanout, then
+      // a map-side-combinable min over an exact integer (d², poi_id)
+      // key: no window, no global sort of the fanout, one partial+final
+      // agg keyed by event. Ties break to the smaller poi_id via the
+      // struct order. The same shape serves any small reference set
+      // (chargers, depots, geofences) at fleet scale.
+      val joined = points(spark, dir).crossJoin(broadcast(pois(spark, dir)))
+        .withColumn("d2",
+          (col("px") - col("qx")) * (col("px") - col("qx"))
+            + (col("py") - col("qy")) * (col("py") - col("qy")))
+      joined.groupBy("event_id")
+        .agg(min(struct(col("d2"), col("poi_id"))).as("m"))
+        .select(col("event_id"), col("m.poi_id").as("poi_id"),
+          Canon.round2(sqrt(col("m.d2").cast("double"))).as("dist"))
+        .orderBy("event_id")
+    },
+
+    "events_trip_stats" -> { (spark, dir) =>
+      // Trip mining: per vehicle, consecutive reports ≤ 24 h apart form
+      // one trip; a longer silence starts the next. Per trip: points,
+      // duration, and total path length over the synthetic planar
+      // track. ONE user-keyed exchange feeds the lag window, the trip
+      // counter (running sum of gap flags), and the per-trip aggregate.
+      // Determinism: each leg length is floor(sqrt(exact-int)·100 + .5)
+      // — a correctly-rounded double quantized to centi-units BEFORE
+      // the sum, so the per-trip total is an exact long fold, immune to
+      // aggregation order (the float-sum trap Canon.scala documents).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      points(spark, dir)
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("prev_px", lag("px", 1).over(w))
+        .withColumn("prev_py", lag("py", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || col("ts_us") - col("prev_ts") >= GapUs, 1L).otherwise(0L))
+        .withColumn("trip_id", sum("is_new").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("leg_cu",
+          when(col("is_new") === 1L, 0L).otherwise(
+            floor(sqrt(
+              ((col("px") - col("prev_px")) * (col("px") - col("prev_px"))
+                + (col("py") - col("prev_py")) * (col("py") - col("prev_py")))
+                .cast("double")) * 100 + 0.5).cast("long")))
+        .groupBy("user_id", "trip_id")
+        .agg(count(lit(1)).as("n_points"),
+          max("ts_us").as("max_us"), min("ts_us").as("min_us"),
+          (sum("leg_cu").cast("double") / 100.0).as("dist"))
+        // `div` = exact long division (the `/` Column operator would go
+        // through double, and DuckDB's double→BIGINT cast ROUNDS while
+        // Spark's truncates — the one-off-at-.5s trap)
+        .select(col("user_id"), col("trip_id"), col("n_points"),
+          expr("(max_us - min_us) div 1000000").as("dur_s"), col("dist"))
+        .orderBy("user_id", "trip_id")
+    }
+  )
+
+  def oracle = Map(
+    "geo_grid_join" ->
+      // the NAIVE quadratic form — proving the engine's grid-cell
+      // decomposition returns exactly the true pair set
+      s"""WITH p AS ($pointsSql), q AS ($poisSql),
+         |d AS (SELECT p.event_id, q.poi_id,
+         |    (p.px - q.qx) * (p.px - q.qx)
+         |      + (p.py - q.qy) * (p.py - q.qy) AS d2
+         |  FROM p CROSS JOIN q)
+         |SELECT event_id, poi_id,
+         |  CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 100 + 0.5) / 100
+         |    AS DOUBLE) AS dist
+         |FROM d WHERE d2 <= ${R * R}
+         |ORDER BY event_id, poi_id""".stripMargin,
+
+    "geo_nearest_poi" ->
+      s"""WITH p AS ($pointsSql), q AS ($poisSql),
+         |d AS (SELECT p.event_id, q.poi_id,
+         |    (p.px - q.qx) * (p.px - q.qx)
+         |      + (p.py - q.qy) * (p.py - q.qy) AS d2,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |                       ORDER BY (p.px - q.qx) * (p.px - q.qx)
+         |                         + (p.py - q.qy) * (p.py - q.qy),
+         |                         q.poi_id) AS rn
+         |  FROM p CROSS JOIN q)
+         |SELECT event_id, poi_id,
+         |  CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 100 + 0.5) / 100
+         |    AS DOUBLE) AS dist
+         |FROM d WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "events_trip_stats" ->
+      s"""WITH p AS ($pointsSql),
+         |l AS (SELECT *,
+         |    lag(ts_us) OVER w AS prev_ts,
+         |    lag(px) OVER w AS prev_px,
+         |    lag(py) OVER w AS prev_py
+         |  FROM p
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |f AS (SELECT *,
+         |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= $GapUs
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         |t AS (SELECT *,
+         |    sum(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_id,
+         |    CASE WHEN is_new = 1 THEN 0
+         |         ELSE CAST(floor(sqrt(CAST(
+         |             (px - prev_px) * (px - prev_px)
+         |               + (py - prev_py) * (py - prev_py) AS DOUBLE))
+         |           * 100 + 0.5) AS BIGINT) END AS leg_cu
+         |  FROM f)
+         |SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id,
+         |  count(*) AS n_points,
+         |  (max(ts_us) - min(ts_us)) // 1000000 AS dur_s,
+         |  CAST(sum(leg_cu) AS DOUBLE) / 100.0 AS dist
+         |FROM t GROUP BY user_id, trip_id
+         |ORDER BY user_id, trip_id""".stripMargin
+  )
+}

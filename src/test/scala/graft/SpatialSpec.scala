@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spatial group: grid-join losslessness vs the naive cross product,
+  * nearest-POI agreement with a window-ranked brute force, trip
+  * invariants, and the no-cartesian plan property of the grid join.
+  */
+class SpatialSpec extends SparkSpec {
+
+  test("geo_grid_join equals the naive cross-join radius filter") {
+    // brute force in-engine: cross join + filter, no grid
+    val ev = q("geo_grid_join").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pts = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      (operators.TextDedup.hash56(concat(lit("x:"), col("event_id").cast("string"))) % 1000000L).as("px"),
+      (operators.TextDedup.hash56(concat(lit("y:"), col("event_id").cast("string"))) % 1000000L).as("py"))
+    val ps = Tables.table(spark, sfDir, "nation").select(
+      col("n_nationkey").cast("long").as("poi_id"),
+      (operators.TextDedup.hash56(concat(lit("x:poi:"), col("n_nationkey").cast("string"))) % 1000000L).as("qx"),
+      (operators.TextDedup.hash56(concat(lit("y:poi:"), col("n_nationkey").cast("string"))) % 1000000L).as("qy"))
+    val brute = pts.crossJoin(ps)
+      .withColumn("d2", (col("px") - col("qx")) * (col("px") - col("qx"))
+        + (col("py") - col("qy")) * (col("py") - col("qy")))
+      .filter(col("d2") <= 60000L * 60000L)
+      .select(col("event_id"), col("poi_id"),
+        (floor(sqrt(col("d2").cast("double")) * 100 + 0.5) / 100).cast("double").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ev == brute, s"grid join lost/invented pairs: ${ev.size} vs ${brute.size}")
+    assert(ev.nonEmpty, "degenerate: no pairs within radius at sf0.001")
+  }
+
+  test("geo_nearest_poi: one row per event, dist consistent with grid join hits") {
+    val n = q("geo_nearest_poi")
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(n.count() == nEvents)
+    // any event with a grid-join hit must have nearest dist <= that hit
+    val hits = q("geo_grid_join").groupBy("event_id")
+      .agg(min("dist").as("best_hit"))
+    val bad = n.join(hits, "event_id")
+      .filter(col("dist") > col("best_hit")).count()
+    assert(bad == 0, s"$bad events where nearest > a known in-radius hit")
+  }
+
+  test("events_trip_stats invariants: counts partition events; single-point trips have zero extent") {
+    val t = q("events_trip_stats")
+    val total = t.agg(sum("n_points")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    val degenerate = t.filter(col("n_points") === 1
+      && (col("dur_s") =!= 0 || col("dist") =!= 0.0)).count()
+    assert(degenerate == 0)
+    // trip ids are 1..k dense per user
+    val dense = t.groupBy("user_id")
+      .agg(count(lit(1)).as("k"), min("trip_id").as("lo"), max("trip_id").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("k")).count()
+    assert(dense == 0, "trip_id not dense 1..k within a user")
+  }
+
+  test("plan: grid join broadcasts the candidate cells, no cartesian product") {
+    val p = plan(SparkEntry.queries("geo_grid_join")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"), "grid join must not plan a cartesian")
+  }
+}
