@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Streaming,
     operators.Telemetry,
     operators.Spatial,
+    operators.Stats,
     operators.Analytics,
     operators.DataEng,
     operators.Corpus,

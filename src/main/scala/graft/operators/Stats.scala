@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Canon, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** Inferential statistics over telemetry — the hypothesis-testing layer a
+  * fleet-analytics service runs on top of its aggregates: per-segment
+  * Welch t statistics, a chi-square independence test, and the
+  * Kolmogorov–Smirnov distance between signal distributions.
+  *
+  * Numeric policy (the Canon.scala discipline, extended to test
+  * statistics): every MOMENT (Σx, Σx²) accumulates in EXACT decimal —
+  * associative, so partial aggregation order cannot change a bit — and
+  * the closed-form statistic combines the per-group scalars in one fixed
+  * IEEE expression, identical in Spark and DuckDB. Where a final Σ over
+  * cells of double contributions is needed (chi-square), each cell's
+  * contribution is quantized to nano-units on a long FIRST, so the fold
+  * is exact integer addition (a parallel double sum would be
+  * order-sensitive — the float-sum trap). `max` (KS) is order-insensitive
+  * already. p-values need transcendental CDFs that differ across engines;
+  * the test STATISTIC is the deterministic, mergeable part — thresholds
+  * are a lookup the caller applies.
+  *
+  * Scale: one groupBy over the fact table per query (map-side combined),
+  * then arithmetic over ≤ |groups| rows; KS's one unpartitioned window
+  * runs over distinct VALUES after aggregation (the documented two-phase
+  * pattern — never over raw rows).
+  */
+object Stats extends QueryGroup {
+
+  private val DecV = "DECIMAL(18,6)"
+
+  def queries = Map(
+    "stat_ttest" -> { (spark, dir) =>
+      // Welch's t for each event_type vs the REST of the fleet: does
+      // this event class carry a different mean signal value? Exact
+      // decimal Σx / Σx² per type (one map-side-combined groupBy), the
+      // complement's moments by subtracting from broadcast totals —
+      // one pass over the facts, 5 output rows, every double op in
+      // fixed scalar order.
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"),
+          col("value").cast(Canon.Dec).as("v"),
+          (col("value").cast(Canon.Dec) * col("value").cast(Canon.Dec)).as("v2"))
+      val per = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n1"), sum("v").as("s1"), sum("v2").as("q1"))
+      val tot = ev.agg(count(lit(1)).as("nt"),
+        sum("v").as("st"), sum("v2").as("qt"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("n0", col("nt") - col("n1"))
+        .withColumn("s1d", col("s1").cast("double"))
+        .withColumn("q1d", col("q1").cast("double"))
+        .withColumn("s0d", (col("st") - col("s1")).cast("double"))
+        .withColumn("q0d", (col("qt") - col("q1")).cast("double"))
+        .withColumn("m1", col("s1d") / col("n1"))
+        .withColumn("m0", col("s0d") / col("n0"))
+        .withColumn("var1",
+          (col("q1d") - col("s1d") * col("s1d") / col("n1")) / (col("n1") - 1))
+        .withColumn("var0",
+          (col("q0d") - col("s0d") * col("s0d") / col("n0")) / (col("n0") - 1))
+        .withColumn("t_stat", Canon.round6(
+          (col("m1") - col("m0"))
+            / sqrt(col("var1") / col("n1") + col("var0") / col("n0"))))
+        .select(col("event_type"), col("n1"), col("n0"),
+          Canon.round6(col("m1")).as("mean_in"),
+          Canon.round6(col("m0")).as("mean_rest"), col("t_stat"))
+        .orderBy("event_type")
+    },
+
+    "stat_chisq" -> { (spark, dir) =>
+      // Chi-square independence of event_type × value band (5 × 5
+      // contingency from one groupBy; bands are exact integer
+      // floor(value/100)). Expected counts and each cell's (O−E)²/E are
+      // rational functions of INTEGER totals — computed in fixed IEEE
+      // order, then quantized to nano-units before the final fold so
+      // the cross-cell sum is exact long addition regardless of
+      // partial-agg order. Output: the statistic + degrees of freedom.
+      val cells = Tables.events(spark, dir)
+        .select(col("event_type"), expr("CAST(floor(value / 100) AS BIGINT)").as("band"))
+        .groupBy("event_type", "band").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val cols_ = cells.groupBy("band").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("nt"))
+      cells.join(broadcast(rows), "event_type")
+        .join(broadcast(cols_), "band")
+        .crossJoin(broadcast(n))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") / col("nt").cast("double"))
+        .withColumn("contrib_nano",
+          floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1e9 + 0.5)
+            .cast("long"))
+        .agg(count(lit(1)).as("n_cells"),
+          (sum("contrib_nano").cast("double") / 1e9).as("chisq_raw"),
+          first(col("nt")).as("n"))
+        .select(Canon.round6(col("chisq_raw")).as("chisq"),
+          (col("n_cells") - 1).as("cells_minus_1"), col("n"))
+    },
+
+    "stat_ks" -> { (spark, dir) =>
+      // Two-sample Kolmogorov–Smirnov distance between the value
+      // distributions of 'click' and 'view' events: D = max over the
+      // pooled support of |F̂₁ − F̂₂|. Phase 1 collapses 100k raw rows
+      // to |distinct values| counting rows (map-side combined); phase 2
+      // is a running-sum window over that SMALL aggregated set (the
+      // two-phase pattern events_concurrency documents) and an
+      // order-insensitive max. Counts are exact longs; each |Δ| is one
+      // fixed-order scalar expression.
+      val ev = Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("value").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = ev.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      ev.withColumn("r1", sum("c1").over(w))
+        .withColumn("r2", sum("c2").over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("gap", abs(
+          col("r1").cast("double") / col("n1").cast("double")
+            - col("r2").cast("double") / col("n2").cast("double")))
+        .agg(max("gap").as("gap_max"), first("n1").as("n1"), first("n2").as("n2"))
+        .select(Canon.round6(col("gap_max")).as("d_stat"), col("n1"), col("n2"))
+    }
+  )
+
+  def oracle = Map(
+    "stat_ttest" ->
+      s"""WITH e AS (SELECT event_type, CAST(value AS $DecV) AS v,
+         |    CAST(value AS $DecV) * CAST(value AS $DecV) AS v2
+         |  FROM events),
+         |per AS (SELECT event_type, count(*) AS n1,
+         |    sum(v) AS s1, sum(v2) AS q1 FROM e GROUP BY event_type),
+         |tot AS (SELECT count(*) AS nt, sum(v) AS st, sum(v2) AS qt FROM e),
+         |j AS (SELECT per.*, tot.nt, tot.st, tot.qt,
+         |    nt - n1 AS n0,
+         |    CAST(s1 AS DOUBLE) AS s1d, CAST(q1 AS DOUBLE) AS q1d,
+         |    CAST(st - s1 AS DOUBLE) AS s0d, CAST(qt - q1 AS DOUBLE) AS q0d
+         |  FROM per CROSS JOIN tot),
+         |k AS (SELECT *, s1d / n1 AS m1, s0d / n0 AS m0,
+         |    (q1d - s1d * s1d / n1) / (n1 - 1) AS var1,
+         |    (q0d - s0d * s0d / n0) / (n0 - 1) AS var0
+         |  FROM j)
+         |SELECT event_type, n1, n0,
+         |  CAST(floor(m1 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_in,
+         |  CAST(floor(m0 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_rest,
+         |  CAST(CASE WHEN (m1 - m0) >= 0
+         |    THEN floor((m1 - m0) / sqrt(var1 / n1 + var0 / n0) * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-((m1 - m0) / sqrt(var1 / n1 + var0 / n0)) * 1e6 + 0.5) / 1e6
+         |  END AS DOUBLE) AS t_stat
+         |FROM k ORDER BY event_type""".stripMargin,
+
+    "stat_chisq" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST(floor(value / 100) AS BIGINT) AS band, count(*) AS o
+        |  FROM events GROUP BY event_type, band),
+        |r AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type),
+        |c AS (SELECT band, sum(o) AS ct FROM cells GROUP BY band),
+        |n AS (SELECT sum(o) AS nt FROM cells),
+        |k AS (SELECT cells.o,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) AS e,
+        |    nt
+        |  FROM cells JOIN r USING (event_type) JOIN c USING (band)
+        |    CROSS JOIN n),
+        |q AS (SELECT CAST(floor((o - e) * (o - e) / e * 1e9 + 0.5) AS BIGINT)
+        |    AS contrib_nano, nt FROM k)
+        |SELECT
+        |  CAST(floor(CAST(sum(contrib_nano) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS chisq,
+        |  count(*) - 1 AS cells_minus_1,
+        |  CAST(first(nt) AS BIGINT) AS n
+        |FROM q""".stripMargin,
+
+    "stat_ks" ->
+      """WITH g AS (SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY value),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |r AS (SELECT value,
+        |    sum(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+        |    sum(c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+        |  FROM g),
+        |d AS (SELECT abs(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS gap, n1, n2
+        |  FROM r CROSS JOIN t)
+        |SELECT CAST(floor(max(gap) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS d_stat,
+        |  first(n1) AS n1, first(n2) AS n2
+        |FROM d""".stripMargin
+  )
+}
