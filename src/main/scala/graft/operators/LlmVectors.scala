@@ -879,6 +879,46 @@ object LlmVectors extends QueryGroup {
           size(filter(col("q"), v => v === 0.0 || v === 255.0))
             .cast("long").as("n_sat"))
         .orderBy("vec_id")
+    },
+
+    "vec_pq" -> { (spark, dir) =>
+      // Product-quantization ENCODE — the memory story for vector
+      // search at 100 TB (a 64-dim float32 vector compresses 32× to 8
+      // one-byte codes): split each embedding into m=8 contiguous 8-dim
+      // subspaces and snap each slice to its nearest of k=16 codebook
+      // entries (the deterministic codebook = the first 16 vectors —
+      // a k-means refinement would train it; the ENCODE path, which is
+      // the per-row hot loop, is what this query exercises). Plan: the
+      // 16-row codebook broadcasts; each scanned vector fans out 16×,
+      // the j-explode makes it 128 slice distances through the codegen
+      // [[graft.functions.SqDist]] kernel (8-dim arrays — same
+      // bit-compatibility contract as vec_centroid_assign), then ONE
+      // vec-keyed argmin+assembly agg. Reconstruction error sums
+      // pico-quantized longs across subspaces — exact, order-free.
+      // Emits the code word as a string (list outputs crash the driver
+      // compare) + recon error: full per-vector oracle check.
+      val emb = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("sid"),
+          transform(col("embedding"), x => x.cast("double")).as("semb"))
+      emb.crossJoin(broadcast(seeds))
+        .withColumn("j", explode(sequence(lit(0), lit(7))))
+        .withColumn("d2", graft.functions.SqDist.sqDist(
+          slice(col("embedding"), col("j") * 8 + 1, lit(8)),
+          slice(col("semb"), col("j") * 8 + 1, lit(8))))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d2"), col("sid"))).as("m"))
+        .groupBy("vec_id")
+        .agg(
+          concat_ws("-", transform(
+            sort_array(collect_list(struct(col("j"), col("m.sid").as("sid")))),
+            s => s.getField("sid").cast("string"))).as("pq_code"),
+          (sum(floor(col("m.d2") * 1e12 + 0.5).cast("long")).cast("double")
+            / 1e12).as("r2"))
+        .select(col("vec_id"), col("pq_code"),
+          Canon.round6(sqrt(col("r2"))).as("recon_err"))
+        .orderBy("vec_id")
     }
   )
 
@@ -1317,7 +1357,33 @@ object LlmVectors extends QueryGroup {
         |      i -> (ed[i] - (mn + q[i] * sc)) * (ed[i] - (mn + q[i] * sc))))
         |    / len(ed), 6) AS DOUBLE) AS mse,
         |  CAST(len(list_filter(q, v -> v = 0 OR v = 255)) AS BIGINT) AS n_sat
-        |FROM qq ORDER BY vec_id""".stripMargin
+        |FROM qq ORDER BY vec_id""".stripMargin,
+
+    "vec_pq" ->
+      // same codebook (first 16 vectors), same 8×8 subspace split, same
+      // sequential float64 slice-distance fold (the SqDist contract),
+      // ties to the smaller code id, pico-quantized error sum
+      """WITH s AS (SELECT vec_id AS sid, embedding AS semb
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, j, s.sid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE))
+        |         * (CAST(e.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN s
+        |    CROSS JOIN (SELECT unnest(range(8)) AS j)),
+        |b AS (SELECT vec_id, j, sid, d2,
+        |    row_number() OVER (PARTITION BY vec_id, j
+        |                       ORDER BY d2, sid) AS rn FROM d),
+        |c AS (SELECT vec_id,
+        |    string_agg(CAST(sid AS VARCHAR), '-' ORDER BY j) AS pq_code,
+        |    sum(CAST(floor(d2 * 1e12 + 0.5) AS BIGINT)) AS q
+        |  FROM b WHERE rn = 1 GROUP BY vec_id)
+        |SELECT vec_id, pq_code,
+        |  CAST(round(sqrt(CAST(q AS DOUBLE) / 1e12), 6) AS DOUBLE)
+        |    AS recon_err
+        |FROM c ORDER BY vec_id""".stripMargin
   )
 }
 

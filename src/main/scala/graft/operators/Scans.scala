@@ -199,6 +199,38 @@ object Scans extends QueryGroup {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    "source_evolving_schema" -> { (spark, dir) =>
+      // Schema evolution on the lake: a v1 writer emitted orders WITHOUT
+      // o_orderpriority (pre-1998 batch); v2 added the column. Both
+      // batches land under one root; `mergeSchema` reconciles the
+      // footers at read time and null-extends the legacy files — the
+      // standard additive-column migration that never rewrites old
+      // data. The aggregate groups by the evolved column with legacy
+      // rows surfacing as '<legacy>'; the oracle reconstructs the same
+      // split from the original table, so a hash match proves the
+      // merged read lost nothing. At 100 TB schema merge is footer
+      // metadata only (per-file, parallel) — the data pages of old
+      // batches are never touched, and the per-batch directory layout
+      // keeps partition pruning intact.
+      val out = s"/tmp/graft_evolve/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val cut = lit("1998-01-01").cast("timestamp_ntz")
+      val orders = Tables.table(spark, dir, "orders")
+      orders.filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/b=1")
+      orders.filter(col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/b=2")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$out/b=1", s"$out/b=2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"),
+          Canon.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("priority")
+    },
+
     "filter_complex" -> { (spark, dir) =>
       Tables.table(spark, dir, "lineitem")
         .filter(col("l_discount").between(0.02, 0.06)
@@ -226,6 +258,16 @@ object Scans extends QueryGroup {
   )
 
   def oracle = Map(
+    "source_evolving_schema" ->
+      // same split reconstructed from the source table: matching proves
+      // the merged-footer read null-extended the legacy batch correctly
+      """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |            THEN o_orderpriority ELSE '<legacy>' END AS priority,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
+
     "source_zorder" ->
       // oracle reads the ORIGINAL parquet: value-equality after the
       // Z-order re-layout IS the assertion (layout must never change
