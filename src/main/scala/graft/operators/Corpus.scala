@@ -88,8 +88,7 @@ object Corpus extends QueryGroup {
       // two-hop equi-join keyed by the middle vertex (Σ deg², never
       // corpus-sized); existing edges drop via anti-join; top-20 =
       // TakeOrderedAndProject under (count desc, a, b).
-      val emb = Tables.table(spark, dir, "embeddings")
-      val e = Knn.search(emb, emb, k = 3)
+      val e = Knn.sharedEdges(spark, dir, k = 3)
         .select(least(col("q_id"), col("idx_id")).as("a"),
           greatest(col("q_id"), col("idx_id")).as("b"))
         .distinct()

