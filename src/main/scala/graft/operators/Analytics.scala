@@ -87,13 +87,32 @@ object Analytics extends QueryGroup {
       // iterations, exactly like Graph.connectedComponents' hand-rolled
       // loop — this is the declarative spelling. Reachability with
       // min-hops over the transition DAG derived from per-user event
-      // sequences (one user_id exchange for the lag window).
+      // sequences. The edge DERIVATION (lag window over the full fact
+      // table) materializes ONCE via localCheckpoint before the
+      // recursion: UnionLoop inlines plain CTEs, so without the
+      // barrier every iteration re-ran the 100k-row window to rebuild
+      // the ≤10-row edge set (measured 6.2 → 0.4 s warm at sf0.1).
+      // DuckDB materializes CTEs by default — the oracle's inline `e`
+      // is the same edge set computed once.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("event_type"))
-        .createOrReplaceTempView("events_v")
-      spark.sql("WITH RECURSIVE\nevents_c AS (SELECT * FROM events_v),\n"
-        + RecursiveBody)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("event_type"))
+        .select(col("prev").as("src"), col("event_type").as("dst"))
+        .distinct()
+        .localCheckpoint()
+        .createOrReplaceTempView("edges_v")
+      spark.sql(
+        """WITH RECURSIVE
+          |r AS (SELECT src, dst, 1 AS hops FROM edges_v
+          |      UNION ALL
+          |      SELECT r.src, e.dst, r.hops + 1
+          |      FROM r JOIN edges_v e ON r.dst = e.src)
+          |SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+          |FROM r GROUP BY src, dst ORDER BY src, dst""".stripMargin)
     },
 
     "sql_window" -> { (spark, dir) =>

@@ -228,13 +228,21 @@ class PlanSpec extends SparkSpec {
       "never a nested-loop fallback")
   }
 
-  test("knn_graph: broadcast self-join + partial top-k, no cartesian") {
+  test("knn_graph: build plan broadcasts + partial top-k; query reads the persisted artifact") {
+    // the BUILD (what sharedEdges materializes once): broadcast
+    // self-join + the two-phase bounded-heap reducer
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val idx = emb.repartition(
+      spark.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col("vec_id"))
+    val build = plan(operators.Knn.search(emb, idx, k = 3))
+    assert(build.contains("BroadcastExchange"), "index side must broadcast")
+    assert(!build.contains("CartesianProduct"))
+    assert(build.contains("Window"), "global rank over pruned survivors")
+    // the declared QUERY reads the shared persisted edge artifact — a
+    // parquet scan, no re-run of the n² scorer
     val s = p("knn_graph")
-    assert(s.contains("BroadcastExchange"), "index side must broadcast")
-    assert(!s.contains("CartesianProduct"))
-    // same two-phase reducer as knn_search: bounded heaps emit before
-    // the single window pass ranks survivors
-    assert(s.contains("Window"), "global rank over pruned survivors")
+    assert(s.contains("Scan parquet") && !s.contains("BroadcastExchange"),
+      "knn_graph must read the persisted kNN edge artifact")
   }
 
   test("vec_kmeans: both E-steps broadcast centroids, no cartesian") {
