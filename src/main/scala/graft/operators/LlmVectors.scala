@@ -176,6 +176,20 @@ object LlmVectors extends QueryGroup {
     step(step(step(v0)))
   }
 
+  /** [[topEigvec]] persisted once per (process, corpus) — the
+    * sharedEdges/sharedNgramPairs pattern: vec_top_eigvec and
+    * vec_pca_project both read the same 64-row artifact instead of
+    * each re-running the Gram build + three power-iteration steps.
+    */
+  private def sharedEigvec(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val out = s"/tmp/graft_eig/p${ProcessHandle.current().pid()}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      topEigvec(spark, dir).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
   def queries = Map(
     "knn_cosine" -> { (spark, dir) =>
       // exact global top-20: orderBy+limit compiles to
@@ -337,7 +351,7 @@ object LlmVectors extends QueryGroup {
       // label-0 Gram matrix — PCA's first component computed ENTIRELY
       // in the engine, no driver-side eigensolve (see [[topEigvec]] for
       // the plan and determinism argument).
-      topEigvec(spark, dir)
+      sharedEigvec(spark, dir)
         .select(col("j").as("dim"), Canon.round6(col("v")).as("weight"))
         .orderBy("dim")
     },
@@ -354,7 +368,7 @@ object LlmVectors extends QueryGroup {
       // cost is one pass, output is fixed-width. Projecting with the
       // ROUNDED weights (not the raw decimals) is what makes the score
       // a well-defined cross-engine query.
-      val w64 = topEigvec(spark, dir)
+      val w64 = sharedEigvec(spark, dir)
         .select(col("j"), Canon.round6(col("v")).as("w"))
       val scores = Tables.table(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
