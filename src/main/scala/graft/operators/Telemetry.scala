@@ -172,6 +172,43 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_coverage" -> { (spark, dir) =>
+      // Connected-time coverage: each report keeps a vehicle "online"
+      // for 30 min; overlapping windows merge (interval UNION, the
+      // uptime/SLA metric distinct from raw counts). Sweep-line per
+      // vehicle: an interval starts an island iff its start exceeds the
+      // running max of all previous ends — two window passes over ONE
+      // user_id exchange (running max, then running island count), then
+      // a per-island extent and a per-vehicle sum. All integer µs —
+      // exact at any aggregation order. At 100 TB: the exchange is the
+      // only data movement, islands never leave their key partition.
+      val Hold = 1800000000L // 30 min in µs
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wPrev = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          (col("ts_us") + Hold).as("end_us"))
+        .withColumn("max_prev_end", max("end_us").over(wPrev))
+        .withColumn("is_new",
+          when(col("max_prev_end").isNull
+            || col("ts_us") > col("max_prev_end"), 1L).otherwise(0L))
+        .withColumn("island", sum("is_new").over(wRun))
+        .groupBy("user_id", "island")
+        .agg(min("ts_us").as("s_us"), max("end_us").as("e_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e_us") - col("s_us")).as("covered_us"))
+        // `div` = exact long division (the `/` operator would round-trip
+        // through double and DuckDB's double→BIGINT cast ROUNDS)
+        .select(col("user_id"), col("n_islands"),
+          expr("covered_us div 1000000").as("covered_s"))
+        .orderBy("user_id")
+    },
+
     "events_trend" -> { (spark, dir) =>
       // Per-vehicle signal DRIFT: least-squares slope of value over
       // seconds-since-first-report — the fleet-health regression every
@@ -430,6 +467,32 @@ object Telemetry extends QueryGroup {
         |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+
+    "events_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) + 1800000000 AS end_us
+        |  FROM events),
+        |mk AS (SELECT *,
+        |    max(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS max_prev_end
+        |  FROM iv),
+        |fl AS (SELECT *,
+        |    CASE WHEN max_prev_end IS NULL OR ts_us > max_prev_end
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM mk),
+        |isl AS (SELECT *,
+        |    sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |ext AS (SELECT user_id, island,
+        |    min(ts_us) AS s_us, max(end_us) AS e_us
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(e_us - s_us) AS BIGINT) // 1000000 AS covered_s
+        |FROM ext GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_trend" ->
       // identical numeric staging: exact decimal sums → one double cast

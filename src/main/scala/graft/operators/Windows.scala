@@ -215,6 +215,31 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "win_pattern_vshape" -> { (spark, dir) =>
+      // MATCH_RECOGNIZE-lite: detect V-shaped reversals (strict drop
+      // then strict rebound, v[t−2] > v[t−1] < v[t]) in each vehicle's
+      // signal series — the row-pattern-matching surface (SQL:2016
+      // MATCH_RECOGNIZE) expressed as a lag-chain: for FIXED-length
+      // patterns the recognizer compiles to k−1 lags over ONE keyed
+      // window, which distributes where a general NFA would not. Per
+      // vehicle: match count, first match time, and the mean drop depth
+      // (exact decimal mean of a double subtraction — deterministic).
+      // One user_id exchange total; the match predicate is codegen'd.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("p1", lag("value", 1).over(w))
+        .withColumn("p2", lag("value", 2).over(w))
+        .filter(col("p2") > col("p1") && col("p1") < col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_vshapes"),
+          min("ts_us").as("first_us"),
+          Canon.round4(sum((col("p2") - col("p1")).cast(Canon.Dec))
+            .cast("double") / count(lit(1))).as("avg_drop"))
+        .orderBy("user_id")
+    },
+
     "win_percent_rank" -> { (spark, dir) =>
       // Relative-rank analytics: percent_rank = (rank−1)/(n−1) and
       // cume_dist = peers_at_or_below/n within brand, ordered by retail
@@ -233,6 +258,17 @@ object Windows extends QueryGroup {
   )
 
   def oracle = Map(
+    "win_pattern_vshape" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    lag(value, 1) OVER w AS p1, lag(value, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |m AS (SELECT * FROM l WHERE p2 > p1 AND p1 < value)
+        |SELECT user_id, count(*) AS n_vshapes, min(ts_us) AS first_us,
+        |  CAST(round(CAST(sum(CAST(p2 - p1 AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 4) AS DOUBLE) AS avg_drop
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "win_percent_rank" ->
       """SELECT p_brand, p_partkey, p_retailprice,
         |  CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,

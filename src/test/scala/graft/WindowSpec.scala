@@ -172,4 +172,42 @@ class WindowSpec extends SparkSpec {
       assert(math.abs(slope - tslope) < 1e-6, s"slope drift for $u")
     }
   }
+
+  test("win_pattern_vshape matches a naive per-user scan") {
+    import org.apache.spark.sql.functions._
+    val series = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(t => (t._2, t._4)))
+    val truth = series.toMap.view.mapValues { vs =>
+      val hits = vs.indices.drop(2).filter(i =>
+        vs(i - 2)._2 > vs(i - 1)._2 && vs(i - 1)._2 < vs(i)._2)
+      (hits.length.toLong,
+        if (hits.nonEmpty) Some(vs(hits.head)._1) else None)
+    }.toMap
+    val got = q("win_pattern_vshape").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == truth.filter(_._2._1 > 0).keySet)
+    got.foreach { case (u, (n, first)) =>
+      assert(n == truth(u)._1, s"vshape count for $u")
+      assert(first == truth(u)._2.get, s"first match ts for $u")
+    }
+  }
+
+  test("events_coverage: bounds and single-event-island consistency") {
+    import org.apache.spark.sql.functions._
+    val rows = q("events_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val counts = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == counts.size)
+    rows.foreach { case (u, islands, covered) =>
+      assert(islands >= 1 && islands <= counts(u))
+      // every island lasts at least the 30-min hold; coverage can never
+      // exceed one hold per event
+      assert(covered >= islands * 1800, s"vehicle $u covered=$covered")
+      assert(covered <= counts(u) * 1800, s"vehicle $u covered=$covered")
+    }
+  }
 }
