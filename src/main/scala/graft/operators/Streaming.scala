@@ -245,6 +245,42 @@ object Streaming extends QueryGroup {
       }
   }
 
+  /** Streaming V-shape recognizer (CEP): per user, emit an event when
+    * the last three readings form a strict drop-then-rebound
+    * (v₋₂ > v₋₁ < v₀) — the fixed-length row-pattern state machine.
+    * State per key is the last TWO readings (~40 bytes, constant
+    * however long the stream runs); each batch's rows sort locally
+    * within the group before the scan (same ordered-admission
+    * precondition as [[fillForward]]/[[onlineAnomaly]]). The emitted
+    * dip = v₋₂ − v₋₁ is one IEEE subtraction on the same operands the
+    * oracle's lag window sees — hash-exact.
+    */
+  private[graft] def vshapeStream(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long, Double, Long, Long, Double),
+        (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[(Int, Long, Long, Double, Long, Long, Double)]) =>
+          // (t1,e1,v1) = two back; (t2,e2,v2) = previous; k = #seen (≤2)
+          var (k, t1, e1, v1, t2, e2, v2) = state.getOption
+            .getOrElse((0, 0L, 0L, 0.0, 0L, 0L, 0.0))
+          val out = Array.newBuilder[(Long, Long, Long, Double)]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (k >= 2 && v1 > v2 && v2 < r._4)
+              out += ((uid, r._2, r._3, v1 - v2))
+            t1 = t2; e1 = e2; v1 = v2
+            t2 = r._2; e2 = r._3; v2 = r._4
+            if (k < 2) k += 1
+          }
+          state.update((k, t1, e1, v1, t2, e2, v2))
+          out.result().iterator
+      }
+  }
+
   private[graft] def fillForward(
       ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Double])])
       : org.apache.spark.sql.Dataset[
@@ -577,6 +613,23 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "stream_vshape" -> { (spark, dir) =>
+      // Streaming pattern matching (CEP) — the online twin of
+      // win_pattern_vshape: detect drop-then-rebound reversals as
+      // events arrive, with constant per-key state (see
+      // [[vshapeStream]]). Fully hash-checkable against the batch lag
+      // window because AvailableNow replay admits each user's rows in
+      // time order.
+      import spark.implicits._
+      val typed = eventStream(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      runToMemory(spark,
+        vshapeStream(typed).toDF("user_id", "ts_us", "event_id", "dip"),
+        OutputMode.Append())
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "stream_cdc_latest" -> { (spark, dir) =>
       // Streaming CDC compaction — the online twin of cdc_latest (same
       // oracle): flatMapGroupsWithState keeps ONE winner per
@@ -782,6 +835,17 @@ object Streaming extends QueryGroup {
 
     // online LOCF converges to the batch window fill — one oracle
     "stream_fill_forward" -> Windows.oracle("win_fill_forward"),
+
+    "stream_vshape" ->
+      // the lag-window twin: the state machine's (v₋₂, v₋₁) are exactly
+      // lag(value, 2) / lag(value, 1) under per-user time order
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    lag(value, 1) OVER w AS p1, lag(value, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, ts_us, event_id, p2 - p1 AS dip
+        |FROM l WHERE p2 > p1 AND p1 < value
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "stream_anomaly" ->
       // the prefix-window twin of the online detector: moments over

@@ -382,6 +382,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (u, t, e, _, _) => ranks((u, t, e)) > 10 })
   }
 
+  test("stream_vshape state carries the last-two readings across batches") {
+    // three time-range shards, one file per trigger: a V straddling a
+    // shard boundary is only caught if (v₋₂, v₋₁) survive in state
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.33, 0.66), 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vshard").toString
+    Seq(
+      ev.filter(col("ts_us") <= cuts(0)),
+      ev.filter(col("ts_us") > cuts(0) && col("ts_us") <= cuts(1)),
+      ev.filter(col("ts_us") > cuts(1))
+    ).zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/shard_$i")
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/shard_*")
+      .as[(Long, Long, Long, Double)]
+    val qs = operators.Streaming.vshapeStream(stream)
+      .toDF("user_id", "ts_us", "event_id", "dip")
+      .writeStream.format("memory").queryName("vshape_shard_sink")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    qs.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("vshape_shard_sink").collect().map(key).toSet
+    val single = q("stream_vshape").collect().map(key).toSet
+    assert(streamed == single)
+    assert(streamed.nonEmpty)
+    // and the single-batch run equals the batch lag-window twin
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val twin = ev
+      .withColumn("p1", org.apache.spark.sql.functions.lag("value", 1).over(w))
+      .withColumn("p2", org.apache.spark.sql.functions.lag("value", 2).over(w))
+      .filter(col("p2") > col("p1") && col("p1") < col("value"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("p2") - col("p1")).as("dip"))
+      .collect().map(key).toSet
+    assert(single == twin)
+  }
+
   test("stream_sliding: every event lands in exactly two covering windows") {
     val out = q("stream_sliding")
     val covered = out.agg(sum("n")).head().getLong(0)
