@@ -120,6 +120,49 @@ object Spatial extends QueryGroup {
         .orderBy("event_id")
     },
 
+    "geo_cluster_cells" -> { (spark, dir) =>
+      // Grid-density clustering (DBSCAN-lite, the hotspot-mining shape):
+      // a cell is CORE iff its point count exceeds 1.2× the mean
+      // occupied-cell density — tested as the cross-multiplied integer
+      // inequality cnt·5·C > N·6, no division, exact at any scale —
+      // and clusters are connected components of 8-adjacent core
+      // cells. Adjacency is an EQUI-join on shifted cell keys (the
+      // geo_grid_join trick), components run through the distributed
+      // hash-min propagation ([[Graph.connectedComponents]], with its
+      // large-star/small-star fallback), and the oracle replays the
+      // same clustering with a recursive label-propagation CTE over
+      // the naive abs()-adjacency — proving both the shifted-key
+      // decomposition AND the distributed CC agree with the
+      // declarative spec. Cell stats, not raw points, flow into the
+      // clustering: corpus-sized work is ONE groupBy.
+      val cells = points(spark, dir)
+        .select(expr(s"px div $R").as("cx"), expr(s"py div $R").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
+      val tot = cells.agg(sum("cnt").as("n"), count(lit(1)).as("c"))
+      val core = cells.crossJoin(broadcast(tot))
+        .filter(col("cnt") * 5 * col("c") > col("n") * 6)
+        .withColumn("cid", col("cx") * 100000L + col("cy"))
+        .select("cid", "cx", "cy", "cnt")
+      val nb = core
+        .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+        .filter(!(col("dx") === 0L && col("dy") === 0L))
+        .select((col("cx") + col("dx")).as("cx"),
+          (col("cy") + col("dy")).as("cy"), col("cid").as("src_cid"))
+      val edges = nb.join(
+          core.select(col("cx"), col("cy"), col("cid").as("dst_cid")),
+          Seq("cx", "cy"))
+        .filter(col("src_cid") < col("dst_cid"))
+        .select("src_cid", "dst_cid")
+      val labels = Graph.connectedComponents(edges, "src_cid", "dst_cid")
+      core.join(labels, core("cid") === labels("id"), "left")
+        .select(col("cid"), col("cnt"),
+          coalesce(col("component"), col("cid")).as("cluster"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_cells"), sum("cnt").as("n_points"))
+        .orderBy("cluster")
+    },
+
     "events_trip_stats" -> { (spark, dir) =>
       // Trip mining: per vehicle, consecutive reports ≤ 24 h apart form
       // one trip; a longer silence starts the next. Per trip: points,
@@ -189,6 +232,27 @@ object Spatial extends QueryGroup {
          |  CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 100 + 0.5) / 100
          |    AS DOUBLE) AS dist
          |FROM d WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "geo_cluster_cells" ->
+      // naive abs()-adjacency + recursive label propagation: the
+      // declarative spec of the engine's shifted-key join + hash-min CC
+      s"""WITH RECURSIVE p AS ($pointsSql),
+         |cl AS (SELECT px // $R AS cx, py // $R AS cy, count(*) AS cnt
+         |  FROM p GROUP BY cx, cy),
+         |t AS (SELECT sum(cnt) AS n, count(*) AS c FROM cl),
+         |core AS (SELECT cx, cy, cnt, cx * 100000 + cy AS cid
+         |  FROM cl CROSS JOIN t WHERE cnt * 5 * c > n * 6),
+         |e0 AS (SELECT a.cid AS src, b.cid AS dst FROM core a JOIN core b
+         |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         |    AND a.cid <> b.cid),
+         |r AS (SELECT cid AS id, cid AS lbl FROM core
+         |  UNION
+         |  SELECT e0.dst AS id, r.lbl FROM r JOIN e0 ON r.id = e0.src),
+         |lab AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id)
+         |SELECT lab.cluster, count(*) AS n_cells,
+         |  CAST(sum(core.cnt) AS BIGINT) AS n_points
+         |FROM core JOIN lab ON core.cid = lab.id
+         |GROUP BY lab.cluster ORDER BY lab.cluster""".stripMargin,
 
     "events_trip_stats" ->
       s"""WITH p AS ($pointsSql),

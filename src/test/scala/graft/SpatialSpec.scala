@@ -57,6 +57,38 @@ class SpatialSpec extends SparkSpec {
     assert(dense == 0, "trip_id not dense 1..k within a user")
   }
 
+  test("geo_cluster_cells matches a driver-side union-find over core cells") {
+    // recompute the clustering naively: same core rule, 8-adjacency CC
+    val pts = Tables.events(spark, sfDir).select(
+      (operators.TextDedup.hash56(concat(lit("x:"), col("event_id").cast("string"))) % 1000000L).as("px"),
+      (operators.TextDedup.hash56(concat(lit("y:"), col("event_id").cast("string"))) % 1000000L).as("py"))
+      .select(expr("px div 60000").as("cx"), expr("py div 60000").as("cy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = pts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = pts.length.toLong; val c = cnt.size.toLong
+    val core = cnt.filter { case (_, k) => k * 5 * c > n * 6 }
+    val ids = core.keys.toArray
+    def cid(x: (Long, Long)): Long = x._1 * 100000L + x._2
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: (Long, Long)): (Long, Long) =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- ids
+         if a != b && math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1) {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (cid(ra) < cid(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val naive = ids.groupBy(i => cid(find(i))).map { case (_, members) =>
+      val root = members.map(cid).min
+      root -> (members.length.toLong, members.map(core).sum)
+    }
+    val got = q("geo_cluster_cells").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive, s"engine ${got.size} clusters vs naive ${naive.size}")
+    assert(got.nonEmpty)
+  }
+
   test("plan: grid join broadcasts the candidate cells, no cartesian product") {
     val p = plan(SparkEntry.queries("geo_grid_join")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
