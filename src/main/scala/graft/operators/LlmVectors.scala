@@ -143,7 +143,7 @@ object LlmVectors extends QueryGroup {
     * a naive float power iteration would drift with partial-agg order.
     * Returns (j, v): dimension index and unnormalized-scale component.
     */
-  private def topEigvec(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def topEigvec(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val ex = Tables.table(spark, dir, "embeddings")
       .filter(col("label") === 0)
@@ -926,6 +926,31 @@ object LlmVectors extends QueryGroup {
         .select(col("vec_id"), col("pq_code"),
           Canon.round6(sqrt(col("r2"))).as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    "sample_balanced" -> { (spark, dir) =>
+      // Class-balanced downsampling — the label-skew repair before
+      // training a classifier head: every label keeps exactly
+      // min-class-count rows, chosen by deterministic hash rank (the
+      // sample_hash discipline: reproducible at any parallelism, no
+      // RNG). One label-keyed window rank + a broadcast 1-row floor;
+      // emits the kept rows so the oracle checks the exact selection,
+      // not just counts. At 100 TB: one exchange on label (or a
+      // per-label reservoir over partial top-k heaps — the knn_search
+      // reducer shape — when labels are few and huge).
+      val emb = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+        .withColumn("h", TextDedup.hash56(
+          concat(lit("bal:"), col("vec_id").cast("string"))))
+      val floor1 = emb.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("cap"))
+      emb.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("label").orderBy("h", "vec_id")).cast("long"))
+        .crossJoin(broadcast(floor1))
+        .filter(col("rk") <= col("cap"))
+        .select(col("label"), col("rk"), col("vec_id"))
+        .orderBy("label", "rk")
     }
   )
 
@@ -1390,7 +1415,21 @@ object LlmVectors extends QueryGroup {
         |SELECT vec_id, pq_code,
         |  CAST(round(sqrt(CAST(q AS DOUBLE) / 1e12), 6) AS DOUBLE)
         |    AS recon_err
-        |FROM c ORDER BY vec_id""".stripMargin
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    "sample_balanced" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(concat('0x', substring(sha256('bal:'
+        |      || CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        |  FROM embeddings),
+        |cap AS (SELECT min(n) AS cap FROM
+        |  (SELECT label, count(*) AS n FROM e GROUP BY label)),
+        |r AS (SELECT label, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY h, vec_id) AS BIGINT) AS rk
+        |  FROM e)
+        |SELECT label, rk, vec_id FROM r CROSS JOIN cap
+        |WHERE rk <= cap ORDER BY label, rk""".stripMargin
   )
 }
 

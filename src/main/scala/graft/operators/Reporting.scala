@@ -30,6 +30,45 @@ object Reporting extends QueryGroup {
     col("l_extendedprice") * (lit(1.0) - col("l_discount")))
 
   def queries = Map(
+    "dq_referential" -> { (spark, dir) =>
+      // Referential-integrity audit — the companion of dq_expectations:
+      // for every FK edge of the star schema, child cardinality,
+      // distinct key count, and ORPHAN count (child keys missing from
+      // the parent). Each audit is one left join against the parent's
+      // distinct keys (Catalyst broadcasts the small dims; the
+      // lineitem→orders probe co-keys on orderkey) + a counting
+      // aggregate — at 100 TB each edge is one pass over the child,
+      // and the expected-zero orphan rows are exactly what a DQ gate
+      // alerts on when an ingest breaks. The fixture is referentially
+      // total (FIXTURES.md), so zeros here are the VERIFIED baseline,
+      // not a vacuous check.
+      def audit(name: String, child: org.apache.spark.sql.DataFrame,
+          fk: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String) = {
+        val pkeys = parent.select(col(pk).cast("long").as("k")).distinct()
+          .withColumn("hit", lit(1))
+        child.select(col(fk).cast("long").as("k"))
+          .join(pkeys, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count_distinct(col("k")).as("n_keys"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_keys"),
+            col("n_orphans"))
+      }
+      val li = Tables.table(spark, dir, "lineitem")
+      audit("customer.nationkey", Tables.table(spark, dir, "customer"),
+          "c_nationkey", Tables.table(spark, dir, "nation"), "n_nationkey")
+        .unionAll(audit("lineitem.orderkey", li, "l_orderkey",
+          Tables.table(spark, dir, "orders"), "o_orderkey"))
+        .unionAll(audit("lineitem.partkey", li, "l_partkey",
+          Tables.table(spark, dir, "part"), "p_partkey"))
+        .unionAll(audit("lineitem.suppkey", li, "l_suppkey",
+          Tables.table(spark, dir, "supplier"), "s_suppkey"))
+        .unionAll(audit("orders.custkey", Tables.table(spark, dir, "orders"),
+          "o_custkey", Tables.table(spark, dir, "customer"), "c_custkey"))
+        .orderBy("fk")
+    },
+
     "tpch_q3" -> { (spark, dir) =>
       // Shipping-priority (TPC-H Q3 adapted: fixture orders carry
       // o_orderpriority, not l_shippriority): revenue of not-yet-shipped
@@ -504,6 +543,41 @@ object Reporting extends QueryGroup {
   )
 
   def oracle = Map(
+    "dq_referential" ->
+      """WITH a AS (
+        |  SELECT 'customer.nationkey' AS fk,
+        |    count(*) AS n_child,
+        |    count(DISTINCT c_nationkey) AS n_keys,
+        |    count(*) FILTER (WHERE c_nationkey NOT IN
+        |      (SELECT n_nationkey FROM nation)) AS n_orphans
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey', count(*),
+        |    count(DISTINCT l_orderkey),
+        |    count(*) FILTER (WHERE l_orderkey NOT IN
+        |      (SELECT o_orderkey FROM orders))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey', count(*),
+        |    count(DISTINCT l_partkey),
+        |    count(*) FILTER (WHERE l_partkey NOT IN
+        |      (SELECT p_partkey FROM part))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey', count(*),
+        |    count(DISTINCT l_suppkey),
+        |    count(*) FILTER (WHERE l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.custkey', count(*),
+        |    count(DISTINCT o_custkey),
+        |    count(*) FILTER (WHERE o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer))
+        |  FROM orders)
+        |SELECT fk, n_child, n_keys, CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM a ORDER BY fk""".stripMargin,
+
     "tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)

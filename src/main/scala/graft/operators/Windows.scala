@@ -215,6 +215,35 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "win_ewma" -> { (spark, dir) =>
+      // Exponentially weighted moving average (α = ½) over the last 10
+      // readings per vehicle — the time-series smoother between
+      // win_moving_avg (uniform) and win_rolling_median (robust).
+      // α = ½ is deliberate: 0.5^k is an EXACT power of two, so every
+      // weight, every product, and the ordered left-fold sum are
+      // bit-identical cross-engine (an arbitrary α would put pow()'s
+      // libm in the hash path). The frame is bounded (ROWS 9
+      // PRECEDING), weights renormalize over the available history;
+      // one user_id exchange, per-row cost O(10).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("arr", collect_list("value").over(w))
+        .withColumn("s", aggregate(
+          transform(col("arr"), (x, i) =>
+            x * pow(lit(0.5), size(col("arr")) - 1 - i)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("wsum", aggregate(
+          transform(col("arr"), (_, i) =>
+            pow(lit(0.5), size(col("arr")) - 1 - i)),
+          lit(0.0), (acc, x) => acc + x))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+          Canon.round6(col("s") / col("wsum")).as("ewma10"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "win_pattern_vshape" -> { (spark, dir) =>
       // MATCH_RECOGNIZE-lite: detect V-shaped reversals (strict drop
       // then strict rebound, v[t−2] > v[t−1] < v[t]) in each vehicle's
@@ -258,6 +287,22 @@ object Windows extends QueryGroup {
   )
 
   def oracle = Map(
+    "win_ewma" ->
+      // same ordered frame list, same exact 2^-k weights, same
+      // left-fold — bit-identical by construction
+      """WITH f AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, value,
+        |  CAST(round(
+        |    list_sum(list_transform(range(1, len(arr) + 1),
+        |      i -> arr[i] * power(0.5, len(arr) - i)))
+        |    / list_sum(list_transform(range(1, len(arr) + 1),
+        |      i -> power(0.5, len(arr) - i))), 6) AS DOUBLE) AS ewma10
+        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "win_pattern_vshape" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
         |    lag(value, 1) OVER w AS p1, lag(value, 2) OVER w AS p2

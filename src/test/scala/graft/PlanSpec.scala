@@ -358,11 +358,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("vec_top_eigvec: iterations are joins+aggs, norms broadcast") {
-    val s = p("vec_top_eigvec")
+  test("vec_top_eigvec: build plan broadcasts norms; query reads the shared artifact") {
+    // the BUILD (what sharedEigvec materializes once)
+    val s = plan(operators.LlmVectors.topEigvec(spark, sfDir))
     assert("BroadcastExchange".r.findAllIn(s).length >= 3,
       "each of the 3 normalizations must broadcast its 1-row max")
     assert(!s.contains("CartesianProduct"))
+    // the declared query reads the 64-row persisted eigvec
+    val r = p("vec_top_eigvec")
+    assert(r.contains("Scan parquet") && !r.contains("BroadcastExchange"),
+      "vec_top_eigvec must read the persisted eigenvector artifact")
   }
 
   test("events_markov_stationary: one keyed window, iterations broadcast") {
