@@ -928,6 +928,36 @@ object LlmVectors extends QueryGroup {
         .orderBy("vec_id")
     },
 
+    "dedup_media_exact" -> { (spark, dir) =>
+      // Media-dedup TRIAGE over the opaque binary payload — the fdupes
+      // discipline at corpus scale: candidate groups key on
+      // (media_type, 64-byte size bucket, first-8-bytes magic) — cheap
+      // scan-stage bytes, no full read needed at 100 TB because size
+      // and magic live in object metadata/headers — then the full
+      // sha256 content hash counts how many candidates are REAL
+      // byte-identical duplicates vs prefix collisions (this corpus:
+      // zero, the verified baseline — n_distinct_content = n_candidates
+      // everywhere, exactly what the triage exists to measure). One
+      // hash-keyed groupBy, map-side combined; only 16-hex
+      // fingerprints + counters shuffle, never payloads.
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("text").cast("binary").as("payload"))
+        .withColumn("media_type",
+          when(col("lang").isin("en", "de"), "image")
+            .when(col("lang") === "zh", "audio").otherwise("video"))
+        .withColumn("bytes", octet_length(col("payload")).cast("long"))
+        .withColumn("magic8", substring(col("text"), 1, 8))
+        .withColumn("fp", substring(sha2(col("payload"), 256), 1, 16))
+        .groupBy(col("media_type"), expr("bytes div 64").as("size_bucket"),
+          col("magic8"))
+        .agg(count(lit(1)).as("n_candidates"),
+          count_distinct(col("fp")).as("n_distinct_content"),
+          min("doc_id").as("keeper"))
+        .filter(col("n_candidates") >= 2)
+        .orderBy("media_type", "size_bucket", "magic8")
+    },
+
     "sample_balanced" -> { (spark, dir) =>
       // Class-balanced downsampling — the label-skew repair before
       // training a classifier head: every label keeps exactly
@@ -1416,6 +1446,25 @@ object LlmVectors extends QueryGroup {
         |  CAST(round(sqrt(CAST(q AS DOUBLE) / 1e12), 6) AS DOUBLE)
         |    AS recon_err
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "dedup_media_exact" ->
+      // DuckDB sha256 over the same bytes (text payload ≡ its UTF-8
+      // bytes); strlen = byte length = Spark's octet_length on binary
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN lang IN ('en', 'de') THEN 'image'
+        |         WHEN lang = 'zh' THEN 'audio' ELSE 'video' END
+        |      AS media_type,
+        |    CAST(strlen(text) AS BIGINT) // 64 AS size_bucket,
+        |    substring(text, 1, 8) AS magic8,
+        |    substring(sha256(text), 1, 16) AS fp
+        |  FROM documents)
+        |SELECT media_type, size_bucket, magic8,
+        |  count(*) AS n_candidates,
+        |  count(DISTINCT fp) AS n_distinct_content,
+        |  min(doc_id) AS keeper
+        |FROM m GROUP BY media_type, size_bucket, magic8
+        |HAVING count(*) >= 2
+        |ORDER BY media_type, size_bucket, magic8""".stripMargin,
 
     "sample_balanced" ->
       """WITH e AS (SELECT vec_id, label,
