@@ -251,6 +251,53 @@ object Corpus extends QueryGroup {
         .orderBy("rnk")
     },
 
+    "bpe_merge_apply" -> { (spark, dir) =>
+      // One FULL BPE training step — selection + application: pick the
+      // top pair from the bpe_pair_counts statistic (broadcast 1-row
+      // rule), apply it to the VOCABULARY as a left-to-right
+      // non-overlapping merge (regex replaceAll's scan order IS the
+      // BPE convention; symbols stay '|'-delimited strings, so the
+      // merge is one codegen'd regexp_replace over the distinct-word
+      // table, never the corpus), then recount adjacent SYMBOL pairs
+      // weighted by word count and emit the next top-10 — exactly the
+      // loop state a tokenizer trainer carries. Corpus-sized work
+      // remains the ONE word-count aggregate; everything after runs on
+      // the vocabulary, which is the property that lets 100 TB train a
+      // tokenizer at all.
+      val words = Tables.table(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val top = words.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(w) - 1)," +
+            " i -> substr(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("wc").cast("long").as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .select(col("pair").as("rule"))
+      val merged = words
+        .withColumn("tagged",
+          rtrim(regexp_replace(col("w"), "(.)", "$1|"), "|"))
+        .crossJoin(broadcast(top))
+        .withColumn("sym", split(
+          regexp_replace(col("tagged"),
+            concat(substring(col("rule"), 1, 1), lit("\\|"),
+              substring(col("rule"), 2, 1)),
+            col("rule")),
+          "\\|"))
+        .filter(size(col("sym")) >= 2)
+      merged
+        .select(col("wc"), col("rule"), explode(
+          expr("transform(sequence(1, size(sym) - 1)," +
+            " i -> concat(element_at(sym, i), '+', element_at(sym, i + 1)))"))
+          .as("pair2"))
+        .groupBy("rule", "pair2").agg(sum("wc").cast("long").as("c"))
+        .orderBy(col("c").desc, col("pair2")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("pair2"))).cast("long"))
+        .select("rnk", "rule", "pair2", "c")
+        .orderBy("rnk")
+    },
+
     "train_shuffle" -> { (spark, dir) =>
       // Deterministic global training shuffle + shard assignment: order
       // by a seeded content-independent hash of the key, never rand() —
@@ -705,6 +752,38 @@ object Corpus extends QueryGroup {
         |  least(start_tok + 64, n_tok) AS end_tok,
         |  least(start_tok + 64, n_tok) - start_tok AS n_tok_chunk
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "bpe_merge_apply" ->
+      // same selection statistic, same left-to-right regex merge
+      // convention, same '|' symbol delimiter; '\|' is a literal
+      // backslash-pipe in DuckDB standard strings
+      """WITH w AS (SELECT w, count(*) AS wc FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM
+        |    (SELECT unnest(list_transform(range(1, len(w)),
+        |       i -> substring(w, i, 2))) AS pair, wc
+        |     FROM w WHERE len(w) >= 2)
+        |  GROUP BY pair),
+        |top AS (SELECT pair AS rule FROM pc
+        |  ORDER BY c DESC, pair LIMIT 1),
+        |t AS (SELECT wc, rtrim(regexp_replace(w, '(.)', '\1|', 'g'), '|')
+        |    AS tagged FROM w),
+        |m AS (SELECT wc, rule, string_split(
+        |    regexp_replace(tagged,
+        |      concat(substring(rule, 1, 1), '\|', substring(rule, 2, 1)),
+        |      rule, 'g'), '|') AS sym
+        |  FROM t CROSS JOIN top),
+        |p2 AS (SELECT wc, rule,
+        |    unnest(list_transform(range(1, len(sym)),
+        |      i -> concat(sym[i], '+', sym[i + 1]))) AS pair2
+        |  FROM m WHERE len(sym) >= 2),
+        |agg AS (SELECT rule, pair2, CAST(sum(wc) AS BIGINT) AS c
+        |  FROM p2 GROUP BY rule, pair2
+        |  ORDER BY c DESC, pair2 LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY c DESC, pair2) AS BIGINT)
+        |    AS rnk, rule, pair2, c
+        |FROM agg ORDER BY rnk""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT w, count(*) AS wc FROM
