@@ -568,13 +568,14 @@ object Corpus extends QueryGroup {
       // the triage answer ("no embedding yet").
       val tp = TextDedup.sharedNgramPairs(spark, dir, n = 3,
         threshold = 0.2)
-      val e = Tables.table(spark, dir, "embeddings")
-      val ep = e.as("a")
-        .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          Canon.round6(graft.functions.CosineSim.cosine(
-            col("a.embedding"), col("b.embedding"))).as("cosine"))
+      // the PINNED scorer (LlmVectors.allPairsCos): an unpinned
+      // broadcast NL here scored serially off the one-file probe side
+      // (measured 5.3 s vs 0.9 s warm at sf0.1 — the identical trap
+      // that function's doc records)
+      val ep = LlmVectors.allPairsCos(Tables.table(spark, dir, "embeddings"))
+        .withColumn("cosine", Canon.round6(col("cos")))
         .filter(col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
       tp.join(ep, col("doc_a") === col("id_a")
           && col("doc_b") === col("id_b"), "full_outer")
         .select(

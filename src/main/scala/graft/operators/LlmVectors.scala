@@ -43,7 +43,7 @@ object LlmVectors extends QueryGroup {
     * TakeOrderedAndProject or a selective similarity filter — so the n²
     * scored pairs never materialize beyond their partition.
     */
-  private def allPairsCos(emb: DataFrame): DataFrame =
+  private[graft] def allPairsCos(emb: DataFrame): DataFrame =
     emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       // the probe side's parallelism bounds the scoring parallelism, and
       // the exact brute-force path is BY DESIGN the small-index case (the
