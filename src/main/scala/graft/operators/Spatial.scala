@@ -71,7 +71,9 @@ object Spatial extends QueryGroup {
        |  ${coordSql("y:poi:", "n_nationkey")} AS qy
        |FROM nation""".stripMargin
 
-  def queries = Map(
+  def queries = baseQueries ++ queries2
+
+  private def baseQueries: Map[String, Q] = Map(
     "geo_grid_join" -> { (spark, dir) =>
       // Radius join events↔POIs WITHOUT a cross product: both sides key
       // by grid cell (cell edge = R), the tiny POI side replicated to
@@ -207,7 +209,71 @@ object Spatial extends QueryGroup {
     }
   )
 
+  /** Coarse cell edge for the OD matrix: a 4×4 zone grid. */
+  private val Zone = 250000L
+
+  def queries2: Map[String, Q] = Map(
+    "events_od_matrix" -> { (spark, dir) =>
+      // Origin–destination matrix — the flow analytic on top of trip
+      // mining (where do trips that start in zone A end?): same 24 h
+      // gap segmentation as events_trip_stats, origin/destination =
+      // first/last fix per trip via first/last window frames that ride
+      // the SAME user exchange as the trip counter (no second
+      // shuffle), then one coarse-zone groupBy. Flows, not positions,
+      // leave the vehicle partition — the output is zone²-bounded at
+      // any corpus size.
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wTrip = W.partitionBy("user_id", "trip_id")
+        .orderBy("ts_us", "event_id")
+      val full = wTrip.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      points(spark, dir)
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || col("ts_us") - col("prev_ts") >= GapUs, 1L).otherwise(0L))
+        .withColumn("trip_id", sum("is_new").over(
+          w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("ox", first("px").over(full))
+        .withColumn("oy", first("py").over(full))
+        .withColumn("dx", last("px").over(full))
+        .withColumn("dy", last("py").over(full))
+        .groupBy(expr(s"ox div $Zone").as("o_zx"),
+          expr(s"oy div $Zone").as("o_zy"),
+          expr(s"dx div $Zone").as("d_zx"),
+          expr(s"dy div $Zone").as("d_zy"))
+        // each trip contributes its point count of identical rows;
+        // count distinct trips via the (user, trip) key
+        .agg(count_distinct(col("user_id"), col("trip_id")).as("n_trips"))
+        .orderBy("o_zx", "o_zy", "d_zx", "d_zy")
+    }
+  )
+
   def oracle = Map(
+    "events_od_matrix" ->
+      s"""WITH p AS ($pointsSql),
+         |l AS (SELECT *, lag(ts_us) OVER w AS prev_ts FROM p
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR ts_us - prev_ts >= $GapUs THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         |t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_id
+         |  FROM f),
+         |e AS (SELECT *,
+         |    first_value(px) OVER wt AS ox, first_value(py) OVER wt AS oy,
+         |    last_value(px) OVER wt AS dx, last_value(py) OVER wt AS dy
+         |  FROM t
+         |  WINDOW wt AS (PARTITION BY user_id, trip_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT ox // $Zone AS o_zx, oy // $Zone AS o_zy,
+         |  dx // $Zone AS d_zx, dy // $Zone AS d_zy,
+         |  count(DISTINCT (user_id, trip_id)) AS n_trips
+         |FROM e GROUP BY o_zx, o_zy, d_zx, d_zy
+         |ORDER BY o_zx, o_zy, d_zx, d_zy""".stripMargin,
+
     "geo_grid_join" ->
       // the NAIVE quadratic form — proving the engine's grid-cell
       // decomposition returns exactly the true pair set

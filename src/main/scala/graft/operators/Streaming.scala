@@ -281,6 +281,35 @@ object Streaming extends QueryGroup {
       }
   }
 
+  /** Streaming geofence transition detector: per vehicle, emit a row
+    * when the synthetic position (Spatial's deterministic 56-bit-hash
+    * grid) crosses the fence boundary — 'enter' on outside→inside,
+    * 'exit' on inside→outside. State = one boolean per vehicle; same
+    * ordered-admission contract as [[vshapeStream]].
+    */
+  private[graft] def geofenceStream(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Boolean)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, String)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Boolean),
+        (Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Boolean)],
+            state: GroupState[(Boolean, Boolean)]) =>
+          // (seen, lastInside)
+          var (seen, last) = state.getOption.getOrElse((false, false))
+          val out = Array.newBuilder[(Long, Long, Long, String)]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (seen && last != r._4)
+              out += ((uid, r._2, r._3, if (r._4) "enter" else "exit"))
+            seen = true; last = r._4
+          }
+          state.update((seen, last))
+          out.result().iterator
+      }
+  }
+
   private[graft] def fillForward(
       ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Double])])
       : org.apache.spark.sql.Dataset[
@@ -613,6 +642,31 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "stream_geofence" -> { (spark, dir) =>
+      // Geofence enter/exit events over the live feed — the alerting
+      // query a fleet API serves ("vehicle entered the depot"): the
+      // deterministic synthetic position (same 56-bit-hash grid as the
+      // Spatial group) tests against a fixed fence rectangle, and
+      // [[geofenceStream]] emits only TRANSITIONS, one boolean of
+      // state per vehicle. Hash-checkable: the oracle's lag window
+      // reconstructs the same transition stream.
+      import spark.implicits._
+      val inside = (c: org.apache.spark.sql.Column) =>
+        c >= 300000L && c < 700000L
+      val typed = eventStream(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          (inside(TextDedup.hash56(concat(lit("x:"),
+              col("event_id").cast("string"))) % 1000000L)
+            && inside(TextDedup.hash56(concat(lit("y:"),
+              col("event_id").cast("string"))) % 1000000L)).as("in_fence"))
+        .as[(Long, Long, Long, Boolean)]
+      runToMemory(spark,
+        geofenceStream(typed).toDF("user_id", "ts_us", "event_id",
+          "transition"),
+        OutputMode.Append())
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "stream_vshape" -> { (spark, dir) =>
       // Streaming pattern matching (CEP) — the online twin of
       // win_pattern_vshape: detect drop-then-rebound reversals as
@@ -835,6 +889,24 @@ object Streaming extends QueryGroup {
 
     // online LOCF converges to the batch window fill — one oracle
     "stream_fill_forward" -> Windows.oracle("win_fill_forward"),
+
+    "stream_geofence" ->
+      // lag-window twin over the same synthetic geometry
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    (CAST(concat('0x', substring(sha256('x:'
+        |       || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        |       % 1000000 BETWEEN 300000 AND 699999)
+        |    AND
+        |    (CAST(concat('0x', substring(sha256('y:'
+        |       || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        |       % 1000000 BETWEEN 300000 AND 699999) AS in_fence
+        |  FROM events),
+        |l AS (SELECT *, lag(in_fence) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev FROM g)
+        |SELECT user_id, ts_us, event_id,
+        |  CASE WHEN in_fence THEN 'enter' ELSE 'exit' END AS transition
+        |FROM l WHERE prev IS NOT NULL AND prev <> in_fence
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "stream_vshape" ->
       // the lag-window twin: the state machine's (v₋₂, v₋₁) are exactly

@@ -89,6 +89,30 @@ class SpatialSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("events_od_matrix: flow total equals the trip count") {
+    val flows = q("events_od_matrix").agg(sum("n_trips")).head().getLong(0)
+    val trips = q("events_trip_stats").count()
+    assert(flows == trips, s"$flows flows vs $trips trips")
+    // zones bounded by the 4×4 grid
+    val bad = q("events_od_matrix").filter(
+      col("o_zx") < 0 || col("o_zx") > 3 || col("o_zy") < 0 || col("o_zy") > 3
+        || col("d_zx") < 0 || col("d_zx") > 3
+        || col("d_zy") < 0 || col("d_zy") > 3).count()
+    assert(bad == 0)
+  }
+
+  test("stream_geofence: transitions strictly alternate per vehicle") {
+    val rows = q("stream_geofence").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { seq =>
+      seq.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a != b, "enter/exit must alternate")
+        case _ =>
+      }
+    }
+  }
+
   test("plan: grid join broadcasts the candidate cells, no cartesian product") {
     val p = plan(SparkEntry.queries("geo_grid_join")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
