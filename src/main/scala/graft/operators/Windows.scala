@@ -215,6 +215,42 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "features_pit_assemble" -> { (spark, dir) =>
+      // Point-in-time feature assembly — the feature-store read that
+      // prevents label leakage: for every 'purchase' (the label event),
+      // attach features computed STRICTLY BEFORE it — the user's last
+      // view value, recency of that view, and view count in the
+      // trailing hour. All three features are frames over ONE user
+      // exchange (two preceding-rows frames + one RANGE frame on the
+      // µs axis); no joins, no leakage-prone "latest overall" lookups.
+      // The classic as-of-join feature pull collapses into window
+      // frames because label and feature events share the entity
+      // stream — the cheapest correct shape at any scale.
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wRange = W.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, -1)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("view_val",
+          when(col("event_type") === "view", col("value")))
+        .withColumn("view_ts",
+          when(col("event_type") === "view", col("ts_us")))
+        .withColumn("last_view_value",
+          last("view_val", ignoreNulls = true).over(w))
+        .withColumn("last_view_us",
+          last("view_ts", ignoreNulls = true).over(w))
+        .withColumn("views_1h", count(col("view_ts")).over(wRange))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("last_view_value"),
+          (col("ts_us") - col("last_view_us")).as("us_since_view"),
+          col("views_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "win_ewma" -> { (spark, dir) =>
       // Exponentially weighted moving average (α = ½) over the last 10
       // readings per vehicle — the time-series smoother between
@@ -287,6 +323,26 @@ object Windows extends QueryGroup {
   )
 
   def oracle = Map(
+    "features_pit_assemble" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type, value,
+        |    CASE WHEN event_type = 'view' THEN value END AS view_val,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts
+        |  FROM events),
+        |f AS (SELECT *,
+        |    last_value(view_val IGNORE NULLS) OVER wp AS last_view_value,
+        |    last_value(view_ts IGNORE NULLS) OVER wp AS last_view_us,
+        |    count(view_ts) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |      AS views_1h
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, ts_us, event_id, last_view_value,
+        |  ts_us - last_view_us AS us_since_view, views_1h
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "win_ewma" ->
       // same ordered frame list, same exact 2^-k weights, same
       // left-fold — bit-identical by construction

@@ -64,7 +64,7 @@ object Api {
   }
 
   private val VehiclePath =
-    "^/vehicles/(-?\\d+)/(trace|summary|changepoint|resample)$".r
+    "^/vehicles/(-?\\d+)/(trace|summary|changepoint|resample|trips)$".r
 
   /** Start the API over one corpus dir; returns the running server
     * (ephemeral port when `port` = 0 — read it off `getAddress`).
@@ -118,6 +118,20 @@ object Api {
             respond(x, 200, toJson(
               trace(spark, dir, id.toLong,
                 param(x, "from_us"), param(x, "to_us"))))
+          case "/stats/od-matrix" =>
+            // zone-to-zone trip flows (≤ zone² rows by construction)
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_od_matrix")(spark, dir)))
+          case "/stats/hotspots" =>
+            // density clusters over the synthetic grid (DBSCAN-lite)
+            respond(x, 200, toJson(
+              SparkEntry.queries("geo_cluster_cells")(spark, dir)))
+          case VehiclePath(id, "trips") =>
+            // per-vehicle trip log; the grouping-key filter prunes the
+            // window exchange input like /resample and /changepoint
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_trip_stats")(spark, dir)
+                .filter(col("user_id") === id.toLong)))
           case "/reports/pricing" =>
             // the TPC-H Q1 pricing summary as the flagship report
             respond(x, 200, toJson(

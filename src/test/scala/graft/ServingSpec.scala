@@ -125,6 +125,19 @@ class ServingSpec extends SparkSpec {
     assert(c2 == 200 && b2.contains(""""backlog""""))
   }
 
+  test("/stats/od-matrix, /stats/hotspots, /vehicles/{id}/trips serve the spatial family") {
+    val (c1, b1) = get("/stats/od-matrix")
+    assert(c1 == 200 && b1.contains(""""o_zx"""") && b1.contains(""""n_trips""""))
+    val (c2, b2) = get("/stats/hotspots")
+    assert(c2 == 200 && b2.contains(""""cluster""""))
+    val (c3, b3) = get("/vehicles/1/trips")
+    assert(c3 == 200 && b3.contains(""""trip_id""""))
+    // the id filter really scopes the payload
+    val nTrips = SparkEntry.queries("events_trip_stats")(spark, sfDir)
+      .filter(col("user_id") === 1L).count()
+    assert(b3.startsWith(s"""{"n":$nTrips,"""), b3.take(60))
+  }
+
   test("unknown routes 404 with a JSON error") {
     val (code, body) = get("/nope")
     assert(code == 404 && body.contains("\"error\""))
