@@ -958,6 +958,42 @@ object LlmVectors extends QueryGroup {
         .orderBy("media_type", "size_bucket", "magic8")
     },
 
+    "knn_recall_matryoshka" -> { (spark, dir) =>
+      // Matryoshka-truncation eval — the modern embedding-storage
+      // question (MRL-style models front-load information into the
+      // leading dimensions): how much exact-top-3 recall survives if
+      // the index keeps only the first 16 / 32 of 64 dims? Gold
+      // standard = the shared persisted kNN edge artifact (no re-run
+      // of the full scorer); each truncation re-ranks with the same
+      // pinned two-phase reducer over SLICED vectors, and recall is
+      // one output-sized semi-join per dim. The answer tells the
+      // serving tier whether a 4× smaller index is acceptable before
+      // anyone ships it. (This fixture's embeddings are hash-random —
+      // no MRL front-loading — so measured recall here is the honest
+      // uniform-information baseline the curve is judged against.)
+      val emb = Tables.table(spark, dir, "embeddings")
+      val exact = Knn.sharedEdges(spark, dir, k = 3)
+        .select(col("q_id"), col("idx_id")).withColumn("hit", lit(1L))
+      def truncated(d: Int) = {
+        val tr = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val idx = tr.repartition(
+          spark.sparkContext.defaultParallelism, col("vec_id"))
+        Knn.search(tr, idx, k = 3)
+          .select(lit(d.toLong).as("dim_kept"), col("q_id"), col("idx_id"))
+      }
+      val nq = emb.agg(count(lit(1)).as("nq"))
+      truncated(16).unionAll(truncated(32))
+        .join(exact, Seq("q_id", "idx_id"), "left")
+        .groupBy("dim_kept")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(nq))
+        .select(col("dim_kept"), col("hits"),
+          Canon.round6(col("hits").cast("double") / (lit(3.0) * col("nq")))
+            .as("recall3"))
+        .orderBy("dim_kept")
+    },
+
     "sample_balanced" -> { (spark, dir) =>
       // Class-balanced downsampling — the label-skew repair before
       // training a classifier head: every label keeps exactly
@@ -1465,6 +1501,38 @@ object LlmVectors extends QueryGroup {
         |FROM m GROUP BY media_type, size_bucket, magic8
         |HAVING count(*) >= 2
         |ORDER BY media_type, size_bucket, magic8""".stripMargin,
+
+    "knn_recall_matryoshka" ->
+      s"""WITH r AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosDuck("q.embedding", "i.embedding")}, 6)
+         |        DESC, i.vec_id) AS rnk
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |ex AS (SELECT q_id, idx_id FROM r WHERE rnk <= 3),
+         |r16 AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosDuck("q.embedding[1:16]", "i.embedding[1:16]")}, 6)
+         |        DESC, i.vec_id) AS rnk
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |r32 AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosDuck("q.embedding[1:32]", "i.embedding[1:32]")}, 6)
+         |        DESC, i.vec_id) AS rnk
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |u AS (SELECT 16 AS dim_kept, q_id, idx_id FROM r16 WHERE rnk <= 3
+         |  UNION ALL
+         |  SELECT 32, q_id, idx_id FROM r32 WHERE rnk <= 3),
+         |nq AS (SELECT count(*) AS nq FROM embeddings),
+         |h AS (SELECT u.dim_kept,
+         |    CAST(sum(CASE WHEN ex.q_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |  FROM u LEFT JOIN ex
+         |    ON u.q_id = ex.q_id AND u.idx_id = ex.idx_id
+         |  GROUP BY u.dim_kept)
+         |SELECT CAST(dim_kept AS BIGINT) AS dim_kept, hits,
+         |  CAST(round(CAST(hits AS DOUBLE) / (3.0 * nq), 6) AS DOUBLE)
+         |    AS recall3
+         |FROM h CROSS JOIN nq ORDER BY dim_kept""".stripMargin,
 
     "sample_balanced" ->
       """WITH e AS (SELECT vec_id, label,

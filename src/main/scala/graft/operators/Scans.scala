@@ -199,6 +199,27 @@ object Scans extends QueryGroup {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    "source_codec_zstd" -> { (spark, dir) =>
+      // Codec breadth: lineitem re-written under ZSTD (the modern lake
+      // default — better ratio than snappy at similar scan cost;
+      // zstd-jni ships with Spark) and scanned back with a pushed
+      // filter + aggregate. The oracle reads the ORIGINAL parquet, so
+      // the hash match proves the codec roundtrip is value-exact —
+      // compression is a storage decision, never a semantics one. At
+      // 100 TB the ratio delta is petabytes; the query plan is
+      // identical either way (codec lives below the columnar reader).
+      val out = s"/tmp/graft_zstd/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.table(spark, dir, "lineitem")
+        .write.mode("overwrite").option("compression", "zstd").parquet(out)
+      spark.read.parquet(out)
+        .filter(col("l_discount") >= 0.05)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Canon.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     "source_evolving_schema" -> { (spark, dir) =>
       // Schema evolution on the lake: a v1 writer emitted orders WITHOUT
       // o_orderpriority (pre-1998 batch); v2 added the column. Both
@@ -258,6 +279,14 @@ object Scans extends QueryGroup {
   )
 
   def oracle = Map(
+    "source_codec_zstd" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_discount >= 0.05
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "source_evolving_schema" ->
       // same split reconstructed from the source table: matching proves
       // the merged-footer read null-extended the legacy batch correctly
