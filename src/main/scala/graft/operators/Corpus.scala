@@ -24,6 +24,34 @@ object Corpus extends QueryGroup {
     */
   private def hash56(c: Column): Column = TextDedup.hash56(c)
 
+  /** Two unrolled synchronous-LPA rounds over the shared near-dup graph
+    * (graph_communities' partition), returned as (vid, lbl) — shared by
+    * graph_communities and graph_modularity so the score is computed
+    * over EXACTLY the partition the detector reports.
+    */
+  private def communities(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+      threshold = 0.2)
+    val e = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+    val v = Tables.table(spark, dir, "documents")
+      .select(col("doc_id").as("vid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("mv").orderBy(col("c").desc, col("lbl"))
+    def round(l: org.apache.spark.sql.DataFrame) = {
+      val best = e.join(l, e("d") === l("vid"))
+        .groupBy(e("s").as("mv"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("mv"), col("lbl").as("new_lbl"))
+      v.join(best, v("vid") === best("mv"), "left")
+        .select(col("vid"), coalesce(col("new_lbl"), col("vid")).as("lbl"))
+    }
+    round(round(v.select(col("vid"), col("vid").as("lbl"))))
+  }
+
   def queries = Map(
     "graph_triangles" -> { (spark, dir) =>
       // Triangle census of the near-dup graph — the standard structure
@@ -419,27 +447,51 @@ object Corpus extends QueryGroup {
       // (Connected components = the transitive-closure limit lives at
       // dedup_clusters; LPA's plurality vote splits chained components
       // that CC would merge — the two answers are complementary.)
+      communities(spark, dir)
+        .select(col("vid").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+    },
+
+    "graph_modularity" -> { (spark, dir) =>
+      // SCORE the detected partition: Newman modularity
+      // Q = Σ_c (e_c/m − (d_c/2m)²), reported per community as its
+      // contribution — the quantitative answer to "did LPA find real
+      // structure or noise?" that a curation pipeline gates on before
+      // trusting topic clusters. Everything is INTEGER until one final
+      // fixed-order double expression: m (undirected edge count), e_c
+      // (intra edges — one join of the pair list against two broadcast
+      // label maps), d_c (degree sums — one keyed agg) — so the score
+      // is hash-exact with no float accumulation anywhere. Eleventh
+      // consumer of the shared pair index; all inputs are |V|- or
+      // |E|-bounded.
       val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
         threshold = 0.2)
-      val e = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
-        .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
-      val v = Tables.table(spark, dir, "documents")
-        .select(col("doc_id").as("vid"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("mv").orderBy(col("c").desc, col("lbl"))
-      def round(l: org.apache.spark.sql.DataFrame) = {
-        val best = e.join(l, e("d") === l("vid"))
-          .groupBy(e("s").as("mv"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("mv"), col("lbl").as("new_lbl"))
-        v.join(best, v("vid") === best("mv"), "left")
-          .select(col("vid"), coalesce(col("new_lbl"), col("vid")).as("lbl"))
-      }
-      val l2 = round(round(v.select(col("vid"), col("vid").as("lbl"))))
-      l2.select(col("vid").as("doc_id"), col("lbl").as("community"))
-        .orderBy("doc_id")
+      val lab = communities(spark, dir)
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val deg = pairs.select(col("doc_a").as("vid"))
+        .unionAll(pairs.select(col("doc_b").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg"))
+      val dc = lab.join(deg, Seq("vid"), "left")
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+      val ein = pairs
+        .join(lab.select(col("vid").as("doc_a"), col("lbl").as("la")), "doc_a")
+        .join(lab.select(col("vid").as("doc_b"), col("lbl").as("lb")), "doc_b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(count(lit(1)).as("e_in"))
+      dc.join(ein, Seq("community"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .filter(col("n_members") >= 2)
+        .select(col("community"), col("n_members"), col("e_in"),
+          col("d_sum"),
+          Canon.round6(
+            (lit(4.0) * col("m") * col("e_in")
+              - (col("d_sum") * col("d_sum")).cast("double"))
+              / (lit(4.0) * col("m") * col("m"))).as("contrib"))
+        .orderBy("community")
     },
 
     "text_rarity" -> { (spark, dir) =>
@@ -879,6 +931,48 @@ object Corpus extends QueryGroup {
         |  FROM v LEFT JOIN b2 ON v.vid = b2.mv)
         |SELECT vid AS doc_id, lbl AS community FROM l2
         |ORDER BY doc_id""".stripMargin),
+
+    "graph_modularity" ->
+      // the SAME two LPA rounds as graph_communities, then integer
+      // m / e_c / d_c and one fixed-order double expression per row
+      ("WITH " + LlmText.ngramGlobalPairsCte + """,
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM gpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM gpairs),
+        |v AS (SELECT doc_id AS vid FROM documents),
+        |l0 AS (SELECT vid, vid AS lbl FROM v),
+        |m1 AS (SELECT e.s AS mv, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON e.d = l0.vid GROUP BY 1, 2),
+        |b1 AS (SELECT mv, lbl FROM (SELECT mv, lbl, row_number()
+        |    OVER (PARTITION BY mv ORDER BY c DESC, lbl) AS rn FROM m1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT v.vid, COALESCE(b1.lbl, v.vid) AS lbl
+        |  FROM v LEFT JOIN b1 ON v.vid = b1.mv),
+        |m2 AS (SELECT e.s AS mv, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON e.d = l1.vid GROUP BY 1, 2),
+        |b2 AS (SELECT mv, lbl FROM (SELECT mv, lbl, row_number()
+        |    OVER (PARTITION BY mv ORDER BY c DESC, lbl) AS rn FROM m2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT v.vid, COALESCE(b2.lbl, v.vid) AS lbl
+        |  FROM v LEFT JOIN b2 ON v.vid = b2.mv),
+        |mm AS (SELECT count(*) AS m FROM gpairs),
+        |deg AS (SELECT s AS vid, count(*) AS deg FROM e GROUP BY s),
+        |dc AS (SELECT l2.lbl AS community, count(*) AS n_members,
+        |    CAST(sum(COALESCE(deg.deg, 0)) AS BIGINT) AS d_sum
+        |  FROM l2 LEFT JOIN deg ON l2.vid = deg.vid
+        |  GROUP BY l2.lbl),
+        |ein AS (SELECT a.lbl AS community, count(*) AS e_in
+        |  FROM gpairs p JOIN l2 a ON p.doc_a = a.vid
+        |    JOIN l2 b ON p.doc_b = b.vid
+        |  WHERE a.lbl = b.lbl GROUP BY a.lbl)
+        |SELECT dc.community, dc.n_members,
+        |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, dc.d_sum,
+        |  CAST(round((4.0 * m * COALESCE(ein.e_in, 0)
+        |      - CAST(dc.d_sum * dc.d_sum AS DOUBLE))
+        |    / (4.0 * m * m), 6) AS DOUBLE) AS contrib
+        |FROM dc LEFT JOIN ein ON dc.community = ein.community
+        |  CROSS JOIN mm
+        |WHERE dc.n_members >= 2
+        |ORDER BY dc.community""".stripMargin),
 
     "text_rarity" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
