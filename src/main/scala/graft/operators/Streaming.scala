@@ -310,6 +310,49 @@ object Streaming extends QueryGroup {
       }
   }
 
+  /** Online point-in-time feature assembly — the serving twin of the
+    * batch features_pit_assemble windows: per vehicle, state carries
+    * the last view (value, ts) plus the trailing-hour view-time queue
+    * (bounded by events/hour, pruned as time advances: a view older
+    * than ts−1h can never enter a future frame because admission time
+    * is monotone per key). Emits one feature row per 'purchase',
+    * computed strictly from events seen BEFORE it — the no-leakage
+    * guarantee, now online.
+    */
+  private[graft] def pitFeaturesStream(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Double)])
+      : org.apache.spark.sql.Dataset[
+        (Long, Long, Long, Option[Double], Option[Long], Long)] = {
+    import ds.sparkSession.implicits._
+    val HourUs = 3600000000L
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Double, Long, Seq[Long]),
+        (Long, Long, Long, Option[Double], Option[Long], Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+            state: GroupState[(Boolean, Double, Long, Seq[Long])]) =>
+          var (hasView, lastVal, lastTs, times) = state.getOption
+            .getOrElse((false, 0.0, 0L, Seq.empty[Long]))
+          var q = times.toVector
+          val out = Array.newBuilder[
+            (Long, Long, Long, Option[Double], Option[Long], Long)]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            val ts = r._2
+            q = q.dropWhile(_ < ts - HourUs)
+            if (r._4 == "purchase")
+              out += ((uid, ts, r._3,
+                if (hasView) Some(lastVal) else None,
+                if (hasView) Some(ts - lastTs) else None,
+                q.count(_ <= ts - 1).toLong))
+            if (r._4 == "view") {
+              hasView = true; lastVal = r._5; lastTs = ts; q = q :+ ts
+            }
+          }
+          state.update((hasView, lastVal, lastTs, q))
+          out.result().iterator
+      }
+  }
+
   private[graft] def fillForward(
       ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Double])])
       : org.apache.spark.sql.Dataset[
@@ -642,6 +685,23 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "stream_pit_features" -> { (spark, dir) =>
+      // Online feature serving: [[pitFeaturesStream]] — the streaming
+      // twin of features_pit_assemble (same oracle SQL), proving the
+      // batch window semantics and the online state machine agree
+      // row-for-row under ordered admission.
+      import spark.implicits._
+      val typed = eventStream(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+      runToMemory(spark,
+        pitFeaturesStream(typed).toDF("user_id", "ts_us", "event_id",
+          "last_view_value", "us_since_view", "views_1h"),
+        OutputMode.Append())
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "stream_geofence" -> { (spark, dir) =>
       // Geofence enter/exit events over the live feed — the alerting
       // query a fleet API serves ("vehicle entered the depot"): the
@@ -889,6 +949,28 @@ object Streaming extends QueryGroup {
 
     // online LOCF converges to the batch window fill — one oracle
     "stream_fill_forward" -> Windows.oracle("win_fill_forward"),
+
+    "stream_pit_features" ->
+      // identical to the batch features_pit_assemble oracle: the state
+      // machine must reproduce the strictly-before window frames
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type, value,
+        |    CASE WHEN event_type = 'view' THEN value END AS view_val,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts
+        |  FROM events),
+        |f AS (SELECT *,
+        |    last_value(view_val IGNORE NULLS) OVER wp AS last_view_value,
+        |    last_value(view_ts IGNORE NULLS) OVER wp AS last_view_us,
+        |    count(view_ts) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |      AS views_1h
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, ts_us, event_id, last_view_value,
+        |  ts_us - last_view_us AS us_since_view, views_1h
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "stream_geofence" ->
       // lag-window twin over the same synthetic geometry

@@ -426,6 +426,44 @@ class StreamingSpec extends SparkSpec {
     assert(single == twin)
   }
 
+  test("stream_pit_features state (last view + hour queue) survives sharded replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.33, 0.66), 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pitshard").toString
+    Seq(
+      ev.filter(col("ts_us") <= cuts(0)),
+      ev.filter(col("ts_us") > cuts(0) && col("ts_us") <= cuts(1)),
+      ev.filter(col("ts_us") > cuts(1))
+    ).zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/shard_$i")
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/shard_*")
+      .as[(Long, Long, Long, String, Double)]
+    val qs = operators.Streaming.pitFeaturesStream(stream)
+      .toDF("user_id", "ts_us", "event_id", "last_view_value",
+        "us_since_view", "views_1h")
+      .writeStream.format("memory").queryName("pit_shard_sink")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    qs.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))
+    val streamed = spark.table("pit_shard_sink").collect().map(key).toSet
+    val single = q("stream_pit_features").collect().map(key).toSet
+    assert(streamed == single)
+    assert(streamed.nonEmpty)
+    // and it matches the batch window twin
+    val twin = q("features_pit_assemble").collect().map(key).toSet
+    assert(single == twin)
+  }
+
   test("stream_sliding: every event lands in exactly two covering windows") {
     val out = q("stream_sliding")
     val covered = out.agg(sum("n")).head().getLong(0)
