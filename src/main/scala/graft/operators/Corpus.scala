@@ -494,6 +494,29 @@ object Corpus extends QueryGroup {
         .orderBy("community")
     },
 
+    "text_lang_mix" -> { (spark, dir) =>
+      // Per-source language-mix profile — the corpus-composition
+      // diagnostic a multilingual pretraining mix is balanced against:
+      // language count, majority share, and Simpson concentration
+      // Σp². The Simpson sum is Σc² / n² with an EXACT integer
+      // numerator (Σ over ≤|langs| squared counts folds as longs —
+      // never a parallel double sum) and ONE double division; majority
+      // share likewise. Two nested aggregates, both map-side combined.
+      Tables.table(spark, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          max("c").as("maxc"),
+          sum(col("c") * col("c")).as("sq"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          Canon.round6(col("maxc").cast("double") / col("n_docs"))
+            .as("top_share"),
+          Canon.round6(col("sq").cast("double")
+            / (col("n_docs") * col("n_docs"))).as("simpson"))
+        .orderBy("source")
+    },
+
     "text_rarity" -> { (spark, dir) =>
       // Per-document rarity score under the corpus's own unigram model —
       // the perplexity-proxy quality filter (rare-token-heavy docs =
@@ -973,6 +996,20 @@ object Corpus extends QueryGroup {
         |  CROSS JOIN mm
         |WHERE dc.n_members >= 2
         |ORDER BY dc.community""".stripMargin),
+
+    "text_lang_mix" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY source, lang),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    count(*) AS n_langs, CAST(max(c) AS BIGINT) AS maxc,
+        |    CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM c GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(round(CAST(maxc AS DOUBLE) / n_docs, 6) AS DOUBLE)
+        |    AS top_share,
+        |  CAST(round(CAST(sq AS DOUBLE) / (n_docs * n_docs), 6) AS DOUBLE)
+        |    AS simpson
+        |FROM s ORDER BY source""".stripMargin,
 
     "text_rarity" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

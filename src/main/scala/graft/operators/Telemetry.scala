@@ -172,6 +172,63 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_gap_report" -> { (spark, dir) =>
+      // Silence windows — the complement of events_coverage: every gap
+      // of ≥ 48 h between consecutive reports of a vehicle, with its
+      // bounds. THE fleet-ops alert ("vehicle dark for two days"); one
+      // lag window over one user exchange, integer µs throughout.
+      val Silence = 172800000000L // 48 h
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .filter(col("prev_ts").isNotNull
+          && col("ts_us") - col("prev_ts") >= Silence)
+        .select(col("user_id"), col("prev_ts").as("dark_from_us"),
+          col("ts_us").as("dark_to_us"),
+          expr("(ts_us - prev_ts) div 1000000").as("gap_s"))
+        .orderBy("user_id", "dark_from_us")
+    },
+
+    "events_outliers_mad" -> { (spark, dir) =>
+      // Robust per-vehicle outliers: |x − median| > 3·MAD — the
+      // median/MAD rule that shrugs off the very outliers that corrupt
+      // a z-score's own baseline (events_anomaly is the moment-based
+      // sibling). EXACT integer algebra throughout: with cents c and
+      // twoMid(xs) = the sum of the two middle order statistics
+      // (= 2·median exactly, odd or even n), d = |2c − med2| = 2·|c−med|
+      // and mad2 = twoMid(d) = 4·MAD — the flag |c−med| > 3·MAD
+      // becomes the INTEGER comparison
+      // 2·d > 3·mad2 — no float ever enters the decision, so the
+      // flagged set is bit-deterministic in any engine. Per-vehicle
+      // arrays are history-bounded (collect_list per key, the
+      // win_rolling_median precedent); stats join back broadcast.
+      def twoMid(arr: org.apache.spark.sql.Column) = {
+        val n = size(arr)
+        element_at(arr, ((n - 1) / lit(2) + 1).cast("int"))
+          .+(element_at(arr, (n / lit(2) + 1).cast("int")))
+      }
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value"), cents.as("c"))
+      val med = ev.groupBy("user_id")
+        .agg(sort_array(collect_list("c")).as("arr"))
+        .select(col("user_id"), twoMid(col("arr")).as("med2"))
+      val withD = ev.join(broadcast(med), "user_id")
+        .withColumn("d", abs(col("c") * 2 - col("med2")))
+      val mad = withD.groupBy("user_id")
+        .agg(sort_array(collect_list("d")).as("darr"))
+        .select(col("user_id"), twoMid(col("darr")).as("mad2"))
+      withD.join(broadcast(mad), "user_id")
+        .filter(col("d") * 2 > col("mad2") * 3)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+          (col("med2").cast("double") / 200.0).as("median"),
+          (col("mad2").cast("double") / 400.0).as("mad"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "events_coverage" -> { (spark, dir) =>
       // Connected-time coverage: each report keeps a vehicle "online"
       // for 30 min; overlapping windows merge (interval UNION, the
@@ -467,6 +524,40 @@ object Telemetry extends QueryGroup {
         |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+
+    "events_gap_report" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, prev_ts AS dark_from_us, ts_us AS dark_to_us,
+        |  (ts_us - prev_ts) // 1000000 AS gap_s
+        |FROM l WHERE prev_ts IS NOT NULL
+        |  AND ts_us - prev_ts >= 172800000000
+        |ORDER BY user_id, dark_from_us""".stripMargin,
+
+    "events_outliers_mad" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |m AS (SELECT user_id, list_sort(list(c)) AS arr
+        |  FROM e GROUP BY user_id),
+        |m2 AS (SELECT user_id,
+        |    arr[(len(arr) - 1) // 2 + 1] + arr[len(arr) // 2 + 1] AS med2
+        |  FROM m),
+        |dd AS (SELECT e.*, m2.med2, abs(c * 2 - med2) AS dv
+        |  FROM e JOIN m2 USING (user_id)),
+        |md AS (SELECT user_id, list_sort(list(dv)) AS darr
+        |  FROM dd GROUP BY user_id),
+        |md2 AS (SELECT user_id,
+        |    darr[(len(darr) - 1) // 2 + 1] + darr[len(darr) // 2 + 1]
+        |      AS mad2
+        |  FROM md)
+        |SELECT dd.user_id, ts_us, event_id, value,
+        |  CAST(med2 AS DOUBLE) / 200.0 AS median,
+        |  CAST(mad2 AS DOUBLE) / 400.0 AS mad
+        |FROM dd JOIN md2 USING (user_id)
+        |WHERE dv * 2 > mad2 * 3
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "events_coverage" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
