@@ -172,6 +172,84 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_benford" -> { (spark, dir) =>
+      // First-digit (Benford) audit — the data-forensics screen for
+      // fabricated or unit-broken telemetry: observed leading-digit
+      // shares of the signal value against Benford expectations. The
+      // nine expected probabilities log₁₀(1+1/d) are FIXED LITERALS
+      // (pre-computed once, identical bytes in both engines), so no
+      // transcendental ever evaluates in the hash path; counts are
+      // exact longs, and each digit's deviation is one fixed-order
+      // expression. One groupBy over the facts.
+      val benford = Map(1 -> 0.301029995663981, 2 -> 0.176091259055681,
+        3 -> 0.124938736608300, 4 -> 0.096910013008056,
+        5 -> 0.079181246047625, 6 -> 0.066946789630613,
+        7 -> 0.057991946977687, 8 -> 0.051152522447381,
+        9 -> 0.045757490560675)
+      val expCol = benford.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+        when(col("d1") === d, lit(p)).otherwise(acc)
+      }
+      val digits = Tables.events(spark, dir)
+        // leading digit computed on integer CENTS (scaling by 10^k
+        // preserves it) via a bounded div ladder — engine-string
+        // rendering and log10 both stay out of the hash path
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .filter(col("c") >= 1)
+        .withColumn("d1", expr(
+          """CASE WHEN c >= 10000 THEN c div 10000
+            |     WHEN c >= 1000 THEN c div 1000
+            |     WHEN c >= 100 THEN c div 100
+            |     WHEN c >= 10 THEN c div 10
+            |     ELSE c END""".stripMargin).cast("int"))
+        .groupBy("d1").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").as("nt"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("expected", expCol)
+        .select(col("d1"), col("n"),
+          Canon.round6(col("n").cast("double") / col("nt")).as("observed"),
+          col("expected"),
+          Canon.round6(col("n").cast("double") / col("nt")
+            - expCol).as("deviation"))
+        .orderBy("d1")
+    },
+
+    "events_autocorr" -> { (spark, dir) =>
+      // Lag-1 autocorrelation per vehicle — the time-series memory
+      // diagnostic (white noise ≈ 0; a drifting or oscillating sensor
+      // shows structure): Pearson r between consecutive readings.
+      // The events_trend numeric discipline: all five pair moments
+      // accumulate in EXACT decimal over (prev, cur) cent pairs, cast
+      // to double once, one closed-form expression. One user exchange
+      // shared by the lag window and the aggregate.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          cents.as("c"))
+        .withColumn("p", lag("c", 1).over(w))
+        .filter(col("p").isNotNull)
+        .select(col("user_id"), col("c").cast(dec).as("x"),
+          col("p").cast(dec).as("y"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("user_id"), col("n"),
+          Canon.round6(
+            (col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("acf1"))
+        .orderBy("user_id")
+    },
+
     "events_gap_report" -> { (spark, dir) =>
       // Silence windows — the complement of events_coverage: every gap
       // of ≥ 48 h between consecutive reports of a vehicle, with its
@@ -524,6 +602,54 @@ object Telemetry extends QueryGroup {
         |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+
+    "events_benford" ->
+      """WITH c0 AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT CASE WHEN c >= 10000 THEN c // 10000
+        |             WHEN c >= 1000 THEN c // 1000
+        |             WHEN c >= 100 THEN c // 100
+        |             WHEN c >= 10 THEN c // 10
+        |             ELSE c END AS d1
+        |  FROM c0 WHERE c >= 1),
+        |g AS (SELECT CAST(d1 AS INTEGER) AS d1, count(*) AS n
+        |  FROM d GROUP BY d1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g),
+        |b(d1, expected) AS (VALUES
+        |  (1, 0.301029995663981), (2, 0.176091259055681),
+        |  (3, 0.124938736608300), (4, 0.096910013008056),
+        |  (5, 0.079181246047625), (6, 0.066946789630613),
+        |  (7, 0.057991946977687), (8, 0.051152522447381),
+        |  (9, 0.045757490560675))
+        |SELECT g.d1, CAST(g.n AS BIGINT) AS n,
+        |  CAST(round(CAST(g.n AS DOUBLE) / nt, 6) AS DOUBLE) AS observed,
+        |  b.expected,
+        |  CAST(round(CAST(g.n AS DOUBLE) / nt - b.expected, 6) AS DOUBLE)
+        |    AS deviation
+        |FROM g JOIN b ON g.d1 = b.d1 CROSS JOIN t
+        |ORDER BY g.d1""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id,
+        |    CAST(c AS DECIMAL(18,0)) AS x,
+        |    CAST(lag(c) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS DECIMAL(18,0)) AS y
+        |  FROM e),
+        |s AS (SELECT user_id, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM l WHERE y IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CAST(round((n * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((n * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (n * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE)
+        |    AS acf1
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "events_gap_report" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
