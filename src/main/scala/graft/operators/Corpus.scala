@@ -494,6 +494,43 @@ object Corpus extends QueryGroup {
         .orderBy("community")
     },
 
+    "graph_assortativity" -> { (spark, dir) =>
+      // Degree assortativity of the near-dup graph — do similar docs
+      // link to similarly-connected docs (boilerplate hubs vs clique
+      // clusters)? Pearson r over the degree pairs of every DIRECTED
+      // edge (the standard symmetrized form). All moments are exact
+      // long sums over the |E|-row edge×degree join; one fixed-order
+      // closed form; NULL when the graph is degree-regular (zero
+      // variance) — identically in both engines via the CASE guard.
+      // Twelfth consumer of the shared pair index.
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+        threshold = 0.2)
+      val e = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      val deg = e.groupBy(col("s").as("vid")).agg(count(lit(1)).as("dg"))
+      e.join(deg.select(col("vid").as("s"), col("dg").as("da")), "s")
+        .join(deg.select(col("vid").as("d"), col("dg").as("db")), "d")
+        .agg(count(lit(1)).as("n"),
+          sum("da").as("sx"), sum("db").as("sy"),
+          sum(col("da") * col("db")).as("sxy"),
+          sum(col("da") * col("da")).as("sxx"),
+          sum(col("db") * col("db")).as("syy"))
+        .select(col("n"),
+          when(
+            (col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) > 0
+              && (col("n") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double")) > 0,
+            Canon.round6(
+              (col("n") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double"))
+              / sqrt((col("n") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double"))
+                * (col("n") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double")))))
+            .as("assortativity"))
+    },
+
     "text_lang_mix" -> { (spark, dir) =>
       // Per-source language-mix profile — the corpus-composition
       // diagnostic a multilingual pretraining mix is balanced against:
@@ -996,6 +1033,35 @@ object Corpus extends QueryGroup {
         |  CROSS JOIN mm
         |WHERE dc.n_members >= 2
         |ORDER BY dc.community""".stripMargin),
+
+    "graph_assortativity" ->
+      ("WITH " + LlmText.ngramGlobalPairsCte + """,
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM gpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM gpairs),
+        |deg AS (SELECT s AS vid, count(*) AS dg FROM e GROUP BY s),
+        |j AS (SELECT da.dg AS da, db.dg AS db
+        |  FROM e JOIN deg da ON e.s = da.vid
+        |    JOIN deg db ON e.d = db.vid),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(da) AS BIGINT) AS sx, CAST(sum(db) AS BIGINT) AS sy,
+        |    CAST(sum(da * db) AS BIGINT) AS sxy,
+        |    CAST(sum(da * da) AS BIGINT) AS sxx,
+        |    CAST(sum(db * db) AS BIGINT) AS syy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN (n * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |      AND (n * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN CAST(round((n * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((n * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (n * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |      AS DOUBLE)
+        |  END AS assortativity
+        |FROM s""".stripMargin),
 
     "text_lang_mix" ->
       """WITH c AS (SELECT source, lang, count(*) AS c

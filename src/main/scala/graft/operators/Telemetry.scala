@@ -172,6 +172,70 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_drawdown" -> { (spark, dir) =>
+      // Maximum drawdown per vehicle — the running-peak-to-trough drop
+      // (finance's risk metric, equally at home on battery capacity or
+      // signal health): dd_t = runmax(value) − value, max over t, with
+      // the EARLIEST trough hitting that max. Integer cents throughout
+      // ⇒ the argmax tie-break is exact; two frames + the final argmin
+      // share ONE user exchange, then a broadcast join of the |users|
+      // max table picks the trough rows.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val dd = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          cents.as("c"))
+        .withColumn("runmax", max("c").over(w))
+        .withColumn("dd", col("runmax") - col("c"))
+      val mx = dd.groupBy("user_id").agg(max("dd").as("max_dd"))
+      dd.join(broadcast(mx), "user_id")
+        .filter(col("dd") === col("max_dd"))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("trough_us"), first("max_dd").as("mdd"))
+        .select(col("user_id"),
+          (col("mdd").cast("double") / 100.0).as("max_dd"),
+          col("trough_us"))
+        .orderBy("user_id")
+    },
+
+    "events_bursts" -> { (spark, dir) =>
+      // Burst episodes — fleet-wide traffic spikes: hourly event counts,
+      // hours above mean + 2σ (exact integer moments over the ≤|hours|
+      // aggregate → one fixed-order threshold expression), adjacent
+      // burst hours merged into episodes via the islands trick. The
+      // corpus collapses to the hourly grid FIRST (one groupBy), so
+      // every window below runs over ≤ |hours| rows — the two-phase
+      // pattern, never a raw-row global window.
+      val HourUs = 3600000000L
+      val hours = Tables.events(spark, dir)
+        .select(expr(s"ts_us div $HourUs").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n"))
+      val stats = hours.agg(count(lit(1)).as("k"),
+        sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wOrd = W.orderBy("h")
+      val flagged = hours.crossJoin(broadcast(stats))
+        .withColumn("mean", col("s1").cast("double") / col("k"))
+        .withColumn("sd", sqrt(
+          (col("s2").cast("double") - col("s1").cast("double")
+            * col("s1").cast("double") / col("k")) / col("k")))
+        .filter(col("n").cast("double") > col("mean") + lit(2.0) * col("sd"))
+      flagged
+        .withColumn("prev_h", lag("h", 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_h").isNull || col("h") - col("prev_h") > 1, 1L)
+            .otherwise(0L))
+        .withColumn("ep", sum("is_new").over(
+          wOrd.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("ep")
+        .agg((min("h") * HourUs).as("start_us"),
+          ((max("h") + 1) * HourUs).as("end_us"),
+          count(lit(1)).as("n_hours"), max("n").as("peak"))
+        .orderBy("ep")
+    },
+
     "events_benford" -> { (spark, dir) =>
       // First-digit (Benford) audit — the data-forensics screen for
       // fabricated or unit-broken telemetry: observed leading-digit
@@ -602,6 +666,44 @@ object Telemetry extends QueryGroup {
         |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+
+    "events_drawdown" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |r AS (SELECT *, max(c) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM e),
+        |d AS (SELECT *, runmax - c AS dd FROM r),
+        |m AS (SELECT user_id, CAST(max(dd) AS BIGINT) AS max_dd
+        |  FROM d GROUP BY user_id)
+        |SELECT d.user_id,
+        |  CAST(m.max_dd AS DOUBLE) / 100.0 AS max_dd,
+        |  min(d.ts_us) AS trough_us
+        |FROM d JOIN m ON d.user_id = m.user_id AND d.dd = m.max_dd
+        |GROUP BY d.user_id, m.max_dd
+        |ORDER BY d.user_id""".stripMargin,
+
+    "events_bursts" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY h),
+        |s AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2 FROM h),
+        |f AS (SELECT h.h, h.n FROM h CROSS JOIN s
+        |  WHERE CAST(h.n AS DOUBLE) > CAST(s1 AS DOUBLE) / k
+        |    + 2.0 * sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k) / k)),
+        |l AS (SELECT *, lag(h) OVER (ORDER BY h) AS prev_h FROM f),
+        |i AS (SELECT *, CASE WHEN prev_h IS NULL OR h - prev_h > 1
+        |    THEN 1 ELSE 0 END AS is_new FROM l),
+        |eps AS (SELECT *, sum(is_new) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+        |  FROM i)
+        |SELECT CAST(ep AS BIGINT) AS ep,
+        |  min(h) * 3600000000 AS start_us,
+        |  (max(h) + 1) * 3600000000 AS end_us,
+        |  count(*) AS n_hours, CAST(max(n) AS BIGINT) AS peak
+        |FROM eps GROUP BY ep ORDER BY ep""".stripMargin,
 
     "events_benford" ->
       """WITH c0 AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
