@@ -73,22 +73,20 @@ object Knn {
     * ONCE as a bucket-PARTITIONED parquet layout (`bucket=<id>/` dirs —
     * the source_partitioned machinery), so serving-time probes prune to
     * the probed buckets via dynamic partition pruning instead of
-    * re-bucketing the whole corpus per query run. Build-on-first-use,
-    * (pid, corpus, bits)-keyed like [[TextDedup.sharedNgramPairs]];
-    * `_SUCCESS` is Spark's job-commit marker, so existence ⟺ complete.
+    * re-bucketing the whole corpus per query run. Build-on-first-use
+    * through [[ArtifactCache]] (fixture-fingerprint-keyed, shared
+    * across processes, atomic publication).
     * At 100 TB the layout job runs once per snapshot; every query after
     * it reads `probes+1` of the 2^bits partitions.
     */
-  def persistedIndex(spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val out = s"/tmp/graft_annidx/p${ProcessHandle.current().pid()}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/b$bits"
-    if (!new java.io.File(out, "_SUCCESS").exists())
+  def persistedIndex(spark: SparkSession, dir: String, bits: Int): DataFrame =
+    ArtifactCache.withWriter(spark, s"annidx_b$bits",
+      Seq(s"$dir/embeddings.parquet")) { out =>
       graft.Tables.table(spark, dir, "embeddings")
         .select(col("vec_id").as("idx_id"), col("embedding").as("ie"))
         .withColumn("bucket", lshBucket(col("ie"), bits))
         .write.partitionBy("bucket").mode("overwrite").parquet(out)
-    spark.read.parquet(out)
-  }
+    }
 
   /** Shared exact kNN-graph edge artifact: `search(emb, emb, k)` built
     * ONCE per (process, corpus, k) and persisted — the
@@ -102,17 +100,13 @@ object Knn {
     * kNN graph is exactly this — a persisted edge table refreshed per
     * corpus snapshot, consumed by every downstream graph job.
     */
-  def sharedEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val out = s"/tmp/graft_knng/p${ProcessHandle.current().pid()}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/k$k"
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
+  def sharedEdges(spark: SparkSession, dir: String, k: Int): DataFrame =
+    ArtifactCache(spark, s"knng_k$k", Seq(s"$dir/embeddings.parquet")) {
       val emb = graft.Tables.table(spark, dir, "embeddings")
       val idx = emb.repartition(
         spark.sparkContext.defaultParallelism, col("vec_id"))
-      search(emb, idx, k).write.mode("overwrite").parquet(out)
+      search(emb, idx, k)
     }
-    spark.read.parquet(out)
-  }
 
   /** [[search]] over a pre-bucketed index (e.g. [[persistedIndex]]):
     * identical output to `search(queries, index, k, bits, probes)` —

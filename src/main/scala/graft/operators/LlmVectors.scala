@@ -182,13 +182,10 @@ object LlmVectors extends QueryGroup {
     * each re-running the Gram build + three power-iteration steps.
     */
   private def sharedEigvec(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val out = s"/tmp/graft_eig/p${ProcessHandle.current().pid()}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!new java.io.File(out, "_SUCCESS").exists())
-      topEigvec(spark, dir).write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
-  }
+      dir: String): DataFrame =
+    ArtifactCache(spark, "eigvec", Seq(s"$dir/embeddings.parquet")) {
+      topEigvec(spark, dir)
+    }
 
   def queries = Map(
     "knn_cosine" -> { (spark, dir) =>

@@ -168,15 +168,12 @@ object TextDedup {
     */
   def sharedNgramPairs(spark: SparkSession, dir: String,
       n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val key = s"n${n}_t${math.round(threshold * 1e6)}"
-    val out = s"/tmp/graft_pairs/p${ProcessHandle.current().pid()}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$key"
-    if (!new java.io.File(out, "_SUCCESS").exists())
+    val key = s"pairs_n${n}_t${math.round(threshold * 1e6)}"
+    ArtifactCache(spark, key, Seq(s"$dir/documents.parquet")) {
       ngramJaccardPairs(graft.Tables.table(spark, dir, "documents"),
         idCol = "doc_id", textCol = "text", blockCols = Seq.empty,
         n = n, threshold = threshold)
-        .write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
+    }
   }
 
   /** Mersenne prime 2^31−1 for the MinHash universal-hash family —
