@@ -69,6 +69,25 @@ object Reporting extends QueryGroup {
         .orderBy("fk")
     },
 
+    "orders_yoy_growth" -> { (spark, dir) =>
+      // Year-over-year revenue growth per order priority — the BI
+      // staple: one fact aggregate to the (year × priority) grid, then
+      // a lag window and one double division over ≤|grid| rows (the
+      // two-phase discipline). First year emits NULL growth — the
+      // honest answer, identical cross-engine.
+      val yearly = Tables.table(spark, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority"))
+        .agg(Canon.moneySum(col("o_totalprice")).as("revenue"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("yr")
+      yearly
+        .withColumn("prev", lag("revenue", 1).over(w))
+        .select(col("yr"), col("o_orderpriority"), col("revenue"),
+          Canon.round6((col("revenue") - col("prev")) / col("prev"))
+            .as("yoy"))
+        .orderBy("yr", "o_orderpriority")
+    },
+
     "tpch_q3" -> { (spark, dir) =>
       // Shipping-priority (TPC-H Q3 adapted: fixture orders carry
       // o_orderpriority, not l_shippriority): revenue of not-yet-shipped
@@ -543,6 +562,18 @@ object Reporting extends QueryGroup {
   )
 
   def oracle = Map(
+    "orders_yoy_growth" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    o_orderpriority,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |      AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY yr, o_orderpriority),
+        |l AS (SELECT *, lag(revenue) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY yr) AS prev FROM y)
+        |SELECT yr, o_orderpriority, revenue,
+        |  CAST(round((revenue - prev) / prev, 6) AS DOUBLE) AS yoy
+        |FROM l ORDER BY yr, o_orderpriority""".stripMargin,
+
     "dq_referential" ->
       """WITH a AS (
         |  SELECT 'customer.nationkey' AS fk,

@@ -268,6 +268,21 @@ object Scans extends QueryGroup {
         .orderBy(lineitemKey.map(col): _*)
     },
 
+    "filter_string_search" -> { (spark, dir) =>
+      // String-predicate pushdown: contains / prefix / suffix filters
+      // compile to parquet StringContains / StringStartsWith /
+      // StringEndsWith pushed filters (ScanSpec asserts PushedFilters)
+      // — at 100 TB dictionary-encoded string columns skip row groups
+      // on these just like range predicates, so "find the red parts"
+      // never scans the catalog.
+      Tables.table(spark, dir, "part")
+        .filter(col("p_name").contains("red")
+          && col("p_type").startsWith("STANDARD")
+          && !col("p_brand").endsWith("#1"))
+        .select("p_partkey", "p_name", "p_type", "p_brand")
+        .orderBy("p_partkey")
+    },
+
     "project_case" -> { (spark, dir) =>
       Tables.table(spark, dir, "lineitem")
         .select(
@@ -284,6 +299,12 @@ object Scans extends QueryGroup {
   )
 
   def oracle = Map(
+    "filter_string_search" ->
+      """SELECT p_partkey, p_name, p_type, p_brand FROM part
+        |WHERE p_name LIKE '%red%' AND p_type LIKE 'STANDARD%'
+        |  AND p_brand NOT LIKE '%#1'
+        |ORDER BY p_partkey""".stripMargin,
+
     "source_codec_zstd" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4)

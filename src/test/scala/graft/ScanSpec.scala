@@ -12,6 +12,14 @@ class ScanSpec extends SparkSpec {
     assert(df.count() == 6000)
   }
 
+  test("filter_string_search pushes string predicates to the scan") {
+    val p = plan(q("filter_string_search"))
+    val pushed = p.split("\n").find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("StringContains"), pushed)
+    assert(pushed.contains("StringStartsWith"), pushed)
+    // the negated suffix stays a post-scan filter; the other two prune
+  }
+
   test("scan_pruned pushes filter down and prunes columns") {
     val df = q("scan_pruned")
     val p = plan(df)
