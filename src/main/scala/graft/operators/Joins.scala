@@ -184,6 +184,45 @@ object Joins extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "join_asof_nearest" -> { (spark, dir) =>
+      // NEAREST-in-time as-of: each purchase pairs with the closest
+      // 'error' event of the same vehicle in EITHER direction (the
+      // diagnostics question "what fault is nearest this sale?") —
+      // completing the as-of family (backward join_asof, strict
+      // join_asof_native, bounded join_asof_tolerance). Because label
+      // and candidate events share the entity stream, the join
+      // collapses into two IGNORE-NULLS frames over ONE user exchange
+      // (prev error via preceding frame, next error via following
+      // frame) + a scalar nearer-of-two pick, ties to the EARLIER
+      // side — no join operator at all, which is the cheapest correct
+      // plan at any scale (the two-table form would go through
+      // [[graft.plans.AsOfJoin]] twice).
+      val W = org.apache.spark.sql.expressions.Window
+      val base = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wPrev = base.rowsBetween(W.unboundedPreceding, -1)
+      val wNext = base.rowsBetween(1, W.unboundedFollowing)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("err_ts",
+          when(col("event_type") === "error", col("ts_us")))
+        .withColumn("prev_err",
+          last("err_ts", ignoreNulls = true).over(wPrev))
+        .withColumn("next_err",
+          first("err_ts", ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_err_us",
+          when(col("prev_err").isNull, col("next_err"))
+            .when(col("next_err").isNull, col("prev_err"))
+            .when(col("ts_us") - col("prev_err")
+              <= col("next_err") - col("ts_us"), col("prev_err"))
+            .otherwise(col("next_err")))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("nearest_err_us"),
+          (col("nearest_err_us") - col("ts_us")).as("delta_us"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "join_asof_tolerance" -> { (spark, dir) =>
       // As-of with BOUNDED STALENESS (pandas merge_asof's `tolerance`):
       // the matched purchase must be within 24 h of the signup, else the
@@ -310,6 +349,31 @@ object Joins extends QueryGroup {
   )
 
   def oracle = Map(
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type,
+        |    CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS err_ts
+        |  FROM events),
+        |f AS (SELECT *,
+        |    last_value(err_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_err,
+        |    first_value(err_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_err
+        |  FROM e),
+        |p AS (SELECT *, CASE
+        |    WHEN prev_err IS NULL THEN next_err
+        |    WHEN next_err IS NULL THEN prev_err
+        |    WHEN ts_us - prev_err <= next_err - ts_us THEN prev_err
+        |    ELSE next_err END AS nearest_err_us
+        |  FROM f WHERE event_type = 'purchase')
+        |SELECT user_id, ts_us, event_id, nearest_err_us,
+        |  nearest_err_us - ts_us AS delta_us
+        |FROM p ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "join_nullsafe" ->
       """WITH c AS (SELECT CAST(nullif(c_nationkey, 10) AS BIGINT) AS k,
         |            c_custkey FROM customer),
