@@ -314,6 +314,34 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_gap_hist" -> { (spark, dir) =>
+      // Inter-report gap distribution — the cadence-health histogram
+      // behind events_cadence's summary stats and events_gap_report's
+      // alerts: every consecutive-report gap bucketed by integer µs
+      // thresholds (≤5 min, ≤30 min, ≤2 h, ≤12 h, ≤48 h, >48 h), with
+      // counts and shares. One lag window over one user exchange, then
+      // a 6-row aggregate; shares divide exact longs once.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("bucket",
+          when(col("gap") <= 300000000L, "a_le5m")
+            .when(col("gap") <= 1800000000L, "b_le30m")
+            .when(col("gap") <= 7200000000L, "c_le2h")
+            .when(col("gap") <= 43200000000L, "d_le12h")
+            .when(col("gap") <= 172800000000L, "e_le48h")
+            .otherwise("f_gt48h"))
+      val tot = gaps.agg(count(lit(1)).as("nt"))
+      gaps.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          Canon.round6(col("n").cast("double") / col("nt")).as("share"))
+        .orderBy("bucket")
+    },
+
     "events_gap_report" -> { (spark, dir) =>
       // Silence windows — the complement of events_coverage: every gap
       // of ≥ 48 h between consecutive reports of a vehicle, with its
@@ -752,6 +780,24 @@ object Telemetry extends QueryGroup {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE)
         |    AS acf1
         |FROM s ORDER BY user_id""".stripMargin,
+
+    "events_gap_hist" ->
+      """WITH g AS (SELECT epoch_us(ts)
+        |      - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events),
+        |b AS (SELECT CASE
+        |    WHEN gap <= 300000000 THEN 'a_le5m'
+        |    WHEN gap <= 1800000000 THEN 'b_le30m'
+        |    WHEN gap <= 7200000000 THEN 'c_le2h'
+        |    WHEN gap <= 43200000000 THEN 'd_le12h'
+        |    WHEN gap <= 172800000000 THEN 'e_le48h'
+        |    ELSE 'f_gt48h' END AS bucket
+        |  FROM g WHERE gap IS NOT NULL),
+        |t AS (SELECT count(*) AS nt FROM b)
+        |SELECT bucket, count(*) AS n,
+        |  CAST(round(CAST(count(*) AS DOUBLE) / nt, 6) AS DOUBLE) AS share
+        |FROM b CROSS JOIN t GROUP BY bucket, nt ORDER BY bucket""".stripMargin,
 
     "events_gap_report" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
