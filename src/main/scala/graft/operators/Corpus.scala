@@ -608,6 +608,53 @@ object Corpus extends QueryGroup {
         .orderBy("contained", "container")
     },
 
+    "dedup_substring" -> { (spark, dir) =>
+      // ExactSubstr-style duplicated-SPAN report (the method of Lee et
+      // al.'s "Deduplicating Training Data Makes Language Models
+      // Better", re-expressed relationally): any width-8 word shingle
+      // occurring in ≥2 DISTINCT documents marks its 8 tokens as
+      // duplicated; per document, overlapping/adjacent duplicated
+      // shingle starts merge into maximal spans (gaps-and-islands over
+      // positions — new island when pos > prev + 8). Output per
+      // affected doc: span count, duplicated tokens, longest span,
+      // duplicated fraction.
+      // Scale: the positional posting index is ONE corpus pass and
+      // linear in tokens; the duplicated-shingle set is one map-side-
+      // combined hash groupBy; the island merge is a per-doc keyed
+      // window. NO doc×doc join anywhere — unlike similarity dedup,
+      // span dedup never materializes candidate pairs, which is what
+      // makes exact-substring dedup THE scalable method at 100 TB (the
+      // suffix-array formulation is this same computation with k
+      // generalized to "longest shared run").
+      val k = 8
+      val docs = Tables.table(spark, dir, "documents")
+      val post = TextDedup.positionalPostings(docs, "doc_id", "text", k)
+      val dup = post.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val wl = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = post.join(dup, "h").select("doc_id", "pos")
+        .withColumn("prev", lag("pos", 1).over(wl))
+        .withColumn("brk", when(col("prev").isNull
+          || col("pos") > col("prev") + k, 1L).otherwise(0L))
+        .withColumn("isl",
+          sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("st"), (max("pos") + lit(k - 1)).as("en"))
+      val ntok = docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st") + 1L).as("dup_tokens"),
+          max(col("en") - col("st") + 1L).as("longest_span"))
+        .join(ntok, "doc_id")
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+          col("longest_span"), col("n_tokens"),
+          Canon.round6(col("dup_tokens").cast("double")
+            / col("n_tokens").cast("double")).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     "text_ngram_novelty" -> { (spark, dir) =>
       // Crawl-increment novelty: per document (in doc_id = ingestion
       // order), the fraction of its distinct 3-gram shingles appearing
@@ -1112,6 +1159,41 @@ object Corpus extends QueryGroup {
         |SELECT contained, container, CAST(c AS DOUBLE) AS containment
         |FROM d WHERE c >= 0.7
         |ORDER BY contained, container""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(concat('0x', substring(
+        |      sha256(array_to_string(t[i:i+7], ' ')), 1, 14)) AS BIGINT) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT h FROM sh GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |p AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+        |w AS (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM p),
+        |b AS (SELECT doc_id, pos,
+        |    CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS brk
+        |  FROM w),
+        |i AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM b),
+        |sp AS (SELECT doc_id, isl, min(pos) AS st, max(pos) + 7 AS en
+        |  FROM i GROUP BY doc_id, isl),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens,
+        |    CAST(max(en - st + 1) AS BIGINT) AS longest_span
+        |  FROM sp GROUP BY doc_id),
+        |nt AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT a.doc_id, n_spans, dup_tokens, longest_span, n_tokens,
+        |  CAST(floor(CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS dup_frac
+        |FROM agg a JOIN nt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_ngram_novelty" ->
       """WITH t AS (SELECT doc_id,

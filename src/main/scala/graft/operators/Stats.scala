@@ -121,6 +121,87 @@ object Stats extends QueryGroup {
             - col("r2").cast("double") / col("n2").cast("double")))
         .agg(max("gap").as("gap_max"), first("n1").as("n1"), first("n2").as("n2"))
         .select(Canon.round6(col("gap_max")).as("d_stat"), col("n1"), col("n2"))
+    },
+
+    "stat_mannwhitney" -> { (spark, dir) =>
+      // Mann-Whitney U (Wilcoxon rank-sum) between 'click' and 'view'
+      // signal values — the nonparametric sibling of stat_ttest, robust
+      // to the non-normal value distribution. Ranks stay EXACT under
+      // ties by working in doubled units: a tied block of c values after
+      // `prev` cumulative rows has average rank prev + (c+1)/2, i.e.
+      // 2·avgrank = 2·prev + c + 1 — an integer. So the rank-sum R1 and
+      // U1 = R1 − n1(n1+1)/2 accumulate as exact longs (doubled), and
+      // the tie-corrected variance's Σ(t³−t) is an exact long too; the
+      // z statistic is ONE fixed-order IEEE expression at the end.
+      // Scale: phase 1 is a map-side-combined groupBy collapsing raw
+      // rows to |distinct values|; phase 2's running-count window runs
+      // over that aggregated grid only (the KS/two-phase discipline).
+      val ev = Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("value").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+        .withColumn("c", col("c1") + col("c2"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ev.withColumn("prev", coalesce(sum("c").over(w), lit(0L)))
+        // doubled average rank of every row tied at this value
+        .withColumn("r2x", lit(2L) * col("prev") + col("c") + lit(1L))
+        .agg(
+          sum("c1").as("n1"), sum("c2").as("n2"),
+          sum(col("c1") * col("r2x")).as("rank1_2x"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("ties3"))
+        .withColumn("u1_2x",
+          col("rank1_2x") - col("n1") * (col("n1") + 1L))
+        .withColumn("nt", col("n1") + col("n2"))
+        .withColumn("mu2x", col("n1") * col("n2"))          // 2·E[U] = n1·n2
+        .withColumn("var_u",
+          col("n1").cast("double") * col("n2").cast("double") / 12.0d
+            * ((col("nt") + 1L).cast("double")
+               - col("ties3").cast("double")
+                 / (col("nt").cast("double") * (col("nt") - 1L).cast("double"))))
+        .withColumn("z_stat", Canon.round6(
+          (col("u1_2x") - col("mu2x")).cast("double") / 2.0d / sqrt(col("var_u"))))
+        .select(col("n1"), col("n2"),
+          (col("u1_2x").cast("double") / 2.0d).as("u_stat"), col("z_stat"))
+    },
+
+    "stat_anova" -> { (spark, dir) =>
+      // One-way ANOVA F statistic across the five event_type groups:
+      // does mean signal value differ anywhere in the fleet? Per-group
+      // moments (n, Σv, Σv²) in exact decimal from ONE map-side-combined
+      // groupBy; SSB = Σ s_g²/n_g − S²/N and SSW = Σ(q_g − s_g²/n_g)
+      // need a cross-GROUP sum of double contributions, so each group's
+      // term is quantized to nano-units on a long FIRST (the stat_chisq
+      // fold discipline) — the Σ over groups is then exact integer
+      // addition, immune to partial-agg order. F combines the four
+      // scalars in one fixed IEEE expression.
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"),
+          col("value").cast(Canon.Dec).as("v"),
+          (col("value").cast(Canon.Dec) * col("value").cast(Canon.Dec)).as("v2"))
+      val per = ev.groupBy("event_type").agg(
+        count(lit(1)).as("ng"), sum("v").as("sg"), sum("v2").as("qg"))
+        .withColumn("sg2_over_n_nano",
+          floor(col("sg").cast("double") * col("sg").cast("double")
+            / col("ng").cast("double") * 1e9 + 0.5d).cast("long"))
+        .withColumn("qg_nano",
+          floor(col("qg").cast("double") * 1e9 + 0.5d).cast("long"))
+      per.agg(
+        count(lit(1)).as("k"), sum("ng").as("n"),
+        sum("sg").as("s_tot"),
+        sum("sg2_over_n_nano").as("between_nano"),
+        sum(col("qg_nano") - col("sg2_over_n_nano")).as("within_nano"))
+        .withColumn("ssb",
+          col("between_nano").cast("double") / 1e9
+            - col("s_tot").cast("double") * col("s_tot").cast("double")
+              / col("n").cast("double"))
+        .withColumn("ssw", col("within_nano").cast("double") / 1e9)
+        .withColumn("f_stat", Canon.round6(
+          (col("ssb") / (col("k") - 1L).cast("double"))
+            / (col("ssw") / (col("n") - col("k")).cast("double"))))
+        .select(col("k"), col("n"), Canon.round6(col("ssb")).as("ssb"),
+          Canon.round6(col("ssw")).as("ssw"), col("f_stat"))
     }
   )
 
@@ -190,6 +271,68 @@ object Stats extends QueryGroup {
         |  FROM r CROSS JOIN t)
         |SELECT CAST(floor(max(gap) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS d_stat,
         |  first(n1) AS n1, first(n2) AS n2
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "stat_mannwhitney" ->
+      """WITH g AS (SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY value),
+        |r AS (SELECT c1, c2, c1 + c2 AS c,
+        |    coalesce(sum(c1 + c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM g),
+        |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * (2 * prev + c + 1)) AS BIGINT) AS rank1_2x,
+        |    CAST(sum(c * c * c - c) AS BIGINT) AS ties3
+        |  FROM r),
+        |b AS (SELECT *, rank1_2x - n1 * (n1 + 1) AS u1_2x,
+        |    n1 + n2 AS nt, n1 * n2 AS mu2x FROM a),
+        |k AS (SELECT *,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |      * (CAST(nt + 1 AS DOUBLE)
+        |         - CAST(ties3 AS DOUBLE)
+        |           / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE))) AS var_u,
+        |    CAST(u1_2x - mu2x AS DOUBLE) / 2.0 AS num FROM b)
+        |SELECT n1, n2, CAST(u1_2x AS DOUBLE) / 2.0 AS u_stat,
+        |  CAST(CASE WHEN num >= 0
+        |    THEN floor(num / sqrt(var_u) * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-(num / sqrt(var_u)) * 1e6 + 0.5) / 1e6
+        |  END AS DOUBLE) AS z_stat
+        |FROM k""".stripMargin,
+
+    "stat_anova" ->
+      s"""WITH e AS (SELECT event_type, CAST(value AS $DecV) AS v,
+         |    CAST(value AS $DecV) * CAST(value AS $DecV) AS v2
+         |  FROM events),
+         |per AS (SELECT event_type, count(*) AS ng,
+         |    sum(v) AS sg, sum(v2) AS qg FROM e GROUP BY event_type),
+         |nano AS (SELECT ng, sg,
+         |    CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+         |      / CAST(ng AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS sg2n,
+         |    CAST(floor(CAST(qg AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS qgn
+         |  FROM per),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s_tot,
+         |    CAST(sum(sg2n) AS BIGINT) AS between_nano,
+         |    CAST(sum(qgn - sg2n) AS BIGINT) AS within_nano
+         |  FROM nano),
+         |b AS (SELECT k, n,
+         |    CAST(between_nano AS DOUBLE) / 1e9
+         |      - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+         |        / CAST(n AS DOUBLE) AS ssb,
+         |    CAST(within_nano AS DOUBLE) / 1e9 AS ssw
+         |  FROM a),
+         |f AS (SELECT *, (ssb / CAST(k - 1 AS DOUBLE))
+         |    / (ssw / CAST(n - k AS DOUBLE)) AS fr FROM b)
+         |SELECT k, n,
+         |  CAST(CASE WHEN ssb >= 0 THEN floor(ssb * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-ssb * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS ssb,
+         |  CAST(floor(ssw * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ssw,
+         |  CAST(CASE WHEN fr >= 0 THEN floor(fr * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-fr * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS f_stat
+         |FROM f""".stripMargin
   )
 }

@@ -176,6 +176,36 @@ object TextDedup {
     }
   }
 
+  /** POSITIONAL shingle postings — one row per (doc, start position of a
+    * width-`n` word shingle): `(doc_id, pos, h)`, 1-based `pos`, ALL
+    * occurrences kept (unlike [[ngramPostings]], which dedups shingles
+    * per doc — span mining needs every start). Same one-JVM-pass
+    * mapPartitions build; the posting key is [[hash56]] so the oracle's
+    * sha256 twin keys identically. This is the index behind
+    * ExactSubstr-style span dedup (`dedup_substring`): it grows linearly
+    * with corpus tokens and is consumed by hash groupBy + per-doc
+    * window only — never a doc×doc join.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        (0 to t.length - n).iterator.map { i =>
+          val sb = new StringBuilder(t(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(t(i + j)); j += 1 }
+          (id, (i + 1).toLong, sb.result())
+        }
+      })
+      .toDF("doc_id", "pos", "sh")
+      .select(col("doc_id"), col("pos"), hash56(col("sh")).as("h"))
+  }
+
   /** Mersenne prime 2^31−1 for the MinHash universal-hash family —
     * every intermediate stays < 2^57, overflow-free in int64.
     */

@@ -66,4 +66,52 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d - naive) < 1e-6, s"engine $d vs naive $naive")
     assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
   }
+
+  test("stat_mannwhitney matches naive rank-sum with tie-average ranks") {
+    val r = q("stat_mannwhitney").head()
+    val a = vals("click"); val b = vals("view")
+    // naive: average ranks over the pooled sorted sample
+    val pooled = (a.map((_, 1)) ++ b.map((_, 2))).sortBy(_._1)
+    val rank = new Array[Double](pooled.length)
+    var i = 0
+    while (i < pooled.length) {
+      var j = i
+      while (j < pooled.length && pooled(j)._1 == pooled(i)._1) j += 1
+      val avg = (i + 1 + j).toDouble / 2.0 // mean of ranks i+1..j
+      for (k <- i until j) rank(k) = avg
+      i = j
+    }
+    val r1 = pooled.indices.filter(pooled(_)._2 == 1).map(rank).sum
+    val u1 = r1 - a.length.toLong * (a.length + 1) / 2.0
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    assert(math.abs(r.getDouble(2) - u1) < 1e-6,
+      s"engine U=${r.getDouble(2)} naive U=$u1")
+    // z: mean n1n2/2, tie-corrected variance
+    val n = pooled.length.toDouble
+    val ties3 = pooled.groupBy(_._1).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val varU = a.length.toDouble * b.length / 12.0 *
+      ((n + 1) - ties3 / (n * (n - 1)))
+    val z = (u1 - a.length.toDouble * b.length / 2.0) / math.sqrt(varU)
+    assert(math.abs(r.getDouble(3) - z) < 1e-5,
+      s"engine z=${r.getDouble(3)} naive z=$z")
+  }
+
+  test("stat_anova matches naive one-way F over event types") {
+    val r = q("stat_anova").head()
+    val groups = vals.values.toArray
+    val k = groups.length; val n = groups.map(_.length).sum
+    val grand = groups.flatten.sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => {
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - ssb) < math.abs(ssb) * 1e-5 + 1e-3)
+    assert(math.abs(r.getDouble(3) - ssw) < math.abs(ssw) * 1e-5 + 1e-3)
+    assert(math.abs(r.getDouble(4) - f) < 1e-3,
+      s"engine F=${r.getDouble(4)} naive F=$f")
+    assert(r.getDouble(4) >= 0)
+  }
 }
