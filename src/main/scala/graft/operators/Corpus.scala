@@ -655,6 +655,39 @@ object Corpus extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "graph_kcore" -> { (spark, dir) =>
+      // BOUNDED k-core peel (k=2, 4 synchronous rounds) of the MUTUAL
+      // kNN graph — the dense-cluster extractor of embedding-space
+      // curation: a mutual edge (each of the pair in the other's
+      // top-3) is the standard noise-robust neighborhood signal, and
+      // vertices surviving degree-<2 peeling sit in mutual clusters
+      // worth sampling around, not on chain tails. Peeling is UNROLLED
+      // to 4 rounds, the graph_pagerank bounded-iteration discipline:
+      // each round is one degree aggregate + two semi-joins — a pure
+      // hash-partitioned O(|E|) DAG, no driver state — and production
+      // loops rounds to the fixpoint (the measured tail here is a long
+      // chain peeling one hop per round; Wave27Spec proves the 4-round
+      // result is a SUPERSET of the true core and that rounds only
+      // shrink). Reads the shared persisted kNN-edge artifact (its 4th
+      // consumer); the mutual self-join is over n·k rows, not the
+      // corpus.
+      val kk = 2
+      val g = Knn.sharedEdges(spark, dir, k = 3)
+        .select(col("q_id").as("a"), col("idx_id").as("b"))
+      val rev = g.select(col("b").as("ra"), col("a").as("rb"))
+      val e0 = g.join(rev, col("a") === col("ra") && col("b") === col("rb"),
+        "left_semi")
+      def peel(e: org.apache.spark.sql.DataFrame) = {
+        val keep = e.groupBy("a").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= kk).select(col("a").as("v"))
+        e.join(keep, e("a") === keep("v"), "left_semi")
+          .join(keep, e("b") === keep("v"), "left_semi")
+      }
+      peel(peel(peel(peel(e0))))
+        .groupBy(col("a").as("vid")).agg(count(lit(1)).as("degree"))
+        .orderBy("vid")
+    },
+
     "text_ngram_novelty" -> { (spark, dir) =>
       // Crawl-increment novelty: per document (in doc_id = ingestion
       // order), the fraction of its distinct 3-gram shingles appearing
@@ -1212,6 +1245,32 @@ object Corpus extends QueryGroup {
         |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS DOUBLE) AS novelty
         |FROM post JOIN fs USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "graph_kcore" ->
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${LlmVectors.cosDuck("q.embedding", "i.embedding")},
+         |      6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s),
+         |g AS (SELECT q_id, idx_id FROM r WHERE rank <= 3),
+         |e0 AS (SELECT x.q_id AS a, x.idx_id AS b FROM g x
+         |  JOIN g y ON x.q_id = y.idx_id AND x.idx_id = y.q_id),
+         |v1 AS (SELECT a AS v FROM e0 GROUP BY a HAVING count(*) >= 2),
+         |e1 AS (SELECT e0.a, e0.b FROM e0
+         |  JOIN v1 x ON e0.a = x.v JOIN v1 y ON e0.b = y.v),
+         |v2 AS (SELECT a AS v FROM e1 GROUP BY a HAVING count(*) >= 2),
+         |e2 AS (SELECT e1.a, e1.b FROM e1
+         |  JOIN v2 x ON e1.a = x.v JOIN v2 y ON e1.b = y.v),
+         |v3 AS (SELECT a AS v FROM e2 GROUP BY a HAVING count(*) >= 2),
+         |e3 AS (SELECT e2.a, e2.b FROM e2
+         |  JOIN v3 x ON e2.a = x.v JOIN v3 y ON e2.b = y.v),
+         |v4 AS (SELECT a AS v FROM e3 GROUP BY a HAVING count(*) >= 2),
+         |e4 AS (SELECT e3.a, e3.b FROM e3
+         |  JOIN v4 x ON e3.a = x.v JOIN v4 y ON e3.b = y.v)
+         |SELECT a AS vid, CAST(count(*) AS BIGINT) AS degree
+         |FROM e4 GROUP BY a ORDER BY vid""".stripMargin,
 
     "graph_bfs" ->
       ("WITH " + LlmText.ngramGlobalPairsCte + """,

@@ -375,6 +375,37 @@ object Reporting extends QueryGroup {
         .orderBy("c_nationkey")
     },
 
+    "dq_key_skew" -> { (spark, dir) =>
+      // Join-key skew audit — the pre-flight that decides salted vs
+      // plain shuffles (the sizing input of the join_salted machinery):
+      // for each candidate fact join key, the exact frequency profile
+      // that determines shuffle balance. `skew_factor` = max/avg key
+      // frequency — the hottest key's task does this many times the
+      // average task's work in a hash-partitioned join; `top1_share` =
+      // the single-reducer ceiling. ONE map-side-combined groupBy per
+      // key column, then a |keys|→1 reduction; the five audits union
+      // into a fixed 5-row report. At 100 TB this is the query a
+      // planner materializes per snapshot next to table stats.
+      def profile(df: org.apache.spark.sql.DataFrame,
+          keyCol: String, label: String) =
+        df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+          .agg(lit(label).as("key_col"), sum("c").as("n_rows"),
+            count(lit(1)).as("n_keys"), max("c").as("max_freq"))
+          .withColumn("skew_factor", Canon.round6(
+            col("max_freq").cast("double") * col("n_keys").cast("double")
+              / col("n_rows").cast("double")))
+          .withColumn("top1_share", Canon.round6(
+            col("max_freq").cast("double") / col("n_rows").cast("double")))
+      val li = Tables.table(spark, dir, "lineitem")
+      val ev = Tables.events(spark, dir)
+      profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(profile(li, "l_partkey", "lineitem.l_partkey"))
+        .unionAll(profile(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionAll(profile(ev, "user_id", "events.user_id"))
+        .unionAll(profile(ev, "event_type", "events.event_type"))
+        .orderBy("key_col")
+    },
+
     "dq_expectations" -> { (spark, dir) =>
       // Data-quality expectations report (the Deequ/great-expectations
       // shape): each rule emits (rule, n_checked, n_violations,
@@ -768,6 +799,39 @@ object Reporting extends QueryGroup {
         |WHERE c_acctbal > a
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "dq_key_skew" ->
+      """WITH p AS (
+        |  SELECT 'lineitem.l_orderkey' AS key_col, sum(c) AS n_rows,
+        |      count(*) AS n_keys, max(c) AS max_freq
+        |    FROM (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |          GROUP BY l_orderkey) t
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', sum(c), count(*), max(c)
+        |    FROM (SELECT l_partkey, count(*) AS c FROM lineitem
+        |          GROUP BY l_partkey) t
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey', sum(c), count(*), max(c)
+        |    FROM (SELECT l_suppkey, count(*) AS c FROM lineitem
+        |          GROUP BY l_suppkey) t
+        |  UNION ALL
+        |  SELECT 'events.user_id', sum(c), count(*), max(c)
+        |    FROM (SELECT user_id, count(*) AS c FROM events
+        |          GROUP BY user_id) t
+        |  UNION ALL
+        |  SELECT 'events.event_type', sum(c), count(*), max(c)
+        |    FROM (SELECT event_type, count(*) AS c FROM events
+        |          GROUP BY event_type) t)
+        |SELECT key_col, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(max_freq AS BIGINT) AS max_freq,
+        |  CAST(floor(CAST(max_freq AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+        |    AS skew_factor,
+        |  CAST(floor(CAST(max_freq AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+        |    AS top1_share
+        |FROM p ORDER BY key_col""".stripMargin,
 
     "dq_expectations" ->
       """WITH li AS (
