@@ -704,6 +704,63 @@ object LlmText extends QueryGroup {
         .orderBy("rule")
     },
 
+    "curation_pipeline" -> { (spark, dir) =>
+      // END-TO-END curation funnel in ONE DAG — the dataset-card query
+      // a training-data pipeline materializes per snapshot: quality
+      // gate (≥30 tokens + stopword presence) → exact dedup (keep
+      // min doc_id per content hash) → near-dup survivor selection
+      // (components over the SHARED pair index restricted to the
+      // remaining set; keep-the-longest) → per-(source, lang) funnel
+      // counts, kept tokens, and the final mixture weight. Every stage
+      // reuses the corpus-wide machinery the standalone queries
+      // declare: one signal pass, the cached pair artifact, the
+      // checkpointed label propagation — so the end-to-end cost is ONE
+      // corpus pass plus small keyed exchanges, proving the pieces
+      // compose without re-mining (the r4 pipeline-redundancy fix,
+      // exercised as a user would chain it).
+      val docs = Tables.table(spark, dir, "documents")
+        .withColumn("toks", split(col("text"), " ", -1))
+        .withColumn("ntok", size(col("toks")).cast("long"))
+      val gated = docs.filter(col("ntok") >= 30 &&
+        (array_contains(col("toks"), "the")
+          || array_contains(col("toks"), "a")))
+      val wex = org.apache.spark.sql.expressions.Window
+        .partitionBy("thash").orderBy("doc_id")
+      val exact = gated.withColumn("thash", sha2(col("text"), 256))
+        .withColumn("rnx", row_number().over(wex))
+        .filter(col("rnx") === 1)
+        .select("doc_id", "source", "lang", "n_chars", "ntok")
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
+        .join(exact.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(exact.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val wsur = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical").orderBy(col("n_chars").desc, col("doc_id"))
+      val kept = exact.join(comp, Seq("doc_id"), "left")
+        .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+        .withColumn("rn", row_number().over(wsur))
+        .filter(col("rn") === 1)
+      val tot = kept.agg(sum("ntok").as("tok_total"))
+      val raw = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_raw"))
+      val gc = gated.groupBy("source", "lang").agg(count(lit(1)).as("n_gated"))
+      val ec = exact.groupBy("source", "lang").agg(count(lit(1)).as("n_exact"))
+      val kc = kept.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_kept"), sum("ntok").as("tok_kept"))
+      raw.join(gc, Seq("source", "lang"), "left")
+        .join(ec, Seq("source", "lang"), "left")
+        .join(kc, Seq("source", "lang"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_raw"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+          Canon.round6(coalesce(col("tok_kept"), lit(0L)).cast("double")
+            / col("tok_total").cast("double")).as("mix_weight"))
+        .orderBy("source", "lang")
+    },
+
     "corpus_mixture" -> { (spark, dir) =>
       // Data-mixing weights per source: token counts and the
       // temperature-scaled sampling weight w_s ∝ tokens_s^0.7 (the
@@ -1232,6 +1289,56 @@ object LlmText extends QueryGroup {
         |SELECT rule, n AS n_flagged,
         |  CAST(round(n / CAST(tot AS DOUBLE), 6) AS DOUBLE) AS pct
         |FROM r ORDER BY rule""".stripMargin,
+
+    "curation_pipeline" ->
+      // full funnel: the gpairs CTE (shared with the dedup family)
+      // restricted to post-exact-dedup survivors, recursive closure for
+      // components, keep-the-longest, then the per-(source, lang) card
+      ("WITH RECURSIVE " + ngramGlobalPairsCte + ",\n" +
+        """d AS (SELECT doc_id, source, lang, n_chars, text,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+          |    string_split(text, ' ') AS toksv
+          |  FROM documents),
+          |g AS (SELECT * FROM d WHERE ntok >= 30
+          |  AND (list_contains(toksv, 'the') OR list_contains(toksv, 'a'))),
+          |x AS (SELECT *, row_number() OVER
+          |    (PARTITION BY sha256(text) ORDER BY doc_id) AS rnx FROM g),
+          |ex AS (SELECT doc_id, source, lang, n_chars, ntok
+          |  FROM x WHERE rnx = 1),
+          |pe AS (SELECT doc_a, doc_b FROM gpairs
+          |  WHERE doc_a IN (SELECT doc_id FROM ex)
+          |    AND doc_b IN (SELECT doc_id FROM ex)),
+          |e AS (SELECT doc_a AS a, doc_b AS b FROM pe
+          |      UNION ALL SELECT doc_b, doc_a FROM pe),
+          |r(id, m) AS (SELECT DISTINCT a, a FROM e
+          |  UNION
+          |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.id),
+          |comp AS (SELECT id, min(m) AS canonical FROM r GROUP BY id),
+          |asg AS (SELECT ex.*, coalesce(comp.canonical, ex.doc_id) AS canon
+          |  FROM ex LEFT JOIN comp ON ex.doc_id = comp.id),
+          |k AS (SELECT * FROM (SELECT *, row_number() OVER
+          |    (PARTITION BY canon ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM asg) WHERE rn = 1),
+          |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS tok_total FROM k),
+          |raw AS (SELECT source, lang, count(*) AS n_raw
+          |  FROM documents GROUP BY 1, 2),
+          |gc AS (SELECT source, lang, count(*) AS n_gated FROM g GROUP BY 1, 2),
+          |ec AS (SELECT source, lang, count(*) AS n_exact FROM ex GROUP BY 1, 2),
+          |kc AS (SELECT source, lang, count(*) AS n_kept,
+          |    CAST(sum(ntok) AS BIGINT) AS tok_kept FROM k GROUP BY 1, 2)
+          |SELECT raw.source, raw.lang, CAST(n_raw AS BIGINT) AS n_raw,
+          |  CAST(coalesce(n_gated, 0) AS BIGINT) AS n_gated,
+          |  CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+          |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(coalesce(tok_kept, 0) AS BIGINT) AS tok_kept,
+          |  CAST(floor(CAST(coalesce(tok_kept, 0) AS DOUBLE)
+          |    / CAST(tok_total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+          |    AS mix_weight
+          |FROM raw LEFT JOIN gc USING (source, lang)
+          |  LEFT JOIN ec USING (source, lang)
+          |  LEFT JOIN kc USING (source, lang)
+          |  CROSS JOIN tot
+          |ORDER BY source, lang""".stripMargin),
 
     "corpus_mixture" ->
       """WITH t AS (SELECT source, count(*) AS n_docs,

@@ -230,6 +230,32 @@ object LlmVectors extends QueryGroup {
         .orderBy("q_id", "rank")
     },
 
+    "knn_range_search" -> { (spark, dir) =>
+      // RADIUS (threshold) search — the retrieval mode near-dup
+      // stripping and RAG recall both need: ALL index vectors with
+      // cosine ≥ 0.35 of each query, not a fixed k (k truncates dense
+      // neighborhoods and pads sparse ones). Exact scan form: broadcast
+      // the Q sampled queries against the pinned-parallelism index (the
+      // allPairsCos discipline — index side repartitioned by id so
+      // n-per-row scoring work is spread, not AQE-coalesced), codegen
+      // cosine, threshold filter. Output is |matches|, not n·Q. The
+      // 100 TB serving path probes [[Knn.persistedIndex]]'s pruned
+      // buckets first and rescores exactly — same plan tail, candidate
+      // generation swapped, as knn_search_ivf demonstrates for top-k.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val ix = emb
+        .select(col("vec_id").as("idx_id"), col("embedding").as("ie"))
+        .repartition(spark.sparkContext.defaultParallelism, col("idx_id"))
+      ix.join(broadcast(q), col("q_id") =!= col("idx_id"))
+        .select(col("q_id"), col("idx_id"),
+          Canon.round6(graft.functions.CosineSim.cosine(col("qe"), col("ie")))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .orderBy("q_id", "idx_id")
+    },
+
     "knn_graph" -> { (spark, dir) =>
       // kNN-GRAPH construction — queries = the whole index: every
       // vector's exact top-3 neighbors, the build step for graph-based
@@ -1054,6 +1080,15 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_range_search" ->
+      s"""SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |  CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE)
+         |    AS cosine
+         |FROM embeddings q JOIN embeddings i
+         |  ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id
+         |WHERE round(${cosDuck("q.embedding", "i.embedding")}, 6) >= 0.35
+         |ORDER BY q_id, idx_id""".stripMargin,
 
     "knn_graph" ->
       s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
