@@ -419,6 +419,45 @@ object Streaming extends QueryGroup {
         .orderBy("bucket_us", "event_type")
     },
 
+    "stream_ohlc" -> { (spark, dir) =>
+      // Streaming candlestick compaction — the online twin of
+      // events_ohlc: per (vehicle, hour) open/high/low/close maintained
+      // incrementally in keyed state. Open/close are min_by/max_by on
+      // the (ts_us, event_id) struct — ASSOCIATIVE picks, so partial
+      // aggregates merge exactly and the replay end-state equals the
+      // batch window answer (same oracle verbatim); high/low are plain
+      // min/max. This is the compaction a telemetry ingest runs
+      // continuously so chart reads never touch raw rows.
+      val agg = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .withColumn("hr", expr(s"ts_us div $HourUs * $HourUs"))
+        .groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), struct(col("ts_us"), col("event_id")))
+            .as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id")))
+            .as("close"))
+      runToMemory(spark, agg, OutputMode.Complete())
+        .orderBy("user_id", "hr")
+    },
+
+    "stream_sample" -> { (spark, dir) =>
+      // Deterministic hash sampling at INGEST — the stateless map-only
+      // streaming shape (no aggregation, no state store): keep events
+      // whose engine-independent 56-bit content hash lands in a 5%
+      // bucket, emit rows as they arrive (append mode). The stream twin
+      // of sample_hash's policy: the same rows are kept on ANY replay,
+      // engine, or partitioning — which is what makes downsampled
+      // ingest reproducible enough to debug against the full batch.
+      val s = eventStream(spark, dir)
+        .filter(TextDedup.hash56(col("event_id").cast("string")) % 100 < 5)
+        .select("event_id", "user_id", "event_type", "value")
+      runToMemory(spark, s, OutputMode.Append())
+        .orderBy("event_id")
+    },
+
     "stream_topk" -> { (spark, dir) =>
       // Streaming heavy hitters: per-(hour, type) counts accumulate in
       // keyed StateStore partitions exactly like stream_tumbling; the
@@ -836,6 +875,30 @@ object Streaming extends QueryGroup {
          |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_value
          |FROM events
          |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "stream_ohlc" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+         |    FROM events),
+         |b AS (SELECT user_id,
+         |    ts_us // $HourUs * $HourUs AS hr, ts_us, event_id, value
+         |  FROM e),
+         |r AS (SELECT user_id, hr, value,
+         |    row_number() OVER (PARTITION BY user_id, hr
+         |      ORDER BY ts_us, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY user_id, hr
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+         |  FROM b)
+         |SELECT user_id, hr, count(*) AS n,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+         |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin,
+
+    "stream_sample" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE CAST(concat('0x', substring(
+        |    sha256(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 < 5
+        |ORDER BY event_id""".stripMargin,
 
     "stream_topk" ->
       s"""WITH c AS (SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us,

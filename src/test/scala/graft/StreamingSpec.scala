@@ -67,6 +67,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows("stream_tumbling") == rows("win_tumbling_batch"))
   }
 
+  test("stream_ohlc equals the batch candlestick compaction") {
+    assert(rows("stream_ohlc") == rows("events_ohlc"))
+  }
+
+  test("stream_sample keeps exactly the batch hash-sample rows") {
+    val batch = Tables.events(spark, sfDir)
+      .filter(operators.TextDedup.hash56(
+        col("event_id").cast("string")) % 100 < 5)
+      .select("event_id", "user_id", "event_type", "value")
+      .collect().map(_.toSeq.toList).toSet
+    assert(batch.nonEmpty)
+    assert(rows("stream_sample") == batch)
+  }
+
   test("stream_topk is the per-bucket top-3 cut of stream_tumbling's counts") {
     // the heavy-hitter query and the tumbling aggregate must agree on
     // counts (same state keying), and the cut must be exactly top-3 by
