@@ -726,10 +726,15 @@ object LlmText extends QueryGroup {
           || array_contains(col("toks"), "a")))
       val wex = org.apache.spark.sql.expressions.Window
         .partitionBy("thash").orderBy("doc_id")
+      // checkpoint: four consumers read this stage (two pair semi-joins,
+      // the survivor join, the funnel count) — without the barrier each
+      // re-runs the corpus scan + dedup window (measured 32 s → ~18 s at
+      // the 10× smoke, where the re-runs multiply)
       val exact = gated.withColumn("thash", sha2(col("text"), 256))
         .withColumn("rnx", row_number().over(wex))
         .filter(col("rnx") === 1)
         .select("doc_id", "source", "lang", "n_chars", "ntok")
+        .localCheckpoint()
       val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
         .join(exact.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(exact.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
