@@ -436,6 +436,47 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_stl_lite" -> { (spark, dir) =>
+      // Seasonal-trend decomposition (STL-lite: one pass, no loess) of
+      // the daily signal-total series — trend = centered 7-day moving
+      // average, seasonal = mean detrended value per weekly phase,
+      // residual = the rest. The anomaly-triage view: "is today's spike
+      // trend, weekday pattern, or actually anomalous?" Exactness: daily
+      // totals are integer CENTS; the 7-day trend sum and the 7·total −
+      // Σ7 detrended value stay exact longs (×7 avoids division), the
+      // per-phase seasonal mean and residual are each ONE fixed-order
+      // IEEE expression over those longs. Scale: the corpus collapses to
+      // the day grid in one map-side-combined groupBy; every window/join
+      // after runs on ≤|days| rows (the two-phase discipline) with the
+      // 7-row phase table broadcast.
+      val DayUs = 86400000000L
+      val ev = Tables.events(spark, dir)
+      val daily = ev
+        .select(expr(s"ts_us div $DayUs").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("day").agg(sum("cents").as("tot"))
+      val w7 = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("sum7", sum("tot").over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("det_x7",
+          when(col("n7") === 7, lit(7L) * col("tot") - col("sum7")))
+        .withColumn("phase", expr("day % 7"))
+      val seasonal = trended.filter(col("det_x7").isNotNull)
+        .groupBy("phase")
+        .agg((sum("det_x7").cast("double") / count(lit(1))
+          / 7.0d).as("seas_raw"))
+      trended.join(broadcast(seasonal), Seq("phase"), "left")
+        .select(col("day"), col("phase"), col("tot"),
+          Canon.round6(when(col("n7") === 7,
+            col("sum7").cast("double") / 7.0d)).as("trend"),
+          Canon.round6(col("seas_raw")).as("seasonal"),
+          Canon.round6(col("det_x7").cast("double") / 7.0d
+            - col("seas_raw")).as("resid"))
+        .orderBy("day")
+    },
+
     "events_trend" -> { (spark, dir) =>
       // Per-vehicle signal DRIFT: least-squares slope of value over
       // seconds-since-first-report — the fleet-health regression every
@@ -858,6 +899,36 @@ object Telemetry extends QueryGroup {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(e_us - s_us) AS BIGINT) // 1000000 AS covered_s
         |FROM ext GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_stl_lite" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT day, CAST(sum(cents) AS BIGINT) AS tot
+        |  FROM e GROUP BY day),
+        |t AS (SELECT day, tot,
+        |    CAST(sum(tot) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+        |    day % 7 AS phase
+        |  FROM d),
+        |t2 AS (SELECT *, CASE WHEN n7 = 7 THEN 7 * tot - sum7 END AS det_x7
+        |  FROM t),
+        |s AS (SELECT phase,
+        |    CAST(sum(det_x7) AS DOUBLE) / count(*) / 7.0 AS seas_raw
+        |  FROM t2 WHERE det_x7 IS NOT NULL GROUP BY phase),
+        |f AS (SELECT day, phase, tot,
+        |    CASE WHEN n7 = 7 THEN CAST(sum7 AS DOUBLE) / 7.0 END AS tr,
+        |    seas_raw,
+        |    CAST(det_x7 AS DOUBLE) / 7.0 - seas_raw AS rs
+        |  FROM t2 LEFT JOIN s USING (phase))
+        |SELECT day, phase, tot,
+        |  CAST(floor(tr * 1e6 + 0.5) / 1e6 AS DOUBLE) AS trend,
+        |  CAST(CASE WHEN seas_raw >= 0 THEN floor(seas_raw * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-seas_raw * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS seasonal,
+        |  CAST(CASE WHEN rs >= 0 THEN floor(rs * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-rs * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS resid
+        |FROM f ORDER BY day""".stripMargin,
 
     "events_trend" ->
       // identical numeric staging: exact decimal sums → one double cast
