@@ -147,7 +147,7 @@ object Knn {
     * object doc): per-partition bounded heaps under the full output
     * ordering, then one window pass over the pruned union.
     */
-  private def topk(paired: DataFrame, k: Int): DataFrame = {
+  private[operators] def topk(paired: DataFrame, k: Int): DataFrame = {
     val spark = paired.sparkSession
     import spark.implicits._
     val scored = paired

@@ -310,6 +310,38 @@ object LlmVectors extends QueryGroup {
         .orderBy("q_id", "rank")
     },
 
+    "sample_negative_mining" -> { (spark, dir) =>
+      // HARD-NEGATIVE mining — the contrastive-training data op: for
+      // each anchor, the top-2 most similar vectors with a DIFFERENT
+      // label (the negatives that actually move the loss; random
+      // negatives are trivially separable). The label predicate is
+      // per-query (≠ anchor's label), so unlike knn_search_filtered's
+      // static scope it composes into the candidate JOIN condition —
+      // pruning before scoring survives into any bucketed/IVF candidate
+      // generator. Same two-phase bounded-heap top-k as knn_search
+      // (per-partition heaps → exact rank over ≤ P·Q·k survivors);
+      // anchor/negative labels re-attach from a broadcast label map.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("q_lbl"))
+      val ix = emb
+        .select(col("vec_id").as("idx_id"), col("embedding").as("ie"),
+          col("label").as("i_lbl"))
+        .repartition(spark.sparkContext.defaultParallelism, col("idx_id"))
+      val paired = ix.join(broadcast(q),
+        col("q_id") =!= col("idx_id") && col("q_lbl") =!= col("i_lbl"))
+      Knn.topk(paired, 2)
+        .join(broadcast(lbl.withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("label", "anchor_label")), "q_id")
+        .join(broadcast(lbl.withColumnRenamed("vec_id", "idx_id")
+          .withColumnRenamed("label", "negative_label")), "idx_id")
+        .select(col("q_id"), col("rank"), col("anchor_label"),
+          col("idx_id"), col("negative_label"), col("cosine"))
+        .orderBy("q_id", "rank")
+    },
+
     "knn_search_ivf" -> { (spark, dir) =>
       // the IVF serving path, declared AND fully oracle-checked: the
       // sign-LSH bucketing is deterministic, so the ANN answer (6-bit
@@ -1080,6 +1112,21 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "sample_negative_mining" ->
+      s"""WITH s AS (SELECT q.vec_id AS q_id, q.label AS anchor_label,
+         |    i.vec_id AS idx_id, i.label AS negative_label,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6)
+         |      AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i
+         |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id
+         |       AND q.label <> i.label),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, anchor_label,
+         |  idx_id, negative_label, cosine
+         |FROM r WHERE rank <= 2 ORDER BY q_id, rank""".stripMargin,
 
     "knn_range_search" ->
       s"""SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
