@@ -655,6 +655,30 @@ object Corpus extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "dedup_threshold_sweep" -> { (spark, dir) =>
+      // Threshold CALIBRATION curve — the question every dedup rollout
+      // answers first: how many pairs does each Jaccard cutoff sweep in?
+      // One decile histogram over ALL scored shingle-pairs (threshold
+      // 0.05 ≈ everything the inverted index surfaces) plus the
+      // cumulative pairs-at-or-above column a reviewer reads right off.
+      // Scale: the same Σc² posting join as dedup_ngram (3-gram shingles
+      // are rare, so candidates stay sparse even unthresholded — this is
+      // WHY the sweep uses shingles, not tokens: hot tokens would make
+      // every same-block pair a candidate); the histogram and running
+      // sum are over ≤10 decile rows.
+      val pairs = TextDedup.ngramJaccardPairs(
+        Tables.table(spark, dir, "documents"),
+        idCol = "doc_id", textCol = "text", blockCols = Seq("source"),
+        n = 3, threshold = 0.05)
+      val w = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pairs
+        .withColumn("decile", least(floor(col("jaccard") * 10), lit(9L)))
+        .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above", sum("n_pairs").over(w))
+        .orderBy("decile")
+    },
+
     "graph_kcore" -> { (spark, dir) =>
       // BOUNDED k-core peel (k=2, 4 synchronous rounds) of the MUTUAL
       // kNN graph — the dense-cluster extractor of embedding-space
@@ -1245,6 +1269,28 @@ object Corpus extends QueryGroup {
         |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS DOUBLE) AS novelty
         |FROM post JOIN fs USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |         || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    round(len(list_filter(x.sh, v -> list_contains(y.sh, v)))
+        |      / CAST(len(x.sh) + len(y.sh)
+        |        - len(list_filter(x.sh, v -> list_contains(y.sh, v)))
+        |        AS DOUBLE), 6) AS j
+        |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+        |  WHERE len(list_filter(x.sh, v -> list_contains(y.sh, v))) > 0),
+        |f AS (SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS decile
+        |  FROM p WHERE j >= 0.05),
+        |h AS (SELECT decile, count(*) AS n_pairs FROM f GROUP BY decile)
+        |SELECT decile, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY decile DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_or_above
+        |FROM h ORDER BY decile""".stripMargin,
 
     "graph_kcore" ->
       s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
