@@ -406,6 +406,36 @@ object Reporting extends QueryGroup {
         .orderBy("key_col")
     },
 
+    "dq_duplicate_orders" -> { (spark, dir) =>
+      // Possible duplicate-submission audit — the fuzzy-dup check an
+      // order pipeline runs nightly: pairs of orders by the SAME
+      // customer placed within one day of each other (retry/double-
+      // click suspects), with the price delta for triage. The self-join
+      // is co-keyed on o_custkey — ONE hash exchange, per-customer
+      // candidate volume is Σ orders_c² with small c, never a global
+      // cross product; the ±1-day band is a cheap post-condition on the
+      // joined row. At 100 TB this is the blocked-pair shape of
+      // er_blocked applied to transactional dq.
+      val DayUs = 86400000000L
+      val o = Tables.table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp"))
+            / DayUs).cast("long").as("day"),
+          col("o_totalprice"))
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("key_a"),
+        col("day").as("day_a"), col("o_totalprice").as("price_a"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("key_b"),
+        col("day").as("day_b"), col("o_totalprice").as("price_b"))
+      a.join(b, Seq("o_custkey"))
+        .filter(col("key_a") < col("key_b")
+          && abs(col("day_a") - col("day_b")) <= 1)
+        .select(col("o_custkey"), col("key_a"), col("key_b"),
+          abs(col("day_a") - col("day_b")).as("day_gap"),
+          Canon.round4(abs(col("price_a") - col("price_b")))
+            .as("price_diff"))
+        .orderBy("o_custkey", "key_a", "key_b")
+    },
+
     "dq_expectations" -> { (spark, dir) =>
       // Data-quality expectations report (the Deequ/great-expectations
       // shape): each rule emits (rule, n_checked, n_violations,
@@ -799,6 +829,18 @@ object Reporting extends QueryGroup {
         |WHERE c_acctbal > a
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "dq_duplicate_orders" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day, o_totalprice
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+        |  abs(a.day - b.day) AS day_gap,
+        |  CAST(floor(abs(a.o_totalprice - b.o_totalprice) * 1e4 + 0.5) / 1e4
+        |    AS DOUBLE) AS price_diff
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey AND abs(a.day - b.day) <= 1
+        |ORDER BY a.o_custkey, key_a, key_b""".stripMargin,
 
     "dq_key_skew" ->
       """WITH p AS (

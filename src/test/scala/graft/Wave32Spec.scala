@@ -30,4 +30,21 @@ class Wave32Spec extends SparkSpec {
       assert(r.getLong(2) == above, s"cumulative at decile ${r.getLong(0)}")
     }
   }
+
+  test("dq_duplicate_orders matches the naive same-customer day-band scan") {
+    val orders = Tables.table(spark, sfDir, "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS LONG) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = (for {
+      (ca, ka, da) <- orders
+      (cb, kb, db) <- orders
+      if ca == cb && ka < kb && math.abs(da - db) <= 1
+    } yield (ca, ka, kb, math.abs(da - db))).toSet
+    val rows = q("dq_duplicate_orders").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == naive, s"engine ${rows.size} vs naive ${naive.size}")
+    assert(q("dq_duplicate_orders").collect()
+      .forall(_.getDouble(4) >= 0), "price delta is absolute")
+  }
 }
