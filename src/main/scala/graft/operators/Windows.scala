@@ -251,6 +251,39 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "features_rolling_stats" -> { (spark, dir) =>
+      // Rolling feature BLOCK — the standard feature-engineering read:
+      // per event, mean/std/min/max of the user's trailing-10 signal
+      // values (the current row included). All four statistics ride ONE
+      // user exchange and one frame; Σv and Σv² accumulate in exact
+      // decimal inside the frame (order-free), the mean and the
+      // (n-1)-denominator std each collapse those scalars in one
+      // fixed-order IEEE expression — so a 10-row frame is bit-stable
+      // cross-engine where a float running sum would drift. std is NULL
+      // at frame size 1, identically in both engines.
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-9, 0)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").cast(Canon.Dec).as("v"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("s", sum("v").over(w))
+        .withColumn("q", sum(col("v") * col("v")).over(w))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("n_win"),
+          Canon.round6(col("s").cast("double") / col("n_win")).as("roll_mean"),
+          // greatest(, 0): identical values can go ~-1e-16 in IEEE —
+          // sqrt would yield NaN, whose cross-engine hash is undefined
+          Canon.round6(when(col("n_win") > 1, sqrt(greatest(
+            (col("q").cast("double")
+              - col("s").cast("double") * col("s").cast("double")
+                / col("n_win"))
+              / (col("n_win") - 1L), lit(0.0d))))).as("roll_std"),
+          min(col("v").cast("double")).over(w).as("roll_min"),
+          max(col("v").cast("double")).over(w).as("roll_max"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "win_ewma" -> { (spark, dir) =>
       // Exponentially weighted moving average (α = ½) over the last 10
       // readings per vehicle — the time-series smoother between
@@ -342,6 +375,33 @@ object Windows extends QueryGroup {
         |  ts_us - last_view_us AS us_since_view, views_1h
         |FROM f WHERE event_type = 'purchase'
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "features_rolling_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    count(*) OVER w AS n_win,
+        |    sum(v) OVER w AS s,
+        |    sum(v * v) OVER w AS q,
+        |    min(CAST(v AS DOUBLE)) OVER w AS roll_min,
+        |    max(CAST(v AS DOUBLE)) OVER w AS roll_max
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT user_id, ts_us, event_id, n_win,
+        |    CAST(s AS DOUBLE) / n_win AS mn,
+        |    CASE WHEN n_win > 1 THEN sqrt(greatest(
+        |      (CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_win)
+        |        / (n_win - 1), 0.0)) END AS sd,
+        |    roll_min, roll_max
+        |  FROM f)
+        |SELECT user_id, ts_us, event_id, CAST(n_win AS BIGINT) AS n_win,
+        |  CAST(CASE WHEN mn >= 0 THEN floor(mn * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-mn * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS roll_mean,
+        |  CAST(floor(sd * 1e6 + 0.5) / 1e6 AS DOUBLE) AS roll_std,
+        |  roll_min, roll_max
+        |FROM g ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "win_ewma" ->
       // same ordered frame list, same exact 2^-k weights, same
