@@ -171,6 +171,27 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "source_text" -> { (spark, dir) =>
+      // Raw line-format roundtrip — the corpus interchange format LLM
+      // pipelines actually ingest (one document per line): doc_id and
+      // text tab-joined on write, split at the FIRST tab on read
+      // (document text is tab-free in this corpus; a production feed
+      // escapes or length-prefixes). The text scan is splittable by
+      // line like CSV/JSON; the oracle reads the ORIGINAL parquet, so a
+      // hash match proves byte-exact text fidelity through the line
+      // format — the property span/fingerprint dedup depends on.
+      val out = s"/tmp/graft_text/p${ProcessHandle.current().pid()}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.table(spark, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(out)
+      spark.read.text(out)
+        .select(
+          expr("CAST(substring_index(value, '\t', 1) AS BIGINT)").as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .orderBy("doc_id")
+    },
+
     "source_json" -> { (spark, dir) =>
       // Same value-fidelity assertion through JSON-lines — the
       // semi-structured ingest format. Schema-on-read with an explicit
@@ -345,6 +366,9 @@ object Scans extends QueryGroup {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "source_text" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     "source_orc" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

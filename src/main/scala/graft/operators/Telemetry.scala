@@ -436,6 +436,33 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_top_movers" -> { (spark, dir) =>
+      // Day-over-day TOP MOVERS — the dashboard tile behind every
+      // "what changed yesterday?" triage: per (day, event_type) signal
+      // totals in exact integer cents, the previous day's total via one
+      // lag over the per-type series, ranked by absolute delta, top 10.
+      // Scale: the corpus collapses to the (day × type) grid in one
+      // map-side-combined groupBy; the lag window and the final rank
+      // run on ≤|days|·|types| rows, and the top-10 compiles to
+      // TakeOrderedAndProject. Deltas stay exact longs end to end.
+      val DayUs = 86400000000L
+      val ev = Tables.events(spark, dir)
+      val daily = ev
+        .select(expr(s"ts_us div $DayUs").as("day"), col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("day", "event_type").agg(sum("cents").as("tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev", lag("tot", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", col("tot") - col("prev"))
+        .select(col("day"), col("event_type"), col("tot"), col("prev"),
+          col("delta"))
+        .orderBy(abs(col("delta")).desc, col("day"), col("event_type"))
+        .limit(10)
+    },
+
     "events_stl_lite" -> { (spark, dir) =>
       // Seasonal-trend decomposition (STL-lite: one pass, no loess) of
       // the daily signal-total series — trend = centered 7-day moving
@@ -899,6 +926,18 @@ object Telemetry extends QueryGroup {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(e_us - s_us) AS BIGINT) // 1000000 AS covered_s
         |FROM ext GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_top_movers" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT day, event_type, CAST(sum(cents) AS BIGINT) AS tot
+        |  FROM e GROUP BY day, event_type),
+        |l AS (SELECT day, event_type, tot,
+        |    lag(tot) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM d)
+        |SELECT day, event_type, tot, prev, tot - prev AS delta
+        |FROM l WHERE prev IS NOT NULL
+        |ORDER BY abs(tot - prev) DESC, day, event_type LIMIT 10""".stripMargin,
 
     "events_stl_lite" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
