@@ -132,6 +132,18 @@ object Api {
             respond(x, 200, toJson(
               SparkEntry.queries("events_trip_stats")(spark, dir)
                 .filter(col("user_id") === id.toLong)))
+          case "/stats/movers" =>
+            // day-over-day top movers (round-6): ≤10 rows by construction
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_top_movers")(spark, dir)))
+          case "/stats/decomposition" =>
+            // STL-lite trend/seasonal/residual view of the daily series
+            respond(x, 200, toJson(
+              SparkEntry.queries("events_stl_lite")(spark, dir)))
+          case "/reports/curation" =>
+            // the end-to-end dataset card (quality → dedup → mixture)
+            respond(x, 200, toJson(
+              SparkEntry.queries("curation_pipeline")(spark, dir)))
           case "/reports/pricing" =>
             // the TPC-H Q1 pricing summary as the flagship report
             respond(x, 200, toJson(

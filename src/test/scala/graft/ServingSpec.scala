@@ -125,6 +125,15 @@ class ServingSpec extends SparkSpec {
     assert(c2 == 200 && b2.contains(""""backlog""""))
   }
 
+  test("/stats/movers, /stats/decomposition, /reports/curation serve the round-6 family") {
+    val (c1, b1) = get("/stats/movers")
+    assert(c1 == 200 && b1.contains(""""delta"""") && b1.startsWith("""{"n":10,"""))
+    val (c2, b2) = get("/stats/decomposition")
+    assert(c2 == 200 && b2.contains(""""seasonal"""") && b2.contains(""""resid""""))
+    val (c3, b3) = get("/reports/curation")
+    assert(c3 == 200 && b3.contains(""""mix_weight"""") && b3.contains(""""n_kept""""))
+  }
+
   test("/stats/od-matrix, /stats/hotspots, /vehicles/{id}/trips serve the spatial family") {
     val (c1, b1) = get("/stats/od-matrix")
     assert(c1 == 200 && b1.contains(""""o_zx"""") && b1.contains(""""n_trips""""))
