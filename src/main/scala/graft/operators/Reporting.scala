@@ -406,6 +406,40 @@ object Reporting extends QueryGroup {
         .orderBy("key_col")
     },
 
+    "supplier_scorecard" -> { (spark, dir) =>
+      // Supplier performance scorecard — the procurement dashboard
+      // composite: per supplier, shipment volume, exact-decimal revenue,
+      // return rate, and order-to-ship latency, joined to the supplier
+      // dimension and ranked by revenue. ONE pass over lineitem keyed on
+      // l_suppkey (all four metrics fold in the same map-side-combined
+      // aggregate; the latency input rides the single co-keyed
+      // lineitem⋈orders join), supplier + nation arrive broadcast. The
+      // top-20 cut compiles to TakeOrderedAndProject.
+      val li = Tables.table(spark, dir, "lineitem")
+      val ord = Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val sup = Tables.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val per = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Canon.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"),
+          sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+            .as("lat_days_sum"))
+      per.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("n_items"), col("revenue"),
+          Canon.round6(col("n_returned").cast("double") / col("n_items"))
+            .as("return_rate"),
+          Canon.round6(col("lat_days_sum").cast("double") / col("n_items"))
+            .as("avg_ship_days"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+        .limit(20)
+    },
+
     "dq_duplicate_orders" -> { (spark, dir) =>
       // Possible duplicate-submission audit — the fuzzy-dup check an
       // order pipeline runs nightly: pairs of orders by the SAME
@@ -829,6 +863,27 @@ object Reporting extends QueryGroup {
         |WHERE c_acctbal > a
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "supplier_scorecard" ->
+      """WITH per AS (SELECT l_suppkey, count(*) AS n_items,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returned,
+        |    CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE))) AS BIGINT) AS lat_days_sum
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, s_nationkey,
+        |  CAST(n_items AS BIGINT) AS n_items, revenue,
+        |  CAST(floor(CAST(n_returned AS DOUBLE) / n_items * 1e6 + 0.5)
+        |    / 1e6 AS DOUBLE) AS return_rate,
+        |  CAST(CASE WHEN lat_days_sum >= 0
+        |    THEN floor(CAST(lat_days_sum AS DOUBLE) / n_items * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-(CAST(lat_days_sum AS DOUBLE) / n_items) * 1e6 + 0.5) / 1e6
+        |  END AS DOUBLE) AS avg_ship_days
+        |FROM per JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY revenue DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "dq_duplicate_orders" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

@@ -35,4 +35,36 @@ class Wave35Spec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(got == expected)
   }
+
+  test("supplier_scorecard metrics match a naive per-supplier fold") {
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .join(Tables.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3), r.getLong(4)))
+    val bySup = li.groupBy(_._1)
+    val rows = q("supplier_scorecard").collect()
+    assert(rows.length == math.min(20, bySup.size))
+    var prevRev = Double.MaxValue
+    for (r <- rows) {
+      val g = bySup(r.getLong(0))
+      assert(r.getLong(3) == g.length, s"supplier ${r.getLong(0)} n_items")
+      val rev = g.map { case (_, p, d, _, _) =>
+        BigDecimal(p).setScale(6) * (BigDecimal(1) - BigDecimal(d).setScale(6))
+      }.sum
+      assert((BigDecimal(r.getDouble(4)) - rev.setScale(4,
+        BigDecimal.RoundingMode.HALF_UP)).abs < 1e-9,
+        s"supplier ${r.getLong(0)} revenue")
+      val retRate = g.count(_._4 == "R").toDouble / g.length
+      assert(math.abs(r.getDouble(5) - retRate) < 1e-6)
+      val avgLat = g.map(_._5).sum.toDouble / g.length
+      assert(math.abs(r.getDouble(6) - avgLat) < 1e-6)
+      assert(r.getDouble(4) <= prevRev); prevRev = r.getDouble(4)
+    }
+  }
 }
