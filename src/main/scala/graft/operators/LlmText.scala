@@ -704,6 +704,33 @@ object LlmText extends QueryGroup {
         .orderBy("rule")
     },
 
+    "text_oov_rate" -> { (spark, dir) =>
+      // Tokenizer-vocabulary COVERAGE — the go/no-go check before
+      // committing a vocab: with the top-16 corpus tokens as the
+      // vocabulary (the fixture's whole vocabulary is 31 — a real
+      // corpus uses 32-256k), what fraction of each document's tokens
+      // fall out of vocabulary? Vocab selection is one map-side-combined
+      // token count + TakeOrderedAndProject (ties broken by token text,
+      // so the cut is deterministic cross-engine); the vocab then
+      // BROADCASTS to a left join on the exploded token stream and the
+      // per-doc rate is one keyed aggregate. At 100 TB the vocab table
+      // is the persisted artifact and this query is a single corpus
+      // pass.
+      val tok = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(16)
+        .select(col("token"), lit(1L).as("in_v"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          Canon.round6(col("n_oov").cast("double") / col("n_tok"))
+            .as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
     "curation_pipeline" -> { (spark, dir) =>
       // END-TO-END curation funnel in ONE DAG — the dataset-card query
       // a training-data pipeline materializes per snapshot: quality
@@ -1294,6 +1321,21 @@ object LlmText extends QueryGroup {
         |SELECT rule, n AS n_flagged,
         |  CAST(round(n / CAST(tot AS DOUBLE), 6) AS DOUBLE) AS pct
         |FROM r ORDER BY rule""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM tok GROUP BY token)
+        |  ORDER BY n DESC, token LIMIT 16)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(floor(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+        |    AS oov_rate
+        |FROM tok LEFT JOIN v ON tok.token = v.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "curation_pipeline" ->
       // full funnel: the gpairs CTE (shared with the dedup family)
