@@ -436,6 +436,31 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_state_dwell" -> { (spark, dir) =>
+      // TIME-IN-STATE: treating each event as entering a state that
+      // lasts until the user's next event, the fleet's dwell profile
+      // per state — interval count, total and mean dwell. The ops view
+      // behind "how long do vehicles sit in 'error' vs 'view'?". One
+      // user-keyed exchange feeds the lead() frame; the last event of
+      // each user has no successor and drops out (no fabricated dwell).
+      // Dwells stay exact µs longs; the mean is one final division.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_us", lead("ts_us", 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dwell_us", col("next_us") - col("ts_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum("dwell_us").as("total_dwell_us"))
+        .select(col("event_type"), col("n_intervals"), col("total_dwell_us"),
+          Canon.round6(col("total_dwell_us").cast("double")
+            / col("n_intervals")).as("avg_dwell_us"))
+        .orderBy("event_type")
+    },
+
     "events_top_movers" -> { (spark, dir) =>
       // Day-over-day TOP MOVERS — the dashboard tile behind every
       // "what changed yesterday?" triage: per (day, event_type) signal
@@ -926,6 +951,22 @@ object Telemetry extends QueryGroup {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(e_us - s_us) AS BIGINT) // 1000000 AS covered_s
         |FROM ext GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_state_dwell" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |d AS (SELECT event_type,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) - ts_us AS dwell_us
+        |  FROM e),
+        |g AS (SELECT event_type, count(*) AS n_intervals,
+        |    CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us
+        |  FROM d WHERE dwell_us IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, CAST(n_intervals AS BIGINT) AS n_intervals,
+        |  total_dwell_us,
+        |  CAST(floor(CAST(total_dwell_us AS DOUBLE) / n_intervals * 1e6
+        |    + 0.5) / 1e6 AS DOUBLE) AS avg_dwell_us
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "events_top_movers" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,

@@ -25,4 +25,21 @@ class Wave37Spec extends SparkSpec {
     }
     assert(sawOov, "the 16-token cut must leave real OOV mass")
   }
+
+  test("events_state_dwell conserves each user's total span") {
+    // sum of all dwell intervals across states = sum over users of
+    // (last ts - first ts): intervals tile each user's span exactly
+    val spans = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("ts_us").minus(
+        org.apache.spark.sql.functions.min("ts_us")).as("span"))
+      .collect().map(_.getLong(1)).sum
+    val rows = q("events_state_dwell").collect()
+    assert(rows.map(_.getLong(2)).sum == spans)
+    // intervals = events - users (every event but each user's last)
+    val nEvents = Tables.events(spark, sfDir).count()
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
+  }
 }
