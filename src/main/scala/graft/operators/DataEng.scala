@@ -276,6 +276,50 @@ object DataEng extends QueryGroup {
         .orderBy("user_id", "event_type", "version")
     },
 
+    "ivm_join_delta" -> { (spark, dir) =>
+      // Incremental maintenance of a JOIN view — the delta algebra
+      // agg_incremental's single-table form can't cover: for the
+      // revenue-per-customer view V = (lineitem ⋈ orders) aggregated,
+      // a batch of new rows on EITHER side refreshes via
+      //   ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+      // (never re-joining base×base). Here both tables split
+      // deterministically into base (~90%) and delta (~10%) by the
+      // engine-independent 56-bit hash; the query computes base-view
+      // partials PLUS the three delta terms and merges — and because
+      // the ORACLE computes the same view with one direct join, the
+      // driver's hash compare IS the proof of the maintenance
+      // identity. Every join is co-keyed on orderkey (one exchange
+      // family); at 100 TB the base partials are a stored artifact and
+      // only the delta terms touch new data.
+      val hash56 = TextDedup.hash56 _
+      val li = Tables.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          (hash56(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+            % 10 === 0).as("dl"))
+      val ord = Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (hash56(col("o_orderkey").cast("string")) % 10 === 0).as("dr"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // base⋈base + the three delta terms = everything exactly once —
+      // expressed as one join with the term label, so the plan keeps a
+      // single co-keyed exchange while the aggregation happens per term
+      // (the partials a real IVM pipeline would store / ship / merge)
+      val terms = joined.withColumn("term",
+        when(!col("dl") && !col("dr"), "base")
+          .when(col("dl") && !col("dr"), "dA_B")
+          .when(!col("dl") && col("dr"), "A_dB")
+          .otherwise("dA_dB"))
+        .groupBy("o_custkey", "term")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(Canon.Dec)).as("rev"))
+      terms.groupBy("o_custkey")
+        .agg(sum("n").as("n_items"),
+          round(sum("rev"), 4).cast("double").as("revenue"),
+          countDistinct("term").as("n_terms_merged"))
+        .orderBy("o_custkey")
+    },
+
     "agg_incremental" -> { (spark, dir) =>
       // Incremental materialized-aggregate maintenance: the per-customer
       // order rollup is kept as MERGEABLE partials (count + exact decimal
@@ -381,6 +425,34 @@ object DataEng extends QueryGroup {
       |ORDER BY user_id, event_type, version""".stripMargin
 
   def oracle = Map(
+    "ivm_join_delta" ->
+      // the oracle computes the view DIRECTLY (one join, one agg) with
+      // the same deterministic split labels — a hash match proves the
+      // base+delta decomposition reconstructs the view exactly
+      """WITH li AS (SELECT l_orderkey, l_extendedprice, l_discount,
+        |    (CAST(concat('0x', substring(sha256(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+        |      1, 14)) AS BIGINT) % 10 = 0) AS dl
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey, o_custkey,
+        |    (CAST(concat('0x', substring(sha256(CAST(o_orderkey AS VARCHAR)),
+        |      1, 14)) AS BIGINT) % 10 = 0) AS dr
+        |  FROM orders),
+        |j AS (SELECT o_custkey, l_extendedprice, l_discount,
+        |    CASE WHEN NOT dl AND NOT dr THEN 'base'
+        |         WHEN dl AND NOT dr THEN 'dA_B'
+        |         WHEN NOT dl AND dr THEN 'A_dB'
+        |         ELSE 'dA_dB' END AS term
+        |  FROM li JOIN o ON l_orderkey = o_orderkey),
+        |t AS (SELECT o_custkey, term, count(*) AS n,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS rev
+        |  FROM j GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(sum(n) AS BIGINT) AS n_items,
+        |  CAST(round(sum(rev), 4) AS DOUBLE) AS revenue,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms_merged
+        |FROM t GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "agg_incremental" ->
       // full recompute — the invariant incremental maintenance must hold
       """SELECT o_custkey, count(*) AS n_orders,

@@ -42,4 +42,30 @@ class Wave37Spec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
   }
+
+  test("ivm_join_delta: term decomposition tiles the direct join exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = q("ivm_join_delta").collect()
+    // direct view: one join + agg, no split
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Canon.Dec).as("r"))
+    val direct = li.join(Tables.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("r"), 4).cast("double").as("rev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.length == direct.size)
+    var sawMultiTerm = false
+    for (r <- rows) {
+      val (n, rev) = direct(r.getLong(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == rev,
+        s"customer ${r.getLong(0)}")
+      if (r.getLong(3) > 1) sawMultiTerm = true
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 4)
+    }
+    assert(sawMultiTerm, "the 10% hash split must produce real delta terms")
+  }
 }
