@@ -436,6 +436,44 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_profile_drift" -> { (spark, dir) =>
+      // Behavioral DRIFT detector: does this week's (dow × event_type)
+      // activity profile differ from last week's? The monitoring check
+      // behind "did the fleet's usage pattern shift?" — a chi-square
+      // distance between the first and second half of the timeline's
+      // weekly profiles. Corpus → (half, dow, type) grid in ONE
+      // groupBy; expected counts and per-cell contributions are
+      // rational in integer totals, nano-quantized before the
+      // cross-cell fold (the stat_chisq discipline) so the sum is
+      // exact integer addition. Output: one drift row.
+      val DayUs = 86400000000L
+      val ev = Tables.events(spark, dir)
+      val bounds = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .select(
+          when(col("ts_us") < expr("(lo + hi) div 2"), 0L)
+            .otherwise(1L).as("half"),
+          expr(s"pmod(ts_us div $DayUs, 7)").as("dow"),
+          col("event_type"))
+        .groupBy("half", "dow", "event_type").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("half").agg(sum("o").as("rt"))
+      val cols_ = cells.groupBy("dow", "event_type").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("nt"))
+      cells.join(broadcast(rows), "half")
+        .join(broadcast(cols_), Seq("dow", "event_type"))
+        .crossJoin(broadcast(n))
+        .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+          / col("nt").cast("double"))
+        .withColumn("contrib_nano",
+          floor((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+            * 1e9 + 0.5).cast("long"))
+        .agg(count(lit(1)).as("n_cells"),
+          Canon.round6(sum("contrib_nano").cast("double") / 1e9)
+            .as("chisq_drift"),
+          first(col("nt")).as("n"))
+        .select(col("chisq_drift"), col("n_cells"), col("n"))
+    },
+
     "events_state_dwell" -> { (spark, dir) =>
       // TIME-IN-STATE: treating each event as entering a state that
       // lasts until the user's next event, the fleet's dwell profile
@@ -951,6 +989,33 @@ object Telemetry extends QueryGroup {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(e_us - s_us) AS BIGINT) // 1000000 AS covered_s
         |FROM ext GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_profile_drift" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |b AS (SELECT CAST(min(us) AS BIGINT) AS lo,
+        |    CAST(max(us) AS BIGINT) AS hi FROM e),
+        |cells AS (SELECT
+        |    CASE WHEN us < (lo + hi) // 2 THEN 0 ELSE 1 END AS half,
+        |    ((us // 86400000000) % 7 + 7) % 7 AS dow, event_type,
+        |    count(*) AS o
+        |  FROM e CROSS JOIN b GROUP BY 1, 2, 3),
+        |r AS (SELECT half, sum(o) AS rt FROM cells GROUP BY half),
+        |c AS (SELECT dow, event_type, sum(o) AS ct FROM cells
+        |  GROUP BY dow, event_type),
+        |n AS (SELECT sum(o) AS nt FROM cells),
+        |k AS (SELECT cells.o,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) AS e,
+        |    nt
+        |  FROM cells JOIN r USING (half)
+        |    JOIN c USING (dow, event_type) CROSS JOIN n),
+        |q AS (SELECT CAST(floor((o - e) * (o - e) / e * 1e9 + 0.5) AS BIGINT)
+        |    AS contrib_nano, nt FROM k)
+        |SELECT
+        |  CAST(floor(CAST(sum(contrib_nano) AS DOUBLE) / 1e9 * 1e6 + 0.5)
+        |    / 1e6 AS DOUBLE) AS chisq_drift,
+        |  count(*) AS n_cells,
+        |  CAST(first(nt) AS BIGINT) AS n
+        |FROM q""".stripMargin,
 
     "events_state_dwell" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

@@ -68,4 +68,29 @@ class Wave37Spec extends SparkSpec {
     }
     assert(sawMultiTerm, "the 10% hash split must produce real delta terms")
   }
+
+  test("events_profile_drift matches the naive two-half chi-square") {
+    val r = q("events_profile_drift").head()
+    val ev = Tables.events(spark, sfDir)
+      .select("ts_us", "event_type").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val lo = ev.map(_._1).min; val hi = ev.map(_._1).max
+    val mid = (lo + hi) / 2
+    val cells = ev.map { case (us, ty) =>
+      ((if (us < mid) 0 else 1,
+        (((us / 86400000000L) % 7) + 7) % 7, ty), 1)
+    }.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = ev.length.toDouble
+    val byHalf = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val byCol = cells.groupBy(k => (k._1._2, k._1._3)).view
+      .mapValues(_.values.sum).toMap
+    val naive = cells.map { case ((h, d, ty), o) =>
+      val e = byHalf(h) * byCol((d, ty)) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(r.getDouble(0) - naive) < 1e-3,
+      s"engine ${r.getDouble(0)} vs naive $naive")
+    assert(r.getLong(1) == cells.size)
+    assert(r.getLong(2) == ev.length)
+  }
 }
