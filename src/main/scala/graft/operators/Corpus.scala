@@ -712,6 +712,53 @@ object Corpus extends QueryGroup {
         .orderBy("vid")
     },
 
+    "dedup_substring_scrub" -> { (spark, dir) =>
+      // The APPLY half of dedup_substring: emit each affected document
+      // with its duplicated spans REMOVED (the ExactSubstr treatment —
+      // cut the shared bytes, keep the unique remainder). Same span
+      // mining as the report; the removal is a per-doc anti-join of
+      // token positions against the span intervals (spans are tiny and
+      // broadcast), and the remainder reassembles deterministically via
+      // sort-by-position. Output: kept/removed counts + the scrubbed
+      // 120-char prefix. Still no doc×doc join anywhere.
+      val k = 8
+      val docs = Tables.table(spark, dir, "documents")
+      val post = TextDedup.positionalPostings(docs, "doc_id", "text", k)
+      val dup = post.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val wl = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = post.join(dup, "h").select("doc_id", "pos")
+        .withColumn("prev", lag("pos", 1).over(wl))
+        .withColumn("brk", when(col("prev").isNull
+          || col("pos") > col("prev") + k, 1L).otherwise(0L))
+        .withColumn("isl",
+          sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("st"), (max("pos") + lit(k - 1)).as("en"))
+      val toksPos = docs
+        .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ", -1)).as(Seq("p0", "tok")))
+        .withColumn("pos", (col("p0") + 1L).cast("long"))
+      val kept = toksPos.join(broadcast(spans),
+        toksPos("doc_id") === spans("doc_id")
+          && col("pos") >= col("st") && col("pos") <= col("en"),
+        "left_anti")
+      kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr("transform(array_sort(" +
+            "collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+            .as("scrubbed"))
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          (col("n_tokens") - col("n_kept")).as("n_removed"),
+          substring(col("scrubbed"), 1, 120).as("scrubbed_prefix"))
+        .orderBy("doc_id")
+    },
+
     "text_ngram_novelty" -> { (spark, dir) =>
       // Crawl-increment novelty: per document (in doc_id = ingestion
       // order), the fraction of its distinct 3-gram shingles appearing
@@ -1251,6 +1298,44 @@ object Corpus extends QueryGroup {
         |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS dup_frac
         |FROM agg a JOIN nt USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(concat('0x', substring(
+        |      sha256(array_to_string(t[i:i+7], ' ')), 1, 14)) AS BIGINT) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT h FROM sh GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |p AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+        |w AS (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM p),
+        |b AS (SELECT doc_id, pos,
+        |    CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS brk
+        |  FROM w),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM b),
+        |sp AS (SELECT doc_id, g, min(pos) AS st, max(pos) + 7 AS en
+        |  FROM isl GROUP BY doc_id, g),
+        |tp AS (SELECT toks.doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        |  WHERE toks.doc_id IN (SELECT DISTINCT doc_id FROM sp)),
+        |kept AS (SELECT tp.doc_id, pos, tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.st AND sp.en)),
+        |gg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+        |  FROM kept GROUP BY doc_id),
+        |nt AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT gg.doc_id, n_tokens, n_kept, n_tokens - n_kept AS n_removed,
+        |  substring(scrubbed, 1, 120) AS scrubbed_prefix
+        |FROM gg JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_ngram_novelty" ->
       """WITH t AS (SELECT doc_id,

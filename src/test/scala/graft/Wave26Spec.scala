@@ -64,4 +64,24 @@ class Wave26Spec extends SparkSpec {
       assert(frac > 0 && frac <= 1.0)
     }
   }
+
+  test("dedup_substring_scrub is consistent with the span report") {
+    val report = q("dedup_substring").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    val rows = q("dedup_substring_scrub").collect()
+    // every scrubbed doc is an affected doc, removal = reported dup span
+    // mass, and kept + removed tiles the doc
+    for (r <- rows) {
+      val (dupTokens, nTok) = report(r.getLong(0))
+      assert(r.getLong(1) == nTok)
+      assert(r.getLong(3) == dupTokens, s"doc ${r.getLong(0)} removed")
+      assert(r.getLong(2) + r.getLong(3) == nTok)
+      assert(r.getLong(2) > 0)
+    }
+    // docs missing from the scrub output are exactly the fully-covered
+    // ones (dup_tokens == n_tokens): nothing unique remains to keep
+    val scrubbed = rows.map(_.getLong(0)).toSet
+    for ((id, (dupT, nT)) <- report if !scrubbed(id))
+      assert(dupT == nT, s"doc $id dropped but not fully covered")
+  }
 }
