@@ -21,6 +21,22 @@ object SortsSets extends QueryGroup {
         .limit(100)
     },
 
+    "sort_paginate" -> { (spark, dir) =>
+      // OFFSET pagination — the serving "page 2" read: rows 21-40 of
+      // customers by (acctbal desc, custkey). Spark plans
+      // offset+limit into one GlobalLimit over a TakeOrdered-style
+      // bounded sort: each partition keeps only its top offset+limit
+      // candidates, the driver merges 40 rows per partition — never a
+      // full global sort. (Deep pagination at 100 TB switches to
+      // keyset predicates — WHERE (acctbal, key) < last-seen — which
+      // pushes into the scan; OFFSET is the shallow-page shape.)
+      // The unique custkey tiebreak makes the page deterministic.
+      Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .offset(20).limit(20)
+    },
+
     "topk_group_limit" -> { (spark, dir) =>
       // TPC-H Q3 shape: top-10 open-revenue orders in BUILDING segment.
       Tables.table(spark, dir, "lineitem")
@@ -124,6 +140,10 @@ object SortsSets extends QueryGroup {
   )
 
   def oracle = Map(
+    "sort_paginate" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 20""".stripMargin,
+
     "sort_multikey" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -93,4 +93,19 @@ class Wave37Spec extends SparkSpec {
     assert(r.getLong(1) == cells.size)
     assert(r.getLong(2) == ev.length)
   }
+
+  test("sort_paginate returns exactly rows 21-40 of the global order") {
+    import org.apache.spark.sql.functions._
+    val all = Tables.table(spark, sfDir, "customer")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (k, b) => (-b, k) }
+    val expected = all.slice(20, 40).map(_._1).toSeq
+    val got = q("sort_paginate").collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    // the plan must stay a bounded top-(offset+limit), not a global sort
+    val s = plan(q("sort_paginate"))
+    assert(s.contains("TakeOrderedAndProject") || s.contains("GlobalLimit"),
+      "pagination must plan through a bounded limit operator")
+  }
 }
