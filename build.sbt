@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes to raw stdout, NOT through the sbt logger:
+// the logger's "[info] " prefix lands in front of Bench's one-line
+// JSON and the driver's tail-parse then records parsed=null every
+// round (r4 verdict item 7; reordering the fields didn't fix it
+// because the prefix, not truncation, was the blocker).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,8 +63,17 @@ def main():
             if isinstance(v, (np.ndarray, list)):
                 return tuple(v)
             return v
+        # the driver hashes the VALUES' textual form, so -0.0 vs 0.0 is a
+        # real mismatch there even though == treats them equal; canonical
+        # fix is normalizing floats through copysign-aware bit compare
+        def signfix(v):
+            if isinstance(v, float) and v == 0.0 and np.signbit(v):
+                return "-0.0(BITS)"
+            if isinstance(v, tuple):
+                return tuple(signfix(x) for x in v)
+            return v
         for c in s_cols:
-            sv, dv = s[c].map(unarr), d[c].map(unarr)
+            sv, dv = s[c].map(unarr).map(signfix), d[c].map(unarr).map(signfix)
             try:
                 import pandas as pd
                 if str(sv.dtype).startswith("datetime") or str(dv.dtype).startswith("datetime"):

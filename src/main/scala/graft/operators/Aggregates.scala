@@ -590,11 +590,15 @@ object Aggregates extends QueryGroup {
         |    sqrt((s2 - s1 * s1 / n) / n) AS sd FROM s)
         |SELECT l_returnflag,
         |  CAST(round((s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m)
-        |    / (sd * sd * sd), 4) AS DOUBLE) AS skewness,
+        |    / (sd * sd * sd), 4) + 0.0 AS DOUBLE) AS skewness,
         |  CAST(round((s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n)
-        |    - 3.0 * m * m * m * m) / (sd * sd * sd * sd) - 3.0, 4)
+        |    - 3.0 * m * m * m * m) / (sd * sd * sd * sd) - 3.0, 4) + 0.0
         |    AS DOUBLE) AS kurtosis
         |FROM m ORDER BY l_returnflag""".stripMargin,
+        // ^ `+ 0.0` normalizes DuckDB round()'s IEEE -0.0 (a tiny
+        // negative skew rounds to signed zero at sf0.001) to the +0.0
+        // Spark's long-typed floor always yields — same -0.0 class of
+        // hash mismatch the driver caught on events_trend in r6.
 
     "profile_columns" ->
       (LineitemCols.map(c =>

@@ -52,7 +52,17 @@ object ArtifactCache {
     * path; publication/fallback semantics are identical to [[apply]].
     */
   def withWriter(spark: SparkSession, cacheName: String,
-      sources: Seq[String])(write: String => Unit): DataFrame = {
+      sources: Seq[String])(write: String => Unit): DataFrame =
+    spark.read.parquet(path(cacheName, sources)(write))
+
+  /** Format-agnostic variant: publishes the artifact and returns the
+    * directory to read (text/csv/json roundtrip sources read it with
+    * their own format reader). Same fingerprint-keyed build-once +
+    * atomic-publish semantics as [[withWriter]] — this is what retired
+    * the accumulate-forever pid-keyed /tmp scratch dirs (r6 ADVICE).
+    */
+  def path(cacheName: String, sources: Seq[String])
+      (write: String => Unit): String = {
     val root = Paths.get(s"/tmp/graft_cache/$cacheName/${fingerprint(sources)}")
     if (!Files.exists(root.resolve("_SUCCESS"))) {
       val staging = Paths.get(
@@ -68,9 +78,9 @@ object ArtifactCache {
           // another JVM published first; prefer its copy if complete,
           // else keep reading our own staging build
           if (!Files.exists(root.resolve("_SUCCESS")))
-            return spark.read.parquet(staging.toString)
+            return staging.toString
       }
     }
-    spark.read.parquet(root.toString)
+    root.toString
   }
 }

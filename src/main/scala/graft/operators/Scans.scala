@@ -163,10 +163,12 @@ object Scans extends QueryGroup {
       // you store — the reader is still the distributed splittable text
       // scan (one task per split, schema applied per-record, no driver
       // funnel).
-      val out = s"/tmp/graft_csv/p${ProcessHandle.current().pid()}/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
       val orders = Tables.table(spark, dir, "orders")
-      orders.write.mode("overwrite").option("header", "true").csv(out)
+      val out = ArtifactCache.path("roundtrip_csv",
+        Seq(s"$dir/orders.parquet")) { staging =>
+        Tables.table(spark, dir, "orders").write.mode("overwrite")
+          .option("header", "true").csv(staging)
+      }
       spark.read.option("header", "true").schema(orders.schema).csv(out)
         .orderBy("o_orderkey")
     },
@@ -174,17 +176,27 @@ object Scans extends QueryGroup {
     "source_text" -> { (spark, dir) =>
       // Raw line-format roundtrip — the corpus interchange format LLM
       // pipelines actually ingest (one document per line): doc_id and
-      // text tab-joined on write, split at the FIRST tab on read
-      // (document text is tab-free in this corpus; a production feed
-      // escapes or length-prefixes). The text scan is splittable by
-      // line like CSV/JSON; the oracle reads the ORIGINAL parquet, so a
-      // hash match proves byte-exact text fidelity through the line
-      // format — the property span/fingerprint dedup depends on.
-      val out = s"/tmp/graft_text/p${ProcessHandle.current().pid()}/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      Tables.table(spark, dir, "documents")
-        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
-        .write.mode("overwrite").text(out)
+      // text tab-joined on write, split at the FIRST tab on read —
+      // correct even for text containing tabs, since doc_id is tab-free.
+      // The two inputs that WOULD corrupt the line format silently are
+      // guarded with raise_error at write time: a NULL text (concat_ws
+      // skips nulls, leaving a tab-less line that would round-trip the
+      // doc_id as its own text) and an embedded newline (splits one doc
+      // into two lines). The text scan is splittable by line like
+      // CSV/JSON; the oracle reads the ORIGINAL parquet, so a hash match
+      // proves byte-exact text fidelity through the line format — the
+      // property span/fingerprint dedup depends on.
+      val out = ArtifactCache.path("roundtrip_text",
+        Seq(s"$dir/documents.parquet")) { staging =>
+        Tables.table(spark, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"),
+            when(col("text").isNull || col("text").contains("\n"),
+              raise_error(lit("source_text: document text must be " +
+                "non-null and newline-free for the line format"))
+                .cast("string"))
+              .otherwise(col("text"))).as("value"))
+          .write.mode("overwrite").text(staging)
+      }
       spark.read.text(out)
         .select(
           expr("CAST(substring_index(value, '\t', 1) AS BIGINT)").as("doc_id"),
@@ -198,10 +210,12 @@ object Scans extends QueryGroup {
       // schema (never inference at scale: inference is a full extra pass
       // over 100 TB); each line parses independently so the scan stays
       // splittable and fully parallel.
-      val out = s"/tmp/graft_json/p${ProcessHandle.current().pid()}/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
       val orders = Tables.table(spark, dir, "orders")
-      orders.write.mode("overwrite").json(out)
+      val out = ArtifactCache.path("roundtrip_json",
+        Seq(s"$dir/orders.parquet")) { staging =>
+        Tables.table(spark, dir, "orders").write.mode("overwrite")
+          .json(staging)
+      }
       spark.read.schema(orders.schema).json(out)
         .orderBy("o_orderkey")
     },

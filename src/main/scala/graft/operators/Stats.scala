@@ -175,7 +175,14 @@ object Stats extends QueryGroup {
       // term is quantized to nano-units on a long FIRST (the stat_chisq
       // fold discipline) — the Σ over groups is then exact integer
       // addition, immune to partial-agg order. F combines the four
-      // scalars in one fixed IEEE expression.
+      // scalars in one fixed IEEE expression. Magnitude bound: nano-
+      // quantizing caps each group term at int64/1e9 ≈ 9.2e9 value-
+      // units²; with |value| ≤ 1e3 in this schema that allows n_g up to
+      // ~9e3 × 1e3 ≈ 9.2e6 rows per group per unit variance — beyond
+      // that (true 100 TB group sizes) quantize at a coarser scale
+      // derived from the group totals (e.g. 1e9/max(sg²/ng)) or keep
+      // the fold in DECIMAL(38,9); the cross-engine determinism
+      // argument is the quantization itself, not the nano choice.
       val ev = Tables.events(spark, dir)
         .select(col("event_type"),
           col("value").cast(Canon.Dec).as("v"),

@@ -1068,16 +1068,23 @@ object Telemetry extends QueryGroup {
         |    CAST(det_x7 AS DOUBLE) / 7.0 - seas_raw AS rs
         |  FROM t2 LEFT JOIN s USING (phase))
         |SELECT day, phase, tot,
-        |  CAST(floor(tr * 1e6 + 0.5) / 1e6 AS DOUBLE) AS trend,
+        |  CAST(CASE WHEN tr >= 0 THEN floor(tr * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-tr * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE) AS trend,
         |  CAST(CASE WHEN seas_raw >= 0 THEN floor(seas_raw * 1e6 + 0.5) / 1e6
-        |    ELSE -floor(-seas_raw * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS seasonal,
+        |    ELSE -floor(-seas_raw * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
+        |    AS seasonal,
         |  CAST(CASE WHEN rs >= 0 THEN floor(rs * 1e6 + 0.5) / 1e6
-        |    ELSE -floor(-rs * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS resid
+        |    ELSE -floor(-rs * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE) AS resid
         |FROM f ORDER BY day""".stripMargin,
 
     "events_trend" ->
       // identical numeric staging: exact decimal sums → one double cast
-      // each → the closed-form slope in scalar IEEE arithmetic
+      // each → the closed-form slope in scalar IEEE arithmetic. The
+      // `+ 0.0` after round() normalizes IEEE -0.0 → +0.0: DuckDB's
+      // round/floor return DOUBLE and keep the sign of a tiny negative
+      // slope (seen: -2.86e-8 → -0.0 at sf0.01 user 27), while Spark's
+      // floor returns LONG which has no -0 — without the normalizer the
+      // two engines hash-differ on a value they both print as zero.
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
         |  FROM events),
         |b AS (SELECT user_id, value,
@@ -1098,7 +1105,7 @@ object Telemetry extends QueryGroup {
         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |      / (n * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    ELSE 0.0 END, 6) AS DOUBLE) AS slope_per_s
+        |    ELSE 0.0 END, 6) + 0.0 AS DOUBLE) AS slope_per_s
         |FROM s ORDER BY user_id""".stripMargin,
 
     "events_ohlc" ->
