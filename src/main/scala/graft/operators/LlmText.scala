@@ -929,6 +929,112 @@ object LlmText extends QueryGroup {
         .filter(col("dist") <= 2)
         .dropDuplicates("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_lsh_tuning" -> { (spark, dir) =>
+      // LSH OPERATING-POINT SWEEP — the calibration table an operator
+      // reads before fixing (bands, rowsPerBand) in production: for each
+      // config over the SAME MinHash(16) signature, candidate volume,
+      // exact-rescore survivors (unigram J ≥ 0.8), and recall/precision
+      // against the exact truth set. More bands ⇒ higher recall AND more
+      // candidates; this query measures the trade instead of guessing
+      // it. Shapes: one signature build feeds three band self-joins
+      // (each a shuffle equi-join on (source, band, bandkey), never
+      // all-pairs); the TRUTH side is the within-source exact rescore —
+      // 622 k pairs at sf0.1, linear-walk codegen — which at 100 TB runs
+      // on a per-source SAMPLE (calibration needs a confidence interval,
+      // not the full corpus; the candidate side is what must scale).
+      // Truth/config counts meet as 1-row broadcast aggregates — no
+      // collected scalars.
+      val tau = 0.8
+      val sig = sigTable(spark, Tables.table(spark, dir, "documents"))
+      val truth = sig.as("x").join(sig.as("y"),
+          col("x.source") === col("y.source")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(Canon.round6(
+          jacOfSorted(col("x.shs"), col("y.shs"))).as("j"))
+        .agg(sum(when(col("j") >= tau, 1L).otherwise(0L)).as("n_true"))
+      val perCfg = Seq(2, 4, 8).map { b =>
+        val w = 16 / b
+        val bands = sig
+          .withColumn("band", explode(sequence(lit(0), lit(b - 1))))
+          .select(col("doc_id"), col("source"), col("band"),
+            concat_ws("_", slice(col("mh"), col("band") * w + 1, lit(w)))
+              .as("bkey"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band")
+              && col("x.bkey") === col("y.bkey")
+              && col("x.source") === col("y.source")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val s = sig.select(col("doc_id"), col("shs"))
+        cand
+          .join(s.select(col("doc_id").as("doc_a"), col("shs").as("sa")),
+            "doc_a")
+          .join(s.select(col("doc_id").as("doc_b"), col("shs").as("sb")),
+            "doc_b")
+          .select(Canon.round6(
+            jacOfSorted(col("sa"), col("sb"))).as("j"))
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("j") >= tau, 1L).otherwise(0L)).as("n_conf"))
+          .select(lit(b.toLong).as("bands"), lit(w.toLong).as("rows_per_band"),
+            col("n_cand"), col("n_conf"))
+      }.reduce(_ unionByName _)
+      perCfg.crossJoin(broadcast(truth))
+        .select(col("bands"), col("rows_per_band"),
+          col("n_cand"), col("n_conf"), col("n_true"),
+          Canon.round6(col("n_conf").cast("double")
+            / col("n_true").cast("double")).as("recall"),
+          Canon.round6(col("n_conf").cast("double")
+            / col("n_cand").cast("double")).as("precision"))
+        .orderBy("bands")
+    },
+
+    "dedup_explain" -> { (spark, dir) =>
+      // MULTI-SIGNAL near-dup AUDIT — for every corpus-wide candidate
+      // pair in the shared 3-gram index, ALL the signals the dedup
+      // family computes separately, side by side, plus a rule-based
+      // verdict: the report a data curator reads to decide which
+      // signal's threshold to act on (and the ground truth for debating
+      // "why did X survive dedup?"). Signals: 3-gram Jaccard (from the
+      // materialized index — not re-mined), unigram Jaccard +
+      // directional containment (one array_intersect on the candidate
+      // pairs only — bounded by |pairs|, never corpus²), 48-bit SimHash
+      // hamming, exact-dup flag via sha-256 text fingerprint. Shape:
+      // the tiny pair set joins the signature table twice — at 100 TB
+      // the pair index is the thing that was already mined once, so
+      // this whole report costs |pairs| joins, not a corpus pass.
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+        threshold = 0.2)
+      val sig = sigTable(spark, Tables.table(spark, dir, "documents"))
+        .join(Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("fp")), "doc_id")
+      val a = sig.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("nt").as("na"), col("simhash").as("ha"), col("fp").as("fa"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("nt").as("nb"), col("simhash").as("hb"), col("fp").as("fb"))
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("i1",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("tok_jaccard", Canon.round6(
+          col("i1") / (col("na") + col("nb") - col("i1"))))
+        .withColumn("cont_a", Canon.round6(col("i1") / col("na")))
+        .withColumn("cont_b", Canon.round6(col("i1") / col("nb")))
+        .withColumn("sim_hamming",
+          expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        .withColumn("exact_dup", col("fa") === col("fb"))
+        .select(col("doc_a"), col("doc_b"),
+          col("jaccard").as("jaccard3"), col("tok_jaccard"),
+          col("cont_a"), col("cont_b"), col("sim_hamming"),
+          col("exact_dup"),
+          when(col("exact_dup"), lit("exact"))
+            .when(col("jaccard") >= 0.8, lit("near"))
+            .when(greatest(col("cont_a"), col("cont_b")) >= 0.9,
+              lit("contained"))
+            .when(col("sim_hamming") <= 12, lit("templated"))
+            .otherwise(lit("weak")).as("verdict"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -1449,6 +1555,94 @@ object LlmText extends QueryGroup {
         |  CAST(hamming(a.p, b.p) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE hamming(a.p, b.p) <= 2
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_lsh_tuning" ->
+      // identical signature arithmetic to dedup_minhash's oracle; per
+      // config the band key is the '_'-joined slice of the one 16-perm
+      // signature. The truth side is the all-pairs within-source
+      // rescore (quadratic is fine in the oracle engine; the Spark side
+      // uses the codegen merge walk over the same 622 k pairs).
+      s"""WITH h AS ($withHashesSql),
+         |mhs AS (SELECT doc_id, source, hs56,
+         |  list_transform(range(0, 16), j ->
+         |    list_min(list_transform(hsp, v -> ((2*j+3)*v + (5*j+7)) % $P))) AS mh
+         |FROM h),
+         |cfg AS (SELECT unnest([2, 4, 8]) AS bands),
+         |bnd AS (SELECT m.doc_id, m.source, c.bands, bb.b,
+         |    array_to_string(list_slice(m.mh,
+         |      (16 // c.bands) * bb.b + 1, (16 // c.bands) * (bb.b + 1)),
+         |      '_') AS bkey
+         |  FROM mhs m CROSS JOIN cfg c
+         |  JOIN (SELECT unnest(range(0, 8)) AS b) bb ON bb.b < c.bands),
+         |cand AS (SELECT DISTINCT x.bands, x.doc_id AS doc_a,
+         |    y.doc_id AS doc_b
+         |  FROM bnd x JOIN bnd y ON x.bands = y.bands AND x.b = y.b
+         |    AND x.bkey = y.bkey AND x.source = y.source
+         |    AND x.doc_id < y.doc_id),
+         |resc AS (SELECT c.bands,
+         |    round(len(list_filter(a.hs56, v -> list_contains(b.hs56, v)))
+         |      / CAST(len(list_distinct(list_concat(a.hs56, b.hs56)))
+         |        AS DOUBLE), 6) AS j
+         |  FROM cand c JOIN mhs a ON a.doc_id = c.doc_a
+         |  JOIN mhs b ON b.doc_id = c.doc_b),
+         |truth AS (SELECT count(*) AS n_true
+         |  FROM h x JOIN h y ON x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE round(len(list_filter(x.hs56, v -> list_contains(y.hs56, v)))
+         |      / CAST(len(list_distinct(list_concat(x.hs56, y.hs56)))
+         |        AS DOUBLE), 6) >= 0.8),
+         |agg AS (SELECT bands, count(*) AS n_cand,
+         |    CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_conf
+         |  FROM resc GROUP BY bands)
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |  CAST(16 // bands AS BIGINT) AS rows_per_band,
+         |  n_cand, n_conf, n_true,
+         |  CAST(round(CAST(n_conf AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         |    AS DOUBLE) AS recall,
+         |  CAST(round(CAST(n_conf AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+         |    AS DOUBLE) AS "precision"
+         |FROM agg CROSS JOIN truth ORDER BY bands""".stripMargin,
+
+    "dedup_explain" ->
+      // the shared 3-gram candidate CTE + per-pair signal recompute:
+      // unigram intersection on the hs56 lists (injective on this
+      // corpus), the dedup_simhash CTE verbatim, sha-256 of the text as
+      // the exact-dup fingerprint. The CASE verdict compares only
+      // rounded doubles / integers, so it is engine-stable.
+      ("WITH " + ngramGlobalPairsCte + s""",
+        |h AS ($withHashesSql),
+        |sim AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 48), i ->
+        |    CASE WHEN list_sum(list_transform(hs56, v ->
+        |           CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+        |         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+        |    AS simhash
+        |FROM h),
+        |sg AS (SELECT h.doc_id, h.hs56, len(h.hs56) AS nt, s.simhash,
+        |    sha256(h.text) AS fp
+        |  FROM h JOIN sim s ON s.doc_id = h.doc_id),
+        |j AS (SELECT g.doc_a, g.doc_b, g.jaccard, a.nt AS na, b.nt AS nb,
+        |    len(list_filter(a.hs56, v -> list_contains(b.hs56, v))) AS i1,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+        |      AS sim_hamming,
+        |    (a.fp = b.fp) AS exact_dup
+        |  FROM gpairs g JOIN sg a ON g.doc_a = a.doc_id
+        |  JOIN sg b ON g.doc_b = b.doc_id),
+        |j2 AS (SELECT doc_a, doc_b, jaccard,
+        |    CAST(round(i1 / CAST(na + nb - i1 AS DOUBLE), 6) AS DOUBLE)
+        |      AS tok_jaccard,
+        |    CAST(round(i1 / CAST(na AS DOUBLE), 6) AS DOUBLE) AS cont_a,
+        |    CAST(round(i1 / CAST(nb AS DOUBLE), 6) AS DOUBLE) AS cont_b,
+        |    sim_hamming, exact_dup
+        |  FROM j)
+        |SELECT doc_a, doc_b, jaccard AS jaccard3, tok_jaccard,
+        |  cont_a, cont_b, sim_hamming, exact_dup,
+        |  CASE WHEN exact_dup THEN 'exact'
+        |       WHEN jaccard >= 0.8 THEN 'near'
+        |       WHEN greatest(cont_a, cont_b) >= 0.9 THEN 'contained'
+        |       WHEN sim_hamming <= 12 THEN 'templated'
+        |       ELSE 'weak' END AS verdict
+        |FROM j2 ORDER BY doc_a, doc_b""".stripMargin)
   )
 }
