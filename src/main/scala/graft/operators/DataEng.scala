@@ -320,6 +320,45 @@ object DataEng extends QueryGroup {
         .orderBy("o_custkey")
     },
 
+    "ivm_retract" -> { (spark, dir) =>
+      // Incremental view maintenance under DELETIONS — the Z-set
+      // (signed-multiset) algebra agg_incremental's insert-only form
+      // can't express: a delete arrives as the same row with
+      // multiplicity −1, and the view refreshes by MERGING signed
+      // partials (sum of sign, sum of sign·measure) — never by
+      // re-filtering the base table. Here ~5% of orders are flagged
+      // deleted by the engine-independent 56-bit hash; the query unions
+      // base partials (every row, +1) with retraction partials (deleted
+      // rows, −1) and merges. Groups whose live count reaches zero are
+      // dropped (a Z-set row with multiplicity 0 does not exist). The
+      // ORACLE computes the view directly over the surviving rows, so
+      // the driver's hash compare IS the proof of the retraction
+      // identity. Count+sum are the retractable aggregates; min/max are
+      // NOT (a retraction can evict the current extremum — the
+      // documented fallback is per-group recount from the stored base
+      // partials). One co-keyed hash agg per side over the same
+      // exchange; at 100 TB the base partials are a stored artifact and
+      // only the (tiny) retraction batch touches new data.
+      val hash56 = TextDedup.hash56 _
+      val orders = Tables.table(spark, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast(Canon.Dec).as("price"),
+          (hash56(concat(col("o_orderkey").cast("string"), lit("_del")))
+            % 20 === 1).as("deleted"))
+      def partials(df: org.apache.spark.sql.DataFrame, sign: Int) =
+        df.groupBy("o_custkey")
+          .agg((count(lit(1)) * sign).as("n_part"),
+            (sum("price") * sign).as("sum_part"))
+      partials(orders, 1)
+        .unionAll(partials(orders.filter(col("deleted")), -1))
+        .groupBy("o_custkey")
+        .agg(sum("n_part").as("n_live"), sum("sum_part").as("sum_dec"))
+        .filter(col("n_live") > 0)
+        .select(col("o_custkey"), col("n_live"),
+          round(col("sum_dec"), 4).cast("double").as("total_price"))
+        .orderBy("o_custkey")
+    },
+
     "agg_incremental" -> { (spark, dir) =>
       // Incremental materialized-aggregate maintenance: the per-customer
       // order rollup is kept as MERGEABLE partials (count + exact decimal
@@ -452,6 +491,20 @@ object DataEng extends QueryGroup {
         |  CAST(round(sum(rev), 4) AS DOUBLE) AS revenue,
         |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms_merged
         |FROM t GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "ivm_retract" ->
+      // direct recompute over the surviving rows — a hash match proves
+      // the signed-partial merge reconstructs the post-delete view
+      """WITH o AS (SELECT o_custkey, o_totalprice,
+        |    (CAST(concat('0x', substring(sha256(concat(
+        |      CAST(o_orderkey AS VARCHAR), '_del')), 1, 14)) AS BIGINT)
+        |      % 20 = 1) AS deleted
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_live,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS total_price
+        |FROM o WHERE NOT deleted
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "agg_incremental" ->
       // full recompute — the invariant incremental maintenance must hold

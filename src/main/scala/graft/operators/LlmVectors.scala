@@ -1080,8 +1080,61 @@ object LlmVectors extends QueryGroup {
         .filter(col("rk") <= col("cap"))
         .select(col("label"), col("rk"), col("vec_id"))
         .orderBy("label", "rk")
+    },
+
+    "vec_random_projection" -> { (spark, dir) =>
+      // Johnson–Lindenstrauss sketch: 64-d float embeddings → 8-d via a
+      // ±1 sign matrix, plus the norm-preservation ratio the JL lemma
+      // promises in expectation (E[Σⱼpⱼ²/k] = ‖v‖²) — the cheap
+      // dimensionality cut before an ANN index or a pairwise sweep, at
+      // 8× less candidate-scoring work. The sign matrix is DERIVED, not
+      // stored: sign(j,i) = parity of the engine-independent 56-bit
+      // hash of "rp_j_i", computed ONCE at plan time in the JVM and
+      // inlined into the expression tree (zero hashing at runtime; the
+      // oracle inlines the same literals, see [[rpSignListSql]]). Every
+      // projection is a per-row sequential left fold of
+      // sign·(double)embᵢ — the CosineSim/list_sum fold-parity
+      // discipline (§5.4) — so doubles match DuckDB bit-for-bit. Pure
+      // map, no shuffle until the output sort; at 100 TB this is the
+      // projection stage of an index build: one pass, column-pruned to
+      // the embedding, output 8 doubles/row.
+      val e = (i: Int) => element_at(col("embedding"), i + 1).cast("double")
+      // 0.0-init left fold — the exact accumulation CosineSim codegen
+      // uses and §5.4 proved bit-identical to DuckDB's list_sum
+      def fold(terms: Seq[Column]) = terms.foldLeft(lit(0.0))(_ + _)
+      val ps = (0 until RpK).map { j =>
+        fold((0 until RpD).map(i =>
+          if (rpSigns(j)(i) > 0) e(i) else -e(i))).as(s"praw$j")
+      }
+      val n2 = fold((0 until RpD).map(i => e(i) * e(i))).as("n2raw")
+      Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id") +: col("label") +: n2 +: ps: _*)
+        .select(
+          Seq(col("vec_id"), col("label"),
+            Canon.round6(col("n2raw")).as("norm2"),
+            Canon.round6(
+              fold((0 until RpK).map(j =>
+                col(s"praw$j") * col(s"praw$j"))) / RpK / col("n2raw"))
+              .as("norm_ratio")) ++
+          (0 until RpK).map(j =>
+            Canon.round6(col(s"praw$j")).as(s"p$j")): _*)
+        .orderBy("vec_id")
     }
   )
+
+  /** JL sign matrix: ±1 from the parity of hash56("rp_<j>_<i>") — one
+    * derivation shared verbatim by the Spark plan (inlined constants)
+    * and the oracle SQL (inlined list literals).
+    */
+  private val RpK = 8
+  private val RpD = 64
+  private lazy val rpSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Array.tabulate(RpK, RpD)((j, i) =>
+      if (TextDedup.hash56Jvm(md, s"rp_${j}_$i") % 2 == 0) 1 else -1)
+  }
+  private def rpSignListSql(j: Int): String =
+    rpSigns(j).mkString("[", ", ", "]")
 
   def oracle = Map(
     "knn_cosine" ->
@@ -1634,7 +1687,34 @@ object LlmVectors extends QueryGroup {
         |      ORDER BY h, vec_id) AS BIGINT) AS rk
         |  FROM e)
         |SELECT label, rk, vec_id FROM r CROSS JOIN cap
-        |WHERE rk <= cap ORDER BY label, rk""".stripMargin
+        |WHERE rk <= cap ORDER BY label, rk""".stripMargin,
+
+    "vec_random_projection" -> {
+      // the ±1 sign lists are the SAME plan-time-derived literals the
+      // Spark expression inlines (rpSigns); list_sum's 0.0-init left
+      // fold is the proven CosineSim parity (§5.4). `+ 0.0` on each
+      // projection normalizes a tiny-negative round to signed zero.
+      val projCols = (0 until RpK).map(j =>
+        s"""  list_sum(list_transform(range(0, $RpD), i ->
+           |    (${rpSignListSql(j)})[i + 1]
+           |    * CAST(embedding[i + 1] AS DOUBLE))) AS praw$j""".stripMargin)
+        .mkString(",\n")
+      val sumP2 = (0 until RpK).map(j => s"praw$j * praw$j")
+        .mkString("0.0 + ", " + ", "")
+      val pOut = (0 until RpK).map(j =>
+        s"  CAST(round(praw$j, 6) + 0.0 AS DOUBLE) AS p$j").mkString(",\n")
+      s"""WITH b AS (SELECT vec_id, label,
+         |  list_sum(list_transform(range(0, $RpD), i ->
+         |    CAST(embedding[i + 1] AS DOUBLE)
+         |    * CAST(embedding[i + 1] AS DOUBLE))) AS n2raw,
+         |$projCols
+         |FROM embeddings)
+         |SELECT vec_id, label,
+         |  CAST(round(n2raw, 6) AS DOUBLE) AS norm2,
+         |  CAST(round(($sumP2) / $RpK / n2raw, 6) AS DOUBLE) AS norm_ratio,
+         |$pOut
+         |FROM b ORDER BY vec_id""".stripMargin
+    }
   )
 }
 

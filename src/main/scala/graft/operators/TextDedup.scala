@@ -215,7 +215,8 @@ object TextDedup {
     * bit-identical to the codegen expression — asserted indirectly by
     * the subset/score-equality specs against [[ngramJaccardPairs]].
     */
-  private def hash56Jvm(md: java.security.MessageDigest, s: String): Long = {
+  private[operators] def hash56Jvm(
+      md: java.security.MessageDigest, s: String): Long = {
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 0
