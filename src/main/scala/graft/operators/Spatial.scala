@@ -114,7 +114,19 @@ object Spatial extends QueryGroup {
       // flat ~2 s). Ties break to the smaller poi_id in the low bits.
       // The same shape serves any small reference set (chargers,
       // depots, geofences) at fleet scale.
-      val joined = points(spark, dir).crossJoin(broadcast(pois(spark, dir)))
+      //
+      // The mapPartitions identity is a MATERIALIZATION BARRIER for the
+      // synthetic sha-256 coordinates (the sigTable discipline):
+      // BroadcastNestedLoopJoin's whole-stage codegen defers stream-side
+      // expressions into the per-build-row loop, so without the barrier
+      // each event's px/py sha pair is recomputed 25× — measured 4.2 s
+      // → 0.7 s at sf0.1 with the plan otherwise unchanged. A real
+      // deployment reads stored coordinates and needs no barrier.
+      import spark.implicits._
+      val pts = points(spark, dir).select(col("event_id"), col("px"), col("py"))
+        .as[(Long, Long, Long)].mapPartitions(identity)
+        .toDF("event_id", "px", "py")
+      val joined = pts.crossJoin(broadcast(pois(spark, dir)))
         .withColumn("d2",
           (col("px") - col("qx")) * (col("px") - col("qx"))
             + (col("py") - col("qy")) * (col("py") - col("qy")))
