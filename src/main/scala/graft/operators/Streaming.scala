@@ -825,10 +825,74 @@ object Streaming extends QueryGroup {
           col("s.ts_us").as("ts_us"), col("s.event_id").as("event_id"),
           col("s.value").as("value"))
         .orderBy("user_id", "event_type")
+    },
+
+    "stream_trend" -> { (spark, dir) =>
+      // Streaming per-vehicle drift slope — the ONLINE form of
+      // events_trend: keyed state carries the six exact regression
+      // moments (t0, n, Σx, Σy, Σxy, Σx²) as integers (x = whole
+      // seconds since the vehicle's first report, y = micro-units via
+      // the same HALF_UP scale-6 rounding Spark's decimal cast applies),
+      // folded through flatMapGroupsWithState with each batch's rows
+      // admitted in event-time order (the stream_funnel ordering
+      // caveat). The closed-form slope recomputes from state at every
+      // emit, each exact sum crossing to double ONCE via correctly-
+      // rounded BigDecimal→double — bit-identical to the batch decimal
+      // staging, so events_trend's DuckDB oracle applies VERBATIM.
+      // State is 48 bytes/vehicle, partitioned across state stores;
+      // the integer sums hold while n·x·y stays under 2^63 (~3.5 M
+      // events/vehicle at full dynamic range — beyond that the sums
+      // fold in two-long form, the stat_anova bound discipline).
+      import spark.implicits._
+      val slopes = eventStream(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+          (Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, it: Iterator[(Long, Long, Long, Double)],
+              state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+            var (t0, n, sx, sy, sxy, sxx) = state.getOption
+              .getOrElse((Long.MaxValue, 0L, 0L, 0L, 0L, 0L))
+            it.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, v) =>
+              if (t0 == Long.MaxValue) t0 = ts
+              val x = (ts - t0) / 1000000L
+              val y = java.math.BigDecimal.valueOf(v)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
+              n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
+            }
+            state.update((t0, n, sx, sy, sxy, sxx))
+            // one correctly-rounded double per exact sum (scale-6 sums
+            // go through BigDecimal — Decimal.toDouble's exact path)
+            val nd = n.toDouble
+            val sxd = sx.toDouble
+            val sxxd = sxx.toDouble
+            val syd = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(sy), 6).doubleValue()
+            val sxyd = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(sxy), 6).doubleValue()
+            val den = nd * sxxd - sxd * sxd
+            val raw = if (den > 0) (nd * sxyd - sxd * syd) / den else 0.0
+            val slope = (if (raw >= 0) math.floor(raw * 1e6 + 0.5) / 1e6
+              else -math.floor(-raw * 1e6 + 0.5) / 1e6) + 0.0 // kill -0.0
+            Iterator.single((user, n, slope))
+        }
+      runToMemory(spark, slopes.toDF("user_id", "n", "slope_per_s"),
+          OutputMode.Append())
+        .groupBy("user_id")
+        .agg(max("n").as("n"),
+          expr("max_by(slope_per_s, n)").as("slope_per_s")) // last emit
+        .orderBy("user_id")
     }
   )
 
   def oracle = Map(
+    // the streaming fold reproduces the batch decimal staging exactly,
+    // so the batch query's oracle applies verbatim (one SQL, two paths)
+    "stream_trend" -> Telemetry.oracle("events_trend"),
+
     "win_tumbling_batch" ->
       s"""SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us, event_type,
          |  count(*) AS n,

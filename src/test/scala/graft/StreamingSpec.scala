@@ -15,6 +15,13 @@ class StreamingSpec extends SparkSpec {
     assert(rows("stream_funnel") == rows("events_funnel"))
   }
 
+  test("stream_trend equals the batch regression bit-for-bit") {
+    // the strongest unified-model statement in the suite: the streaming
+    // integer-moment fold and the batch decimal staging produce the
+    // SAME doubles, not just close ones
+    assert(rows("stream_trend") == rows("events_trend"))
+  }
+
   test("stream_funnel milestone state survives time-sharded multi-batch replay") {
     // the funnel state machine's contract: correct whenever no admitted
     // event is older than one already folded per user. Exercise it by
