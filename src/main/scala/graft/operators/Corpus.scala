@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Canon, QueryGroup, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -323,6 +323,67 @@ object Corpus extends QueryGroup {
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("c").desc, col("pair2"))).cast("long"))
         .select("rnk", "rule", "pair2", "c")
+        .orderBy("rnk")
+    },
+
+    "bpe_train" -> { (spark, dir) =>
+      // The full iterative BPE TRAINER (3 merge rounds, unrolled) — the
+      // piece bpe_pair_counts (statistic) and bpe_merge_apply (one
+      // step) build toward: each round counts adjacent symbol pairs
+      // weighted by word frequency, picks the best rule (max count, tie
+      // → lexicographically smallest), applies it to the vocabulary,
+      // and the next round counts over the MERGED symbols. Output is
+      // the ranked merge table a tokenizer ships.
+      //
+      // Symbols are wrapped "(sym)" and merges are LITERAL string
+      // replaces of "(l)(r)" → "(lr)": parens are structural (tokens
+      // are [a-z]+), so a multi-char rule can never match inside a
+      // larger symbol — the '|'-delimiter form bpe_merge_apply uses is
+      // only boundary-safe for the first round — and both engines'
+      // replace() scans left-to-right non-overlapping, which IS the BPE
+      // merge convention (consecutive pairs "(a)(a)(a)(a)" → two
+      // merges, the delimiter-sharing bug a space-joined form hits).
+      //
+      // Scale shape: the ONE corpus-sized pass is the word-count
+      // aggregate, checkpointed so the three rounds (re)read a
+      // vocabulary-sized table instead of re-scanning the corpus — at
+      // 100 TB this is precisely how tokenizer training stays feasible
+      // (SentencePiece-style frequency-table training). Each round is
+      // one vocab-sized explode+agg; each rule enters as a broadcast
+      // 1-row join, never a collected scalar.
+      val words = Tables.table(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .withColumn("enc", regexp_replace(col("w"), "(.)", "($1)"))
+        .select("wc", "enc")
+        .localCheckpoint()
+      def bestRule(vocab: DataFrame, k: Int): DataFrame = vocab
+        .withColumn("sym",
+          expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, size(sym) - 1)," +
+            " i -> concat(element_at(sym, i), '+', element_at(sym, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").cast("long").as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .select(lit(k.toLong).as("rnk"),
+          substring_index(col("pair"), "+", 1).as("l"),
+          substring_index(col("pair"), "+", -1).as("r"), col("c"))
+      def applyRule(vocab: DataFrame, rule: DataFrame): DataFrame = vocab
+        .crossJoin(broadcast(rule))
+        .withColumn("enc", expr(
+          "replace(enc, concat('(', l, ')(', r, ')')," +
+            " concat('(', l, r, ')'))"))
+        .select("wc", "enc")
+      val r1 = bestRule(words, 1)
+      val v1 = applyRule(words, r1)
+      val r2 = bestRule(v1, 2)
+      val v2 = applyRule(v1, r2)
+      val r3 = bestRule(v2, 3)
+      r1.unionByName(r2).unionByName(r3)
+        .select(col("rnk"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("c"))
         .orderBy("rnk")
     },
 
@@ -1048,6 +1109,38 @@ object Corpus extends QueryGroup {
         |SELECT CAST(row_number() OVER (ORDER BY c DESC, pair2) AS BIGINT)
         |    AS rnk, rule, pair2, c
         |FROM agg ORDER BY rnk""".stripMargin,
+
+    "bpe_train" -> {
+      // three unrolled rounds of the same CTE pair: pairs-from-symbols
+      // (RE2 '\(([a-z]+)\)' extraction — no lookarounds needed because
+      // parens are structural), best rule (max count, lexicographic
+      // tiebreak), literal "(l)(r)" → "(lr)" replace
+      def round(k: Int) =
+        s"""p$k AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM (
+           |    SELECT wc, unnest(list_transform(range(1, len(sym)),
+           |      i -> concat(sym[i], '+', sym[i + 1]))) AS pair
+           |    FROM (SELECT wc, regexp_extract_all(enc, '\\(([a-z]+)\\)', 1)
+           |            AS sym FROM v${k - 1})
+           |    WHERE len(sym) >= 2) GROUP BY pair),
+           |b$k AS (SELECT $k AS rnk, split_part(pair, '+', 1) AS l,
+           |    split_part(pair, '+', 2) AS r, c
+           |  FROM p$k ORDER BY c DESC, pair LIMIT 1),
+           |v$k AS (SELECT wc, replace(enc, concat('(', l, ')(', r, ')'),
+           |    concat('(', l, r, ')')) AS enc
+           |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
+      s"""WITH wr AS (SELECT w, count(*) AS wc FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |v0 AS (SELECT wc, regexp_replace(w, '(.)', '(\\1)', 'g') AS enc
+         |  FROM wr),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(rnk AS BIGINT) AS rnk, l, r, concat(l, r) AS merged, c
+         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+         |      UNION ALL SELECT * FROM b3)
+         |ORDER BY rnk""".stripMargin
+    },
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT w, count(*) AS wc FROM
