@@ -351,40 +351,41 @@ object Corpus extends QueryGroup {
       // (SentencePiece-style frequency-table training). Each round is
       // one vocab-sized explode+agg; each rule enters as a broadcast
       // 1-row join, never a collected scalar.
-      val words = Tables.table(spark, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .withColumn("enc", regexp_replace(col("w"), "(.)", "($1)"))
-        .select("wc", "enc")
-        .localCheckpoint()
-      def bestRule(vocab: DataFrame, k: Int): DataFrame = vocab
-        .withColumn("sym",
-          expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)"))
-        .filter(size(col("sym")) >= 2)
-        .select(col("wc"), explode(
-          expr("transform(sequence(1, size(sym) - 1)," +
-            " i -> concat(element_at(sym, i), '+', element_at(sym, i + 1)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("wc").cast("long").as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
-        .select(lit(k.toLong).as("rnk"),
-          substring_index(col("pair"), "+", 1).as("l"),
-          substring_index(col("pair"), "+", -1).as("r"), col("c"))
-      def applyRule(vocab: DataFrame, rule: DataFrame): DataFrame = vocab
-        .crossJoin(broadcast(rule))
-        .withColumn("enc", expr(
-          "replace(enc, concat('(', l, ')(', r, ')')," +
-            " concat('(', l, r, ')'))"))
-        .select("wc", "enc")
-      val r1 = bestRule(words, 1)
-      val v1 = applyRule(words, r1)
-      val r2 = bestRule(v1, 2)
-      val v2 = applyRule(v1, r2)
-      val r3 = bestRule(v2, 3)
-      r1.unionByName(r2).unionByName(r3)
+      bpeChain(spark, dir)._1
         .select(col("rnk"), col("l"), col("r"),
           concat(col("l"), col("r")).as("merged"), col("c"))
         .orderBy("rnk")
+    },
+
+    "bpe_encode" -> { (spark, dir) =>
+      // The INFERENCE side of bpe_train: encode every document with the
+      // trained merge table and report the token accounting a training-
+      // data pipeline actually budgets with — words, post-merge BPE
+      // tokens, characters, and the chars-per-token compression ratio.
+      // The encoded vocabulary (word → final symbol count after the 3
+      // merges) is vocabulary-sized and joins the exploded document
+      // words; the corpus-sized work is one explode + one co-keyed
+      // join + one doc-keyed aggregate. At 100 TB the trained vocab is
+      // a stored artifact and the encode pass is the only corpus scan —
+      // the same train-once/encode-everywhere split real tokenizers
+      // run.
+      val ntok = bpeChain(spark, dir)._2
+        .withColumn("ntok", size(
+          expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)"))
+          .cast("long"))
+        .select(col("w"), col("ntok"))
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(ntok, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("ntok").as("n_tokens"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          Canon.round6(col("n_chars").cast("double")
+            / col("n_tokens").cast("double")).as("chars_per_token"))
+        .orderBy("doc_id")
     },
 
     "train_shuffle" -> { (spark, dir) =>
@@ -962,6 +963,80 @@ object Corpus extends QueryGroup {
   private def h56Sql(e: String): String =
     s"CAST(concat('0x', substring(sha256($e), 1, 14)) AS BIGINT)"
 
+  /** The shared 3-round BPE training chain: returns (merge table with
+    * (rnk, l, r, c), final encoded vocabulary with (w, wc, enc)). The
+    * word-count aggregate — the one corpus-sized pass — is
+    * localCheckpoint'ed so the rounds and any encode consumer read a
+    * vocabulary-sized table. Each round's rule enters as a broadcast
+    * 1-row join.
+    */
+  private def bpeChain(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val words = Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("enc", regexp_replace(col("w"), "(.)", "($1)"))
+      .select("w", "wc", "enc")
+      .localCheckpoint()
+    def bestRule(vocab: DataFrame, k: Int): DataFrame = vocab
+      .withColumn("sym",
+        expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)"))
+      .filter(size(col("sym")) >= 2)
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, size(sym) - 1)," +
+          " i -> concat(element_at(sym, i), '+', element_at(sym, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wc").cast("long").as("c"))
+      .orderBy(col("c").desc, col("pair")).limit(1)
+      .select(lit(k.toLong).as("rnk"),
+        substring_index(col("pair"), "+", 1).as("l"),
+        substring_index(col("pair"), "+", -1).as("r"), col("c"))
+    def applyRule(vocab: DataFrame, rule: DataFrame): DataFrame = vocab
+      .crossJoin(broadcast(rule))
+      .withColumn("enc", expr(
+        "replace(enc, concat('(', l, ')(', r, ')')," +
+          " concat('(', l, r, ')'))"))
+      .select("w", "wc", "enc")
+    val r1 = bestRule(words, 1)
+    val v1 = applyRule(words, r1)
+    val r2 = bestRule(v1, 2)
+    val v2 = applyRule(v1, r2)
+    val r3 = bestRule(v2, 3)
+    val v3 = applyRule(v2, r3)
+    (r1.unionByName(r2).unionByName(r3), v3)
+  }
+
+  /** Shared oracle CTE chain for the 3-round BPE trainer: three
+    * unrolled rounds of the same pair — pairs-from-symbols (RE2
+    * '\(([a-z]+)\)' extraction; no lookarounds needed because parens
+    * are structural), best rule (max count, lexicographic tiebreak),
+    * literal "(l)(r)" → "(lr)" replace. Yields CTEs b1..b3 (rules) and
+    * v3 (final encoded vocabulary, keyed by w).
+    */
+  private val bpeCtesSql: String = {
+    def round(k: Int) =
+      s"""p$k AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(sym)),
+         |      i -> concat(sym[i], '+', sym[i + 1]))) AS pair
+         |    FROM (SELECT wc, regexp_extract_all(enc, '\\(([a-z]+)\\)', 1)
+         |            AS sym FROM v${k - 1})
+         |    WHERE len(sym) >= 2) GROUP BY pair),
+         |b$k AS (SELECT $k AS rnk, split_part(pair, '+', 1) AS l,
+         |    split_part(pair, '+', 2) AS r, c
+         |  FROM p$k ORDER BY c DESC, pair LIMIT 1),
+         |v$k AS (SELECT w, wc, replace(enc, concat('(', l, ')(', r, ')'),
+         |    concat('(', l, r, ')')) AS enc
+         |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
+    s"""wr AS (SELECT w, count(*) AS wc FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |v0 AS (SELECT w, wc, regexp_replace(w, '(.)', '(\\1)', 'g') AS enc
+       |  FROM wr),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   def oracle = Map(
     "graph_triangles" ->
       ("WITH " + LlmText.ngramGlobalPairsCte + """,
@@ -1110,37 +1185,28 @@ object Corpus extends QueryGroup {
         |    AS rnk, rule, pair2, c
         |FROM agg ORDER BY rnk""".stripMargin,
 
-    "bpe_train" -> {
-      // three unrolled rounds of the same CTE pair: pairs-from-symbols
-      // (RE2 '\(([a-z]+)\)' extraction — no lookarounds needed because
-      // parens are structural), best rule (max count, lexicographic
-      // tiebreak), literal "(l)(r)" → "(lr)" replace
-      def round(k: Int) =
-        s"""p$k AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM (
-           |    SELECT wc, unnest(list_transform(range(1, len(sym)),
-           |      i -> concat(sym[i], '+', sym[i + 1]))) AS pair
-           |    FROM (SELECT wc, regexp_extract_all(enc, '\\(([a-z]+)\\)', 1)
-           |            AS sym FROM v${k - 1})
-           |    WHERE len(sym) >= 2) GROUP BY pair),
-           |b$k AS (SELECT $k AS rnk, split_part(pair, '+', 1) AS l,
-           |    split_part(pair, '+', 2) AS r, c
-           |  FROM p$k ORDER BY c DESC, pair LIMIT 1),
-           |v$k AS (SELECT wc, replace(enc, concat('(', l, ')(', r, ')'),
-           |    concat('(', l, r, ')')) AS enc
-           |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
-      s"""WITH wr AS (SELECT w, count(*) AS wc FROM
-         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  GROUP BY w),
-         |v0 AS (SELECT wc, regexp_replace(w, '(.)', '(\\1)', 'g') AS enc
-         |  FROM wr),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+    "bpe_train" ->
+      s"""WITH $bpeCtesSql
          |SELECT CAST(rnk AS BIGINT) AS rnk, l, r, concat(l, r) AS merged, c
          |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
          |      UNION ALL SELECT * FROM b3)
-         |ORDER BY rnk""".stripMargin
-    },
+         |ORDER BY rnk""".stripMargin,
+
+    "bpe_encode" ->
+      // same trained chain; the final vocabulary's symbol count joins
+      // the exploded document words
+      s"""WITH $bpeCtesSql,
+         |nt AS (SELECT w, CAST(len(regexp_extract_all(enc,
+         |    '\\(([a-z]+)\\)', 1)) AS BIGINT) AS ntok FROM v3),
+         |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         |  CAST(round(CAST(sum(len(w)) AS DOUBLE)
+         |    / CAST(sum(ntok) AS DOUBLE), 6) AS DOUBLE) AS chars_per_token
+         |FROM d JOIN nt USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT w, count(*) AS wc FROM
