@@ -555,4 +555,64 @@ class PlanSpec extends SparkSpec {
         s"user $u day $d: $v outside [$lo, $hi]")
     }
   }
+
+  test("geo_nearest_poi: coords materialize BEFORE the broadcast NL join") {
+    // the r7 fix: BroadcastNestedLoopJoin codegen defers stream-side
+    // expressions into the per-build-row loop, so the sha-256 synthetic
+    // coords must be computed behind a mapPartitions barrier — the scan
+    // side of the join must NOT contain the sha2 projection
+    val sp = q("geo_nearest_poi").queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.length == 1)
+    val streamSide = joins.head.left.toString
+    assert(streamSide.contains("MapPartitions"),
+      "the mapPartitions barrier must feed the join's stream side")
+    // the sha2 projection must sit BELOW the barrier: nothing between
+    // the join and MapPartitions may recompute it in the 25x loop
+    val aboveBarrier = streamSide.substring(0,
+      streamSide.indexOf("MapPartitions"))
+    assert(!aboveBarrier.contains("sha2"),
+      "coords must come from the barrier, not be recomputed 25x in-loop")
+  }
+
+  test("dedup_lsh_tuning: banded equi-joins only; truth enters broadcast") {
+    val s = p("dedup_lsh_tuning")
+    assert(!s.contains("CartesianProduct"))
+    // nested-loop joins: the 1-row truth-count attach, plus (at tiny
+    // fixture sizes only) the planner may pick NL for the truth
+    // self-join — never for the band candidate joins, which must be
+    // equi (hash or sort-merge) at every size
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).length <= 2)
+    assert(
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+        .findAllIn(s).nonEmpty,
+      "band candidate joins must be equi-joins")
+  }
+
+  test("bpe_train: rules enter as broadcasts; corpus pass is checkpointed") {
+    val s = p("bpe_train")
+    // three merge rules attach as 1-row broadcast nested-loop joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).length >= 3)
+    // the vocabulary reads from the localCheckpoint RDD, not a rescan
+    assert(s.contains("ExistingRDD") || s.contains("Scan ExistingRDD"),
+      "word counts must come from the checkpoint, not re-aggregate the corpus")
+  }
+
+  test("ivm_retract: both signed partial aggregates are map-side combined") {
+    val s = p("ivm_retract")
+    assert("HashAggregate".r.findAllIn(s).length >= 4,
+      "partial+final for base AND retraction partials")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("vec_random_projection: pure map — no exchange before the sort") {
+    val s = p("vec_random_projection")
+    // one exchange total: the final presentation sort's range partition
+    assert("Exchange".r.findAllIn(s).length <= 2,
+      "projection must not shuffle (only the output sort may)")
+    assert(!s.contains("Join"))
+  }
 }
