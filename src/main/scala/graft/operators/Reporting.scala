@@ -375,6 +375,51 @@ object Reporting extends QueryGroup {
         .orderBy("c_nationkey")
     },
 
+    "dq_volume_drift" -> { (spark, dir) =>
+      // Ingest-volume DRIFT monitor — the time-series DQ check the
+      // static dq_expectations family can't express: each (day,
+      // event_type)'s row count compares against the MEDIAN of its own
+      // previous 7 observations; >1.5× flags a spike (double-ingest,
+      // replay), <0.5× a drop (a producer went dark). Median, not
+      // mean: one prior spike day must not mask a real drop. The
+      // 7-observation frame holds exactly 7 values, so the median is
+      // the exact middle integer — zero interpolation ambiguity
+      // cross-engine; warm-up rows (fewer than 7 priors) are excluded.
+      // Shape: one day-grid aggregate (corpus-sized pass), then the
+      // window runs over |days|×|types| rows — at 100 TB the monitor
+      // costs one groupBy, and the daily grid is the stored artifact a
+      // scheduler appends to.
+      // The monitored stream is the RARE slice (value > 300 — the
+      // "error-rate" shape where drift detection earns its keep), and
+      // the daily grid is ZERO-FILLED from the full traffic's
+      // (day × type) frame: a day with no qualifying events must
+      // surface as cnt = 0 — total silence is the primary failure a
+      // volume monitor exists to catch, and a grid built only from
+      // observed slice rows silently skips it.
+      val DayUs = 86400000000L
+      val ev = Tables.events(spark, dir)
+      val grid = ev.select(expr(s"ts_us div $DayUs").as("day")).distinct()
+        .crossJoin(ev.select("event_type").distinct())
+      val daily = ev.filter(col("value") > 300)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c0"))
+      val filled = grid.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("c0"), lit(0L)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      filled
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("med7", expr("percentile(cnt, 0.5)").over(w))
+        .filter(col("n7") === 7)
+        .select(col("day"), col("event_type"), col("cnt"),
+          col("med7").cast("double").as("med7"),
+          when(col("cnt") > lit(1.5) * col("med7"), lit("spike"))
+            .when(col("cnt") < lit(0.5) * col("med7"), lit("drop"))
+            .otherwise(lit("ok")).as("status"))
+        .orderBy("day", "event_type")
+    },
+
     "dq_key_skew" -> { (spark, dir) =>
       // Join-key skew audit — the pre-flight that decides salted vs
       // plain shuffles (the sizing input of the join_salted machinery):
@@ -657,6 +702,28 @@ object Reporting extends QueryGroup {
   )
 
   def oracle = Map(
+    "dq_volume_drift" ->
+      """WITH g AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |d AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    count(*) AS c0
+        |  FROM events WHERE value > 300 GROUP BY 1, 2),
+        |f AS (SELECT g.day, t.event_type,
+        |    CAST(coalesce(d.c0, 0) AS BIGINT) AS cnt
+        |  FROM g CROSS JOIN t
+        |  LEFT JOIN d ON d.day = g.day AND d.event_type = t.event_type),
+        |wn AS (SELECT day, event_type, cnt,
+        |    count(*) OVER w AS n7,
+        |    median(cnt) OVER w AS med7
+        |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, event_type, cnt, CAST(med7 AS DOUBLE) AS med7,
+        |  CASE WHEN cnt > 1.5 * med7 THEN 'spike'
+        |       WHEN cnt < 0.5 * med7 THEN 'drop'
+        |       ELSE 'ok' END AS status
+        |FROM wn WHERE n7 = 7 ORDER BY day, event_type""".stripMargin,
+
     "orders_yoy_growth" ->
       """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |    o_orderpriority,

@@ -34,4 +34,14 @@ class NonDegeneracySpec extends SparkSpec {
     assert(empties.isEmpty,
       s"degenerate (empty) at sf0.001: ${empties.mkString(", ")}")
   }
+
+  test("dq_volume_drift flags at least one anomaly at the oracle SF") {
+    // the rare-slice + zero-filled-grid design exists so the monitor
+    // actually trips on the fixtures; all-'ok' would be the degenerate
+    // all-zero report this spec family guards against
+    val statuses = q("dq_volume_drift", sfDir01)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.contains("spike") || statuses.contains("drop"),
+      s"monitor never fired: $statuses")
+  }
 }
