@@ -983,6 +983,59 @@ object LlmVectors extends QueryGroup {
         .orderBy("vec_id")
     },
 
+    "knn_search_pq" -> { (spark, dir) =>
+      // ADC (asymmetric distance) SEARCH over the PQ codes — the
+      // production serving path vec_pq's encode builds toward: each
+      // query computes one 8×16 slice-distance LOOKUP TABLE against the
+      // codebook (128 codegen SqDist folds per query, independent of
+      // corpus size), and every stored vector's approximate distance is
+      // then just 8 table lookups summed — no float math against the
+      // corpus at all, which is why PQ serves billion-vector indexes
+      // from RAM. Summation is over pico-quantized longs (the vec_pq
+      // discipline): exact, order-free, and the RANKING key, so ties
+      // and ordering are engine-identical; the double form is
+      // presentation only. Shape: codes = one vec-keyed argmin agg
+      // (the encode pass, stored at scale); LUT = |Q|×128 rows,
+      // broadcast; ADC = codes ⋈ LUT on (j, code) + one (q, vec) sum;
+      // top-3 via a q-keyed window over |Q|×n rows — at 100 TB the
+      // per-partition bounded heap (the Knn.search reducer) replaces
+      // the window, same as knn_search documents.
+      val emb = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("sid"),
+          transform(col("embedding"), x => x.cast("double")).as("semb"))
+      val codes = emb.crossJoin(broadcast(seeds))
+        .withColumn("j", explode(sequence(lit(0), lit(7))))
+        .withColumn("d2", graft.functions.SqDist.sqDist(
+          slice(col("embedding"), col("j") * 8 + 1, lit(8)),
+          slice(col("semb"), col("j") * 8 + 1, lit(8))))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d2"), col("sid"))).as("m"))
+        .select(col("vec_id"), col("j"), col("m.sid").as("sid"))
+      val lut = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(seeds))
+        .withColumn("j", explode(sequence(lit(0), lit(7))))
+        .select(col("q_id"), col("j"), col("sid"),
+          floor(graft.functions.SqDist.sqDist(
+            slice(col("qe"), col("j") * 8 + 1, lit(8)),
+            slice(col("semb"), col("j") * 8 + 1, lit(8))) * 1e12 + 0.5)
+            .cast("long").as("qp"))
+      codes.join(broadcast(lut), Seq("j", "sid"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("qp").as("p"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("p"), col("vec_id")))
+          .cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("idx_id"),
+          Canon.round6(col("p").cast("double") / 1e12).as("adc_dist"))
+        .orderBy("q_id", "rank")
+    },
+
     "dedup_media_exact" -> { (spark, dir) =>
       // Media-dedup TRIAGE over the opaque binary payload — the fdupes
       // discipline at corpus scale: candidate groups key on
@@ -1622,6 +1675,42 @@ object LlmVectors extends QueryGroup {
         |  CAST(round(sqrt(CAST(q AS DOUBLE) / 1e12), 6) AS DOUBLE)
         |    AS recon_err
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "knn_search_pq" ->
+      // same codebook/codes CTEs as vec_pq; the ADC sum ranks by the
+      // exact pico-long (HUGEINT there, long here — same order)
+      """WITH s AS (SELECT vec_id AS sid, embedding AS semb
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, j, s.sid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE))
+        |         * (CAST(e.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN s
+        |    CROSS JOIN (SELECT unnest(range(8)) AS j)),
+        |codes AS (SELECT vec_id, j, sid FROM (
+        |    SELECT vec_id, j, sid, row_number() OVER (
+        |      PARTITION BY vec_id, j ORDER BY d2, sid) AS rn FROM d)
+        |  WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, j, s.sid,
+        |    CAST(floor(list_sum(list_transform(range(1, 9),
+        |      i -> (CAST(q.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE))
+        |         * (CAST(q.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE))))
+        |      * 1e12 + 0.5) AS BIGINT) AS qp
+        |  FROM embeddings q CROSS JOIN s
+        |    CROSS JOIN (SELECT unnest(range(8)) AS j)
+        |  WHERE q.vec_id % 50 = 0),
+        |adc AS (SELECT l.q_id, c.vec_id, sum(l.qp) AS p
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.sid = c.sid
+        |  WHERE l.q_id <> c.vec_id GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, p, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY p, vec_id) AS rank FROM adc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS idx_id,
+        |  CAST(round(CAST(p AS DOUBLE) / 1e12, 6) AS DOUBLE) AS adc_dist
+        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "dedup_media_exact" ->
       // DuckDB sha256 over the same bytes (text payload ≡ its UTF-8
