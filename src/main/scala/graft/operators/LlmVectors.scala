@@ -983,6 +983,63 @@ object LlmVectors extends QueryGroup {
         .orderBy("vec_id")
     },
 
+    "vec_pq_train" -> { (spark, dir) =>
+      // PQ codebook TRAINING — one Lloyd refinement per subspace,
+      // completing the lifecycle vec_pq (encode) and knn_search_pq
+      // (serve) sit in: E-step assigns every vector's 8-dim slice to
+      // its nearest seed entry, M-step recomputes each (subspace,
+      // entry) centroid as the exact-decimal per-position mean of its
+      // members (the vec_kmeans discipline — member order cannot
+      // perturb the mean), re-encode against the refined book, and
+      // report per-subspace quantization error before/after. Lloyd
+      // guarantees monotone non-increase; `improved` is computed from
+      // the exact pico-quantized longs so both engines decide it
+      // identically, and the spec asserts it holds on all 8 subspaces.
+      // Empty clusters drop out of the refined book (both engines
+      // agree); at 100 TB each iteration is the same two shuffles at
+      // any corpus size — slice-explode+mean (k·m·8 rows out) and the
+      // broadcast re-encode.
+      val emb = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("sid"),
+          transform(col("embedding"), x => x.cast("double")).as("semb"))
+      val a0 = emb.crossJoin(broadcast(seeds))
+        .withColumn("j", explode(sequence(lit(0), lit(7))))
+        .withColumn("d2", graft.functions.SqDist.sqDist(
+          slice(col("embedding"), col("j") * 8 + 1, lit(8)),
+          slice(col("semb"), col("j") * 8 + 1, lit(8))))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d2"), col("sid"))).as("m"),
+          first(col("embedding")).as("e")) // constant within the group
+        .select(col("vec_id"), col("j"), col("m.sid").as("sid"),
+          col("m.d2").as("d2"),
+          slice(col("e"), col("j") * 8 + 1, lit(8)).as("sl"))
+      val before = a0.groupBy("j")
+        .agg(sum(floor(col("d2") * 1e12 + 0.5).cast("long")).as("pb"))
+      val cent = a0
+        .select(col("j"), col("sid"), posexplode(col("sl")).as(Seq("p", "v")))
+        .groupBy("j", "sid", "p")
+        .agg((sum(col("v").cast("double").cast(DecimalType(38, 20)))
+          .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("j").as("cj"), col("sid").as("csid"))
+        .agg(transform(sort_array(collect_list(struct(col("p"), col("c")))),
+          s => s.getField("c")).as("carr"))
+      val after = emb.crossJoin(broadcast(cent))
+        .withColumn("d2n", graft.functions.SqDist.sqDist(
+          slice(col("embedding"), col("cj") * 8 + 1, lit(8)), col("carr")))
+        .groupBy("vec_id", "cj")
+        .agg(min(struct(col("d2n"), col("csid"))).as("m"))
+        .groupBy(col("cj").as("j"))
+        .agg(sum(floor(col("m.d2n") * 1e12 + 0.5).cast("long")).as("pa"))
+      before.join(after, "j")
+        .select(col("j").cast("long").as("j"),
+          Canon.round6(col("pb").cast("double") / 1e12).as("err_before"),
+          Canon.round6(col("pa").cast("double") / 1e12).as("err_after"),
+          (col("pa") <= col("pb")).as("improved"))
+        .orderBy("j")
+    },
+
     "knn_search_pq" -> { (spark, dir) =>
       // ADC (asymmetric distance) SEARCH over the PQ codes — the
       // production serving path vec_pq's encode builds toward: each
@@ -1675,6 +1732,51 @@ object LlmVectors extends QueryGroup {
         |  CAST(round(sqrt(CAST(q AS DOUBLE) / 1e12), 6) AS DOUBLE)
         |    AS recon_err
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "vec_pq_train" ->
+      // same E/M staging: decimal per-position means, row_number
+      // argmin with (d2, sid) ties, pico-long error folds; sums CAST
+      // to BIGINT so pandas doesn't render HUGEINT as float
+      """WITH s AS (SELECT vec_id AS sid, embedding AS semb
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, j, s.sid, e.embedding,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE))
+        |         * (CAST(e.embedding[8 * j + i] AS DOUBLE)
+        |              - CAST(s.semb[8 * j + i] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN s
+        |    CROSS JOIN (SELECT unnest(range(8)) AS j)),
+        |a0 AS (SELECT vec_id, j, sid, d2, embedding FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d2, sid) AS rn FROM d) WHERE rn = 1),
+        |pb AS (SELECT j,
+        |    CAST(sum(CAST(floor(d2 * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS pb FROM a0 GROUP BY j),
+        |m AS (SELECT j, sid, p,
+        |    CAST(sum(CAST(CAST(embedding[8 * j + p] AS DOUBLE)
+        |      AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS c
+        |  FROM a0 CROSS JOIN (SELECT unnest(range(1, 9)) AS p)
+        |  GROUP BY 1, 2, 3),
+        |cent AS (SELECT j AS cj, sid AS csid, list(c ORDER BY p) AS carr
+        |  FROM m GROUP BY 1, 2),
+        |d1 AS (SELECT e.vec_id, cj, csid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[8 * cj + i] AS DOUBLE) - carr[i])
+        |         * (CAST(e.embedding[8 * cj + i] AS DOUBLE) - carr[i])))
+        |      AS d2n
+        |  FROM embeddings e CROSS JOIN cent),
+        |a1 AS (SELECT vec_id, cj, d2n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, cj
+        |      ORDER BY d2n, csid) AS rn FROM d1) WHERE rn = 1),
+        |pa AS (SELECT cj AS j,
+        |    CAST(sum(CAST(floor(d2n * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS pa FROM a1 GROUP BY 1)
+        |SELECT CAST(j AS BIGINT) AS j,
+        |  CAST(round(CAST(pb AS DOUBLE) / 1e12, 6) AS DOUBLE) AS err_before,
+        |  CAST(round(CAST(pa AS DOUBLE) / 1e12, 6) AS DOUBLE) AS err_after,
+        |  (pa <= pb) AS improved
+        |FROM pb JOIN pa USING (j) ORDER BY j""".stripMargin,
 
     "knn_search_pq" ->
       // same codebook/codes CTEs as vec_pq; the ADC sum ranks by the

@@ -73,4 +73,14 @@ class Wave52Spec extends SparkSpec {
     // (expected ~1.5% for 3 picks of ~500)
     assert(hits * 5 >= tot, s"ADC recall collapsed: $hits/$tot")
   }
+
+  test("vec_pq_train: one Lloyd step reduces error on every subspace") {
+    val rows = q("vec_pq_train").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("improved"), s"subspace ${r.getAs[Long]("j")}")
+      assert(r.getAs[Double]("err_after") < r.getAs[Double]("err_before"),
+        "Lloyd monotonicity must hold strictly on this fixture")
+    }
+  }
 }
