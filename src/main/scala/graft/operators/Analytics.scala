@@ -572,6 +572,44 @@ object Analytics extends QueryGroup {
         .orderBy("part_a", "part_b")
     },
 
+    "er_golden_record" -> { (spark, dir) =>
+      // The entity-resolution BACK half er_blocked's pairs feed:
+      // matched pairs → connected components (one entity per
+      // component, distributed hash-min propagation) → SURVIVORSHIP —
+      // the golden record each entity ships: canonical name by
+      // priority rule (lowest partkey — min_by, deterministic on the
+      // unique key), carried block attributes, and the price
+      // min/max/spread that tells a catalog team how inconsistent the
+      // duplicates are. Entities are ≥ 2 members by construction
+      // (vertices come from edges). Shape: the blocked candidate join
+      // (Σ block², never n²) + CC + ONE entity-keyed agg; at 100 TB
+      // survivorship is a map-side-combinable agg over |matched
+      // records|, not the catalog.
+      val p = Tables.table(spark, dir, "part")
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand")
+            && col("a.p_size") === col("b.p_size")
+            && col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("part_a"),
+          col("b.p_partkey").as("part_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 3)
+      val comp = Graph.connectedComponents(pairs, "part_a", "part_b")
+        .withColumnRenamed("id", "p_partkey")
+      comp.join(p, "p_partkey")
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          expr("min_by(p_name, p_partkey)").as("canonical_name"),
+          min("p_brand").as("brand"), min("p_size").as("size"),
+          min("p_retailprice").as("price_min"),
+          max("p_retailprice").as("price_max"))
+        .select(col("entity_id"), col("n_members"), col("canonical_name"),
+          col("brand"), col("size"), col("price_min"), col("price_max"),
+          Canon.round2(col("price_max") - col("price_min"))
+            .as("price_spread"))
+        .orderBy("entity_id")
+    },
+
     "events_attribution" -> { (spark, dir) =>
       // Last-touch conversion attribution: each purchase is credited to
       // the user's most recent PRIOR non-purchase event type ('direct'
@@ -868,6 +906,31 @@ object Analytics extends QueryGroup {
          |    AS DOUBLE) AS share
          |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
     },
+
+    "er_golden_record" ->
+      // recursive-closure components over the same blocked pair set
+      // (fixture-scale declarative spec of the distributed CC), then
+      // the survivorship aggregate; arg_min is DuckDB's min_by
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |    AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |e AS (SELECT pa AS a, pb AS b FROM pr
+        |      UNION ALL SELECT pb, pa FROM pr),
+        |r(id, m) AS (SELECT DISTINCT a, a FROM e
+        |  UNION
+        |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.id),
+        |comp AS (SELECT id, min(m) AS entity_id FROM r GROUP BY id)
+        |SELECT c.entity_id, count(*) AS n_members,
+        |  arg_min(p.p_name, p.p_partkey) AS canonical_name,
+        |  min(p.p_brand) AS brand, min(p.p_size) AS size,
+        |  min(p.p_retailprice) AS price_min,
+        |  max(p.p_retailprice) AS price_max,
+        |  CAST(floor((max(p.p_retailprice) - min(p.p_retailprice)) * 100
+        |    + 0.5) / 100 AS DOUBLE) AS price_spread
+        |FROM comp c JOIN part p ON p.p_partkey = c.id
+        |GROUP BY c.entity_id ORDER BY entity_id""".stripMargin,
 
     "er_blocked" ->
       """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,

@@ -22,7 +22,7 @@ class NonDegeneracySpec extends SparkSpec {
     *    within any (brand, size) block — fuzzy duplicates only appear
     *    from sf0.01's 2 000 parts up.
     */
-  private val emptyAtSmallestSf = Set("er_blocked")
+  private val emptyAtSmallestSf = Set("er_blocked", "er_golden_record")
 
   test("every batch query returns rows at sf0.001") {
     val empties = SparkEntry.queries.keys.toSeq.sorted
