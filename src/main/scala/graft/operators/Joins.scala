@@ -345,10 +345,54 @@ object Joins extends QueryGroup {
         .agg(count(lit(1)).as("n_pairs"),
           Canon.moneySum(col("s_acctbal")).as("bal_sum"))
         .orderBy(col("k").asc_nulls_first)
+    },
+
+    "join_bloom" -> { (spark, dir) =>
+      // Bloom-filter semi-join reduction: the runtime-filter pattern for
+      // the case where the build side's ROWS are too big to broadcast but
+      // its KEY SET fits a bloom sketch (10^8 keys @ 3% fpp ≈ 90 MB).
+      // Build: distributed treeAggregate of the urgent-order keys into
+      // one BloomFilter (df.stat.bloomFilter), broadcast once; probe:
+      // lineitem rows are pre-filtered map-side BEFORE the join shuffle,
+      // so ~4/5 of the probe never pays exchange I/O. False positives
+      // (~1%) pass the pre-filter and are dropped by the exact join that
+      // follows — the result is bit-identical to the plain join, which is
+      // exactly what the oracle checks. This is the hand-rolled form of
+      // Spark's own InjectRuntimeFilter
+      // (spark.sql.optimizer.runtime.bloomFilter.enabled), written out so
+      // the mechanism is visible and spec-testable; the UDF is the one
+      // documented non-codegen step, applied post-scan at map side where
+      // it trades a hash per row for a shuffle write per row.
+      val urgent = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .filter(mightContain(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Canon.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
 
   def oracle = Map(
+    "join_bloom" ->
+      // the bloom pre-filter is a pure reduction (no false negatives), so
+      // the oracle is the PLAIN exact join — any sketch bug that drops or
+      // duplicates a row hash-fails here
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "join_asof_nearest" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |    event_type,

@@ -126,4 +126,31 @@ class JoinSpec extends SparkSpec {
       .collect().map(r => (Some(r.getLong(0)), r.getLong(1))).toSet
     assert(rows.filter(_._1.isDefined).toSet == plain)
   }
+
+  test("join_bloom: result identical to plain exact join; filter reduces the probe") {
+    val dir = sfDir01
+    val bloomed = q("join_bloom", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Tables.table(spark, dir, "lineitem")
+      .join(Tables.table(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        Canon.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bloomed == plain, "bloom pre-filter must not change the result")
+    // the pre-filter must actually reduce: urgent is ~1/5 of orders, so
+    // survivors ≈ 20% + fpp; assert well under half the probe passes
+    val li = Tables.table(spark, dir, "lineitem")
+    val urgent = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mc = udf((k: Long) => bfB.value.mightContain(k))
+    val passed = li.filter(mc(col("l_orderkey"))).count()
+    assert(passed.toDouble / li.count() < 0.5,
+      s"bloom should prune most of the probe side (passed $passed)")
+  }
 }
