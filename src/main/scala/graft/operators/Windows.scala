@@ -284,6 +284,40 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "features_target_encode" -> { (spark, dir) =>
+      // Smoothed TARGET ENCODING of a categorical feature — the standard
+      // trick for feeding high-cardinality categories to a model:
+      // encode(seg) = (Σ_seg target + m·global_mean) / (n_seg + m), m=50,
+      // shrinking small categories toward the prior. Numeric policy:
+      // order totals sum in exact DECIMAL (order-free partial agg), the
+      // global mean and each encode collapse those exact scalars in ONE
+      // fixed-order IEEE expression — bit-stable cross-engine. Shape: one
+      // fact⋈dim join (dim broadcast; at 100 TB a shuffle join with the
+      // same downstream), ONE map-side-combined agg to |segments| rows,
+      // and the 1-row global aggregate broadcast back via cross join —
+      // the encode table itself is then a broadcast dim for the training
+      // join. High-cardinality variant: same plan, the |categories|-row
+      // result simply partitions; nothing here is per-row state.
+      val seg = Tables.table(spark, dir, "orders")
+        .join(broadcast(Tables.table(spark, dir, "customer")
+            .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_totalprice").cast(Canon.Dec).as("t"))
+      val bySeg = seg.groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"), sum("t").as("ssum"))
+      val global = seg.agg(sum("t").as("gsum"), count(lit(1)).as("gn"))
+      val m = lit(50.0d)
+      bySeg.crossJoin(broadcast(global))
+        .select(col("segment"), col("n_orders"),
+          Canon.round6(col("ssum").cast("double")
+            / col("n_orders").cast("double")).as("seg_mean"),
+          Canon.round6((col("ssum").cast("double")
+              + m * (col("gsum").cast("double") / col("gn").cast("double")))
+            / (col("n_orders").cast("double") + m)).as("encoded"))
+        .orderBy("segment")
+    },
+
     "win_ewma" -> { (spark, dir) =>
       // Exponentially weighted moving average (α = ½) over the last 10
       // readings per vehicle — the time-series smoother between
@@ -356,6 +390,30 @@ object Windows extends QueryGroup {
   )
 
   def oracle = Map(
+    "features_target_encode" ->
+      // identical staging: exact decimal sums, one double cast each, the
+      // same fixed-order scalar expression for mean and encode
+      """WITH j AS (SELECT c_mktsegment AS segment,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS t
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT CAST(sum(t) AS DOUBLE) AS gsum,
+        |    CAST(count(*) AS DOUBLE) AS gn FROM j),
+        |s AS (SELECT segment, count(*) AS n_orders,
+        |    CAST(sum(t) AS DOUBLE) AS ssum FROM j GROUP BY segment),
+        |f AS (SELECT segment, n_orders,
+        |    ssum / CAST(n_orders AS DOUBLE) AS mn,
+        |    (ssum + 50.0 * (gsum / gn))
+        |      / (CAST(n_orders AS DOUBLE) + 50.0) AS enc
+        |  FROM s CROSS JOIN g)
+        |SELECT segment, n_orders,
+        |  CAST(CASE WHEN mn >= 0 THEN floor(mn * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-mn * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
+        |    AS seg_mean,
+        |  CAST(CASE WHEN enc >= 0 THEN floor(enc * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-enc * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
+        |    AS encoded
+        |FROM f ORDER BY segment""".stripMargin,
+
     "features_pit_assemble" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |    event_type, value,

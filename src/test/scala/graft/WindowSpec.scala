@@ -210,4 +210,29 @@ class WindowSpec extends SparkSpec {
       assert(covered <= counts(u) * 1800, s"vehicle $u covered=$covered")
     }
   }
+
+  test("features_target_encode: shrinkage pulls every segment toward the prior") {
+    import org.apache.spark.sql.functions._
+    val rows = q("features_target_encode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 5, "five market segments")
+    // recompute the global mean the same way
+    val j = Tables.table(spark, sfDir, "orders")
+      .join(Tables.table(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+    val g = j.agg(sum(col("o_totalprice").cast(Canon.Dec)).cast("double"),
+      count(lit(1))).head()
+    val gmean = g.getDouble(0) / g.getLong(1)
+    rows.foreach { case (seg, n, segMean, enc) =>
+      assert(n > 0)
+      // encoded must lie between the segment mean and the global mean
+      // (convex combination with weight n/(n+m)) — allow rounding slack
+      val lo = math.min(segMean, gmean) - 1e-4
+      val hi = math.max(segMean, gmean) + 1e-4
+      assert(enc >= lo && enc <= hi, s"$seg: enc=$enc outside [$lo,$hi]")
+      // and be strictly closer to the segment mean than the prior is,
+      // since n >> 0 here
+      assert(math.abs(enc - segMean) <= math.abs(gmean - segMean) + 1e-4)
+    }
+  }
 }
