@@ -373,6 +373,33 @@ object LlmText extends QueryGroup {
         .orderBy("lang", "rnk")
     },
 
+    "text_hashing_trick" -> { (spark, dir) =>
+      // FEATURE HASHING (the "hashing trick"): token → one of D=64
+      // buckets via the engine-independent 56-bit hash, with a ±1 sign
+      // from the next hash bit so colliding tokens cancel in expectation
+      // (Weinberger et al.'s signed variant). The point at 100 TB: the
+      // feature space is FIXED-WIDTH — no vocabulary build, no global
+      // dictionary shuffle, a brand-new token maps to a bucket
+      // statelessly, so the op is a pure per-row map + one (doc, bucket)
+      // partial agg. Emitted for the deterministic 1-in-97 doc sample
+      // (the per-doc vectors are the product; the sample keeps the
+      // driver compare bounded) — nothing in the plan depends on the
+      // sample rate.
+      val D = 64
+      Tables.table(spark, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .withColumn("h", tokHash56(col("t")))
+        .withColumn("bucket", col("h") % D)
+        // `div` = exact integer division (the `/` Column operator would
+        // route a 56-bit long through double and clip its low bits)
+        .withColumn("sign",
+          when(expr(s"(h div $D) % 2") === 0, lit(1L)).otherwise(lit(-1L)))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("n_tokens"), sum("sign").as("tf_signed"))
+        .orderBy("doc_id", "bucket")
+    },
+
     "text_contamination" -> { (spark, dir) =>
       // train/eval decontamination — the benchmark-leakage check every
       // LLM data pipeline runs before training: eval set = doc_id ≡ 0
@@ -1204,6 +1231,20 @@ object LlmText extends QueryGroup {
         |    ORDER BY n_docs DESC, token) AS rnk FROM c)
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, n_docs
         |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    "text_hashing_trick" ->
+      // same 56-bit hash, same integer bucket/sign arithmetic; DuckDB's
+      // // is integer division on BIGINT
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |h AS (SELECT doc_id, $tokHash56Sql AS h FROM t),
+         |b AS (SELECT doc_id, h % 64 AS bucket,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+         |  FROM h)
+         |SELECT doc_id, bucket, count(*) AS n_tokens,
+         |  CAST(sum(sign) AS BIGINT) AS tf_signed
+         |FROM b GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin,
 
     "text_contamination" ->
       """WITH t AS (SELECT doc_id,

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 waves 55-57: bloom semi-join reduction, target encoding,
+  * feature hashing. join_bloom's equivalence test lives in JoinSpec;
+  * target-encode shrinkage in WindowSpec. Here: the hashing-trick
+  * invariants that the oracle's hash-compare can't express.
+  */
+class Wave55Spec extends SparkSpec {
+
+  test("text_hashing_trick: bucket range, sign parity, token conservation") {
+    val rows = q("text_hashing_trick").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, bucket, n, signed) =>
+      assert(bucket >= 0 && bucket < 64, s"doc $doc bucket $bucket")
+      assert(math.abs(signed) <= n, "signed sum bounded by token count")
+      // each token contributes ±1: parity of the signed sum must match n
+      assert(((n - signed) % 2 + 2) % 2 == 0, s"doc $doc parity")
+    }
+    // conservation: Σ n_tokens over buckets == plain token count per doc
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expect = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(perDoc == expect, "hashing must not drop or duplicate tokens")
+  }
+
+  test("text_hashing_trick: feature space is fixed-width (≤64 buckets/doc)") {
+    val byDoc = q("text_hashing_trick").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    byDoc.values.foreach(b => assert(b.length <= 64))
+  }
+}
