@@ -220,6 +220,33 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "scan_agg_pushdown" -> { (spark, dir) =>
+      // Aggregate PUSHDOWN into the parquet scan: COUNT/MIN/MAX are
+      // answered from row-group FOOTER STATISTICS — the scan reads
+      // metadata pages only, zero data pages. At 100 TB this turns a
+      // full-table statistics probe (the planner's own NDV/bounds
+      // refresh, freshness checks, partition audits) from a cluster-wide
+      // scan into a listing-speed operation. Spark gates this behind the
+      // V2 parquet source (spark.sql.parquet.aggregatePushdown +
+      // emptying useV1SourceList), so the query runs in a CHILD session
+      // (shared SparkContext, isolated SQLConf) — the flags never leak
+      // into sibling queries in the same JVM. Constraints honored here:
+      // no residual filter, no non-partition grouping — exactly the
+      // shapes the footer can answer; anything else silently falls back
+      // to a normal scan WITH THE SAME RESULT, which is what the oracle
+      // checks.
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // note: timestamp columns are excluded — parquet footer min/max on
+      // TIMESTAMP is not eligible (deprecated int96/logical-type hazard)
+      // and ONE ineligible aggregate vetoes pushdown for the whole query
+      s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+    },
+
     "source_orc" -> { (spark, dir) =>
       // Second columnar format: orders round-tripped through ORC (the
       // jars ship with Spark; same vectorized reader + pushdown + Hive
@@ -393,6 +420,12 @@ object Scans extends QueryGroup {
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "scan_full" ->
       s"SELECT * FROM lineitem ORDER BY $lineitemKeySql",
+
+    "scan_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        |FROM lineitem""".stripMargin,
 
     "scan_pruned" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem

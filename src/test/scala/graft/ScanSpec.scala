@@ -198,4 +198,20 @@ class ScanSpec extends SparkSpec {
       }
     }
   }
+
+  test("scan_agg_pushdown: aggregates answered from parquet footers") {
+    import org.apache.spark.sql.functions._
+    val df = q("scan_agg_pushdown")
+    val p = plan(df)
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      "COUNT/MIN/MAX must reach the scan, not run as HashAggregate:\n" + p)
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_partkey)"),
+      "all five aggregates pushed:\n" + p)
+    // and the pushed plan agrees with the plain (v1, unpushed) aggregate
+    val r = df.head()
+    val e = Tables.table(spark, sfDir, "lineitem")
+      .agg(count(lit(1)), min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+    assert(r.toSeq == e.toSeq, s"pushed $r vs plain $e")
+  }
 }
