@@ -420,6 +420,37 @@ object Reporting extends QueryGroup {
         .orderBy("day", "event_type")
     },
 
+    "dq_freshness" -> { (spark, dir) =>
+      // Ingest FRESHNESS monitor — the "is anything stale right now"
+      // complement of dq_volume_drift's history scan: per stream
+      // (event_type), the lag of its newest row behind the newest row
+      // anywhere, plus day-coverage (distinct active days / global
+      // days). "Now" is the data's own max ts — wall-clock never enters,
+      // so the check is deterministic and replayable. All integer µs/day
+      // arithmetic, zero float. Shape: ONE map-side-combined agg to
+      // |streams| rows + a broadcast 1-row global; at 100 TB this rides
+      // the same pass as any other per-stream stat — and the global max
+      // alone is footer-metadata cheap (scan_agg_pushdown's point).
+      val DayUs = 86400000000L
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("ts_us"),
+          expr(s"ts_us div $DayUs").as("day"))
+      val per = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max("ts_us").as("last_ts_us"),
+          countDistinct("day").as("n_days"))
+      val global = ev.agg(max("ts_us").as("gmax"),
+        countDistinct("day").as("gdays"))
+      per.crossJoin(broadcast(global))
+        .select(col("event_type"), col("n_events"), col("last_ts_us"),
+          (col("gmax") - col("last_ts_us")).as("lag_us"),
+          expr(s"(gmax - last_ts_us) div $DayUs").as("lag_days"),
+          col("n_days"), col("gdays"),
+          when((col("gmax") - col("last_ts_us")) > 2 * DayUs, lit("stale"))
+            .otherwise(lit("fresh")).as("status"))
+        .orderBy("event_type")
+    },
+
     "dq_key_skew" -> { (spark, dir) =>
       // Join-key skew audit — the pre-flight that decides salted vs
       // plain shuffles (the sizing input of the join_salted machinery):
@@ -702,6 +733,23 @@ object Reporting extends QueryGroup {
   )
 
   def oracle = Map(
+    "dq_freshness" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |p AS (SELECT event_type, count(*) AS n_events,
+        |    max(ts_us) AS last_ts_us,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM e
+        |  GROUP BY event_type),
+        |g AS (SELECT max(ts_us) AS gmax,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS gdays FROM e)
+        |SELECT event_type, n_events, last_ts_us,
+        |  gmax - last_ts_us AS lag_us,
+        |  (gmax - last_ts_us) // 86400000000 AS lag_days,
+        |  n_days, gdays,
+        |  CASE WHEN gmax - last_ts_us > 2 * 86400000000 THEN 'stale'
+        |    ELSE 'fresh' END AS status
+        |FROM p CROSS JOIN g ORDER BY event_type""".stripMargin,
+
     "dq_volume_drift" ->
       """WITH g AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
         |  FROM events),

@@ -33,4 +33,18 @@ class Wave55Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
     byDoc.values.foreach(b => assert(b.length <= 64))
   }
+
+  test("dq_freshness: the data's own max ts anchors the lag; flags match the rule") {
+    val rows = q("dq_freshness").collect().map(r =>
+      (r.getString(0), r.getLong(3), r.getLong(4), r.getString(7)))
+    assert(rows.nonEmpty)
+    // at least one stream IS the global max → lag 0, fresh
+    assert(rows.exists(_._2 == 0L), "freshest stream must have zero lag")
+    rows.foreach { case (t, lagUs, lagDays, status) =>
+      assert(lagUs >= 0, s"$t: negative lag")
+      assert(lagDays == lagUs / 86400000000L, s"$t: day arithmetic")
+      val expect = if (lagUs > 2 * 86400000000L) "stale" else "fresh"
+      assert(status == expect, s"$t: status $status for lag $lagUs")
+    }
+  }
 }
