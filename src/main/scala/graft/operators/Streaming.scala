@@ -419,6 +419,31 @@ object Streaming extends QueryGroup {
         .orderBy("bucket_us", "event_type")
     },
 
+    "stream_distinct_users" -> { (spark, dir) =>
+      // Streaming EXACT windowed distinct — the cardinality query
+      // Structured Streaming refuses as COUNT(DISTINCT) (distinct aggs
+      // need a full regroup per trigger): keyed state instead carries
+      // the per-(day, type) user SET via collect_set, whose merge is
+      // set-union — associative and idempotent, so re-delivered rows
+      // and partial merges land on the same end state, and the replay
+      // equals the batch answer bit-for-bit (the oracle). State bound:
+      // |users active that day| per key — fine for per-day fleet
+      // cardinalities; when the key's cardinality itself is the
+      // problem, the scale paths are approx_count_distinct (HLL state,
+      // stream_* twin of agg_hll_merge) or the chained
+      // dropDuplicates→count pipeline, both trading this query's
+      // exactness for O(1)/O(dups) state.
+      val DayUs = 86400000000L
+      val agg = eventStream(spark, dir)
+        .withWatermark("ts_t", "10 minutes")
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          size(collect_set(col("user_id"))).cast("long").as("n_users"))
+      runToMemory(spark, agg, OutputMode.Complete())
+        .orderBy("day", "event_type")
+    },
+
     "stream_ohlc" -> { (spark, dir) =>
       // Streaming candlestick compaction — the online twin of
       // events_ohlc: per (vehicle, hour) open/high/low/close maintained
@@ -932,6 +957,13 @@ object Streaming extends QueryGroup {
          |SELECT win_us, n_events FROM agg, b
          |WHERE win_us + $HourUs <= mx - $GapUs
          |ORDER BY win_us""".stripMargin,
+
+    "stream_distinct_users" ->
+      // replay end-state == the batch distinct count (set-union merge)
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "stream_tumbling" ->
       s"""SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us, event_type,

@@ -47,4 +47,20 @@ class Wave55Spec extends SparkSpec {
       assert(status == expect, s"$t: status $status for lag $lagUs")
     }
   }
+
+  test("stream_distinct_users: replay end-state equals the batch distinct count") {
+    import org.apache.spark.sql.functions._
+    val got = q("stream_distinct_users").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(expr("ts_us div 86400000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == batch, "set-union state must converge to the batch answer")
+    got.foreach { case (_, _, n, u) => assert(u <= n && u >= 1) }
+  }
 }
