@@ -280,6 +280,35 @@ object Joins extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    "agg_bucketed" -> { (spark, dir) =>
+      // Exchange-free AGGREGATION on the bucketed layout — the other
+      // half of join_bucketed's amortized-shuffle story: a groupBy on
+      // the bucket key is satisfied by the scan's hash-clustered output,
+      // so the aggregate runs in ONE stage with no exchange before it
+      // (JoinSpec asserts it; the only shuffle in the plan is the final
+      // presentation sort). At 100 TB this is why fact tables get
+      // bucketed by their natural aggregation key: every recurring
+      // per-key rollup — not just joins — skips the shuffle forever.
+      // Same table name as join_bucketed → the layout is laid once per
+      // JVM and shared between both queries.
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_buckets/p${ProcessHandle.current().pid()}/$suffix"
+      val tbl = s"graft_lineitem_b_$suffix"
+      if (!spark.catalog.tableExists(tbl))
+        Tables.table(spark, dir, "lineitem").write
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem")
+          .mode("overwrite").saveAsTable(tbl)
+      spark.table(tbl)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          // quantities are integral in the fixture — the long cast keeps
+          // the sum order-free exact (raw double sum would be weather)
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          Canon.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_orderkey")
+    },
+
     "join_asof_native" -> { (spark, dir) =>
       // Same semantics as join_asof, through the custom Catalyst operator
       // (graft.plans.AsOfJoinNode/Strategy/Exec): co-partitioned sorted
@@ -382,6 +411,13 @@ object Joins extends QueryGroup {
   )
 
   def oracle = Map(
+    "agg_bucketed" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
     "join_bloom" ->
       // the bloom pre-filter is a pure reduction (no false negatives), so
       // the oracle is the PLAIN exact join — any sketch bug that drops or

@@ -40,6 +40,20 @@ class JoinSpec extends SparkSpec {
       "scan must recognize the bucket layout")
   }
 
+  test("agg_bucketed: single-stage aggregate, no exchange below the agg") {
+    val p = plan(q("agg_bucketed"))
+    val tree = p.split("\n\n")(0).split("\n")
+    val aggIdx = tree.indexWhere(_.contains("HashAggregate"))
+    assert(aggIdx >= 0, "HashAggregate missing:\n" + p)
+    // everything below the (lowest) aggregate is its subtree — the scan
+    // must feed it directly, with no shuffle; the only exchange allowed
+    // in the whole plan is the presentation sort above
+    val lastAgg = tree.lastIndexWhere(_.contains("HashAggregate"))
+    assert(!tree.drop(lastAgg).exists(_.contains("Exchange")),
+      "bucketed layout must satisfy the groupBy distribution:\n" + p)
+    assert(p.contains("Bucketed: true"), "scan must use the bucket layout")
+  }
+
   test("semi + anti partition the customer set") {
     val semi = q("join_semi").count()
     val anti = q("join_anti").count()
