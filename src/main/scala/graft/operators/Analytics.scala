@@ -572,6 +572,37 @@ object Analytics extends QueryGroup {
         .orderBy("part_a", "part_b")
     },
 
+    "er_sorted_neighbors" -> { (spark, dir) =>
+      // Sorted-Neighborhood-Method blocking — the SORT-based classic
+      // next to er_blocked's hash blocking: order records by a sort key,
+      // compare each with its next w=3 successors only (O(n·w), never
+      // n²). Distributed form: the window partitions by the sort key's
+      // FIRST TOKEN (the SNM block), so the sort is per-block, not one
+      // global task; cross-block boundary pairs are out of scope by the
+      // blocking predicate — the same trade every SNM deployment makes,
+      // and the oracle applies the identical predicate. At 100 TB the
+      // per-block windows ride one hash exchange; a skewed block salts
+      // like any hot key. lead() hands each comparison its neighbors
+      // without a self-join — the plan is exchange+sort+window+filter.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("blk").orderBy("p_name", "p_partkey")
+      val s = Tables.table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val withLeads = s.select(col("p_partkey"), col("p_name"),
+        array((1 to 3).map(g => struct(lit(g).cast("long").as("gap"),
+          lead("p_partkey", g).over(w).as("part_b"),
+          lead("p_name", g).over(w).as("name_b"))): _*).as("cands"))
+      withLeads
+        .select(col("p_partkey").as("part_a"), col("p_name"),
+          explode(col("cands")).as("c"))
+        .select(col("part_a"), col("c.gap").as("gap"),
+          col("c.part_b").as("part_b"),
+          levenshtein(col("p_name"), col("c.name_b")).as("dist"))
+        .filter(col("part_b").isNotNull && col("dist") <= 3)
+        .orderBy("part_a", "gap")
+    },
+
     "er_golden_record" -> { (spark, dir) =>
       // The entity-resolution BACK half er_blocked's pairs feed:
       // matched pairs → connected components (one entity per
@@ -906,6 +937,24 @@ object Analytics extends QueryGroup {
          |    AS DOUBLE) AS share
          |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
     },
+
+    "er_sorted_neighbors" ->
+      """WITH s AS (SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS blk FROM part),
+        |w AS (SELECT p_partkey AS part_a, p_name,
+        |    lead(p_partkey, 1) OVER win AS k1, lead(p_name, 1) OVER win AS n1,
+        |    lead(p_partkey, 2) OVER win AS k2, lead(p_name, 2) OVER win AS n2,
+        |    lead(p_partkey, 3) OVER win AS k3, lead(p_name, 3) OVER win AS n3
+        |  FROM s WINDOW win AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+        |u AS (SELECT part_a, 1 AS gap, k1 AS part_b,
+        |    levenshtein(p_name, n1) AS dist FROM w WHERE k1 IS NOT NULL
+        |  UNION ALL SELECT part_a, 2, k2, levenshtein(p_name, n2)
+        |    FROM w WHERE k2 IS NOT NULL
+        |  UNION ALL SELECT part_a, 3, k3, levenshtein(p_name, n3)
+        |    FROM w WHERE k3 IS NOT NULL)
+        |SELECT part_a, CAST(gap AS BIGINT) AS gap, part_b,
+        |  CAST(dist AS INTEGER) AS dist
+        |FROM u WHERE dist <= 3 ORDER BY part_a, gap""".stripMargin,
 
     "er_golden_record" ->
       // recursive-closure components over the same blocked pair set

@@ -63,4 +63,36 @@ class Wave55Spec extends SparkSpec {
     assert(got == batch, "set-union state must converge to the batch answer")
     got.foreach { case (_, _, n, u) => assert(u <= n && u >= 1) }
   }
+
+  test("er_sorted_neighbors: sound (every pair truly matches) and window-complete") {
+    val parts = Tables.table(spark, sfDir, "part")
+      .select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = q("er_sorted_neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, _, b, dist) =>
+      assert(parts(a).split(" ")(0) == parts(b).split(" ")(0),
+        s"$a,$b cross first-word blocks")
+      assert(lev(parts(a), parts(b)) == dist && dist <= 3)
+    }
+    // completeness within the declared window: brute-force the same
+    // block-sorted gap≤3 neighbor scan and demand the identical pair set
+    val expect = parts.toSeq.map { case (k, n) => (n.split(" ")(0), n, k) }
+      .groupBy(_._1).values.flatMap { blk =>
+        val sorted = blk.sortBy(t => (t._2, t._3))
+        for (i <- sorted.indices; g <- 1 to 3 if i + g < sorted.length
+             if lev(sorted(i)._2, sorted(i + g)._2) <= 3)
+          yield (sorted(i)._3, g.toLong, sorted(i + g)._3)
+      }.toSet
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet == expect)
+  }
 }
