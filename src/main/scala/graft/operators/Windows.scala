@@ -284,6 +284,46 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    "features_rolling_slope" -> { (spark, dir) =>
+      // Rolling REGRESSION SLOPE — the momentum feature next to
+      // features_rolling_stats' level features: per event, the
+      // least-squares slope of value over elapsed-seconds within the
+      // trailing-10 frame. x is GLOBAL per user (seconds since first
+      // report, events_trend's staging) so the five frame sums are sums
+      // of per-row terms — associative, exact in decimal, order-free
+      // under partial aggregation; the closed-form slope then collapses
+      // five scalars in one fixed-order IEEE expression. Everything
+      // rides the ONE user_id exchange: min-ts window, frame sums,
+      // slope. NULL when the frame is degenerate (n < 2 or zero x
+      // variance), identically in both engines.
+      val W = org.apache.spark.sql.expressions.Window
+      val wAll = W.partitionBy("user_id")
+      val w10 = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-9, 0)
+      val decX = org.apache.spark.sql.types.DecimalType(10, 0)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").cast(Canon.Dec).as("yd"))
+        .withColumn("xd",
+          expr("(ts_us - min(ts_us) OVER (PARTITION BY user_id)) div 1000000")
+            .cast(decX))
+        .withColumn("n", count(lit(1)).over(w10))
+        .withColumn("sx", sum("xd").over(w10))
+        .withColumn("sy", sum("yd").over(w10))
+        .withColumn("sxy", sum(col("xd") * col("yd")).over(w10))
+        .withColumn("sxx", sum(col("xd") * col("xd")).over(w10))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("n"),
+          Canon.round6(when(
+            col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") > 0,
+            (col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))))
+            .as("slope"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "features_target_encode" -> { (spark, dir) =>
       // Smoothed TARGET ENCODING of a categorical feature — the standard
       // trick for feeding high-cardinality categories to a model:
@@ -390,6 +430,35 @@ object Windows extends QueryGroup {
   )
 
   def oracle = Map(
+    "features_rolling_slope" ->
+      // identical staging: global per-user x, exact decimal frame sums,
+      // one double cast each, the same fixed-order closed form
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(value AS DECIMAL(18,6)) AS yd FROM events),
+        |b AS (SELECT user_id, ts_us, event_id, yd,
+        |    CAST((ts_us - min(ts_us) OVER (PARTITION BY user_id))
+        |      // 1000000 AS DECIMAL(10,0)) AS xd FROM e),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    count(*) OVER w AS n,
+        |    sum(xd) OVER w AS sx, sum(yd) OVER w AS sy,
+        |    sum(xd * yd) OVER w AS sxy, sum(xd * xd) OVER w AS sxx
+        |  FROM b WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN 9 PRECEDING
+        |    AND CURRENT ROW)),
+        |s AS (SELECT user_id, ts_us, event_id, n,
+        |    CASE WHEN n * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |      THEN (n * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (n * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS sl
+        |  FROM f)
+        |SELECT user_id, ts_us, event_id, n,
+        |  CAST(CASE WHEN sl >= 0 THEN floor(sl * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-sl * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
+        |    AS slope
+        |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "features_target_encode" ->
       // identical staging: exact decimal sums, one double cast each, the
       // same fixed-order scalar expression for mean and encode

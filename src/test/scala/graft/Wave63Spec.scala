@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 waves 63+: rolling-slope feature (and siblings). The oracle
+  * proves cross-engine hash equality; here the MATH is pinned against a
+  * from-scratch JVM least squares on the same frames.
+  */
+class Wave63Spec extends SparkSpec {
+
+  test("features_rolling_slope matches a JVM least squares per trailing frame") {
+    val got = q("features_rolling_slope").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    val events = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    var checked = 0
+    events.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val t0 = sorted.map(_._2).min
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 9), i + 1)
+        val xs = frame.map(r => ((r._2 - t0) / 1000000L).toDouble)
+        val ys = frame.map(_._4)
+        val n = frame.length.toDouble
+        val sx = xs.sum; val sy = ys.sum
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val sxx = xs.map(a => a * a).sum
+        val det = n * sxx - sx * sx
+        val expect = if (det > 0) Some((n * sxy - sx * sy) / det) else None
+        val key = (u, sorted(i)._2, sorted(i)._3)
+        val (gn, gs) = got(key)
+        assert(gn == frame.length, s"$key frame size")
+        (gs, expect) match {
+          case (None, None) => ()
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-4, s"$key slope $a vs $b")
+          case other => fail(s"$key nullability mismatch: $other")
+        }
+        checked += 1
+      }
+    }
+    assert(checked == got.size && checked > 0)
+  }
+}
