@@ -153,6 +153,51 @@ object Windows extends QueryGroup {
         .orderBy("c_custkey")
     },
 
+    "agg_histogram_equidepth" -> { (spark, dir) =>
+      // Equi-DEPTH histogram (the optimizer-statistics twin of
+      // agg_histogram's equi-width buckets): 8 tiles of equal row count
+      // over o_totalprice, each reporting [lo, hi] and its exact count —
+      // the boundary table a cost model or a monotone-split planner
+      // actually consumes. Built with win_ntile's distributed two-phase
+      // exact rank (approx cuts for BALANCE only, per-bucket row_number
+      // + broadcast carry-in offsets for the EXACT global rank — never a
+      // single-task global sort), then one tiny 8-group aggregate. min/
+      // max are exact element picks, so no float arithmetic enters the
+      // hash. The heavy exchange is the one B-way pre-bucket hash — the
+      // same shape at any corpus size.
+      val ord = Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val B = 32
+      val qs = (1 until B).map(i => i.toDouble / B).mkString(",")
+      val cuts = ord.agg(
+        expr(s"approx_percentile(o_totalprice, array($qs), 10000)").as("cuts"))
+      val bucketed = ord.crossJoin(broadcast(cuts))
+        .withColumn("bkt", expr("size(filter(cuts, c -> c < o_totalprice))"))
+        .drop("cuts")
+      val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n", sum("cnt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bkt", "off", "n")
+      val inBkt = Window.partitionBy("bkt")
+        .orderBy("o_totalprice", "o_orderkey")
+      bucketed
+        .withColumn("rn", row_number().over(inBkt).cast("long"))
+        .join(broadcast(offs), "bkt")
+        .withColumn("r", col("off") + col("rn"))
+        .withColumn("tile",
+          expr("""CASE WHEN r <= (n % 8) * (n div 8 + 1)
+                 |     THEN (r - 1) div (n div 8 + 1) + 1
+                 |     ELSE n % 8 + (r - 1 - (n % 8) * (n div 8 + 1)) div (n div 8) + 1
+                 |END""".stripMargin))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("tile")
+    },
+
     "win_first_last" -> { (spark, dir) =>
       // first_value / last_value / nth_value over the FULL partition
       // frame (unbounded both ways) — the deterministic form: the frame
@@ -430,6 +475,16 @@ object Windows extends QueryGroup {
   )
 
   def oracle = Map(
+    "agg_histogram_equidepth" ->
+      // the declarative spec of the same tiles: ntile(8) under the
+      // identical total order, then the per-tile bounds
+      """WITH t AS (SELECT o_totalprice,
+        |    ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+        |  FROM orders)
+        |SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n_rows,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+
     "features_rolling_slope" ->
       // identical staging: global per-user x, exact decimal frame sums,
       // one double cast each, the same fixed-order closed form

@@ -45,4 +45,35 @@ class Wave63Spec extends SparkSpec {
     }
     assert(checked == got.size && checked > 0)
   }
+
+  test("agg_histogram_equidepth: depths balanced, bounds contiguous, no single-task sort") {
+    val rows = q("agg_histogram_equidepth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1L to 8L))
+    val total = Tables.table(spark, sfDir, "orders").count()
+    assert(rows.map(_._2).sum == total)
+    // SQL ntile law: depths differ by at most one, larger tiles first
+    val depths = rows.map(_._2)
+    assert(depths.max - depths.min <= 1)
+    assert(depths.sameElements(depths.sortBy(-_)))
+    // bounds are monotone and contiguous: each tile's lo ≥ previous hi
+    rows.sliding(2).foreach { case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+      assert(lo2 >= hi1, s"tile bounds overlap: $hi1 then $lo2")
+    }
+    rows.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    // plan guard (win_ntile's law): an unpartitioned window may only run
+    // over the tiny B-row bucket aggregate, never the input table
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = q("agg_histogram_equidepth").queryExecution.sparkPlan
+    sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.find {
+          case _: BaseAggregateExec => true; case _ => false
+        }.isDefined, "global window must sit over the B-row aggregate only")
+      }
+    assert(sp.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
+      .nonEmpty, "the per-bucket local rank must be a partitioned window")
+  }
 }
