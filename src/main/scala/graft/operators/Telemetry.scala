@@ -608,6 +608,39 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_twap" -> { (spark, dir) =>
+      // TIME-weighted average — the sampling-robust mean every telemetry
+      // and market-data backend pairs with the count-weighted one: per
+      // (vehicle, day), Σ valueᵢ·Δtᵢ / Σ Δtᵢ under piecewise-constant
+      // hold-to-next within the day (the last reading of a day holds
+      // nothing — no synthetic extrapolation enters the statistic). A
+      // vehicle reporting 100× faster while idle no longer drags the
+      // mean; the plain avg would. Numerics: value is exact CENTS
+      // (integral ×100 in the fixture), Δt exact µs, each term
+      // cents·Δt ≤ 5e4·8.6e10 ≈ 4e15 — the day sum stays inside
+      // DECIMAL(38,0) with zero loss; ONE double division at the end.
+      // Shape: lead() and the day agg share the (user, day) exchange —
+      // no second shuffle.
+      val DayUs = 86400000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr(s"ts_us div $DayUs").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .withColumn("dt", lead("ts_us", 1).over(w) - col("ts_us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("dt")).as("span_us"),
+          sum((col("cents") * col("dt"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("wsum"))
+        .select(col("user_id"), col("day"), col("n_holds"), col("span_us"),
+          Canon.round6(col("wsum").cast("double")
+            / col("span_us").cast("double") / 100.0d).as("twap"))
+        .orderBy("user_id", "day")
+    },
+
     "events_ohlc" -> { (spark, dir) =>
       // Candlestick compaction: per (vehicle, hour) open/high/low/close
       // of the signal — the canonical telemetry downsample for charting
@@ -1107,6 +1140,27 @@ object Telemetry extends QueryGroup {
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    ELSE 0.0 END, 6) + 0.0 AS DOUBLE) AS slope_per_s
         |FROM s ORDER BY user_id""".stripMargin,
+
+    "events_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT user_id, day, cents,
+        |    lead(ts_us, 1) OVER (PARTITION BY user_id, day
+        |      ORDER BY ts_us, event_id) - ts_us AS dt
+        |  FROM e),
+        |a AS (SELECT user_id, day, count(*) AS n_holds,
+        |    sum(dt) AS span_us,
+        |    sum(CAST(cents * dt AS DECIMAL(38,0))) AS wsum
+        |  FROM h WHERE dt IS NOT NULL GROUP BY user_id, day),
+        |f AS (SELECT user_id, day, n_holds, CAST(span_us AS BIGINT) AS span_us,
+        |    CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS tw
+        |  FROM a)
+        |SELECT user_id, day, n_holds, span_us,
+        |  CAST(CASE WHEN tw >= 0 THEN floor(tw * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-tw * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE) AS twap
+        |FROM f ORDER BY user_id, day""".stripMargin,
 
     "events_ohlc" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value

@@ -76,4 +76,32 @@ class Wave63Spec extends SparkSpec {
     assert(sp.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
       .nonEmpty, "the per-bucket local rank must be a partitioned window")
   }
+
+  test("events_twap: bounded by day min/max value; uniform cadence degenerates to the mean") {
+    val rows = q("events_twap").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(r => (r._1, r._2 / 86400000000L))
+    rows.foreach { case ((u, d), (nHolds, spanUs, twap)) =>
+      val day = ev((u, d)).sortBy(r => (r._2, r._3))
+      assert(nHolds == day.length - 1, s"($u,$d) holds")
+      assert(spanUs == day.last._2 - day.head._2, s"($u,$d) span")
+      // TWAP is a convex combination of the held values (all but last)
+      val held = day.dropRight(1).map(_._4)
+      assert(twap >= held.min - 1e-6 && twap <= held.max + 1e-6,
+        s"($u,$d) twap $twap outside [${held.min},${held.max}]")
+      // JVM recompute with the same integer staging
+      val dts = day.sliding(2).map(p => p(1)._2 - p(0)._2).toSeq
+      val cents = held.map(v => math.floor(v * 100 + 0.5).toLong)
+      val expect = cents.zip(dts).map { case (c, t) =>
+        BigDecimal(c) * BigDecimal(t) }.sum.toDouble / spanUs / 100.0
+      assert(math.abs(twap - expect) < 1e-5, s"($u,$d) $twap vs $expect")
+    }
+    // every (user, day) with ≥2 events must appear
+    assert(rows.size == ev.count(_._2.length >= 2))
+  }
 }
