@@ -247,6 +247,34 @@ object Scans extends QueryGroup {
           min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
     },
 
+    "source_compaction" -> { (spark, dir) =>
+      // Small-files COMPACTION — the lake-maintenance primitive every
+      // streaming/CDC ingest needs: a fragmented table (here: staged as
+      // 64 shard files, the micro-batch residue shape) rewritten into
+      // few right-sized files. The compactor is repartition(4) — one
+      // round-robin exchange sized so each output file lands near the
+      // row-group sweet spot; at 100 TB the same job computes
+      // targetFiles = ceil(bytes / 128 MB) per partition and runs
+      // incrementally on fresh partitions only. Both layouts publish
+      // once per fixture snapshot via ArtifactCache; the TIMED path is
+      // the compacted read. The oracle reads the ORIGINAL table — a
+      // hash match proves compaction moved every row, invented none,
+      // and the spec asserts the 64 → ≤4 file-count drop.
+      val fragmented = ArtifactCache.path("fragmented_lineitem",
+        Seq(s"$dir/lineitem.parquet")) { staging =>
+        Tables.table(spark, dir, "lineitem")
+          .repartition(64)
+          .write.mode("overwrite").parquet(staging)
+      }
+      val compacted = ArtifactCache.withWriter(spark, "compacted_lineitem",
+        Seq(s"$dir/lineitem.parquet")) { staging =>
+        spark.read.parquet(fragmented)
+          .repartition(4)
+          .write.mode("overwrite").parquet(staging)
+      }
+      compacted.orderBy(lineitemKey.map(col): _*)
+    },
+
     "source_orc" -> { (spark, dir) =>
       // Second columnar format: orders round-tripped through ORC (the
       // jars ship with Spark; same vectorized reader + pushdown + Hive
@@ -419,6 +447,9 @@ object Scans extends QueryGroup {
         |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "scan_full" ->
+      s"SELECT * FROM lineitem ORDER BY $lineitemKeySql",
+
+    "source_compaction" ->
       s"SELECT * FROM lineitem ORDER BY $lineitemKeySql",
 
     "scan_agg_pushdown" ->

@@ -104,4 +104,18 @@ class Wave63Spec extends SparkSpec {
     // every (user, day) with ≥2 events must appear
     assert(rows.size == ev.count(_._2.length >= 2))
   }
+
+  test("source_compaction: 64 shards collapse to ≤4 files, zero row drift") {
+    val df = q("source_compaction")
+    assert(df.count() == Tables.table(spark, sfDir, "lineitem").count())
+    def parquetFiles(name: String): Int = {
+      val dir = operators.ArtifactCache.path(name,
+        Seq(s"$sfDir/lineitem.parquet"))(_ => fail("must already exist"))
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    }
+    val frag = parquetFiles("fragmented_lineitem")
+    val comp = parquetFiles("compacted_lineitem")
+    assert(frag == 64, s"fragmented layout should be 64 shards, was $frag")
+    assert(comp <= 4, s"compacted layout should be ≤4 files, was $comp")
+  }
 }
