@@ -451,6 +451,53 @@ object Reporting extends QueryGroup {
         .orderBy("event_type")
     },
 
+    "dq_value_drift" -> { (spark, dir) =>
+      // Distribution DRIFT monitor — the VALUE-space complement of
+      // dq_volume_drift (row counts) and dq_freshness (timeliness): per
+      // stream, a chi-square between the value-band histograms of the
+      // window's first and second time halves (midpoint = the data's own
+      // (min+max)/2 — deterministic, wall-clock-free). A stream whose
+      // volume holds steady while its VALUES shift regime — the sensor
+      // recalibration / unit-change failure — only this check catches.
+      // Numerics are stat_chisq's exact fold: integer band counts,
+      // expected = rational of integer totals in fixed IEEE order, each
+      // cell nano-quantized so the cross-cell sum is exact long
+      // addition under any partial-agg order. Shape: one corpus groupBy
+      // to (type, half, band) cells, then joins over the tiny
+      // marginal tables — at 100 TB the monitor costs one pass.
+      val ev = Tables.events(spark, dir)
+      val mid = ev.agg(
+        expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          when(col("ts_us") >= col("mid"), lit(1L)).otherwise(lit(0L))
+            .as("half"),
+          expr("CAST(floor(value / 100) AS BIGINT)").as("band"))
+        .groupBy("event_type", "half", "band").agg(count(lit(1)).as("o"))
+      val rowsT = cells.groupBy("event_type", "half").agg(sum("o").as("rt"))
+      val colsT = cells.groupBy("event_type", "band").agg(sum("o").as("ct"))
+      val nT = cells.groupBy("event_type").agg(sum("o").as("nt"))
+      cells.join(broadcast(rowsT), Seq("event_type", "half"))
+        .join(broadcast(colsT), Seq("event_type", "band"))
+        .join(broadcast(nT), Seq("event_type"))
+        .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+          / col("nt").cast("double"))
+        .withColumn("contrib_nano",
+          floor((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+            * 1e9 + 0.5).cast("long"))
+        .groupBy("event_type")
+        .agg(countDistinct("band").as("n_bands"),
+          first("nt").as("n"),
+          (sum("contrib_nano").cast("double") / 1e9).as("chisq_raw"))
+        .select(col("event_type"), col("n_bands"), col("n"),
+          Canon.round6(col("chisq_raw")).as("chisq"),
+          // df = n_bands - 1 (2 halves); 30 ≈ the p<0.001 line for the
+          // fixture's ~5-6 bands — a fixed audit threshold, not a CDF
+          when(Canon.round6(col("chisq_raw")) > 30.0, lit("drift"))
+            .otherwise(lit("stable")).as("status"))
+        .orderBy("event_type")
+    },
+
     "dq_key_skew" -> { (spark, dir) =>
       // Join-key skew audit — the pre-flight that decides salted vs
       // plain shuffles (the sizing input of the join_salted machinery):
@@ -733,6 +780,42 @@ object Reporting extends QueryGroup {
   )
 
   def oracle = Map(
+    "dq_value_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |m AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM e),
+        |c AS (SELECT event_type,
+        |    CASE WHEN ts_us >= mid THEN 1 ELSE 0 END AS half,
+        |    CAST(floor(value / 100) AS BIGINT) AS band,
+        |    count(*) AS o
+        |  FROM e CROSS JOIN m GROUP BY 1, 2, 3),
+        |r AS (SELECT event_type, half, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM c GROUP BY 1, 2),
+        |k AS (SELECT event_type, band, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM c GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS nt
+        |  FROM c GROUP BY 1),
+        |q AS (SELECT c.event_type, c.band, nt,
+        |    CAST(floor((o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(nt AS DOUBLE))
+        |      * (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(nt AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(nt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS nano
+        |  FROM c JOIN r ON c.event_type = r.event_type AND c.half = r.half
+        |  JOIN k ON c.event_type = k.event_type AND c.band = k.band
+        |  JOIN n ON c.event_type = n.event_type),
+        |f AS (SELECT event_type,
+        |    CAST(count(DISTINCT band) AS BIGINT) AS n_bands,
+        |    CAST(max(nt) AS BIGINT) AS n,
+        |    CAST(sum(nano) AS DOUBLE) / 1e9 AS chisq_raw
+        |  FROM q GROUP BY event_type)
+        |SELECT event_type, n_bands, n,
+        |  CAST(floor(chisq_raw * 1e6 + 0.5) / 1e6 AS DOUBLE) AS chisq,
+        |  CASE WHEN floor(chisq_raw * 1e6 + 0.5) / 1e6 > 30.0
+        |    THEN 'drift' ELSE 'stable' END AS status
+        |FROM f ORDER BY event_type""".stripMargin,
+
     "dq_freshness" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

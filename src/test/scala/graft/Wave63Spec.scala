@@ -118,4 +118,38 @@ class Wave63Spec extends SparkSpec {
     assert(frag == 64, s"fragmented layout should be 64 shards, was $frag")
     assert(comp <= 4, s"compacted layout should be ≤4 files, was $comp")
   }
+
+  test("dq_value_drift: chisq nonnegative, zero on an identical-halves stream") {
+    val rows = q("dq_value_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    assert(rows.length == 5)
+    rows.foreach { case (t, bands, n, chisq, status) =>
+      assert(chisq >= 0, s"$t chisq $chisq")
+      assert(bands >= 2 && n > 0)
+      assert(status == (if (chisq > 30.0) "drift" else "stable"), t)
+    }
+    // construction check: a stream whose two halves have IDENTICAL band
+    // histograms must score chisq == 0 under this statistic
+    val spark2 = spark
+    import spark2.implicits._
+    val sym = (0 until 400).map { i =>
+      // same 4-band pattern in each half: ts 0..399 vs 400..799
+      (1L, (i % 400).toLong * 1000000L + (if (i < 200) 0L else 400000000L),
+        (i % 4) * 100.0 + 50.0)
+    }
+    // fold the same math in the JVM: both halves have 50 rows per band
+    // → expected == observed in every cell → statistic is exactly 0
+    val cells = sym.map { case (_, ts, v) =>
+      (if (ts >= (sym.map(_._2).min + sym.map(_._2).max) / 2) 1 else 0,
+        math.floor(v / 100).toLong) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byHalf = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val byBand = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val tot = cells.values.sum.toDouble
+    val chi = cells.map { case ((h, b), o) =>
+      val e = byHalf(h) * byBand(b) / tot
+      (o - e) * (o - e) / e }.sum
+    assert(chi == 0.0, s"symmetric stream must score zero, got $chi")
+  }
 }
