@@ -26,14 +26,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // the probe side may be the raw float32 vector OR an already-derived
+  // float64 vector (e.g. vec_pq_residual's residuals); the fold is the
+  // same sequential float64 accumulation either way
+  private def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => true
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => true
       case _ => false
     }
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<float>, array<double>), got " +
+      s"$prettyName requires (array<float|double>, array<double>), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -47,8 +56,10 @@ case class SqDist(left: Expression, right: Expression)
     val n = math.min(xs.numElements(), cs.numElements())
     var s = 0.0
     var i = 0
+    val lf = leftIsFloat
     while (i < n) {
-      val d = xs.getFloat(i).toDouble - cs.getDouble(i)
+      val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val d = x - cs.getDouble(i)
       s += d * d
       i += 1
     }
@@ -61,11 +72,13 @@ case class SqDist(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val get = if (leftIsFloat) s"((double) $a.getFloat($i))"
+                else s"$a.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ((double) $a.getFloat($i)) - $b.getDouble($i);
+         |  double $d = $get - $b.getDouble($i);
          |  $s += $d * $d;
          |}
          |${ev.value} = $s;
