@@ -276,6 +276,38 @@ object LlmVectors extends QueryGroup {
       Knn.sharedEdges(spark, dir, k = 3).orderBy("q_id", "rank")
     },
 
+    "graph_hits" -> { (spark, dir) =>
+      // HITS hubs & authorities over the DIRECTED kNN graph — the
+      // asymmetric centrality pagerank can't see: an AUTHORITY is a
+      // vector many others pick as neighbor (a density core / canonical
+      // representative); a HUB's neighborhood points at authorities.
+      // Two unrolled mutual-reinforcement rounds in EXACT INTEGER
+      // arithmetic (h₀ = 1 ⇒ a₁ = in-degree, h₁ = Σ a₁ over
+      // out-edges, a₂ = Σ h₁ over in-edges, h₂ = Σ a₂): unnormalized
+      // scores rank identically to the normalized ones and keep every
+      // sum an order-free long — no float enters the hash. Edges are
+      // the SHARED persisted kNN build ([[Knn.sharedEdges]] — a parquet
+      // read, never a rebuild); each round is one |E|-row equi-join +
+      // hash agg, the same per-iteration shape as [[Graph.pagerank]].
+      val e = Knn.sharedEdges(spark, dir, k = 3)
+        .select(col("q_id").as("src"), col("idx_id").as("dst"))
+      val a1 = e.groupBy("dst").agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, "dst").groupBy("src").agg(sum("a1").as("h1"))
+      val a2 = e.join(h1, "src").groupBy("dst").agg(sum("h1").as("a2"))
+      val h2 = e.join(a2, "dst").groupBy("src").agg(sum("a2").as("h2"))
+      Tables.table(spark, dir, "embeddings").select(col("vec_id"))
+        .join(a1.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .join(a2.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .join(h1.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .join(h2.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("a1"), lit(0L)).as("auth1"),
+          coalesce(col("a2"), lit(0L)).as("auth2"),
+          coalesce(col("h1"), lit(0L)).as("hub1"),
+          coalesce(col("h2"), lit(0L)).as("hub2"))
+        .orderBy("vec_id")
+    },
+
     "knn_mutual" -> { (spark, dir) =>
       // MUTUAL-kNN pairs: (a, b) where each is in the other's exact
       // top-3 — the symmetric robustness filter over the kNN graph
@@ -1370,6 +1402,35 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "graph_hits" ->
+      // same exact-kNN edge CTE as knn_graph, then the two integer
+      // mutual-reinforcement rounds unrolled; sums CAST to BIGINT
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s),
+         |e AS (SELECT q_id AS src, idx_id AS dst FROM r WHERE rank <= 3),
+         |a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY dst),
+         |h1 AS (SELECT src, CAST(sum(a1) AS BIGINT) AS h1
+         |  FROM e JOIN a1 USING (dst) GROUP BY src),
+         |a2 AS (SELECT dst, CAST(sum(h1) AS BIGINT) AS a2
+         |  FROM e JOIN h1 USING (src) GROUP BY dst),
+         |h2 AS (SELECT src, CAST(sum(a2) AS BIGINT) AS h2
+         |  FROM e JOIN a2 USING (dst) GROUP BY src)
+         |SELECT v.vec_id,
+         |  CAST(coalesce(a1.a1, 0) AS BIGINT) AS auth1,
+         |  coalesce(a2.a2, 0) AS auth2,
+         |  coalesce(h1.h1, 0) AS hub1,
+         |  coalesce(h2.h2, 0) AS hub2
+         |FROM embeddings v
+         |LEFT JOIN a1 ON a1.dst = v.vec_id
+         |LEFT JOIN a2 ON a2.dst = v.vec_id
+         |LEFT JOIN h1 ON h1.src = v.vec_id
+         |LEFT JOIN h2 ON h2.src = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
 
     "knn_mutual" ->
       s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,

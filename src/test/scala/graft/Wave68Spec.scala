@@ -75,4 +75,27 @@ class Wave68Spec extends SparkSpec {
       if (id >= 16 && id < 32) assert(err == 0.0, s"codebook vec $id err $err")
     }
   }
+
+  test("graph_hits: integer conservation laws across the two rounds") {
+    val rows = q("graph_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = rows.length.toLong
+    assert(n == Tables.table(spark, sfDir, "embeddings").count())
+    // every vector has out-degree 3 ⇒ Σ auth1 = |E| = 3n
+    assert(rows.map(_._2).sum == 3 * n, "Σ in-degree must equal |E|")
+    // h1 = Σ a1 over out-edges ⇒ Σ hub1 = Σ over edges of a1(dst)
+    //    = Σ_v a1(v)² ; and Σ auth2 = Σ hub1 (each edge hands h1 on)
+    assert(rows.map(_._4).sum == rows.map(t => t._2 * t._2).sum,
+      "Σ hub1 must equal Σ auth1²")
+    // Σ auth2 = Σ_edges h1(src) = Σ_u outdeg(u)·h1(u) = 3·Σ hub1
+    assert(rows.map(_._3).sum == 3 * rows.map(_._4).sum,
+      "Σ auth2 must equal 3·Σ hub1 (uniform out-degree edge-sum)")
+    // hubs have out-degree 3 > 0 always ⇒ hub1 ≥ 3 (a1 ≥ 1 per target?
+    // no — a target may have in-degree 0 only if never chosen; but a1 of
+    // a CHOSEN target ≥ 1, and each vector chooses 3 targets)
+    rows.foreach { case (id, _, _, h1, _) =>
+      assert(h1 >= 3, s"vec $id hub1 $h1: 3 chosen targets each have a1 ≥ 1")
+    }
+  }
 }
