@@ -144,12 +144,14 @@ object Streaming extends QueryGroup {
     // state-store parallelism sized to the replay volume: each stateful
     // operator opens one state store PER shuffle partition per batch
     // (delta file + commit each), a fixed ~50 ms/store cost that
-    // dominates a 100 k-row replay at 32 partitions. 8 keeps multi-core
-    // scaling locally; a production continuous run sizes this to the
+    // dominates a 100 k-row replay at 32 partitions. 4 matches the
+    // driver's 4-CPU session and halves the warm replay cost vs 8
+    // (measured: stream_stream_join 5.2 → 2.5 s, stream_dedup 2.3 →
+    // 1.9 s at sf0.1); a production continuous run sizes this to the
     // cluster instead (the setting is pinned per-query at first start).
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
