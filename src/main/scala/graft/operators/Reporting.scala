@@ -451,6 +451,42 @@ object Reporting extends QueryGroup {
         .orderBy("event_type")
     },
 
+    "dq_id_gaps" -> { (spark, dir) =>
+      // Sequence-GAP audit over a sparse id space — the "did we lose a
+      // range of records" check on an append log: the id universe is
+      // the order table's contiguous keys, the audited feed is
+      // LINEITEM's foreign keys (orders with zero line items leave
+      // holes — the fixture has ~1.7% of them), and the report is the
+      // 10 largest runs of ids the feed never mentions. Distributed form
+      // of the textbook lag()-over-global-sort: keys coarse-bucket by
+      // k div 4096, consecutive pairs resolve with a lead() INSIDE each
+      // bucket (one hash exchange, parallel), and the only global
+      // window runs over the |buckets|-row (min, max) summary to stitch
+      // boundary gaps — the events_concurrency two-phase discipline, so
+      // no single task ever sorts the id universe. Exact integer
+      // arithmetic end to end.
+      val G = 4096L
+      val k = Tables.table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("k")).distinct()
+        .withColumn("bkt", expr(s"k div $G"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy("k")
+      val within = k.withColumn("nxt", lead("k", 1).over(w))
+        .filter(col("nxt") - col("k") > 1)
+        .select(col("k").as("gap_after"), col("nxt").as("next_present"))
+      val edges = k.groupBy("bkt")
+        .agg(min("k").as("mn"), max("k").as("mx"))
+      val wg = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+      val across = edges.withColumn("nmn", lead("mn", 1).over(wg))
+        .filter(col("nmn").isNotNull && col("nmn") - col("mx") > 1)
+        .select(col("mx").as("gap_after"), col("nmn").as("next_present"))
+      within.unionByName(across)
+        .select(col("gap_after"), col("next_present"),
+          (col("next_present") - col("gap_after") - 1).as("n_missing"))
+        .orderBy(col("n_missing").desc, col("gap_after"))
+        .limit(10)
+    },
+
     "dq_value_drift" -> { (spark, dir) =>
       // Distribution DRIFT monitor — the VALUE-space complement of
       // dq_volume_drift (row counts) and dq_freshness (timeliness): per
@@ -780,6 +816,16 @@ object Reporting extends QueryGroup {
   )
 
   def oracle = Map(
+    "dq_id_gaps" ->
+      // the textbook single-window form — fixture-scale declarative
+      // spec of the same gap set the two-phase plan produces
+      """WITH d AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |s AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM d)
+        |SELECT k AS gap_after, nxt AS next_present,
+        |  nxt - k - 1 AS n_missing
+        |FROM s WHERE nxt - k > 1
+        |ORDER BY n_missing DESC, gap_after LIMIT 10""".stripMargin,
+
     "dq_value_drift" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value
         |  FROM events),

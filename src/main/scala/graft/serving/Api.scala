@@ -152,6 +152,23 @@ object Api {
             // open-order backlog sweep (≤|months| rows by construction)
             respond(x, 200, toJson(
               SparkEntry.queries("orders_open_backlog")(spark, dir)))
+          case "/dq/status" =>
+            // one ops dashboard payload unifying the four DQ monitors:
+            // freshness (is anything stale), value drift (did a stream
+            // change regime), volume drift alerts only (the full grid
+            // is history, the dashboard wants the current reds), and
+            // the 10 biggest id gaps in the lineitem feed
+            val alerts = SparkEntry.queries("dq_volume_drift")(spark, dir)
+              .filter(col("status") =!= "ok")
+            respond(x, 200,
+              s"""{"freshness":${toJson(
+                SparkEntry.queries("dq_freshness")(spark, dir))},
+                 |"value_drift":${toJson(
+                SparkEntry.queries("dq_value_drift")(spark, dir))},
+                 |"volume_alerts":${toJson(alerts)},
+                 |"id_gaps":${toJson(
+                SparkEntry.queries("dq_id_gaps")(spark, dir))}}"""
+                .stripMargin.replace("\n", ""))
           case "/search/similar" =>
             // ANN-as-a-service: exact top-k neighbors of one stored
             // vector. The query side is a 1-row pushed-filter scan; at

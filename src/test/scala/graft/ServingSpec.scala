@@ -147,6 +147,15 @@ class ServingSpec extends SparkSpec {
     assert(b3.startsWith(s"""{"n":$nTrips,"""), b3.take(60))
   }
 
+  test("/dq/status unifies the four DQ monitors in one payload") {
+    val (code, body) = get("/dq/status")
+    assert(code == 200)
+    Seq("\"freshness\"", "\"value_drift\"", "\"volume_alerts\"", "\"id_gaps\"")
+      .foreach(k => assert(body.contains(k), s"missing $k in ${body.take(120)}"))
+    assert(body.contains("\"lag_us\"") && body.contains("\"chisq\"")
+      && body.contains("\"n_missing\""), "nested reports carry their columns")
+  }
+
   test("unknown routes 404 with a JSON error") {
     val (code, body) = get("/nope")
     assert(code == 404 && body.contains("\"error\""))

@@ -152,4 +152,22 @@ class Wave63Spec extends SparkSpec {
       (o - e) * (o - e) / e }.sum
     assert(chi == 0.0, s"symmetric stream must score zero, got $chi")
   }
+
+  test("dq_id_gaps: reported ranges are truly empty and are the largest ones") {
+    val gaps = q("dq_id_gaps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gaps.nonEmpty && gaps.length <= 10)
+    val present = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    gaps.foreach { case (after, next, miss) =>
+      assert(next - after - 1 == miss && miss >= 1)
+      assert(present(after) && present(next), "gap endpoints must be present")
+      ((after + 1) until next).foreach(id =>
+        assert(!present(id), s"id $id inside reported gap [$after,$next]"))
+    }
+    // the top entry is the genuine maximum run of absent ids
+    val sorted = present.toSeq.sorted
+    val trueMax = sorted.sliding(2).map(p => p(1) - p(0) - 1).max
+    assert(gaps.head._3 == trueMax)
+  }
 }
