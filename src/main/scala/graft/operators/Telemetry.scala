@@ -608,6 +608,41 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_theilsen" -> { (spark, dir) =>
+      // THEIL–SEN robust drift — the median-of-pairwise-slopes twin of
+      // events_trend's least squares: immune to the single stuck-sensor
+      // spike that drags an LS slope (breakdown point 29%). Pairs are
+      // blocked BY VEHICLE (the user_id equi key), so the join is
+      // Σ per-vehicle n² — the same bounded-block law as join_interval,
+      // never corpus² — and the per-vehicle median runs inside the one
+      // user exchange. Each slope is ONE IEEE division of exact
+      // operands (integer-second dx > 0, raw value dy); the even-count
+      // median interpolates (a+b)/2 identically in both engines. At
+      // 100 TB the subsample variant (median over the k·n random pairs
+      // of Theil's incomplete estimator) keeps the same plan with a
+      // hash-sampled pair set.
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val a = e.select(col("user_id"), col("ts_us").as("ta"),
+        col("event_id").as("ea"), col("value").as("va"))
+      val b = e.select(col("user_id"), col("ts_us").as("tb"),
+        col("event_id").as("eb"), col("value").as("vb"))
+      a.join(b, Seq("user_id"))
+        .filter(struct(col("ta"), col("ea")) < struct(col("tb"), col("eb"))
+          && col("tb") > col("ta"))
+        // dx as double µs/1e6 (NOT integer-truncated: a sub-second gap
+        // would div to zero and poison the median with an Infinity);
+        // tb−ta ≤ 2.6e12 µs is double-exact, the /1e6 is one IEEE op
+        .select(col("user_id"),
+          ((col("vb") - col("va"))
+            / (expr("CAST(tb - ta AS DOUBLE)") / lit(1000000.0d)))
+            .as("slope"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          Canon.round6(expr("percentile(slope, 0.5)")).as("theil_slope"))
+        .orderBy("user_id")
+    },
+
     "events_twap" -> { (spark, dir) =>
       // TIME-weighted average — the sampling-robust mean every telemetry
       // and market-data backend pairs with the count-weighted one: per
@@ -1140,6 +1175,25 @@ object Telemetry extends QueryGroup {
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    ELSE 0.0 END, 6) + 0.0 AS DOUBLE) AS slope_per_s
         |FROM s ORDER BY user_id""".stripMargin,
+
+    "events_theilsen" ->
+      // same blocked pair join, same one-division slopes, DuckDB's
+      // interpolating median ≡ Spark percentile(0.5) on even counts
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |p AS (SELECT a.user_id,
+        |    (b.value - a.value)
+        |      / (CAST(b.ts_us - a.ts_us AS DOUBLE) / 1000000.0) AS slope
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND (a.ts_us, a.event_id) < (b.ts_us, b.event_id)
+        |    AND b.ts_us > a.ts_us),
+        |m AS (SELECT user_id, count(*) AS n_pairs,
+        |    median(slope) AS med FROM p GROUP BY user_id)
+        |SELECT user_id, n_pairs,
+        |  CAST(CASE WHEN med >= 0 THEN floor(med * 1e6 + 0.5) / 1e6
+        |    ELSE -floor(-med * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
+        |    AS theil_slope
+        |FROM m ORDER BY user_id""".stripMargin,
 
     "events_twap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

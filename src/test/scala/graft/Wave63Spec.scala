@@ -170,4 +170,46 @@ class Wave63Spec extends SparkSpec {
     val trueMax = sorted.sliding(2).map(p => p(1) - p(0) - 1).max
     assert(gaps.head._3 == trueMax)
   }
+
+  test("events_theilsen matches a JVM median-of-slopes; robust where LS is not") {
+    val gotMap = q("events_theilsen").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byUser = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3))
+      val slopes = (for {
+        i <- s.indices; j <- (i + 1) until s.length
+        if s(j)._2 > s(i)._2
+      } yield (s(j)._4 - s(i)._4) / ((s(j)._2 - s(i)._2).toDouble / 1e6))
+        .sorted
+      val med =
+        if (slopes.length % 2 == 1) slopes(slopes.length / 2)
+        else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2
+      val (n, ts) = gotMap(u)
+      assert(n == slopes.length, s"user $u pair count")
+      assert(math.abs(ts - med) < 1e-5, s"user $u: $ts vs $med")
+    }
+    // robustness: a clean ramp with ONE wild spike — Theil-Sen holds the
+    // true slope, least squares does not
+    val clean = (0 until 40).map(i => (i.toDouble, i * 2.0))
+    val spiked = clean.updated(39, (39.0, 5000.0))
+    def theil(ps: Seq[(Double, Double)]): Double = {
+      val sl = (for { i <- ps.indices; j <- (i + 1) until ps.length }
+        yield (ps(j)._2 - ps(i)._2) / (ps(j)._1 - ps(i)._1)).sorted
+      if (sl.length % 2 == 1) sl(sl.length / 2)
+      else (sl(sl.length / 2 - 1) + sl(sl.length / 2)) / 2
+    }
+    def ls(ps: Seq[(Double, Double)]): Double = {
+      val n = ps.length.toDouble
+      val sx = ps.map(_._1).sum; val sy = ps.map(_._2).sum
+      val sxy = ps.map(p => p._1 * p._2).sum
+      val sxx = ps.map(p => p._1 * p._1).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    assert(math.abs(theil(spiked) - 2.0) < 0.1, "Theil-Sen shrugs the spike")
+    assert(math.abs(ls(spiked) - 2.0) > 1.0, "LS is dragged by the spike")
+  }
 }
