@@ -138,6 +138,37 @@ object Spatial extends QueryGroup {
         .orderBy("event_id")
     },
 
+    "geo_polygon_contain" -> { (spark, dir) =>
+      // Point-in-POLYGON containment — the zone-report generalization of
+      // the circular geofence: which share of each vehicle's reports
+      // fall inside a service area defined as a convex polygon (here a
+      // hexagon over the synthetic grid). The test is six CROSS PRODUCTS
+      // against CCW edges — pure integer arithmetic (|cross| ≤ 10¹² ≪
+      // 2⁶³), branch-free, codegen'd per row, zero trig — so both
+      // engines agree bit-for-bit on every boundary case. One map-side
+      // pass + one user-keyed agg; at 100 TB a polygon SET first blocks
+      // by bounding-box grid cell (the geo_grid_join machinery) and
+      // runs this exact test only on candidates.
+      val hex = Seq((800000L, 500000L), (650000L, 760000L),
+        (350000L, 760000L), (200000L, 500000L),
+        (350000L, 240000L), (650000L, 240000L))
+      val inside = hex.indices.map { i =>
+        val (x1, y1) = hex(i)
+        val (x2, y2) = hex((i + 1) % hex.length)
+        (lit(x2 - x1) * (col("py") - lit(y1))
+          - lit(y2 - y1) * (col("px") - lit(x1))) >= 0
+      }.reduce(_ && _)
+      points(spark, dir)
+        .withColumn("in_zone", inside)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_reports"),
+          sum(when(col("in_zone"), 1L).otherwise(0L)).as("n_inside"))
+        .select(col("user_id"), col("n_reports"), col("n_inside"),
+          Canon.round6(col("n_inside").cast("double")
+            / col("n_reports").cast("double")).as("share_inside"))
+        .orderBy("user_id")
+    },
+
     "geo_cluster_cells" -> { (spark, dir) =>
       // Grid-density clustering (DBSCAN-lite, the hotspot-mining shape):
       // a cell is CORE iff its point count exceeds 1.2× the mean
@@ -262,6 +293,33 @@ object Spatial extends QueryGroup {
   )
 
   def oracle = Map(
+    "geo_polygon_contain" ->
+      // identical six integer cross products over the same CCW hexagon
+      s"""WITH p AS ($pointsSql),
+         |t AS (SELECT user_id,
+         |    ((650000 - 800000) * (py - 500000)
+         |       - (760000 - 500000) * (px - 800000) >= 0)
+         |    AND ((350000 - 650000) * (py - 760000)
+         |       - (760000 - 760000) * (px - 650000) >= 0)
+         |    AND ((200000 - 350000) * (py - 760000)
+         |       - (500000 - 760000) * (px - 350000) >= 0)
+         |    AND ((350000 - 200000) * (py - 500000)
+         |       - (240000 - 500000) * (px - 200000) >= 0)
+         |    AND ((650000 - 350000) * (py - 240000)
+         |       - (240000 - 240000) * (px - 350000) >= 0)
+         |    AND ((800000 - 650000) * (py - 240000)
+         |       - (500000 - 240000) * (px - 650000) >= 0) AS in_zone
+         |  FROM p),
+         |a AS (SELECT user_id, count(*) AS n_reports,
+         |    CAST(sum(CASE WHEN in_zone THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_inside
+         |  FROM t GROUP BY user_id),
+         |f AS (SELECT *, CAST(n_inside AS DOUBLE)
+         |    / CAST(n_reports AS DOUBLE) AS sh FROM a)
+         |SELECT user_id, n_reports, n_inside,
+         |  CAST(floor(sh * 1e6 + 0.5) / 1e6 AS DOUBLE) AS share_inside
+         |FROM f ORDER BY user_id""".stripMargin,
+
     "events_od_matrix" ->
       s"""WITH p AS ($pointsSql),
          |l AS (SELECT *, lag(ts_us) OVER w AS prev_ts FROM p

@@ -118,4 +118,37 @@ class SpatialSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"), "grid join must not plan a cartesian")
   }
+
+  test("geo_polygon_contain agrees with a JVM ray-independent convex test") {
+    import org.apache.spark.sql.functions._
+    val hex = Seq((800000L, 500000L), (650000L, 760000L),
+      (350000L, 760000L), (200000L, 500000L),
+      (350000L, 240000L), (650000L, 240000L))
+    def insideJvm(px: Long, py: Long): Boolean =
+      hex.indices.forall { i =>
+        val (x1, y1) = hex(i)
+        val (x2, y2) = hex((i + 1) % hex.length)
+        (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0L
+      }
+    val got = q("geo_polygon_contain").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute the synthetic coordinates through the declared hash
+    val pts = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        graft.operators.TextDedup.hash56(
+          concat(lit("x:"), col("event_id").cast("string"))) % 1000000L,
+        graft.operators.TextDedup.hash56(
+          concat(lit("y:"), col("event_id").cast("string"))) % 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = pts.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.count(p => insideJvm(p._2, p._3)).toLong)
+    }.toMap
+    assert(got == expect)
+    // the zone is neither empty nor everything — the fixture exercises
+    // both sides of every edge
+    val totalIn = got.values.map(_._2).sum
+    val total = got.values.map(_._1).sum
+    assert(totalIn > 0 && totalIn < total,
+      s"degenerate containment: $totalIn of $total")
+  }
 }
