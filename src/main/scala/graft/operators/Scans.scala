@@ -247,6 +247,32 @@ object Scans extends QueryGroup {
           min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
     },
 
+    "scan_agg_pushdown_grouped" -> { (spark, dir) =>
+      // The GROUPED half of scan_agg_pushdown: when the grouping key is
+      // a PARTITION column, per-group COUNT/MIN/MAX still come from
+      // footer statistics — each partition directory answers its own
+      // group, no data pages, no shuffle of fact rows. This is the
+      // per-partition stats sweep a lakehouse catalog runs after every
+      // ingest (row counts + bounds per partition at listing speed).
+      // The partitioned layout is the source_partitioned artifact
+      // (published once per fixture snapshot); the same child-session
+      // isolation keeps the V2 flags from leaking to sibling queries.
+      val laid = ArtifactCache.path("pushdown_docs_bylang",
+        Seq(s"$dir/documents.parquet")) { staging =>
+        Tables.table(spark, dir, "documents")
+          .write.partitionBy("lang").mode("overwrite").parquet(staging)
+      }
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(laid)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    },
+
     "source_compaction" -> { (spark, dir) =>
       // Small-files COMPACTION — the lake-maintenance primitive every
       // streaming/CDC ingest needs: a fragmented table (here: staged as
@@ -451,6 +477,12 @@ object Scans extends QueryGroup {
 
     "source_compaction" ->
       s"SELECT * FROM lineitem ORDER BY $lineitemKeySql",
+
+    "scan_agg_pushdown_grouped" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "scan_agg_pushdown" ->
       """SELECT count(*) AS n_rows,

@@ -214,4 +214,19 @@ class ScanSpec extends SparkSpec {
         min("l_partkey"), max("l_partkey")).head()
     assert(r.toSeq == e.toSeq, s"pushed $r vs plain $e")
   }
+
+  test("scan_agg_pushdown_grouped: per-partition aggregates pushed with GROUP BY lang") {
+    import org.apache.spark.sql.functions._
+    val df = q("scan_agg_pushdown_grouped")
+    val p = plan(df)
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      "grouped COUNT/MIN/MAX must reach the scan:\n" + p)
+    assert(p.contains("PushedGroupBy: [lang]"),
+      "the partition column must be the pushed grouping key:\n" + p)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expect = Tables.table(spark, sfDir, "documents")
+      .groupBy("lang").agg(count(lit(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
 }
