@@ -21,6 +21,26 @@ object Analytics extends QueryGroup {
   /** Shared verbatim between the Spark `spark.sql` entry and the DuckDB
     * oracle — the point IS that the same ANSI text runs on both.
     */
+  /** Shared by query + oracle: the three-way NOT IN / NOT EXISTS /
+    * anti-join comparison over a key set poisoned with one NULL
+    * (nation 10 masked). ANSI three-valued logic makes `k NOT IN (set
+    * with NULL)` UNKNOWN for every non-member — the classic silent
+    * empty-result trap — while NOT EXISTS ignores the NULL row. Both
+    * engines implement the standard, so the oracle double-checks the
+    * semantics, and the report makes the trap visible as data.
+    */
+  private val NotInNullsSql =
+    """WITH k AS (SELECT nullif(s_nationkey, 10) AS sk FROM supplier)
+      |SELECT 'not_in' AS variant, count(*) AS n_rows FROM customer
+      |  WHERE c_nationkey NOT IN (SELECT sk FROM k)
+      |UNION ALL
+      |SELECT 'not_exists', count(*) FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.sk = c.c_nationkey)
+      |UNION ALL
+      |SELECT 'not_in_nullsafe', count(*) FROM customer
+      |  WHERE c_nationkey NOT IN (SELECT sk FROM k WHERE sk IS NOT NULL)
+      |ORDER BY variant""".stripMargin
+
   private val ExistsSql =
     """SELECT c_custkey, c_name FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o
@@ -462,6 +482,20 @@ object Analytics extends QueryGroup {
       spark.sql(ExistsSql)
     },
 
+    "sql_not_in_nulls" -> { (spark, dir) =>
+      // NOT IN under three-valued logic vs its safe rewrites — the
+      // correctness trap every SQL migration hits once: with one NULL
+      // in the subquery set, `NOT IN` returns ZERO rows (every test is
+      // UNKNOWN), `NOT EXISTS` returns the true anti set, and the
+      // null-filtered NOT IN agrees with it. Catalyst plans NOT IN as a
+      // null-aware anti join (the same left-anti hash join family as
+      // join_anti, plus the null-existence check) — no per-row
+      // subquery. The three counts side by side ARE the documentation.
+      Tables.table(spark, dir, "customer").createOrReplaceTempView("customer")
+      Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+      spark.sql(NotInNullsSql)
+    },
+
     "sql_scalar_agg" -> { (spark, dir) =>
       // Scalar-subquery form: the one-row aggregate plans as its own
       // tiny job whose result broadcasts into the main scan's filter —
@@ -893,6 +927,9 @@ object Analytics extends QueryGroup {
         |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "sql_exists" -> ExistsSql,
+    // both engines implement ANSI three-valued NOT IN, so the SAME text
+    // is the oracle — the hash compare certifies the trap semantics
+    "sql_not_in_nulls" -> NotInNullsSql,
 
     "sql_scalar_agg" -> ScalarSql,
     "sql_lateral" -> LateralSql,

@@ -212,4 +212,21 @@ class Wave63Spec extends SparkSpec {
     assert(math.abs(theil(spiked) - 2.0) < 0.1, "Theil-Sen shrugs the spike")
     assert(math.abs(ls(spiked) - 2.0) > 1.0, "LS is dragged by the spike")
   }
+
+  test("sql_not_in_nulls: NOT IN with a NULL is empty; the rewrites agree with join_anti semantics") {
+    // sf0.01: sf0.001 has no nation-10 supplier, so no NULL enters the
+    // set and the trap would not spring
+    val rows = q("sql_not_in_nulls", sfDir01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("not_in") == 0L,
+      "one NULL in the subquery set must empty the NOT IN result")
+    assert(rows("not_exists") == rows("not_in_nullsafe"))
+    assert(rows("not_exists") > 0)
+    // cross-check against a DataFrame left-anti join on the same keys
+    val k = Tables.table(spark, sfDir01, "supplier")
+      .select(expr("nullif(s_nationkey, 10)").as("sk")).filter(col("sk").isNotNull)
+    val anti = Tables.table(spark, sfDir01, "customer")
+      .join(k, col("c_nationkey") === col("sk"), "left_anti").count()
+    assert(rows("not_exists") == anti)
+  }
 }
