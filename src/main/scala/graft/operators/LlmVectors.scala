@@ -276,6 +276,39 @@ object LlmVectors extends QueryGroup {
       Knn.sharedEdges(spark, dir, k = 3).orderBy("q_id", "rank")
     },
 
+    "knn_classify" -> { (spark, dir) =>
+      // kNN CLASSIFIER evaluation — leave-one-out 5-NN majority vote
+      // over the stored labels, reported as per-class accuracy: the
+      // "are these embeddings any good for this label" question every
+      // embedding pipeline answers before training on them (the
+      // classifier itself is also the production few-shot labeler).
+      // Votes tie-break to the smaller label — deterministic, both
+      // engines. Shape: the exact top-5 via [[Knn.search]]'s bounded-
+      // heap reducer (broadcast queries, per-partition heaps — never a
+      // global n² shuffle), one (q, label) count agg, one per-q argmax,
+      // one per-class roll-up; at index scale the neighbor source swaps
+      // to the IVF probe path unchanged.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val labels = emb.select(col("vec_id"), col("label"))
+      val votes = Knn.search(emb, emb, k = 5)
+        .join(broadcast(labels.withColumnRenamed("vec_id", "idx_id")
+          .withColumnRenamed("label", "n_label")), "idx_id")
+        .groupBy("q_id", "n_label").agg(count(lit(1)).as("cnt"))
+      val pred = votes.groupBy("q_id")
+        .agg(min(struct((lit(5L) - col("cnt")).as("inv"),
+          col("n_label").as("l"))).as("m"))
+        .select(col("q_id").as("vec_id"), col("m.l").as("predicted"))
+      pred.join(labels, "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n_vectors"), col("n_correct"),
+          Canon.round6(col("n_correct").cast("double")
+            / col("n_vectors").cast("double")).as("accuracy"))
+        .orderBy("label")
+    },
+
     "graph_hits" -> { (spark, dir) =>
       // HITS hubs & authorities over the DIRECTED kNN graph — the
       // asymmetric centrality pagerank can't see: an AUTHORITY is a
@@ -1402,6 +1435,30 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_classify" ->
+      // same exact-kNN CTE at k=5, vote counts, (cnt DESC, label) argmax
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s),
+         |v AS (SELECT r.q_id, e.label AS n_label, count(*) AS cnt
+         |  FROM r JOIN embeddings e ON e.vec_id = r.idx_id
+         |  WHERE r.rank <= 5 GROUP BY r.q_id, e.label),
+         |p AS (SELECT q_id, n_label AS predicted FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cnt DESC, n_label) AS rn FROM v) WHERE rn = 1),
+         |f AS (SELECT e.label, count(*) AS n_vectors,
+         |    CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM p JOIN embeddings e ON e.vec_id = p.q_id GROUP BY e.label),
+         |g AS (SELECT *, CAST(n_correct AS DOUBLE)
+         |    / CAST(n_vectors AS DOUBLE) AS acc FROM f)
+         |SELECT label, n_vectors, n_correct,
+         |  CAST(floor(acc * 1e6 + 0.5) / 1e6 AS DOUBLE) AS accuracy
+         |FROM g ORDER BY label""".stripMargin,
 
     "graph_hits" ->
       // same exact-kNN edge CTE as knn_graph, then the two integer

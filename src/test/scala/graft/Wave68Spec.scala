@@ -98,4 +98,33 @@ class Wave68Spec extends SparkSpec {
       assert(h1 >= 3, s"vec $id hub1 $h1: 3 chosen targets each have a1 ≥ 1")
     }
   }
+
+  test("knn_classify: per-class accuracies match a JVM 5-NN majority vote") {
+    val all = Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val labelOf = all.map(t => t._1 -> t._2).toMap
+    val correctByLabel = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    all.foreach { case (id, lbl, v) =>
+      val top5 = all.filter(_._1 != id)
+        .map(o => (cos(v, o._3), o._1))
+        .sortBy(t => (-t._1, t._2)).take(5)
+      val votes = top5.groupBy(t => labelOf(t._2)).view.mapValues(_.length)
+      val pred = votes.toSeq.sortBy(t => (-t._2, t._1)).head._1
+      val (n, c) = correctByLabel.getOrElse(lbl, (0L, 0L))
+      correctByLabel(lbl) = (n + 1, c + (if (pred == lbl) 1L else 0L))
+    }
+    val got = q("knn_classify").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == correctByLabel.toMap,
+      s"got $got vs jvm ${correctByLabel.toMap}")
+  }
 }
