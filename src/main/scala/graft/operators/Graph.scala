@@ -203,4 +203,48 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank"))
   }
+
+  /** PERSONALIZED PageRank: teleportation lands only on `seeds`, so
+    * rank mass measures proximity TO THE SEED SET rather than global
+    * centrality — the "more like these" primitive behind related-item
+    * retrieval and seed-expansion labeling. Identical per-iteration
+    * shape to [[pagerank]] (one |E| join + hash agg, checkpointed
+    * lineage); only the teleport vector changes.
+    */
+  def personalizedPagerank(edges: DataFrame, srcCol: String,
+      dstCol: String, vertices: DataFrame, seeds: DataFrame,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).localCheckpoint()
+    val undirected = sym.union(sym.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    val deg = undirected.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val v = vertices.select(col(vertices.columns.head).cast("long").as("id"))
+      .localCheckpoint()
+    val s = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .withColumn("is_seed", lit(true)).localCheckpoint()
+    val ns = s.agg(count(lit(1)).cast("double").as("ns")).localCheckpoint()
+    val tagged = v.join(broadcast(s), Seq("id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("id"),
+        when(col("is_seed"), lit(1.0) / col("ns")).otherwise(lit(0.0))
+          .as("tele"))
+      .localCheckpoint()
+    var ranks = tagged.select(col("id"), col("tele").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = undirected
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+      ranks = tagged
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("tele")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank"))
+  }
 }

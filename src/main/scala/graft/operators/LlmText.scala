@@ -676,6 +676,26 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "graph_ppr" -> { (spark, dir) =>
+      // Personalized PageRank from the eval-set seeds (doc_id ≡ 0 mod
+      // 100 — the text_contamination convention): rank mass = proximity
+      // to the seed set through the near-dup similarity graph, i.e.
+      // "which training docs sit closest to the benchmark family" — the
+      // graph-walk complement of text_contamination's direct n-gram
+      // overlap. Same shared pair index, same per-iteration join+agg
+      // shape as graph_pagerank; only the teleport vector differs.
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+        threshold = 0.2)
+      Graph.personalizedPagerank(pairs, "doc_a", "doc_b",
+          docs.select(col("doc_id")),
+          docs.filter(col("doc_id") % 100 === 0).select(col("doc_id")),
+          iters = 3, damping = 0.85)
+        .select(col("id").as("doc_id"), Canon.round6(col("rank")).as("rank"))
+        .filter(col("rank") > 0)
+        .orderBy("doc_id")
+    },
+
     "curation_filters" -> { (spark, dir) =>
       // C4/Gopher-style rule-based filter report — the other half of the
       // dataset card next to [[curation_summary]]: for each quality rule,
@@ -1397,6 +1417,41 @@ object LlmText extends QueryGroup {
           |  CAST(COALESCE(sum(n_chars) FILTER (WHERE NOT keep), 0) AS BIGINT)
           |    AS chars_dropped
           |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "graph_ppr" ->
+      // pagerank's unrolled CTE chain with the seed-set teleport vector
+      // ((1-d)·tele instead of (1-d)/n) and the rounded-rank > 0 gate
+      ("WITH " + ngramGlobalPairsCte + ",\n" +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM gpairs
+          |      UNION ALL SELECT doc_b, doc_a FROM gpairs),
+          |deg AS (SELECT a AS id, CAST(count(*) AS DOUBLE) AS deg
+          |  FROM e GROUP BY 1),
+          |v AS (SELECT doc_id AS id FROM documents),
+          |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 100 = 0),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
+          |tv AS (SELECT v.id, CASE WHEN sd.id IS NOT NULL
+          |    THEN 1.0 / (SELECT ns FROM nn) ELSE 0.0 END AS tele
+          |  FROM v LEFT JOIN sd ON v.id = sd.id),
+          |p0 AS (SELECT id, tele AS r FROM tv),
+          |c1 AS (SELECT e.b AS id, sum(p.r / d.deg) AS m FROM e
+          |  JOIN p0 p ON e.a = p.id JOIN deg d ON e.a = d.id GROUP BY e.b),
+          |p1 AS (SELECT tv.id, (1.0 - 0.85) * tv.tele
+          |    + 0.85 * coalesce(c.m, 0) AS r
+          |  FROM tv LEFT JOIN c1 c ON tv.id = c.id),
+          |c2 AS (SELECT e.b AS id, sum(p.r / d.deg) AS m FROM e
+          |  JOIN p1 p ON e.a = p.id JOIN deg d ON e.a = d.id GROUP BY e.b),
+          |p2 AS (SELECT tv.id, (1.0 - 0.85) * tv.tele
+          |    + 0.85 * coalesce(c.m, 0) AS r
+          |  FROM tv LEFT JOIN c2 c ON tv.id = c.id),
+          |c3 AS (SELECT e.b AS id, sum(p.r / d.deg) AS m FROM e
+          |  JOIN p2 p ON e.a = p.id JOIN deg d ON e.a = d.id GROUP BY e.b),
+          |p3 AS (SELECT tv.id, (1.0 - 0.85) * tv.tele
+          |    + 0.85 * coalesce(c.m, 0) AS r
+          |  FROM tv LEFT JOIN c3 c ON tv.id = c.id),
+          |f AS (SELECT id AS doc_id,
+          |    CAST(round(r, 6) AS DOUBLE) AS rank FROM p3)
+          |SELECT doc_id, rank FROM f WHERE rank > 0
+          |ORDER BY doc_id""".stripMargin),
 
     "graph_pagerank" ->
       // the 3 power-iteration rounds unrolled as chained CTEs (recursive

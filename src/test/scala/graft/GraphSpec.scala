@@ -123,4 +123,32 @@ class GraphSpec extends SparkSpec {
     // assignment is total: one row per document
     assert(rows.length == Tables.table(spark, sfDir, "documents").count())
   }
+
+  test("graph_ppr: seeds carry teleport mass; mass stays within the seed neighborhood") {
+    import org.apache.spark.sql.functions._
+    val rows = q("graph_ppr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val seeds = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(seeds.nonEmpty)
+    // every seed survives the rank > 0 gate with at least its own
+    // never-damped teleport share
+    val floor = (1.0 - 0.85) / seeds.size - 1e-9
+    seeds.foreach { s =>
+      assert(rows.contains(s) && rows(s) >= floor,
+        s"seed $s rank ${rows.get(s)} under teleport floor $floor")
+    }
+    // non-seed mass only reaches graph neighbors: every ranked non-seed
+    // must touch the pair graph (rank cannot appear from nowhere)
+    val touched = graft.operators.TextDedup
+      .sharedNgramPairs(spark, sfDir, n = 3, threshold = 0.2)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    (rows.keySet -- seeds).foreach(id =>
+      assert(touched(id), s"non-seed $id ranked but isolated"))
+    // total mass never exceeds 1 (teleport is a distribution; damping
+    // only shrinks it)
+    assert(rows.values.sum <= 1.0 + 1e-6)
+  }
 }
