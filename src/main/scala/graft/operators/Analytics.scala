@@ -606,6 +606,39 @@ object Analytics extends QueryGroup {
         .orderBy("part_a", "part_b")
     },
 
+    "orders_rev_recognition" -> { (spark, dir) =>
+      // Revenue RECOGNITION — the finance-engine op: each order's total
+      // prorates uniformly over its activity interval (join_interval's
+      // deterministic [s, s+len) day span), then rolls up to calendar
+      // months. Proration is EXACT INTEGER LONG DIVISION: day i gets
+      // cents div len, plus one remainder cent for the first
+      // (cents mod len) days — Σ day shares == order cents to the cent,
+      // by construction, on any engine (no float proration drift, the
+      // bug class this op exists to avoid). Shape: explode to
+      // order-days (bounded 60× fanout), one month hash agg; at 100 TB
+      // the explode is map-side and the agg lands on |months| groups.
+      val epoch = lit("1970-01-01").cast("date")
+      val iv = Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long")
+            .as("s"),
+          ((col("o_orderkey") % 60) + 1).as("len"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      iv.select(col("o_orderkey"), col("s"), col("len"), col("cents"),
+          posexplode(expr("sequence(0, len - 1)")).as(Seq("i", "off")))
+        .select(
+          date_trunc("month", date_add(epoch, (col("s") + col("off"))
+            .cast("int"))).cast("date").as("month"),
+          (expr("cents div len")
+            + when(col("off") < expr("cents % len"), 1L).otherwise(0L))
+            .as("day_cents"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_order_days"),
+          (sum("day_cents").cast("double") / 100.0d).as("revenue"))
+        .orderBy("month")
+    },
+
     "er_sorted_neighbors" -> { (spark, dir) =>
       // Sorted-Neighborhood-Method blocking — the SORT-based classic
       // next to er_blocked's hash blocking: order records by a sort key,
@@ -974,6 +1007,27 @@ object Analytics extends QueryGroup {
          |    AS DOUBLE) AS share
          |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
     },
+
+    "orders_rev_recognition" ->
+      // same integer long-division proration; generate_series is
+      // DuckDB's inclusive sequence
+      """WITH iv AS (SELECT o_orderkey,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS s,
+        |    (o_orderkey % 60) + 1 AS len,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT iv.*, unnest(generate_series(0, len - 1)) AS off
+        |  FROM iv),
+        |m AS (SELECT CAST(date_trunc('month',
+        |      DATE '1970-01-01' + INTERVAL (s + off) DAY) AS DATE)
+        |      AS month,
+        |    cents // len
+        |      + CASE WHEN off < cents % len THEN 1 ELSE 0 END AS day_cents
+        |  FROM d)
+        |SELECT month, count(*) AS n_order_days,
+        |  CAST(sum(day_cents) AS DOUBLE) / 100.0 AS revenue
+        |FROM m GROUP BY month ORDER BY month""".stripMargin,
 
     "er_sorted_neighbors" ->
       """WITH s AS (SELECT p_partkey, p_name,

@@ -229,4 +229,20 @@ class Wave63Spec extends SparkSpec {
       .join(k, col("c_nationkey") === col("sk"), "left_anti").count()
     assert(rows("not_exists") == anti)
   }
+
+  test("orders_rev_recognition: proration conserves every cent") {
+    val months = q("orders_rev_recognition").collect()
+    val recognized = months.map(r => BigDecimal(r.getDouble(2))).sum
+    val totalCents = Tables.table(spark, sfDir, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sum
+    // Σ monthly revenue must equal Σ order totals TO THE CENT — the
+    // integer remainder distribution guarantees zero proration drift
+    assert((recognized * 100).toLongExact == totalCents,
+      s"recognized $recognized vs cents $totalCents")
+    // day counts: every order contributes exactly len = key%60+1 days
+    val expectDays = Tables.table(spark, sfDir, "orders")
+      .select((col("o_orderkey") % 60 + 1)).collect().map(_.getLong(0)).sum
+    assert(months.map(_.getLong(1)).sum == expectDays)
+  }
 }
