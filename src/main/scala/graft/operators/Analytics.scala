@@ -606,6 +606,44 @@ object Analytics extends QueryGroup {
         .orderBy("part_a", "part_b")
     },
 
+    "orders_fulfillment" -> { (spark, dir) =>
+      // Fulfillment-stage funnel — the order-lifecycle rollup a
+      // warehouse ops dashboard leads with: each order classifies from
+      // its LINE states (all lines F → fulfilled, all O → open, else
+      // partial; any R return flag → the returns dimension), then the
+      // stage × returns grid reports order counts and exact-decimal
+      // value. Two-level aggregation: the per-order classify is one
+      // map-side-combinable agg on the orderkey exchange (bool_and/
+      // bool_or collapse line states without carrying them), the grid
+      // is a 6-row final agg — the aggregate-of-aggregate shape that
+      // costs one fact shuffle at any scale.
+      val li = Tables.table(spark, dir, "lineitem")
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          min(when(col("l_linestatus") === "F", 1L).otherwise(0L))
+            .as("all_f"),
+          max(when(col("l_linestatus") === "F", 1L).otherwise(0L))
+            .as("any_f"),
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("any_r"),
+          // decimal all the way up both aggregation levels — no double
+          // hop between them (exact, order-free partial merges)
+          sum(col("l_extendedprice").cast(Canon.Dec)).as("val_dec"))
+      perOrder
+        .select(
+          when(col("all_f") === 1, lit("fulfilled"))
+            .when(col("any_f") === 0, lit("open"))
+            .otherwise(lit("partial")).as("stage"),
+          when(col("any_r") === 1, lit("with_returns"))
+            .otherwise(lit("clean")).as("returns"),
+          col("n_lines"), col("val_dec"))
+        .groupBy("stage", "returns")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("n_lines").as("n_lines"),
+          round(sum("val_dec"), 4).cast("double").as("value"))
+        .orderBy("stage", "returns")
+    },
+
     "orders_rev_recognition" -> { (spark, dir) =>
       // Revenue RECOGNITION — the finance-engine op: each order's total
       // prorates uniformly over its activity interval (join_interval's
@@ -1007,6 +1045,25 @@ object Analytics extends QueryGroup {
          |    AS DOUBLE) AS share
          |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
     },
+
+    "orders_fulfillment" ->
+      """WITH o AS (SELECT l_orderkey, count(*) AS n_lines,
+        |    min(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS all_f,
+        |    max(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS any_f,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val_dec
+        |  FROM lineitem GROUP BY l_orderkey),
+        |s AS (SELECT
+        |    CASE WHEN all_f = 1 THEN 'fulfilled'
+        |         WHEN any_f = 0 THEN 'open'
+        |         ELSE 'partial' END AS stage,
+        |    CASE WHEN any_r = 1 THEN 'with_returns'
+        |         ELSE 'clean' END AS returns,
+        |    n_lines, val_dec FROM o)
+        |SELECT stage, returns, count(*) AS n_orders,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(round(sum(val_dec), 4) AS DOUBLE) AS value
+        |FROM s GROUP BY stage, returns ORDER BY stage, returns""".stripMargin,
 
     "orders_rev_recognition" ->
       // same integer long-division proration; generate_series is

@@ -245,4 +245,21 @@ class Wave63Spec extends SparkSpec {
       .select((col("o_orderkey") % 60 + 1)).collect().map(_.getLong(0)).sum
     assert(months.map(_.getLong(1)).sum == expectDays)
   }
+
+  test("orders_fulfillment: grid partitions every order exactly once") {
+    val rows = q("orders_fulfillment").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val stages = rows.map(_._1._1).toSet
+    assert(stages.subsetOf(Set("fulfilled", "open", "partial")))
+    val li = Tables.table(spark, sfDir, "lineitem")
+    assert(rows.map(_._2._1).sum ==
+      li.select("l_orderkey").distinct().count(), "orders partition")
+    assert(rows.map(_._2._2).sum == li.count(), "lines partition")
+    // value rolls up to the exact corpus total
+    val total = BigDecimal(li.agg(
+      round(sum(col("l_extendedprice").cast(Canon.Dec)), 4).cast("double"))
+      .head().getDouble(0))
+    assert((rows.map(t => BigDecimal(t._2._3)).sum - total).abs < 0.01)
+  }
 }
