@@ -606,6 +606,30 @@ object Analytics extends QueryGroup {
         .orderBy("part_a", "part_b")
     },
 
+    "pricing_waterfall" -> { (spark, dir) =>
+      // Pricing WATERFALL — the finance decomposition behind every
+      // revenue bridge chart: per ship-year, gross charge → discount
+      // given → tax collected → net, each component an exact-decimal
+      // sum of the same per-line expressions TPC-H Q1 aggregates, plus
+      // the bridged net recomputed from the components so the report
+      // carries its own reconciliation (net == gross − disc + tax to
+      // the rounding grain — the waterfall's invariant, spec-asserted).
+      // One scan, one 7-group agg; entirely map-side combinable.
+      val li = Tables.table(spark, dir, "lineitem")
+      li.select(year(col("l_shipdate")).cast("long").as("yr"),
+          col("l_extendedprice").as("p"), col("l_discount").as("d"),
+          col("l_tax").as("t"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_lines"),
+          Canon.moneySum(col("p")).as("gross"),
+          Canon.moneySum(col("p") * col("d")).as("discount_amt"),
+          Canon.moneySum(col("p") * (lit(1.0) - col("d")) * col("t"))
+            .as("tax_amt"),
+          Canon.moneySum(col("p") * (lit(1.0) - col("d"))
+            * (lit(1.0) + col("t"))).as("net"))
+        .orderBy("yr")
+    },
+
     "orders_fulfillment" -> { (spark, dir) =>
       // Fulfillment-stage funnel — the order-lifecycle rollup a
       // warehouse ops dashboard leads with: each order classifies from
@@ -1045,6 +1069,19 @@ object Analytics extends QueryGroup {
          |    AS DOUBLE) AS share
          |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
     },
+
+    "pricing_waterfall" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS gross,
+        |  CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS discount_amt,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * l_tax
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS tax_amt,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    * (1.0 + l_tax) AS DECIMAL(18,6))), 4) AS DOUBLE) AS net
+        |FROM lineitem GROUP BY yr ORDER BY yr""".stripMargin,
 
     "orders_fulfillment" ->
       """WITH o AS (SELECT l_orderkey, count(*) AS n_lines,

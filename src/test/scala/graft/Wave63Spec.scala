@@ -262,4 +262,19 @@ class Wave63Spec extends SparkSpec {
       .head().getDouble(0))
     assert((rows.map(t => BigDecimal(t._2._3)).sum - total).abs < 0.01)
   }
+
+  test("pricing_waterfall: the bridge reconciles (net == gross - disc + tax)") {
+    val rows = q("pricing_waterfall").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (yr, gross, disc, tax, net) =>
+      assert(gross > 0 && disc > 0 && tax > 0, s"year $yr empty component")
+      assert(disc < gross && tax < gross)
+      // components were rounded independently → cent-scale slack only
+      val bridged = BigDecimal(gross) - BigDecimal(disc) + BigDecimal(tax)
+      assert((bridged - BigDecimal(net)).abs < 0.05,
+        s"year $yr: bridged $bridged vs net $net")
+    }
+  }
 }
