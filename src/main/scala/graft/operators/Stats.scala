@@ -67,6 +67,51 @@ object Stats extends QueryGroup {
         .orderBy("event_type")
     },
 
+    "events_weekend_effect" -> { (spark, dir) =>
+      // Weekend-vs-weekday Welch t PER STREAM — stat_ttest's machinery
+      // pointed at the question an ops review actually asks ("does this
+      // signal behave differently on weekends?"). The split key is pure
+      // integer calendar arithmetic on epoch-days ((day + 4) % 7 ≥ 5 —
+      // 1970-01-01 was a Thursday), both groups' moments come from ONE
+      // map-side-combined (type, is_weekend) aggregate, and the t
+      // collapses exact-decimal sums in fixed IEEE order. 5 output rows
+      // per corpus at any scale.
+      val DayUs = 86400000000L
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"),
+          (expr(s"(ts_us div $DayUs + 4) % 7") >= 5).as("wk"),
+          col("value").cast(Canon.Dec).as("v"),
+          (col("value").cast(Canon.Dec) * col("value").cast(Canon.Dec))
+            .as("v2"))
+      val per = ev.groupBy("event_type", "wk").agg(
+        count(lit(1)).as("n"), sum("v").as("s"), sum("v2").as("q"))
+      val we = per.filter(col("wk")).drop("wk")
+        .select(col("event_type"), col("n").as("n1"),
+          col("s").as("s1"), col("q").as("q1"))
+      val wd = per.filter(!col("wk")).drop("wk")
+        .select(col("event_type"), col("n").as("n0"),
+          col("s").as("s0"), col("q").as("q0"))
+      we.join(wd, "event_type")
+        .withColumn("s1d", col("s1").cast("double"))
+        .withColumn("q1d", col("q1").cast("double"))
+        .withColumn("s0d", col("s0").cast("double"))
+        .withColumn("q0d", col("q0").cast("double"))
+        .withColumn("m1", col("s1d") / col("n1"))
+        .withColumn("m0", col("s0d") / col("n0"))
+        .withColumn("var1",
+          (col("q1d") - col("s1d") * col("s1d") / col("n1")) / (col("n1") - 1))
+        .withColumn("var0",
+          (col("q0d") - col("s0d") * col("s0d") / col("n0")) / (col("n0") - 1))
+        .withColumn("t_stat", Canon.round6(
+          (col("m1") - col("m0"))
+            / sqrt(col("var1") / col("n1") + col("var0") / col("n0"))))
+        .select(col("event_type"), col("n1").as("n_weekend"),
+          col("n0").as("n_weekday"),
+          Canon.round6(col("m1")).as("mean_weekend"),
+          Canon.round6(col("m0")).as("mean_weekday"), col("t_stat"))
+        .orderBy("event_type")
+    },
+
     "stat_chisq" -> { (spark, dir) =>
       // Chi-square independence of event_type × value band (5 × 5
       // contingency from one groupBy; bands are exact integer
@@ -213,6 +258,35 @@ object Stats extends QueryGroup {
   )
 
   def oracle = Map(
+    "events_weekend_effect" ->
+      s"""WITH e AS (SELECT event_type,
+         |    (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS wk,
+         |    CAST(value AS $DecV) AS v,
+         |    CAST(value AS $DecV) * CAST(value AS $DecV) AS v2
+         |  FROM events),
+         |per AS (SELECT event_type, wk, count(*) AS n,
+         |    sum(v) AS s, sum(v2) AS q FROM e GROUP BY event_type, wk),
+         |we AS (SELECT event_type, n AS n1, s AS s1, q AS q1
+         |  FROM per WHERE wk),
+         |wd AS (SELECT event_type, n AS n0, s AS s0, q AS q0
+         |  FROM per WHERE NOT wk),
+         |j AS (SELECT we.event_type, n1, n0,
+         |    CAST(s1 AS DOUBLE) AS s1d, CAST(q1 AS DOUBLE) AS q1d,
+         |    CAST(s0 AS DOUBLE) AS s0d, CAST(q0 AS DOUBLE) AS q0d
+         |  FROM we JOIN wd USING (event_type)),
+         |k AS (SELECT *, s1d / n1 AS m1, s0d / n0 AS m0,
+         |    (q1d - s1d * s1d / n1) / (n1 - 1) AS var1,
+         |    (q0d - s0d * s0d / n0) / (n0 - 1) AS var0
+         |  FROM j)
+         |SELECT event_type, n1 AS n_weekend, n0 AS n_weekday,
+         |  CAST(floor(m1 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_weekend,
+         |  CAST(floor(m0 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_weekday,
+         |  CAST(CASE WHEN (m1 - m0) >= 0
+         |    THEN floor((m1 - m0) / sqrt(var1 / n1 + var0 / n0) * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-((m1 - m0) / sqrt(var1 / n1 + var0 / n0)) * 1e6 + 0.5) / 1e6
+         |  END AS DOUBLE) AS t_stat
+         |FROM k ORDER BY event_type""".stripMargin,
+
     "stat_ttest" ->
       s"""WITH e AS (SELECT event_type, CAST(value AS $DecV) AS v,
          |    CAST(value AS $DecV) * CAST(value AS $DecV) AS v2

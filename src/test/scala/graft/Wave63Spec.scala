@@ -277,4 +277,28 @@ class Wave63Spec extends SparkSpec {
         s"year $yr: bridged $bridged vs net $net")
     }
   }
+
+  test("events_weekend_effect: calendar split is correct; t matches a JVM Welch") {
+    val rows = q("events_weekend_effect").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.length == 5)
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "ts_us", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (t, n1, n0, tStat) =>
+      val mine = ev.filter(_._1 == t)
+      val (we, wd) = mine.partition(e => (e._2 / 86400000000L + 4) % 7 >= 5)
+      assert(n1 == we.length && n0 == wd.length, s"$t split sizes")
+      def welchHalf(xs: Seq[Double]) = {
+        val n = xs.length.toDouble
+        val m = xs.sum / n
+        val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+        (m, v / n)
+      }
+      val (m1, se1) = welchHalf(we.map(_._3))
+      val (m0, se0) = welchHalf(wd.map(_._3))
+      val expect = (m1 - m0) / math.sqrt(se1 + se0)
+      assert(math.abs(tStat - expect) < 1e-3, s"$t: $tStat vs $expect")
+    }
+  }
 }
