@@ -606,6 +606,34 @@ object Analytics extends QueryGroup {
         .orderBy("part_a", "part_b")
     },
 
+    "supplier_hhi" -> { (spark, dir) =>
+      // HERFINDAHL–HIRSCHMAN concentration per nation market — the
+      // "how fragile is this supply base" index procurement teams track
+      // (HHI > 0.25 = concentrated under the DOJ's scaled convention).
+      // Numerics: per-supplier revenue in exact decimal, each share² is
+      // ONE fixed-order IEEE expression of two exact operands, and the
+      // cross-supplier sum rides the stat_chisq nano-quantize trick —
+      // longs, order-free under any partial-agg schedule. Shape: one
+      // fact groupBy to |suppliers| rows, a broadcast |nations| total
+      // join, a |nations| final agg.
+      val rev = Tables.table(spark, dir, "lineitem")
+        .join(broadcast(Tables.table(spark, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(sum(col("l_extendedprice").cast(Canon.Dec)).as("r"))
+      val nat = rev.groupBy("s_nationkey").agg(sum("r").as("rn"))
+      rev.join(broadcast(nat), "s_nationkey")
+        .withColumn("share", col("r").cast("double") / col("rn").cast("double"))
+        .withColumn("nano",
+          floor(col("share") * col("share") * 1e9 + 0.5).cast("long"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          Canon.round6(sum("nano").cast("double") / 1e9).as("hhi"),
+          Canon.round6(max("share")).as("top_share"))
+        .orderBy("s_nationkey")
+    },
+
     "pricing_waterfall" -> { (spark, dir) =>
       // Pricing WATERFALL — the finance decomposition behind every
       // revenue bridge chart: per ship-year, gross charge → discount
@@ -1069,6 +1097,27 @@ object Analytics extends QueryGroup {
          |    AS DOUBLE) AS share
          |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
     },
+
+    "supplier_hhi" ->
+      """WITH rev AS (SELECT s_nationkey, s_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey),
+        |nat AS (SELECT s_nationkey, sum(r) AS rn FROM rev
+        |  GROUP BY s_nationkey),
+        |sh AS (SELECT rev.s_nationkey,
+        |    CAST(r AS DOUBLE) / CAST(rn AS DOUBLE) AS share
+        |  FROM rev JOIN nat USING (s_nationkey)),
+        |q AS (SELECT s_nationkey, share,
+        |    CAST(floor(share * share * 1e9 + 0.5) AS BIGINT) AS nano
+        |  FROM sh),
+        |f AS (SELECT s_nationkey, count(*) AS n_suppliers,
+        |    CAST(sum(nano) AS DOUBLE) / 1e9 AS hhi_raw,
+        |    max(share) AS top FROM q GROUP BY s_nationkey)
+        |SELECT s_nationkey, n_suppliers,
+        |  CAST(floor(hhi_raw * 1e6 + 0.5) / 1e6 AS DOUBLE) AS hhi,
+        |  CAST(floor(top * 1e6 + 0.5) / 1e6 AS DOUBLE) AS top_share
+        |FROM f ORDER BY s_nationkey""".stripMargin,
 
     "pricing_waterfall" ->
       """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,

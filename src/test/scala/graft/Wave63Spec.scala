@@ -301,4 +301,30 @@ class Wave63Spec extends SparkSpec {
       assert(math.abs(tStat - expect) < 1e-3, s"$t: $tStat vs $expect")
     }
   }
+
+  test("supplier_hhi: index laws — 1/n ≤ hhi ≤ 1 and top_share² ≤ hhi") {
+    val rows = q("supplier_hhi").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, n, hhi, top) =>
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6,
+        s"nation $nat: hhi $hhi outside [1/$n, 1]")
+      assert(top * top <= hhi + 1e-6, s"nation $nat: top² > hhi")
+      assert(top <= 1.0 + 1e-9 && top >= 1.0 / n - 1e-6)
+    }
+    // shares within a nation sum to 1 — recompute one nation end-to-end
+    val (nat0, n0, hhi0, _) = rows.head
+    val shares = Tables.table(spark, sfDir, "lineitem")
+      .join(Tables.table(spark, sfDir, "supplier")
+        .filter(col("s_nationkey") === nat0),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey")
+      .agg(sum(col("l_extendedprice").cast(Canon.Dec)).as("r"))
+      .collect().map(_.getDecimal(1))
+    assert(shares.length == n0)
+    val tot = shares.map(BigDecimal(_)).sum
+    val jvmHhi = shares.map(s => {
+      val sh = (BigDecimal(s) / tot).toDouble; sh * sh }).sum
+    assert(math.abs(jvmHhi - hhi0) < 1e-4, s"nation $nat0: $jvmHhi vs $hhi0")
+  }
 }
