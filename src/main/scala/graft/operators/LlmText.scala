@@ -1000,7 +1000,8 @@ object LlmText extends QueryGroup {
             && col("x.doc_id") < col("y.doc_id"))
         .select(Canon.round6(
           jacOfSorted(col("x.shs"), col("y.shs"))).as("j"))
-        .agg(sum(when(col("j") >= tau, 1L).otherwise(0L)).as("n_true"))
+        .agg(coalesce(sum(when(col("j") >= tau, 1L).otherwise(0L)), lit(0L))
+          .as("n_true")) // coalesce: zero within-source pairs ⇒ 0, not NULL
       val perCfg = Seq(2, 4, 8).map { b =>
         val w = 16 / b
         val bands = sig
@@ -1024,17 +1025,24 @@ object LlmText extends QueryGroup {
           .select(Canon.round6(
             jacOfSorted(col("sa"), col("sb"))).as("j"))
           .agg(count(lit(1)).as("n_cand"),
-            sum(when(col("j") >= tau, 1L).otherwise(0L)).as("n_conf"))
+            // coalesce: a config with ZERO candidates still reports a
+            // row (n_cand = 0, n_conf = 0, recall 0-able, precision
+            // NULL) — the global agg always emits one row, but sum()
+            // over it is NULL; the oracle zero-fills from its cfg list
+            // the same way, so an empty operating point can never
+            // row-count-mismatch the sweep (r8 ADVICE item 1).
+            coalesce(sum(when(col("j") >= tau, 1L).otherwise(0L)), lit(0L))
+              .as("n_conf"))
           .select(lit(b.toLong).as("bands"), lit(w.toLong).as("rows_per_band"),
             col("n_cand"), col("n_conf"))
       }.reduce(_ unionByName _)
       perCfg.crossJoin(broadcast(truth))
         .select(col("bands"), col("rows_per_band"),
           col("n_cand"), col("n_conf"), col("n_true"),
-          Canon.round6(col("n_conf").cast("double")
-            / col("n_true").cast("double")).as("recall"),
-          Canon.round6(col("n_conf").cast("double")
-            / col("n_cand").cast("double")).as("precision"))
+          when(col("n_true") > 0, Canon.round6(col("n_conf").cast("double")
+            / col("n_true").cast("double"))).as("recall"),
+          when(col("n_cand") > 0, Canon.round6(col("n_conf").cast("double")
+            / col("n_cand").cast("double"))).as("precision"))
         .orderBy("bands")
     },
 
@@ -1690,15 +1698,21 @@ object LlmText extends QueryGroup {
          |agg AS (SELECT bands, count(*) AS n_cand,
          |    CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_conf
-         |  FROM resc GROUP BY bands)
+         |  FROM resc GROUP BY bands),
+         |fill AS (SELECT c.bands,
+         |    coalesce(a.n_cand, 0) AS n_cand,
+         |    coalesce(a.n_conf, 0) AS n_conf
+         |  FROM cfg c LEFT JOIN agg a ON a.bands = c.bands)
          |SELECT CAST(bands AS BIGINT) AS bands,
          |  CAST(16 // bands AS BIGINT) AS rows_per_band,
          |  n_cand, n_conf, n_true,
-         |  CAST(round(CAST(n_conf AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
-         |    AS DOUBLE) AS recall,
-         |  CAST(round(CAST(n_conf AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
-         |    AS DOUBLE) AS "precision"
-         |FROM agg CROSS JOIN truth ORDER BY bands""".stripMargin,
+         |  CASE WHEN n_true > 0 THEN
+         |    CAST(round(CAST(n_conf AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         |      AS DOUBLE) END AS recall,
+         |  CASE WHEN n_cand > 0 THEN
+         |    CAST(round(CAST(n_conf AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+         |      AS DOUBLE) END AS "precision"
+         |FROM fill CROSS JOIN truth ORDER BY bands""".stripMargin,
 
     "dedup_explain" ->
       // the shared 3-gram candidate CTE + per-pair signal recompute:

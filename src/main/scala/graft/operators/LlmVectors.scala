@@ -282,15 +282,27 @@ object LlmVectors extends QueryGroup {
       // "are these embeddings any good for this label" question every
       // embedding pipeline answers before training on them (the
       // classifier itself is also the production few-shot labeler).
-      // Votes tie-break to the smaller label — deterministic, both
-      // engines. Shape: the exact top-5 via [[Knn.search]]'s bounded-
-      // heap reducer (broadcast queries, per-partition heaps — never a
-      // global n² shuffle), one (q, label) count agg, one per-q argmax,
-      // one per-class roll-up; at index scale the neighbor source swaps
-      // to the IVF probe path unchanged.
+      // QUERY SET = the deterministic 1-in-10 sample (vec_id % 10) of
+      // the index — the r7 verdict marked the all-vectors exact LOO n²
+      // weak at 100 TB; an accuracy eval needs a confidence interval,
+      // not every vector, so the DECLARED query is the sampled eval
+      // against the FULL index (the knn_recall_matryoshka redesign
+      // precedent). A production eval has FIXED Q — candidate work is
+      // then linear in the index; here Q rides the harness's %-of-index
+      // convention like knn_search does. Votes tie-break to the smaller
+      // label — deterministic, both engines. Shape: exact top-5 via
+      // [[Knn.search]]'s bounded-heap reducer (broadcast sampled
+      // queries, per-partition heaps — never a global n² shuffle), one
+      // (q, label) count agg, one per-q argmax, one per-class roll-up;
+      // at index scale the neighbor source swaps to the
+      // [[Knn.searchBucketed]] IVF probe unchanged (accuracy then reads
+      // at the measured recall of knn_recall_at_k). KnnClassifySpec
+      // certifies the sampled estimate against the full-eval accuracy
+      // at sf0.001 — the exact form stays a calibration check in the
+      // suite, not a declared query.
       val emb = Tables.table(spark, dir, "embeddings")
       val labels = emb.select(col("vec_id"), col("label"))
-      val votes = Knn.search(emb, emb, k = 5)
+      val votes = Knn.search(emb.filter(col("vec_id") % 10 === 0), emb, k = 5)
         .join(broadcast(labels.withColumnRenamed("vec_id", "idx_id")
           .withColumnRenamed("label", "n_label")), "idx_id")
         .groupBy("q_id", "n_label").agg(count(lit(1)).as("cnt"))
@@ -1437,10 +1449,13 @@ object LlmVectors extends QueryGroup {
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "knn_classify" ->
-      // same exact-kNN CTE at k=5, vote counts, (cnt DESC, label) argmax
+      // exact-kNN CTE at k=5 over the 1-in-10 sampled query set (the
+      // full table stays the index side), vote counts, (cnt DESC,
+      // label) argmax
       s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
          |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
-         |  FROM embeddings q JOIN embeddings i ON q.vec_id <> i.vec_id),
+         |  FROM embeddings q JOIN embeddings i
+         |    ON q.vec_id % 10 = 0 AND q.vec_id <> i.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
          |  FROM s),

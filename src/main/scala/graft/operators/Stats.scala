@@ -279,12 +279,16 @@ object Stats extends QueryGroup {
          |    (q0d - s0d * s0d / n0) / (n0 - 1) AS var0
          |  FROM j)
          |SELECT event_type, n1 AS n_weekend, n0 AS n_weekday,
-         |  CAST(floor(m1 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_weekend,
-         |  CAST(floor(m0 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_weekday,
+         |  CAST(CASE WHEN m1 >= 0 THEN floor(m1 * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-m1 * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
+         |    AS mean_weekend,
+         |  CAST(CASE WHEN m0 >= 0 THEN floor(m0 * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-m0 * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
+         |    AS mean_weekday,
          |  CAST(CASE WHEN (m1 - m0) >= 0
          |    THEN floor((m1 - m0) / sqrt(var1 / n1 + var0 / n0) * 1e6 + 0.5) / 1e6
          |    ELSE -floor(-((m1 - m0) / sqrt(var1 / n1 + var0 / n0)) * 1e6 + 0.5) / 1e6
-         |  END AS DOUBLE) AS t_stat
+         |  END + 0.0 AS DOUBLE) AS t_stat
          |FROM k ORDER BY event_type""".stripMargin,
 
     "stat_ttest" ->
@@ -304,12 +308,14 @@ object Stats extends QueryGroup {
          |    (q0d - s0d * s0d / n0) / (n0 - 1) AS var0
          |  FROM j)
          |SELECT event_type, n1, n0,
-         |  CAST(floor(m1 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_in,
-         |  CAST(floor(m0 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_rest,
+         |  CAST(CASE WHEN m1 >= 0 THEN floor(m1 * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-m1 * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE) AS mean_in,
+         |  CAST(CASE WHEN m0 >= 0 THEN floor(m0 * 1e6 + 0.5) / 1e6
+         |    ELSE -floor(-m0 * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE) AS mean_rest,
          |  CAST(CASE WHEN (m1 - m0) >= 0
          |    THEN floor((m1 - m0) / sqrt(var1 / n1 + var0 / n0) * 1e6 + 0.5) / 1e6
          |    ELSE -floor(-((m1 - m0) / sqrt(var1 / n1 + var0 / n0)) * 1e6 + 0.5) / 1e6
-         |  END AS DOUBLE) AS t_stat
+         |  END + 0.0 AS DOUBLE) AS t_stat
          |FROM k ORDER BY event_type""".stripMargin,
 
     "stat_chisq" ->
@@ -381,7 +387,7 @@ object Stats extends QueryGroup {
         |  CAST(CASE WHEN num >= 0
         |    THEN floor(num / sqrt(var_u) * 1e6 + 0.5) / 1e6
         |    ELSE -floor(-(num / sqrt(var_u)) * 1e6 + 0.5) / 1e6
-        |  END AS DOUBLE) AS z_stat
+        |  END + 0.0 AS DOUBLE) AS z_stat
         |FROM k""".stripMargin,
 
     "stat_anova" ->
@@ -410,10 +416,10 @@ object Stats extends QueryGroup {
          |    / (ssw / CAST(n - k AS DOUBLE)) AS fr FROM b)
          |SELECT k, n,
          |  CAST(CASE WHEN ssb >= 0 THEN floor(ssb * 1e6 + 0.5) / 1e6
-         |    ELSE -floor(-ssb * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS ssb,
+         |    ELSE -floor(-ssb * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE) AS ssb,
          |  CAST(floor(ssw * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ssw,
          |  CAST(CASE WHEN fr >= 0 THEN floor(fr * 1e6 + 0.5) / 1e6
-         |    ELSE -floor(-fr * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS f_stat
+         |    ELSE -floor(-fr * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE) AS f_stat
          |FROM f""".stripMargin
   )
 }

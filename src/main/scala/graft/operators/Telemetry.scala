@@ -609,30 +609,48 @@ object Telemetry extends QueryGroup {
     },
 
     "events_theilsen" -> { (spark, dir) =>
-      // THEIL–SEN robust drift — the median-of-pairwise-slopes twin of
-      // events_trend's least squares: immune to the single stuck-sensor
-      // spike that drags an LS slope (breakdown point 29%). Pairs are
-      // blocked BY VEHICLE (the user_id equi key), so the join is
-      // Σ per-vehicle n² — the same bounded-block law as join_interval,
-      // never corpus² — and the per-vehicle median runs inside the one
-      // user exchange. Each slope is ONE IEEE division of exact
-      // operands (integer-second dx > 0, raw value dy); the even-count
-      // median interpolates (a+b)/2 identically in both engines. At
-      // 100 TB the subsample variant (median over the k·n random pairs
-      // of Theil's incomplete estimator) keeps the same plan with a
-      // hash-sampled pair set.
-      val e = Tables.events(spark, dir)
+      // THEIL–SEN robust drift, INCOMPLETE form (Theil's original
+      // pairing) — the median-of-pairwise-slopes twin of events_trend's
+      // least squares, immune to the single stuck-sensor spike that
+      // drags an LS slope. The r7 verdict marked the complete Σ
+      // per-vehicle n² pair join weak at 100 TB (per-entity n grows
+      // with history length; complete Theil–Sen is quadratic per block
+      // BY DEFINITION), so the DECLARED query is now the scale-safe
+      // incomplete estimator: order each vehicle's readings by
+      // (ts, event_id), pair reading i with reading i + ⌈n/2⌉ — a
+      // DETERMINISTIC n/2-pair set both engines state identically (no
+      // RNG, no hash salt to keep in sync), the maximal-spread variant
+      // Theil proposed, with the same √n-consistent slope and ~29%
+      // breakdown on the sampled pairs. Shape: ONE user_id exchange
+      // feeds row_number + per-vehicle count, then the pairing is a
+      // self-EQUI-join on (user_id, rn+h)=(user_id, rn) — linear rows
+      // in, linear pairs out, never n². Each slope is ONE IEEE division
+      // of exact operands (dx as double µs/1e6 — NOT integer-truncated:
+      // a sub-second gap would div to zero and poison the median; ts
+      // ties are dropped by the strict tb > ta guard on both engines);
+      // the even-count median interpolates (a+b)/2 identically.
+      // TheilSenSpec certifies the estimator against the complete
+      // gold-standard form at sf0.001 (median |Δslope| and sign
+      // agreement), keeping the exact n² variant as a calibration
+      // check in the test suite — not a declared query.
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+      val base = Tables.events(spark, dir)
         .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
-      val a = e.select(col("user_id"), col("ts_us").as("ta"),
-        col("event_id").as("ea"), col("value").as("va"))
-      val b = e.select(col("user_id"), col("ts_us").as("tb"),
-        col("event_id").as("eb"), col("value").as("vb"))
-      a.join(b, Seq("user_id"))
-        .filter(struct(col("ta"), col("ea")) < struct(col("tb"), col("eb"))
-          && col("tb") > col("ta"))
-        // dx as double µs/1e6 (NOT integer-truncated: a sub-second gap
-        // would div to zero and poison the median with an Infinity);
-        // tb−ta ≤ 2.6e12 µs is double-exact, the /1e6 is one IEEE op
+        .withColumn("rn", row_number().over(wOrd))
+        // h = n div 2 (count/2 is double-exact below 2^52 rows/vehicle;
+        // the long cast truncates = floor on the positive count)
+        .withColumn("h",
+          (count(lit(1)).over(wAll) / lit(2)).cast("long"))
+      val a = base.select(col("user_id"),
+        (col("rn").cast("long") + col("h")).as("rn_b"),
+        col("ts_us").as("ta"), col("value").as("va"))
+      val b = base.select(col("user_id"), col("rn").cast("long").as("rn_b"),
+        col("ts_us").as("tb"), col("value").as("vb"))
+      a.join(b, Seq("user_id", "rn_b"))
+        .filter(col("tb") > col("ta"))
         .select(col("user_id"),
           ((col("vb") - col("va"))
             / (expr("CAST(tb - ta AS DOUBLE)") / lit(1000000.0d)))
@@ -1177,15 +1195,22 @@ object Telemetry extends QueryGroup {
         |FROM s ORDER BY user_id""".stripMargin,
 
     "events_theilsen" ->
-      // same blocked pair join, same one-division slopes, DuckDB's
-      // interpolating median ≡ Spark percentile(0.5) on even counts
+      // incomplete-estimator pairing: rank each vehicle's readings,
+      // pair rn with rn + n//2 — the same deterministic pair set the
+      // Spark side states; DuckDB's interpolating median ≡ Spark
+      // percentile(0.5) on even counts
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
         |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
         |p AS (SELECT a.user_id,
         |    (b.value - a.value)
         |      / (CAST(b.ts_us - a.ts_us AS DOUBLE) / 1000000.0) AS slope
-        |  FROM e a JOIN e b ON a.user_id = b.user_id
-        |    AND (a.ts_us, a.event_id) < (b.ts_us, b.event_id)
+        |  FROM r a JOIN r b ON a.user_id = b.user_id
+        |    AND b.rn = a.rn + a.n // 2
         |    AND b.ts_us > a.ts_us),
         |m AS (SELECT user_id, count(*) AS n_pairs,
         |    median(slope) AS med FROM p GROUP BY user_id)
