@@ -25,6 +25,45 @@ object Joins extends QueryGroup {
   private val liKey = Scans.lineitemKey
   private val liKeySql = Scans.lineitemKeySql
 
+  /** Bucketed (8, key) + sorted parquet layout for `$dir/$name`, laid
+    * down ONCE per fixture snapshot in the fingerprint-keyed
+    * [[ArtifactCache]] (r8 ADVICE item 2 — the previous pid-keyed
+    * /tmp/graft_buckets dirs accumulated forever across JVM runs),
+    * then registered in THIS session's catalog as an external bucketed
+    * table (the bucket spec lives in the catalog — a bare parquet read
+    * would lose it, so each fresh JVM re-registers, but no longer
+    * re-WRITES). The physical files come from Spark's own bucketed
+    * writer, so re-declaring the identical CLUSTERED/SORTED BY spec
+    * over them is exact; concurrent harness JVMs race benignly on the
+    * one publish (ArtifactCache's atomic-rename contract). This is the
+    * 100 TB operating model stated literally: the layout job runs once
+    * per snapshot, every query session only ever re-attaches metadata.
+    */
+  private def bucketedTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, key: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_${name}_b_$suffix"
+    if (!spark.catalog.tableExists(tbl)) {
+      val out = ArtifactCache.path(s"bucket8_${name}_$key",
+        Seq(s"$dir/$name.parquet")) { staging =>
+        // the bucketed writer only exists behind saveAsTable; register
+        // a throwaway external table on the staging path, then drop it
+        // (external ⇒ files survive) before the atomic publish
+        val tmp = s"graft_stage_${name}_p${ProcessHandle.current().pid()}"
+        Tables.table(spark, dir, name).write
+          .bucketBy(8, key).sortBy(key)
+          .option("path", staging)
+          .mode("overwrite").saveAsTable(tmp)
+        spark.sql(s"DROP TABLE $tmp")
+      }
+      val ddl = Tables.table(spark, dir, name).schema.toDDL
+      spark.sql(s"CREATE TABLE $tbl ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+        s"LOCATION '$out'")
+    }
+    tbl
+  }
+
   def queries = Map(
     "join_inner_hash" -> { (spark, dir) =>
       Tables.table(spark, dir, "orders")
@@ -253,25 +292,9 @@ object Joins extends QueryGroup {
       // sorted on the join key at write time, so the sort-merge join
       // needs NO exchange and NO sort at read time (asserted in
       // JoinSpec). This is the 100 TB recurring-join pattern: pay the
-      // shuffle once when laying data down, never again per query. The
-      // bucket layout is written once per process (the bucket spec lives
-      // in the session catalog — a bare parquet re-registration would
-      // lose it, so each fresh JVM lays the tables down again).
-      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-      // pid-keyed: a concurrently running harness process (verify vs
-      // bench) must not overwrite a layout this process is reading
-      val base = s"/tmp/graft_buckets/p${ProcessHandle.current().pid()}/$suffix"
-      def bucketed(name: String, key: String): String = {
-        val tbl = s"graft_${name}_b_$suffix"
-        if (!spark.catalog.tableExists(tbl))
-          Tables.table(spark, dir, name).write
-            .bucketBy(8, key).sortBy(key)
-            .option("path", s"$base/$name")
-            .mode("overwrite").saveAsTable(tbl)
-        tbl
-      }
-      val li = spark.table(bucketed("lineitem", "l_orderkey"))
-      val ord = spark.table(bucketed("orders", "o_orderkey"))
+      // shuffle once when laying data down, never again per query.
+      val li = spark.table(bucketedTable(spark, dir, "lineitem", "l_orderkey"))
+      val ord = spark.table(bucketedTable(spark, dir, "orders", "o_orderkey"))
       li.hint("merge")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
@@ -290,16 +313,8 @@ object Joins extends QueryGroup {
       // bucketed by their natural aggregation key: every recurring
       // per-key rollup — not just joins — skips the shuffle forever.
       // Same table name as join_bucketed → the layout is laid once per
-      // JVM and shared between both queries.
-      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"/tmp/graft_buckets/p${ProcessHandle.current().pid()}/$suffix"
-      val tbl = s"graft_lineitem_b_$suffix"
-      if (!spark.catalog.tableExists(tbl))
-        Tables.table(spark, dir, "lineitem").write
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/lineitem")
-          .mode("overwrite").saveAsTable(tbl)
-      spark.table(tbl)
+      // fixture snapshot and shared between both queries.
+      spark.table(bucketedTable(spark, dir, "lineitem", "l_orderkey"))
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_items"),
           // quantities are integral in the fixture — the long cast keeps

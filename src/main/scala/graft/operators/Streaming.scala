@@ -871,41 +871,7 @@ object Streaming extends QueryGroup {
       // events/vehicle at full dynamic range — beyond that the sums
       // fold in two-long form, the stat_anova bound discipline).
       import spark.implicits._
-      val slopes = eventStream(spark, dir)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
-        .as[(Long, Long, Long, Double)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
-          (Long, Long, Double)](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          (user: Long, it: Iterator[(Long, Long, Long, Double)],
-              state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
-            var (t0, n, sx, sy, sxy, sxx) = state.getOption
-              .getOrElse((Long.MaxValue, 0L, 0L, 0L, 0L, 0L))
-            it.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, v) =>
-              if (t0 == Long.MaxValue) t0 = ts
-              val x = (ts - t0) / 1000000L
-              val y = java.math.BigDecimal.valueOf(v)
-                .setScale(6, java.math.RoundingMode.HALF_UP)
-                .unscaledValue().longValueExact()
-              n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
-            }
-            state.update((t0, n, sx, sy, sxy, sxx))
-            // one correctly-rounded double per exact sum (scale-6 sums
-            // go through BigDecimal — Decimal.toDouble's exact path)
-            val nd = n.toDouble
-            val sxd = sx.toDouble
-            val sxxd = sxx.toDouble
-            val syd = new java.math.BigDecimal(
-              java.math.BigInteger.valueOf(sy), 6).doubleValue()
-            val sxyd = new java.math.BigDecimal(
-              java.math.BigInteger.valueOf(sxy), 6).doubleValue()
-            val den = nd * sxxd - sxd * sxd
-            val raw = if (den > 0) (nd * sxyd - sxd * syd) / den else 0.0
-            val slope = (if (raw >= 0) math.floor(raw * 1e6 + 0.5) / 1e6
-              else -math.floor(-raw * 1e6 + 0.5) / 1e6) + 0.0 // kill -0.0
-            Iterator.single((user, n, slope))
-        }
+      val slopes = trendSlopes(spark, eventStream(spark, dir))
       runToMemory(spark, slopes.toDF("user_id", "n", "slope_per_s"),
           OutputMode.Append())
         .groupBy("user_id")
@@ -914,6 +880,69 @@ object Streaming extends QueryGroup {
         .orderBy("user_id")
     }
   )
+
+  /** The stream_trend fold, factored out so Wave83Spec can drive it
+    * with an adversarial multi-batch replay. Cross-batch ordering
+    * contract: the x-origin t0 is the first event-time seen for the
+    * key, so a LATER batch delivering an event EARLIER than t0 cannot
+    * be folded exactly (x = (ts−t0) div 1e6 truncates sub-seconds —
+    * shifting the origin is non-linear in the stored moments). Such an
+    * arrival previously picked a wrong t0 and corrupted the integer
+    * moments with no error (r8 ADVICE item 4); now the fold tracks t0
+    * in state and FAILS LOUDLY instead — silent corruption is the one
+    * unacceptable outcome for a correctness-gated metric. The declared
+    * query replays with AvailableNow over one directory snapshot and
+    * no maxFilesPerTrigger, which delivers every row in a single
+    * ordered batch (asserted in Wave83Spec); a production deployment
+    * with out-of-order history replays would anchor t0 from the
+    * backfill's min event time first.
+    */
+  private[graft] def trendSlopes(spark: SparkSession,
+      src: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    src
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+        (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (t0, n, sx, sy, sxy, sxx) = state.getOption
+            .getOrElse((Long.MaxValue, 0L, 0L, 0L, 0L, 0L))
+          it.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, v) =>
+            if (ts < t0 && n > 0)
+              throw new IllegalStateException(
+                s"stream_trend: event for user $user at ts_us=$ts arrived " +
+                  s"after the x-origin was anchored at t0=$t0 — a " +
+                  "multi-batch replay delivered out of event-time order; " +
+                  "refusing to fold (the truncated-seconds x cannot be " +
+                  "re-origined from moments)")
+            if (t0 == Long.MaxValue) t0 = ts
+            val x = (ts - t0) / 1000000L
+            val y = java.math.BigDecimal.valueOf(v)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
+          }
+          state.update((t0, n, sx, sy, sxy, sxx))
+          // one correctly-rounded double per exact sum (scale-6 sums
+          // go through BigDecimal — Decimal.toDouble's exact path)
+          val nd = n.toDouble
+          val sxd = sx.toDouble
+          val sxxd = sxx.toDouble
+          val syd = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(sy), 6).doubleValue()
+          val sxyd = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(sxy), 6).doubleValue()
+          val den = nd * sxxd - sxd * sxd
+          val raw = if (den > 0) (nd * sxyd - sxd * syd) / den else 0.0
+          val slope = (if (raw >= 0) math.floor(raw * 1e6 + 0.5) / 1e6
+            else -math.floor(-raw * 1e6 + 0.5) / 1e6) + 0.0 // kill -0.0
+          Iterator.single((user, n, slope))
+      }
+  }
 
   def oracle = Map(
     // the streaming fold reproduces the batch decimal staging exactly,

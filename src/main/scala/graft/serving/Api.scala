@@ -160,15 +160,17 @@ object Api {
             // the 10 biggest id gaps in the lineitem feed
             val alerts = SparkEntry.queries("dq_volume_drift")(spark, dir)
               .filter(col("status") =!= "ok")
+            // plain concatenation — no margin/newline post-processing,
+            // which would corrupt any data value containing a newline
+            // or a leading '|' (r8 ADVICE item 3)
             respond(x, 200,
-              s"""{"freshness":${toJson(
-                SparkEntry.queries("dq_freshness")(spark, dir))},
-                 |"value_drift":${toJson(
-                SparkEntry.queries("dq_value_drift")(spark, dir))},
-                 |"volume_alerts":${toJson(alerts)},
-                 |"id_gaps":${toJson(
-                SparkEntry.queries("dq_id_gaps")(spark, dir))}}"""
-                .stripMargin.replace("\n", ""))
+              "{\"freshness\":" + toJson(
+                SparkEntry.queries("dq_freshness")(spark, dir)) +
+              ",\"value_drift\":" + toJson(
+                SparkEntry.queries("dq_value_drift")(spark, dir)) +
+              ",\"volume_alerts\":" + toJson(alerts) +
+              ",\"id_gaps\":" + toJson(
+                SparkEntry.queries("dq_id_gaps")(spark, dir)) + "}")
           case "/search/similar" =>
             // ANN-as-a-service: exact top-k neighbors of one stored
             // vector. The query side is a 1-row pushed-filter scan; at
