@@ -28,7 +28,8 @@ object SparkEntry {
     operators.DataEng,
     operators.Corpus,
     operators.Reporting,
-    operators.Tpch
+    operators.Tpch,
+    operators.ManifestOps
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
