@@ -51,6 +51,14 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestTable {
 
+  /** One live data file plus its key-column stats (min/max of a long
+    * key), the planning metadata real formats carry per file: a reader
+    * or merge writer intersects a key predicate with these bounds and
+    * PRUNES files before any scan — the mechanism behind "a MERGE into
+    * 100 TB rewrites 3 files, not the table".
+    */
+  case class FileEntry(path: String, minKey: Long, maxKey: Long)
+
   private def manifestDir(root: Path) = root.resolve("_manifests")
   private def name(v: Int) = f"v$v%05d.txt"
 
@@ -66,8 +74,26 @@ object ManifestTable {
     finally s.close()
   }
 
-  /** Relative live-file list of a committed version. */
-  def filesFor(root: Path, version: Int): Seq[String] = {
+  /** Relative live-file list of a committed version. Manifest lines
+    * are `path` or `path\tminKey\tmaxKey`; the path is always the
+    * first field, so stats-free and stats-carrying snapshots coexist
+    * in one log.
+    */
+  def filesFor(root: Path, version: Int): Seq[String] =
+    rawLines(root, version).map(_.split('\t').head)
+
+  /** Live files WITH key stats — only valid for snapshots committed
+    * through the stats-carrying writers ([[stageWithStats]]).
+    */
+  def entriesFor(root: Path, version: Int): Seq[FileEntry] =
+    rawLines(root, version).map { l =>
+      val f = l.split('\t')
+      require(f.length == 3,
+        s"v$version was not committed with per-file key stats")
+      FileEntry(f(0), f(1).toLong, f(2).toLong)
+    }
+
+  private def rawLines(root: Path, version: Int): Seq[String] = {
     val lines = scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(manifestDir(root).resolve(name(version)))).asScala
     require(lines.nonEmpty && lines.head.startsWith(
@@ -148,6 +174,71 @@ object ManifestTable {
     rel
   }
 
+  /** [[stage]] plus EXACT per-file min/max stats on `keyCol`, encoded
+    * into the manifest lines (`path\tmin\tmax`). The caller range-lays
+    * the frame first (repartitionByRange on the key) so each file
+    * covers a narrow key band and the stats actually prune; measured
+    * post-write, the bounds are exact, not estimates.
+    */
+  def stageWithStats(df: DataFrame, root: Path, batch: String,
+      keyCol: String): Seq[String] = {
+    val spark = df.sparkSession
+    stage(df, root, batch).flatMap { rel =>
+      val mm = spark.read.schema(df.schema)
+        .parquet(root.resolve("data").resolve(rel).toString)
+        .agg(min(keyCol), max(keyCol)).head()
+      if (mm.isNullAt(0)) { // empty partition's file: not a live file
+        Files.delete(root.resolve("data").resolve(rel)); None
+      } else Some(s"$rel\t${mm.getLong(0)}\t${mm.getLong(1)}")
+    }
+  }
+
+  /** Copy-on-write MERGE: apply `transform` to the rows of ONLY the
+    * files whose [min,max] key band intersects [loKey, hiKey] — the
+    * stats-pruned affected set — and commit (untouched entries ++
+    * rewritten replacements) as the next snapshot. `transform` must be
+    * the identity outside the key band (its matches are band-scoped by
+    * contract), which is what makes skipping disjoint files lossless.
+    * This is the Delta/Iceberg merge shape stated minimally: at 100 TB
+    * a keyed upsert touching one tenant's band rewrites the handful of
+    * files the stats admit, never the table; pinned readers of the
+    * pre-merge snapshot are untouched by immutability.
+    */
+  def mergeCoW(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, keyCol: String, loKey: Long, hiKey: Long)(
+      transform: DataFrame => DataFrame): Int = {
+    val (hit, skip) = entriesFor(root, from)
+      .partition(e => e.minKey <= hiKey && e.maxKey >= loKey)
+    require(hit.nonEmpty, "merge band matched no file — nothing to do")
+    val affected = spark.read.schema(schema).parquet(
+      hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+    val rewritten = stageWithStats(
+      transform(affected).repartitionByRange(
+        math.max(1, hit.size), col(keyCol)),
+      root, s"merge$from", keyCol)
+    commit(root, skip.map(e => s"${e.path}\t${e.minKey}\t${e.maxKey}")
+      ++ rewritten)
+  }
+
+  /** Retention: delete data files referenced by NO version ≥
+    * `keepFrom` (time travel older than the horizon dies; every kept
+    * snapshot still reads). The one op that may remove bytes — kept
+    * strictly separate from commits, exactly like VACUUM.
+    */
+  def vacuum(root: Path, keepFrom: Int): Seq[String] = {
+    val keep = (keepFrom to latestVersion(root))
+      .flatMap(filesFor(root, _)).toSet
+    val data = root.resolve("data")
+    val s = Files.list(data)
+    val all =
+      try s.map[String](_.getFileName.toString).toArray.toSeq
+        .collect { case n: String => n }
+      finally s.close()
+    val dead = all.filterNot(keep)
+    dead.foreach(n => Files.delete(data.resolve(n)))
+    dead
+  }
+
   /** Scan one snapshot: exactly its listed files, explicit schema. */
   def read(spark: SparkSession, root: Path, version: Int,
       schema: StructType): DataFrame = {
@@ -203,6 +294,40 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** The copy-on-write lifecycle: v1 = orders range-laid into 8
+    * stats-carrying files; v2 = a band-scoped MERGE (update prices in
+    * [max/4, max/2), delete that band's %19 keys) that rewrites ONLY
+    * the stats-admitted files. The band covers ~a quarter of the
+    * keyspace, so most of v1's files survive into v2 verbatim —
+    * Wave87Spec asserts that file-identity, the actual copy-on-write
+    * claim.
+    */
+  private[graft] def cowRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_cow",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val (lo, hi) = (mx / 4, mx / 2) // in-band: lo <= k < hi
+      val v2 = ManifestTable.mergeCoW(spark, root, v1, orders.schema,
+        "o_orderkey", lo, hi - 1) { df =>
+        val inBand = col("o_orderkey") >= lo && col("o_orderkey") < hi
+        df.filter(!(inBand && col("o_orderkey") % 19 === 0))
+          .withColumn("o_totalprice",
+            when(inBand, col("o_totalprice") + lit(1.0d))
+              .otherwise(col("o_totalprice")))
+      }
+      require(v1 == 1 && v2 == 2,
+        s"cow lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   def queries = Map(
     "source_manifest" -> { (spark, dir) =>
       // LATEST snapshot (post-append, post-compaction) must equal the
@@ -223,6 +348,20 @@ object ManifestOps extends QueryGroup {
       val orders = Tables.table(spark, dir, "orders")
       ManifestTable.read(spark, lifecycleRoot(spark, dir), 1, orders.schema)
         .orderBy("o_orderkey")
+    },
+
+    "source_manifest_merge" -> { (spark, dir) =>
+      // latest snapshot of the COPY-ON-WRITE lifecycle: a band-scoped
+      // keyed merge (price bump + partial delete over [max/4, max/2))
+      // applied by rewriting only the files whose key stats intersect
+      // the band. The oracle restates the merged table from the
+      // ORIGINAL parquet — equality proves both the merge semantics
+      // and that skipping stats-disjoint files lost nothing.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = cowRoot(spark, dir)
+      ManifestTable.read(spark, root,
+          ManifestTable.latestVersion(root), orders.schema)
+        .orderBy("o_orderkey")
     }
   )
 
@@ -238,6 +377,22 @@ object ManifestOps extends QueryGroup {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_merge" ->
+      // the merged state restated from the source table: same integer
+      // band bounds (max//4, max//2), same one IEEE price add, same
+      // band-scoped delete predicate
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey >= lo AND o_orderkey < hi
+        |       THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE NOT (o_orderkey >= lo AND o_orderkey < hi
+        |           AND o_orderkey % 19 = 0)
         |ORDER BY o_orderkey""".stripMargin
   )
 }
