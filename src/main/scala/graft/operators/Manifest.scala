@@ -111,17 +111,74 @@ object ManifestTable {
     * inside the retry loop.
     */
   def commit(root: Path, files: Seq[String]): Int =
-    commitWith(root, _ => files)
+    commitWith(root, "")(_ => Some(files)).get
 
   /** Append-style commit: the new snapshot = (winner parent's live
     * set) ++ `added`, recomputed inside the retry loop so a lost race
     * never drops the racer's files.
     */
   def appendCommit(root: Path, added: Seq[String]): Int =
-    commitWith(root, parent =>
-      (if (parent == 0) Nil else filesFor(root, parent)) ++ added)
+    commitWith(root, "")(parent =>
+      Some((if (parent == 0) Nil else filesFor(root, parent)) ++ added)).get
 
-  private def commitWith(root: Path, live: Int => Seq[String]): Int = {
+  /** Header key=value metadata of one committed version (empty for
+    * plain commits). The header line is
+    * `# graft-manifest version=K parent=P [k=v ...]`.
+    */
+  def headerMeta(root: Path, version: Int): Map[String, String] = {
+    val head = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(manifestDir(root).resolve(name(version)))).asScala.head
+    head.split(' ').drop(2).flatMap { t =>
+      t.split("=", 2) match {
+        case Array(k, v) if k != "version" && k != "parent" => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Streaming-sink batch ids already committed — the ledger that makes
+    * [[commitBatch]] idempotent under foreachBatch's at-least-once
+    * replay contract.
+    */
+  def committedBatches(root: Path): Set[Long] =
+    (1 to latestVersion(root))
+      .flatMap(v => headerMeta(root, v).get("batch").map(_.toLong)).toSet
+
+  /** Exactly-once streaming commit: append `df`'s rows as the next
+    * snapshot, recording `batchId` in the manifest header. A replayed
+    * batch (same id — Spark's foreachBatch may re-deliver after a
+    * failure) finds its id in the ledger and no-ops BEFORE staging, so
+    * duplicates neither commit nor leave orphan data files; the ledger
+    * re-check runs inside the publish retry loop too, so two racing
+    * replays of the same batch cannot both win. Commit = one hard-link
+    * create, so a crash mid-batch leaves at most invisible staged files
+    * (vacuum fodder), never a torn snapshot — the transactional-sink
+    * half of exactly-once (the source side is Spark's checkpointed
+    * offset log).
+    */
+  def commitBatch(df: DataFrame, root: Path, batchId: Long): Int = {
+    if (committedBatches(root).contains(batchId)) return latestVersion(root)
+    // batch prefix carries a writer nonce: two RACING replays of the
+    // same batch (the top check can't see an in-flight twin) must not
+    // stage into one path and clobber each other mid-write — each gets
+    // private file names, the ledger picks one commit, and the loser's
+    // orphans stay invisible (vacuum fodder), the uuid-named-files
+    // discipline of the real formats
+    val added = stage(df, root, s"b${batchId}x" +
+      s"${ProcessHandle.current().pid()}t${Thread.currentThread().getId}")
+    commitWith(root, s"batch=$batchId") { parent =>
+      if (committedBatches(root).contains(batchId)) None
+      else Some((if (parent == 0) Nil else filesFor(root, parent)) ++ added)
+    }.getOrElse(latestVersion(root))
+  }
+
+  /** `live` recomputes the full file list from the current parent each
+    * attempt; returning None aborts (used by [[commitBatch]] when a
+    * racer already committed this batch id). Returns the version won,
+    * None on abort.
+    */
+  private def commitWith(root: Path, meta: String)(
+      live: Int => Option[Seq[String]]): Option[Int] = {
     val d = manifestDir(root)
     Files.createDirectories(d)
     var attempt = 0
@@ -130,21 +187,26 @@ object ManifestTable {
       require(attempt <= 100, "manifest commit: livelock guard tripped")
       val parent = latestVersion(root)
       val v = parent + 1
-      val body = (s"# graft-manifest version=$v parent=$parent" +:
-        live(parent)).mkString("", "\n", "\n")
+      val files = live(parent) match {
+        case Some(f) => f
+        case None => return None
+      }
+      val head = s"# graft-manifest version=$v parent=$parent" +
+        (if (meta.nonEmpty) s" $meta" else "")
+      val body = (head +: files).mkString("", "\n", "\n")
       val tmp = d.resolve(s".tmp_${name(v)}_p${ProcessHandle.current().pid()}" +
         s"_t${Thread.currentThread().getId}")
       Files.write(tmp, body.getBytes("UTF-8"))
       try {
         Files.createLink(d.resolve(name(v)), tmp) // atomic, fails if exists
         Files.delete(tmp)
-        return v
+        return Some(v)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.delete(tmp) // lost the race — retry on the new latest
       }
     }
-    -1 // unreachable
+    None // unreachable
   }
 
   /** Stage a DataFrame as immutable data files under data/ with a
@@ -247,6 +309,35 @@ object ManifestTable {
     spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Incremental consumption: the rows added between two snapshots =
+    * the files `to` references that `from` does not — the primitive
+    * behind "stream a lakehouse table from version K" (a consumer
+    * persists its last-read version and repeatedly drains the delta).
+    * Valid only over an APPEND-ONLY version range: every file of
+    * `from` must still be live in `to`, else a compaction/merge's
+    * rewritten files would re-surface rows the consumer already saw —
+    * the guard refuses instead. Real formats extend this to the
+    * general case by logging row-level change actions (a change data
+    * feed); this minimal format deliberately stops at file-level
+    * append deltas.
+    */
+  def readIncremental(spark: SparkSession, root: Path, from: Int,
+      to: Int, schema: StructType): DataFrame = {
+    require(from <= to, s"incremental range v$from→v$to is backwards")
+    val before = if (from == 0) Set.empty[String]
+      else filesFor(root, from).toSet
+    val after = filesFor(root, to)
+    require(before.subsetOf(after.toSet),
+      s"v$from→v$to is not append-only (a rewrite or compaction " +
+      "intervened) — file-level incremental read is undefined there")
+    val added = after.filterNot(before)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(
+      added.map(f => root.resolve("data").resolve(f).toString): _*)
+  }
+
   /** Compaction as a normal snapshot: rewrite version `from`'s live
     * set into `targetFiles` files and commit the REPLACEMENT list.
     * Old files stay on disk — every pinned reader of `from` is
@@ -328,6 +419,36 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** Per-invocation scratch root for the streaming-sink table: the
+    * WRITE is the operation under test, so it cannot be cached — but
+    * pid-keyed scratch must not accumulate across JVM runs (the r6/r8
+    * ADVICE pattern), so the whole pid dir is removed on JVM exit and
+    * the previous invocation's run dir is removed as each new one
+    * starts.
+    */
+  private val sinkRun = new java.util.concurrent.atomic.AtomicLong(0)
+  private lazy val sinkBase: Path = {
+    val p = Paths.get("/tmp/graft_mfsink", s"p${ProcessHandle.current().pid()}")
+    sys.addShutdownHook(deleteTree(p))
+    p
+  }
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(deleteTree(_)) finally s.close()
+      }
+      Files.delete(p)
+    }
+  private def freshSinkRoot(dir: String): Path = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val n = sinkRun.incrementAndGet()
+    deleteTree(sinkBase.resolve(s"${key}_r${n - 1}"))
+    val p = sinkBase.resolve(s"${key}_r$n")
+    Files.createDirectories(p)
+    p
+  }
+
   def queries = Map(
     "source_manifest" -> { (spark, dir) =>
       // LATEST snapshot (post-append, post-compaction) must equal the
@@ -362,6 +483,45 @@ object ManifestOps extends QueryGroup {
       ManifestTable.read(spark, root,
           ManifestTable.latestVersion(root), orders.schema)
         .orderBy("o_orderkey")
+    },
+
+    "source_manifest_incremental" -> { (spark, dir) =>
+      // incremental consumption of the append v1→v2: exactly the files
+      // the append commit added (the odd-key delta batch), never the
+      // base — the "stream a lakehouse table from version K" primitive.
+      // Wave88Spec additionally proves the guard refuses the range
+      // across v3's compaction, where file-level deltas are undefined.
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.readIncremental(spark, lifecycleRoot(spark, dir),
+          1, 2, orders.schema)
+        .orderBy("o_orderkey")
+    },
+
+    "stream_manifest_sink" -> { (spark, dir) =>
+      // Structured Streaming INTO the manifest format: each micro-batch
+      // (3 deterministic ones via the shared 3-file replay) is one
+      // atomic snapshot commit carrying its batch id; a replayed batch
+      // — foreachBatch's at-least-once delivery contract — hits the
+      // manifest's batch ledger and no-ops, the transactional-sink
+      // half of exactly-once. The declared result is the final table
+      // read back through the protocol; equality with the batch events
+      // oracle proves no batch was lost OR double-committed. No
+      // watermark: the sink appends raw rows, so even the c_late
+      // straggler file lands (contrast stream_late_drop, where the
+      // stateful operator evicts it).
+      val root = freshSinkRoot(dir)
+      val st = Streaming.lateReplayStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val q = st.writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          ManifestTable.commitBatch(b, root, id): Unit)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ManifestTable.read(spark, root,
+          ManifestTable.latestVersion(root), StructType(st.schema.fields))
+        .orderBy("event_id")
     }
   )
 
@@ -393,6 +553,20 @@ object ManifestOps extends QueryGroup {
         |FROM orders CROSS JOIN b
         |WHERE NOT (o_orderkey >= lo AND o_orderkey < hi
         |           AND o_orderkey % 19 = 0)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_incremental" ->
+      // v2's appended files carry exactly the odd-key batch
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "stream_manifest_sink" ->
+      // all three replay files land (no watermark on the append sink);
+      // equality proves no batch lost, none double-committed
+      """SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
