@@ -147,13 +147,21 @@ object Knn {
     * object doc): per-partition bounded heaps under the full output
     * ordering, then one window pass over the pruned union.
     */
-  private[operators] def topk(paired: DataFrame, k: Int): DataFrame = {
+  private[operators] def topk(paired: DataFrame, k: Int): DataFrame =
+    topkBy(paired, k,
+      Canon.round6(graft.functions.CosineSim.cosine(col("qe"), col("ie"))),
+      "cosine")
+
+  /** [[topk]] under an arbitrary (already-canonicalized) score column —
+    * the same two-phase reducer serves cosine and inner-product
+    * retrieval; only the scorer differs.
+    */
+  private[operators] def topkBy(paired: DataFrame, k: Int,
+      score: Column, scoreName: String): DataFrame = {
     val spark = paired.sparkSession
     import spark.implicits._
     val scored = paired
-      .select(col("q_id"), col("idx_id"),
-        Canon.round6(
-          graft.functions.CosineSim.cosine(col("qe"), col("ie"))).as("cosine"))
+      .select(col("q_id"), col("idx_id"), score.as(scoreName))
     // phase 1: per-partition bounded heap per query id. Heap order is
     // the exact final order (cosine desc, idx_id asc) so the partition
     // union is a superset of the global top-k.
@@ -176,14 +184,63 @@ object Knn {
           h.iterator.map { case (c, iid) => (qid, iid, c) }
         }
       }
-      .toDF("q_id", "idx_id", "cosine")
+      .toDF("q_id", "idx_id", scoreName)
     // phase 2: exact global rank over the ≤ partitions·Q·k survivors
     partial
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("idx_id"))))
+          .orderBy(col(scoreName).desc, col("idx_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("idx_id"), col("cosine"))
+        col("idx_id"), col(scoreName))
+  }
+
+  /** EXACT maximum-inner-product top-`k` with Cauchy–Schwarz norm
+    * pruning — the retrieval mode where magnitude is signal and cosine
+    * would erase it. Two passes, both declarative:
+    *
+    *   1. SEED: score each query against only the `m` largest-norm
+    *      index vectors (TakeOrderedAndProject, m rows broadcast) and
+    *      take the kth-best unrounded dot as a per-query lower bound τ.
+    *   2. PRUNED SCAN: a full-index candidate must satisfy
+    *      dot(q,v) ≥ τ−1e-6 to enter the final ROUNDED ranking (round6
+    *      quantum + idx tie-break), and dot(q,v) ≤ ‖q‖·‖v‖ always —
+    *      so any v with ‖q‖²·‖v‖² < (τ−1e-6)² is provably out and is
+    *      filtered BEFORE the dot is computed. A 1e-9 relative slack
+    *      absorbs the norm products' last-ulp rounding; slack only
+    *      ADMITS extra candidates, never drops one, so the result is
+    *      exactly the brute-force top-k (Wave89Spec proves equality).
+    *
+    * At 100 TB the index is stored norm-DESCENDING (the sort is the
+    * layout job), so pass 2's filter is a range scan prefix per query —
+    * the prune rate is the fraction of the norm distribution below
+    * τ/‖q‖. On near-uniform-norm fixtures (this one: all docs
+    * unit-ish) pruning is honest-but-weak; the spec demonstrates the
+    * >90% prune on a mixed-magnitude set, where MIPS differs from
+    * cosine in the first place.
+    */
+  def mipsSearch(queries: DataFrame, index: DataFrame, k: Int,
+      m: Int = 64): DataFrame = {
+    require(k >= 1 && m >= k, "need m >= k >= 1")
+    val dot = graft.functions.DotProduct.dot _
+    val ix = index.select(col("vec_id").as("idx_id"), col("embedding").as("ie"))
+      .withColumn("n2", dot(col("ie"), col("ie")))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn2", dot(col("qe"), col("qe")))
+    val seed = ix.orderBy(col("n2").desc, col("idx_id")).limit(m)
+      .select("idx_id", "ie")
+    // kth-best UNROUNDED seed dot per query (null when the seed holds
+    // fewer than k non-self rows — then no pruning below)
+    val tau = broadcast(seed).join(q, col("q_id") =!= col("idx_id"))
+      .groupBy(col("q_id").as("tq"))
+      .agg(element_at(sort_array(collect_list(
+        dot(col("qe"), col("ie"))), asc = false), k).as("tau"))
+    val qt = q.join(tau, col("q_id") === col("tq"), "left").drop("tq")
+    val admitted = ix.join(broadcast(qt), col("q_id") =!= col("idx_id"))
+      .filter(col("tau").isNull || col("tau") - 1e-6 <= 0 ||
+        col("n2") * col("qn2") >=
+          (col("tau") - 1e-6) * (col("tau") - 1e-6) * (1 - 1e-9))
+    topkBy(admitted, k,
+      Canon.round6(dot(col("qe"), col("ie"))), "dot")
   }
 }

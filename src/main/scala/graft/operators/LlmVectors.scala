@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object LlmVectors extends QueryGroup {
 
+  /** DuckDB twin of [[graft.functions.DotProduct]]: the cosDuck
+    * numerator alone — same left fold, same bits.
+    */
+  private[operators] def dotDuck(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, CAST(least(len($a), len($b)) AS BIGINT) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
   private[operators] def cosDuck(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, CAST(least(len($a), len($b)) AS BIGINT) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -227,6 +234,19 @@ object LlmVectors extends QueryGroup {
       // Query set = every 50th vector — deterministic, ~2% of the index.
       val emb = Tables.table(spark, dir, "embeddings")
       Knn.search(emb.filter(col("vec_id") % 50 === 0), emb, k = 3)
+        .orderBy("q_id", "rank")
+    },
+
+    "knn_mips" -> { (spark, dir) =>
+      // maximum-INNER-PRODUCT retrieval (recommender/logit scoring,
+      // where magnitude is signal): exact top-5 per query through
+      // [[Knn.mipsSearch]]'s Cauchy–Schwarz norm-pruned two-pass plan —
+      // a seed pass over the m largest-norm vectors lower-bounds the
+      // kth dot, then the full scan skips every vector whose norm
+      // product can't reach it. Exactness is provable (the bound only
+      // admits); the oracle is the brute-force ranking.
+      val emb = Tables.table(spark, dir, "embeddings")
+      Knn.mipsSearch(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
         .orderBy("q_id", "rank")
     },
 
@@ -1413,6 +1433,17 @@ object LlmVectors extends QueryGroup {
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_mips" ->
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${dotDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS dot
+         |  FROM embeddings q JOIN embeddings i
+         |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY dot DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, dot
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "sample_negative_mining" ->
       s"""WITH s AS (SELECT q.vec_id AS q_id, q.label AS anchor_label,

@@ -211,6 +211,43 @@ object Stats extends QueryGroup {
           (col("u1_2x").cast("double") / 2.0d).as("u_stat"), col("z_stat"))
     },
 
+    "stat_spearman" -> { (spark, dir) =>
+      // Spearman rank correlation between TIME and value per vehicle —
+      // the robust monotone-trend test (is this signal drifting?):
+      // outlier-immune where events_trend's least-squares slope is not.
+      // Exactness: average ranks carried as ×2 integers
+      // (2·rank + tiecount − 1), then CENTERED by (n+1) — Σ of the ×2
+      // average ranks is n(n+1) identically, so the centered moments
+      // Σcx·cy, Σcx², Σcy² are exact LONGs (|c| ≤ n ⇒ sums ≤ n³:
+      // long-exact to n ≈ 2M rows per entity, double-exact to n ≈ 200k
+      // — beyond that, recast the three sums to decimal) and the two
+      // engines agree bit-for-bit before the one fixed-order IEEE
+      // division. Plan: ONE user_id exchange, two in-partition sorts
+      // (by t, by v) feeding the four window functions, one keyed agg —
+      // the entity-keyed window discipline, no unpartitioned window.
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us").as("t"), col("value").as("v"))
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("user_id")
+      def cRank(order: String, tie: String): org.apache.spark.sql.Column =
+        lit(2L) * rank().over(wu.orderBy(col(order))).cast("long") +
+          count(lit(1)).over(Window.partitionBy(col("user_id"), col(tie))) -
+          lit(1L) - (count(lit(1)).over(wu) + lit(1L))
+      ev.withColumn("cx", cRank("t", "t"))
+        .withColumn("cy", cRank("v", "v"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cx") * col("cy")).as("sxy"),
+          sum(col("cx") * col("cx")).as("sxx"),
+          sum(col("cy") * col("cy")).as("syy"))
+        .filter(col("n") >= 30 && col("sxx") > 0 && col("syy") > 0)
+        .select(col("user_id"), col("n"),
+          Canon.round6(col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) *
+             sqrt(col("syy").cast("double")))).as("rho"))
+        .orderBy("user_id")
+    },
+
     "stat_anova" -> { (spark, dir) =>
       // One-way ANOVA F statistic across the five event_type groups:
       // does mean signal value differ anywhere in the fleet? Per-group
@@ -258,6 +295,34 @@ object Stats extends QueryGroup {
   )
 
   def oracle = Map(
+    "stat_spearman" ->
+      // ×2 average ranks, centered by n+1: every aggregate is an exact
+      // integer in both engines; one fixed-order IEEE division at the end
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v
+        |  FROM events),
+        |r AS (SELECT user_id,
+        |    2 * rank() OVER (PARTITION BY user_id ORDER BY t)
+        |      + count(*) OVER (PARTITION BY user_id, t) - 1
+        |      - (count(*) OVER (PARTITION BY user_id) + 1) AS cx,
+        |    2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+        |      + count(*) OVER (PARTITION BY user_id, v) - 1
+        |      - (count(*) OVER (PARTITION BY user_id) + 1) AS cy
+        |  FROM e),
+        |a AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(cx * cy) AS BIGINT) AS sxy,
+        |    CAST(sum(cx * cx) AS BIGINT) AS sxx,
+        |    CAST(sum(cy * cy) AS BIGINT) AS syy
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT user_id, n,
+        |    CAST(sxy AS DOUBLE)
+        |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |      AS rho0
+        |  FROM a WHERE n >= 30 AND sxx > 0 AND syy > 0)
+        |SELECT user_id, n,
+        |  CAST(CASE WHEN rho0 >= 0 THEN floor(rho0 * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-rho0 * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS rho
+        |FROM f ORDER BY user_id""".stripMargin,
+
     "events_weekend_effect" ->
       s"""WITH e AS (SELECT event_type,
          |    (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS wk,
