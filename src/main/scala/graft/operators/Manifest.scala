@@ -117,9 +117,56 @@ object ManifestTable {
     * set) ++ `added`, recomputed inside the retry loop so a lost race
     * never drops the racer's files.
     */
-  def appendCommit(root: Path, added: Seq[String]): Int =
-    commitWith(root, "")(parent =>
+  def appendCommit(root: Path, added: Seq[String], meta: String = ""): Int =
+    commitWith(root, meta)(parent =>
       Some((if (parent == 0) Nil else filesFor(root, parent)) ++ added)).get
+
+  /** Compact `name:type,...` encoding of a snapshot's logical schema
+    * for the manifest header (`schema=` meta) — the minimal schema
+    * log behind ADD COLUMN evolution. Any type whose simpleString is
+    * space-free (all the scalar/array/map/struct forms; the interval
+    * family is the exception) — header tokens are space-split.
+    */
+  def schemaMeta(schema: StructType): String = {
+    val s = schema.fields
+      .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    require(!s.contains(' '), s"schema meta must be space-free: $s")
+    s
+  }
+
+  def parseSchemaMeta(s: String): StructType = {
+    // split fields on top-level commas only: decimal(12,2) and
+    // map<string,bigint> carry commas inside their own brackets
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    s.zipWithIndex.foreach {
+      case (c, _) if c == '<' || c == '(' => depth += 1
+      case (c, _) if c == '>' || c == ')' => depth -= 1
+      case (',', i) if depth == 0 =>
+        fields += s.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    fields += s.substring(start)
+    StructType(fields.toSeq.map { fld =>
+      val Array(n, t) = fld.split(":", 2)
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(t))
+    })
+  }
+
+  /** Read a snapshot under ITS OWN recorded schema (the `schema=`
+    * header meta): files committed before an ADD COLUMN null-fill the
+    * added columns — parquet's missing-column semantics under an
+    * explicit read schema, which is exactly how the real formats
+    * implement metadata-only column addition (zero data rewritten).
+    */
+  def readEvolved(spark: SparkSession, root: Path, version: Int): DataFrame = {
+    val m = headerMeta(root, version)
+    require(m.contains("schema"),
+      s"v$version carries no schema meta — use read() with an explicit schema")
+    read(spark, root, version, parseSchemaMeta(m("schema")))
+  }
 
   /** Header key=value metadata of one committed version (empty for
     * plain commits). The header line is
@@ -419,6 +466,37 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** ADD COLUMN lifecycle: v1 = even-key orders under a 3-column
+    * schema; v2 = odd-key append under the WIDENED 4-column schema
+    * (o_orderpriority added). No v1 data file is rewritten — the
+    * column addition is metadata-only (the `schema=` header meta is
+    * the schema log), and readers of v2 null-fill the new column for
+    * v1's files via parquet's explicit-schema missing-column
+    * semantics.
+    */
+  private[graft] def evoRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_evo",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val s1 = orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = ManifestTable.appendCommit(root,
+        ManifestTable.stage(s1.repartition(2), root, "base"),
+        s"schema=${ManifestTable.schemaMeta(s1.schema)}")
+      val s2 = orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val v2 = ManifestTable.appendCommit(root,
+        ManifestTable.stage(s2.repartition(2), root, "widen"),
+        s"schema=${ManifestTable.schemaMeta(s2.schema)}")
+      require(v1 == 1 && v2 == 2,
+        s"evolution lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** Per-invocation scratch root for the streaming-sink table: the
     * WRITE is the operation under test, so it cannot be cached — but
     * pid-keyed scratch must not accumulate across JVM runs (the r6/r8
@@ -497,6 +575,17 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "source_manifest_schema_evolution" -> { (spark, dir) =>
+      // latest snapshot of the ADD COLUMN lifecycle read under ITS
+      // recorded schema: v1's 3-column files null-fill the column v2
+      // added, zero bytes rewritten — metadata-only evolution. The
+      // oracle restates the null-fill from the original parquet.
+      val root = evoRoot(spark, dir)
+      ManifestTable.readEvolved(spark, root,
+          ManifestTable.latestVersion(root))
+        .orderBy("o_orderkey")
+    },
+
     "stream_manifest_sink" -> { (spark, dir) =>
       // Structured Streaming INTO the manifest format: each micro-batch
       // (3 deterministic ones via the shared 3-file replay) is one
@@ -561,6 +650,13 @@ object ManifestOps extends QueryGroup {
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_schema_evolution" ->
+      // even keys predate the ADD COLUMN → null o_orderpriority
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "stream_manifest_sink" ->
       // all three replay files land (no watermark on the append sink);

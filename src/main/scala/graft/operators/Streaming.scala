@@ -446,6 +446,47 @@ object Streaming extends QueryGroup {
         .orderBy("day", "event_type")
     },
 
+    "stream_quantile" -> { (spark, dir) =>
+      // Streaming quantiles via a MERGEABLE fixed-bin histogram — the
+      // deterministic stand-in for t-digest/KLL: the stream maintains
+      // one count per (event_type, unit-width value bin); bin counts
+      // merge by addition (associative, idempotent partial merges), so
+      // the replay end-state equals the batch histogram bit-for-bit.
+      // Quantile EXTRACTION is a read-time fold over the ≤ ~500-row
+      // grid (bounded two-phase window, never raw rows): the smallest
+      // bin whose cumulative count reaches ceil(q·n) — an estimate
+      // exact to the 1.0 bin width, the sketch trade stated up front
+      // (Wave90Spec pins the error bound against exact percentiles).
+      // State: |types|·|bins| longs, O(1) in the stream length — the
+      // property that makes this the 100 TB continuous-quantile shape.
+      val hist = eventStream(spark, dir)
+        .withColumn("bin",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("cnt"))
+      val sink = runToMemory(spark, hist, OutputMode.Complete())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bin")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      sink
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("nn"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("bin")))
+            .as("b50"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("bin")))
+            .as("b90"),
+          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("bin")))
+            .as("b99"))
+        .select(col("event_type"), col("nn").as("n"),
+          col("b50").cast("double").as("p50_est"),
+          col("b90").cast("double").as("p90_est"),
+          col("b99").cast("double").as("p99_est"))
+        .orderBy("event_type")
+    },
+
     "stream_ohlc" -> { (spark, dir) =>
       // Streaming candlestick compaction — the online twin of
       // events_ohlc: per (vehicle, hour) open/high/low/close maintained
@@ -995,6 +1036,26 @@ object Streaming extends QueryGroup {
         |  count(*) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "stream_quantile" ->
+      // replay end-state histogram == the batch histogram (additive
+      // merge); identical integer ceil-rank extraction on both sides
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS bin,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END)
+        |    AS DOUBLE) AS p50_est,
+        |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END)
+        |    AS DOUBLE) AS p90_est,
+        |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END)
+        |    AS DOUBLE) AS p99_est
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_tumbling" ->
       s"""SELECT epoch_us(ts) - (epoch_us(ts) % $HourUs) AS bucket_us, event_type,
