@@ -408,6 +408,50 @@ object Corpus extends QueryGroup {
         .orderBy("shard", "pos")
     },
 
+    "train_curriculum" -> { (spark, dir) =>
+      // Length-based curriculum for training: corpus ordered by
+      // (n_tokens, doc_id), cut into 4 EXACT difficulty stages (short
+      // docs first — the sequence-length curriculum), round-robin
+      // sharded within the global order so every shard ramps with the
+      // curriculum. Stage = exact distributed ntile(4) via the
+      // win_ntile two-phase (approx-percentile cuts only BALANCE the
+      // buckets — any cut set yields identical output — then per-bucket
+      // row_number + a broadcast carry-in offset reconstructs the exact
+      // global rank; the residual windows run over the B-row offset
+      // grid, never the corpus). One corpus exchange total.
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val B = 32
+      val qs = (1 until B).map(i => i.toDouble / B).mkString(",")
+      val cuts = docs.agg(
+        expr(s"approx_percentile(n_tokens, array($qs), 10000)").as("cuts"))
+      val bucketed = docs.crossJoin(broadcast(cuts))
+        .withColumn("bkt", expr("size(filter(cuts, c -> c < n_tokens))"))
+        .drop("cuts")
+      val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n", sum("cnt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select("bkt", "off", "n")
+      val inBkt = Window.partitionBy("bkt").orderBy("n_tokens", "doc_id")
+      bucketed
+        .withColumn("rn", row_number().over(inBkt).cast("long"))
+        .join(broadcast(offs), "bkt")
+        .withColumn("r", col("off") + col("rn"))
+        .withColumn("stage",
+          expr("""CASE WHEN r <= (n % 4) * (n div 4 + 1)
+                 |     THEN (r - 1) div (n div 4 + 1) + 1
+                 |     ELSE n % 4 + (r - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+                 |END""".stripMargin))
+        .withColumn("shard", (col("r") - 1) % 8)
+        .select("doc_id", "n_tokens", "stage", "shard")
+        .orderBy("doc_id")
+    },
+
     "text_lm_score" -> { (spark, dir) =>
       // LM-based quality scoring — the model-free form of perplexity
       // filtering: each doc scored by its micro-averaged smoothed bigram
@@ -1220,6 +1264,17 @@ object Corpus extends QueryGroup {
         |SELECT CAST(row_number() OVER (ORDER BY c DESC, pair) AS BIGINT)
         |    AS rnk, pair, c
         |FROM c ORDER BY c DESC, pair LIMIT 50""".stripMargin,
+
+    "train_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+        |    AS stage,
+        |  (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) % 8
+        |    AS shard
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "train_shuffle" ->
       s"""WITH h AS (SELECT doc_id, lang, source,

@@ -356,6 +356,27 @@ object ManifestTable {
     spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Stats-pruned read: intersect `[lo, hi]` with each live file's
+    * recorded key bounds and scan ONLY the admitted files — planning
+    * happens against the manifest's per-file stats, with no listing
+    * and no footer I/O for skipped files. The exact predicate is
+    * re-applied on the admitted rows (stats admit at file granularity),
+    * so the result equals a full scan + filter; the file skips are the
+    * point ("a point read on 100 TB touches the handful of files whose
+    * band contains the key").
+    */
+  def readPruned(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val hit = entriesFor(root, version)
+      .filter(e => e.minKey <= hi && e.maxKey >= lo)
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
   /** Incremental consumption: the rows added between two snapshots =
     * the files `to` references that `from` does not — the primitive
     * behind "stream a lakehouse table from version K" (a consumer
@@ -575,6 +596,21 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "source_manifest_pruned" -> { (spark, dir) =>
+      // stats-pruned point-range read over the CoW table's latest
+      // snapshot: the key band [max/10, max/5] admits only the files
+      // whose recorded bounds intersect it — Wave91Spec asserts the
+      // scan's inputFiles are a strict subset. The band sits outside
+      // the merge band, so the oracle is the plain source filter.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = cowRoot(spark, dir)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      ManifestTable.readPruned(spark, root,
+          ManifestTable.latestVersion(root), orders.schema,
+          "o_orderkey", mx / 10, mx / 5)
+        .orderBy("o_orderkey")
+    },
+
     "source_manifest_schema_evolution" -> { (spark, dir) =>
       // latest snapshot of the ADD COLUMN lifecycle read under ITS
       // recorded schema: v1's 3-column files null-fill the column v2
@@ -649,6 +685,17 @@ object ManifestOps extends QueryGroup {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_pruned" ->
+      // the prune band lies below the merge band → rows unchanged; the
+      // file-skip claim itself is Wave91Spec's plan-level assertion
+      """WITH b AS (SELECT max(o_orderkey) // 10 AS lo,
+        |    max(o_orderkey) // 5 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
         |ORDER BY o_orderkey""".stripMargin,
 
     "source_manifest_schema_evolution" ->
