@@ -452,6 +452,34 @@ object Corpus extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "sample_temperature" -> { (spark, dir) =>
+      // EXECUTE the corpus_mixture policy: per-source document quota =
+      // floor(weight · B) from the temperature-scaled weights
+      // (w_s ∝ tokens_s^0.7, B = 200 — upsampling small sources
+      // relative to proportional draw), filled by the deterministic
+      // seeded-hash rank (the sample_quota draw, so the materialized
+      // mixture is reproducible and append-stable). The weight reuses
+      // corpus_mixture's round6 value, making the two queries one
+      // policy: quota derivation there, execution here. Plan: one
+      // 20-row aggregate + one source-keyed window exchange.
+      val d = Tables.table(spark, dir, "documents")
+      val all = Window.partitionBy(lit(1))
+      val quota = d.groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        .withColumn("raw", pow(col("tokens").cast("double"), 0.7))
+        .withColumn("w", graft.Canon.round6(col("raw") / sum("raw").over(all)))
+        .withColumn("quota", floor(col("w") * 200).cast("long"))
+        .select("source", "quota")
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      d.select(col("doc_id"), col("source"), col("lang"),
+          hash56(concat(lit("mix|"), col("doc_id").cast("string"))).as("h"))
+        .join(broadcast(quota), "source")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= col("quota"))
+        .select("source", "rk", "doc_id", "lang")
+        .orderBy("source", "rk")
+    },
+
     "text_lm_score" -> { (spark, dir) =>
       // LM-based quality scoring — the model-free form of perplexity
       // filtering: each doc scored by its micro-averaged smoothed bigram
@@ -1275,6 +1303,26 @@ object Corpus extends QueryGroup {
         |  (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) % 8
         |    AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |q AS (SELECT source,
+         |    CAST(floor(CAST(round(power(CAST(tokens AS DOUBLE), 0.7)
+         |      / sum(power(CAST(tokens AS DOUBLE), 0.7)) OVER (), 6)
+         |      AS DOUBLE) * 200) AS BIGINT) AS quota
+         |  FROM t),
+         |h AS (SELECT doc_id, source, lang,
+         |    ${h56Sql("concat('mix|', CAST(doc_id AS VARCHAR))")} AS hh
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, lang,
+         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+         |      AS rk
+         |  FROM h)
+         |SELECT r.source, CAST(rk AS BIGINT) AS rk, doc_id, lang
+         |FROM r JOIN q ON r.source = q.source
+         |WHERE rk <= quota ORDER BY r.source, rk""".stripMargin,
 
     "train_shuffle" ->
       s"""WITH h AS (SELECT doc_id, lang, source,

@@ -248,6 +248,52 @@ object Stats extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "stat_kruskal" -> { (spark, dir) =>
+      // Kruskal–Wallis H across event types — the rank-based one-way
+      // ANOVA (does ANY type's value distribution sit higher?), robust
+      // where stat_anova's means are not. GLOBAL ranks without a
+      // global sort: values quantize to cents, so average ranks come
+      // off the VALUE GRID — per distinct cent c with count tc and
+      // cumulative cum, the ×2 average rank is 2·cum − tc + 1, exact
+      // integers end-to-end (the agg_histogram_equidepth two-phase:
+      // the one unpartitioned window runs over ≤ ~49k distinct cents,
+      // never raw rows). Per-group rank sums are exact longs; the five
+      // R²/n terms are IEEE-deterministic doubles summed by an ORDERED
+      // fold (sort_array → aggregate) because a parallel double sum's
+      // order is not reproducible. Tie correction Σ(t³−t) in decimal.
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      val grid = ev.groupBy("c").agg(count(lit(1)).as("tc"))
+        .withColumn("cum", sum("tc").over(
+          org.apache.spark.sql.expressions.Window.orderBy("c")))
+        .withColumn("r2", lit(2L) * col("cum") - col("tc") + 1L)
+      val perGroup = ev.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("cgv"))
+        .join(grid.select("c", "r2"), "c")
+        .groupBy("event_type")
+        .agg(sum(col("cgv")).as("ng"), sum(col("cgv") * col("r2")).as("rr2"))
+      val ties = grid.agg(
+        sum(col("tc").cast(Canon.Dec) * col("tc") * col("tc") - col("tc"))
+          .cast("double").as("tsum"))
+      perGroup
+        .withColumn("term",
+          (col("rr2").cast("double") * col("rr2").cast("double"))
+            / col("ng").cast("double"))
+        .agg(sum("ng").as("n"),
+          expr("aggregate(array_sort(collect_list(term)), 0D," +
+            " (acc, x) -> acc + x)").as("s"))
+        .crossJoin(broadcast(ties))
+        .withColumn("h",
+          lit(3.0) * col("s") / (col("n").cast("double") * (col("n") + 1L))
+            - lit(3.0) * (col("n") + 1L).cast("double"))
+        .withColumn("corr", lit(1.0) - col("tsum") /
+          (col("n").cast("double") * col("n") * col("n")
+            - col("n").cast("double")))
+        .select(col("n"), Canon.round6(col("h")).as("h"),
+          Canon.round6(col("h") / col("corr")).as("h_tied"))
+    },
+
     "stat_anova" -> { (spark, dir) =>
       // One-way ANOVA F statistic across the five event_type groups:
       // does mean signal value differ anywhere in the fleet? Per-group
@@ -295,6 +341,41 @@ object Stats extends QueryGroup {
   )
 
   def oracle = Map(
+    "stat_kruskal" ->
+      // grid-based ×2 average ranks (2·cum − tc + 1), exact-long group
+      // rank sums, ORDERED double fold over the five R²/n terms,
+      // decimal tie correction — operand-for-operand the Spark plan
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |g AS (SELECT c, count(*) AS tc FROM e GROUP BY 1),
+        |gr AS (SELECT c, tc, sum(tc) OVER (ORDER BY c) AS cum FROM g),
+        |r AS (SELECT c, 2 * cum - tc + 1 AS r2 FROM gr),
+        |x AS (SELECT event_type, c, count(*) AS cgv FROM e GROUP BY 1, 2),
+        |pg AS (SELECT event_type, CAST(sum(cgv) AS BIGINT) AS ng,
+        |    CAST(sum(cgv * r2) AS BIGINT) AS rr2
+        |  FROM x JOIN r USING (c) GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(tc AS DECIMAL(18,6)) * tc * tc - tc)
+        |    AS DOUBLE) AS tsum FROM g),
+        |s AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    list_sum(list_sort(list(
+        |      CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE)
+        |        / CAST(ng AS DOUBLE)))) AS s
+        |  FROM pg),
+        |f AS (SELECT n,
+        |    3.0 * s / (CAST(n AS DOUBLE) * (n + 1))
+        |      - 3.0 * CAST(n + 1 AS DOUBLE) AS h0,
+        |    1.0 - tsum / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE))
+        |      AS corr
+        |  FROM s CROSS JOIN t)
+        |SELECT n,
+        |  CAST(CASE WHEN h0 >= 0 THEN floor(h0 * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-h0 * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS h,
+        |  CAST(CASE WHEN h0 / corr >= 0
+        |       THEN floor(h0 / corr * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-(h0 / corr) * 1e6 + 0.5) / 1e6 END
+        |    AS DOUBLE) AS h_tied
+        |FROM f""".stripMargin,
+
     "stat_spearman" ->
       // ×2 average ranks, centered by n+1: every aggregate is an exact
       // integer in both engines; one fixed-order IEEE division at the end
