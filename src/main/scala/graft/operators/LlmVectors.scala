@@ -43,6 +43,42 @@ object LlmVectors extends QueryGroup {
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
       .stripMargin
 
+  /** Exact pico-long ADC scores (q_id, vec_id, p) of every %50 query
+    * against every stored PQ code — the stage-1 scorer shared by
+    * knn_search_pq (ranks it directly) and knn_rerank (shortlists then
+    * exactly reranks). Codes/codebook/LUT as documented at
+    * knn_search_pq.
+    */
+  private def adcScores(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("sid"),
+        transform(col("embedding"), x => x.cast("double")).as("semb"))
+    val codes = emb.crossJoin(broadcast(seeds))
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .withColumn("d2", graft.functions.SqDist.sqDist(
+        slice(col("embedding"), col("j") * 8 + 1, lit(8)),
+        slice(col("semb"), col("j") * 8 + 1, lit(8))))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("sid"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.sid").as("sid"))
+    val lut = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .select(col("q_id"), col("j"), col("sid"),
+        floor(graft.functions.SqDist.sqDist(
+          slice(col("qe"), col("j") * 8 + 1, lit(8)),
+          slice(col("semb"), col("j") * 8 + 1, lit(8))) * 1e12 + 0.5)
+          .cast("long").as("qp"))
+    codes.join(broadcast(lut), Seq("j", "sid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qp").as("p"))
+  }
+
   /** Every pair (id_a < id_b) scored by the codegen cosine expression:
     * distributed left × `broadcast()` right nested-loop join. Fully lazy,
     * driver-free; the broadcast side flows through BroadcastExchange
@@ -1215,32 +1251,7 @@ object LlmVectors extends QueryGroup {
       // top-3 via a q-keyed window over |Q|×n rows — at 100 TB the
       // per-partition bounded heap (the Knn.search reducer) replaces
       // the window, same as knn_search documents.
-      val emb = Tables.table(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val seeds = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("sid"),
-          transform(col("embedding"), x => x.cast("double")).as("semb"))
-      val codes = emb.crossJoin(broadcast(seeds))
-        .withColumn("j", explode(sequence(lit(0), lit(7))))
-        .withColumn("d2", graft.functions.SqDist.sqDist(
-          slice(col("embedding"), col("j") * 8 + 1, lit(8)),
-          slice(col("semb"), col("j") * 8 + 1, lit(8))))
-        .groupBy("vec_id", "j")
-        .agg(min(struct(col("d2"), col("sid"))).as("m"))
-        .select(col("vec_id"), col("j"), col("m.sid").as("sid"))
-      val lut = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-        .crossJoin(broadcast(seeds))
-        .withColumn("j", explode(sequence(lit(0), lit(7))))
-        .select(col("q_id"), col("j"), col("sid"),
-          floor(graft.functions.SqDist.sqDist(
-            slice(col("qe"), col("j") * 8 + 1, lit(8)),
-            slice(col("semb"), col("j") * 8 + 1, lit(8))) * 1e12 + 0.5)
-            .cast("long").as("qp"))
-      codes.join(broadcast(lut), Seq("j", "sid"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum("qp").as("p"))
+      adcScores(spark, dir)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("q_id").orderBy(col("p"), col("vec_id")))
@@ -1248,6 +1259,40 @@ object LlmVectors extends QueryGroup {
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("rank"), col("vec_id").as("idx_id"),
           Canon.round6(col("p").cast("double") / 1e12).as("adc_dist"))
+        .orderBy("q_id", "rank")
+    },
+
+    "knn_rerank" -> { (spark, dir) =>
+      // the STANDARD two-stage retrieval architecture: a cheap ADC
+      // shortlist (top-20 by PQ approximate distance — 8 table lookups
+      // per stored vector, no corpus float math) feeds an EXACT cosine
+      // rerank over only |Q|×20 candidates. At billion-vector scale
+      // stage 1 is the only pass that touches the index; stage 2's
+      // exact scoring cost is fixed per query. Wave93Spec measures the
+      // shortlist's recall against exact top-3 — the number that sizes
+      // the shortlist in production.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val short = adcScores(spark, dir)
+        .withColumn("srank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("p"), col("vec_id"))))
+        .filter(col("srank") <= 20)
+        .select("q_id", "vec_id")
+      short
+        .join(emb.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe")), "q_id")
+        .join(emb.select(col("vec_id"), col("embedding").as("ie")),
+          "vec_id")
+        .select(col("q_id"), col("vec_id"),
+          Canon.round6(graft.functions.CosineSim.cosine(
+            col("qe"), col("ie"))).as("cosine"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id")))
+          .cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("idx_id"),
+          col("cosine"))
         .orderBy("q_id", "rank")
     },
 
@@ -2077,6 +2122,53 @@ object LlmVectors extends QueryGroup {
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS idx_id,
         |  CAST(round(CAST(p AS DOUBLE) / 1e12, 6) AS DOUBLE) AS adc_dist
         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_rerank" ->
+      // same ADC CTEs as knn_search_pq; top-20 shortlist, then the
+      // exact cosine rerank over |Q|×20 candidates
+      s"""WITH s AS (SELECT vec_id AS sid, embedding AS semb
+         |  FROM embeddings WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, j, s.sid,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (CAST(e.embedding[8 * j + i] AS DOUBLE)
+         |              - CAST(s.semb[8 * j + i] AS DOUBLE))
+         |         * (CAST(e.embedding[8 * j + i] AS DOUBLE)
+         |              - CAST(s.semb[8 * j + i] AS DOUBLE)))) AS d2
+         |  FROM embeddings e CROSS JOIN s
+         |    CROSS JOIN (SELECT unnest(range(8)) AS j)),
+         |codes AS (SELECT vec_id, j, sid FROM (
+         |    SELECT vec_id, j, sid, row_number() OVER (
+         |      PARTITION BY vec_id, j ORDER BY d2, sid) AS rn FROM d)
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS q_id, j, s.sid,
+         |    CAST(floor(list_sum(list_transform(range(1, 9),
+         |      i -> (CAST(q.embedding[8 * j + i] AS DOUBLE)
+         |              - CAST(s.semb[8 * j + i] AS DOUBLE))
+         |         * (CAST(q.embedding[8 * j + i] AS DOUBLE)
+         |              - CAST(s.semb[8 * j + i] AS DOUBLE))))
+         |      * 1e12 + 0.5) AS BIGINT) AS qp
+         |  FROM embeddings q CROSS JOIN s
+         |    CROSS JOIN (SELECT unnest(range(8)) AS j)
+         |  WHERE q.vec_id % 50 = 0),
+         |adc AS (SELECT l.q_id, c.vec_id, sum(l.qp) AS p
+         |  FROM codes c JOIN lut l ON l.j = c.j AND l.sid = c.sid
+         |  WHERE l.q_id <> c.vec_id GROUP BY 1, 2),
+         |short AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY p, vec_id) AS srank FROM adc)
+         |  WHERE srank <= 20),
+         |re AS (SELECT sh.q_id, sh.vec_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6)
+         |      AS DOUBLE) AS cosine
+         |  FROM short sh
+         |    JOIN embeddings q ON q.vec_id = sh.q_id
+         |    JOIN embeddings i ON i.vec_id = sh.vec_id),
+         |rr AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM re)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS idx_id,
+         |  cosine
+         |FROM rr WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "dedup_media_exact" ->
       // DuckDB sha256 over the same bytes (text payload ≡ its UTF-8
