@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, HammingDist, JaccardSorted, SqDist}
+import graft.functions.{CosineSim, DotProduct, HammingDist, JaccardSorted, SqDist}
 
 /** SparkSessionExtensions installer — the (c)-tier integration surface
   * from the build brief: makes the library's native Catalyst expressions
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sorted"),

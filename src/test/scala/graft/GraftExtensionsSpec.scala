@@ -29,6 +29,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j""")
         .head().getDouble(0)
       assert(jac == 0.5, s"|{2,3}| / |{1,2,3,4}| must be 0.5, got $jac")
+      val dot = s.sql(
+        "SELECT dot_product(CAST(array(1, 2) AS ARRAY<FLOAT>), " +
+          "CAST(array(3, 4) AS ARRAY<FLOAT>)) AS d").head().getDouble(0)
+      assert(dot == 11.0, s"1*3 + 2*4 must be 11, got $dot")
       // injected optimizer rule: self-similarity folds to a constant —
       // the expression disappears from the optimized plan, the value is
       // exactly 1.0 / NaN / null for the non-empty / empty / null cases
