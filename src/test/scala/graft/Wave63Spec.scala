@@ -172,6 +172,9 @@ class Wave63Spec extends SparkSpec {
   }
 
   test("events_theilsen matches a JVM median-of-slopes; robust where LS is not") {
+    // the declared query is wave 82's INCOMPLETE estimator: reading i
+    // pairs with reading i + n/2 in (ts, event_id) order (ts ties
+    // dropped) — mirror that exact pair set here
     val gotMap = q("events_theilsen").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val byUser = Tables.events(spark, sfDir)
@@ -180,11 +183,13 @@ class Wave63Spec extends SparkSpec {
       .groupBy(_._1)
     byUser.foreach { case (u, rows) =>
       val s = rows.sortBy(r => (r._2, r._3))
-      val slopes = (for {
-        i <- s.indices; j <- (i + 1) until s.length
-        if s(j)._2 > s(i)._2
-      } yield (s(j)._4 - s(i)._4) / ((s(j)._2 - s(i)._2).toDouble / 1e6))
-        .sorted
+      val h = s.length / 2
+      val slopes = (0 until s.length - h).flatMap { i =>
+        val (a, b) = (s(i), s(i + h))
+        if (b._2 > a._2)
+          Some((b._4 - a._4) / ((b._2 - a._2).toDouble / 1e6))
+        else None
+      }.sorted
       val med =
         if (slopes.length % 2 == 1) slopes(slopes.length / 2)
         else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2

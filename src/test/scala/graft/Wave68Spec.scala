@@ -113,9 +113,16 @@ class Wave68Spec extends SparkSpec {
     }
     val labelOf = all.map(t => t._1 -> t._2).toMap
     val correctByLabel = scala.collection.mutable.Map.empty[Int, (Long, Long)]
-    all.foreach { case (id, lbl, v) =>
+    // the declared query is wave 82's SAMPLED eval: only the
+    // deterministic 1-in-10 query set (vec_id % 10 == 0), each judged
+    // against the FULL index — mirror that here. Ranking uses round6
+    // cosine with idx tie-break (the Knn.search contract).
+    def r6(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    all.filter(_._1 % 10 == 0).foreach { case (id, lbl, v) =>
       val top5 = all.filter(_._1 != id)
-        .map(o => (cos(v, o._3), o._1))
+        .map(o => (r6(cos(v, o._3)), o._1))
         .sortBy(t => (-t._1, t._2)).take(5)
       val votes = top5.groupBy(t => labelOf(t._2)).view.mapValues(_.length)
       val pred = votes.toSeq.sortBy(t => (-t._2, t._1)).head._1
