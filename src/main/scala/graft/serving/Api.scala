@@ -187,6 +187,34 @@ object Api {
               case None =>
                 respond(x, 400, """{"error":"vec_id param required"}""")
             }
+          case "/table/orders" =>
+            // lakehouse-table serving over the manifest format: pinned
+            // VERSION reads (time travel — ?version=K, default latest)
+            // with optional key-range pruning (?from_key&to_key) that
+            // plans off the manifest's per-file stats, so a point-range
+            // request touches only the files whose bounds intersect —
+            // the serving-tier face of source_manifest_timetravel /
+            // source_manifest_pruned
+            val orders = Tables.table(spark, dir, "orders")
+            val root = graft.operators.ManifestOps.cowRoot(spark, dir)
+            val latest = graft.operators.ManifestTable.latestVersion(root)
+            val v = param(x, "version").map(_.toInt).getOrElse(latest)
+            if (v < 1 || v > latest)
+              respond(x, 404,
+                s"""{"error":"no such version","latest":$latest}""")
+            else {
+              val df = (param(x, "from_key"), param(x, "to_key")) match {
+                case (Some(lo), Some(hi)) =>
+                  graft.operators.ManifestTable.readPruned(spark, root, v,
+                    orders.schema, "o_orderkey", lo, hi)
+                case _ =>
+                  graft.operators.ManifestTable.read(spark, root, v,
+                    orders.schema)
+              }
+              respond(x, 200,
+                s"""{"version":$v,"latest":$latest,"data":""" +
+                  toJson(df.orderBy("o_orderkey"), limit = 1000) + "}")
+            }
           case VehiclePath(id, "resample") =>
             // the daily lerp-resampled series for one vehicle; the
             // user filter prunes below the window exchange

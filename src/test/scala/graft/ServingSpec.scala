@@ -156,6 +156,32 @@ class ServingSpec extends SparkSpec {
       && body.contains("\"n_missing\""), "nested reports carry their columns")
   }
 
+  test("/table/orders serves time travel and stats-pruned key ranges") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val orders = Tables.table(spark, sfDir, "orders")
+    val root = operators.ManifestOps.cowRoot(spark, sfDir)
+    val latest = operators.ManifestTable.latestVersion(root)
+    // latest (merged) state
+    val (c1, b1) = get("/table/orders")
+    assert(c1 == 200 && b1.startsWith(s"""{"version":$latest,"latest":$latest,"data":"""))
+    // pinned pre-merge version = the source table verbatim (first 1000)
+    val (c2, b2) = get("/table/orders?version=1")
+    assert(c2 == 200 && b2.contains("\"version\":1,"))
+    val firstKey = orders.agg(min("o_orderkey")).head().getLong(0)
+    assert(b2.contains(s""""o_orderkey":$firstKey"""))
+    // key-range request: payload row count equals the band's
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (mx / 10, mx / 5)
+    val nBand = orders
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+    val (c3, b3) = get(s"/table/orders?version=1&from_key=$lo&to_key=$hi")
+    assert(c3 == 200 && b3.contains(s""""data":{"n":${math.min(nBand, 1000)},"""),
+      b3.take(120))
+    // past-the-end version 404s with the latest pointer
+    val (c4, b4) = get(s"/table/orders?version=${latest + 5}")
+    assert(c4 == 404 && b4.contains(s""""latest":$latest"""))
+  }
+
   test("unknown routes 404 with a JSON error") {
     val (code, body) = get("/nope")
     assert(code == 404 && body.contains("\"error\""))
