@@ -203,6 +203,30 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "dedup_cdc_chunks" -> { (spark, dir) =>
+      // CONTENT-DEFINED CHUNKING dedup — the storage-style variant the
+      // text family lacked: chunk boundaries fall where a 4-token
+      // rolling hash ≡ 0 (mod 64), so insertions shift content WITHOUT
+      // moving downstream boundaries (fixed-size chunking would
+      // re-chunk everything after an edit — the whole reason CDC
+      // exists in backup/dedup systems and long-doc pipelines).
+      // Expected chunk ≈ 64 tokens. Everything is per-document ARRAY
+      // arithmetic (no explode-then-window): boundary flags →
+      // boundary positions → slice the token array per chunk — one
+      // corpus map, then one groupBy on the chunk text. Mod-p Horner
+      // over the token sha-56s, exact longs both engines.
+      TextDedup.cdcChunks(Tables.table(spark, dir, "documents"))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_copies") > 1)
+        .select(tokHash56(col("chunk")).as("fp"),
+          size(toks(col("chunk"))).cast("long").as("n_toks"),
+          col("n_copies"), col("n_docs"))
+        .orderBy(col("n_copies").desc, col("fp"))
+        .limit(20)
+    },
+
     "text_fingerprint" -> { (spark, dir) =>
       // (a) order-insensitive bag fingerprint: sha256 of sorted distinct
       //     tokens; (b) order-SENSITIVE rolling polynomial hash over the
@@ -1169,8 +1193,36 @@ object LlmText extends QueryGroup {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "dedup_cdc_chunks" ->
+      // same mod-p Horner boundaries, DuckDB list arithmetic;
+      // list_slice's inclusive end = Spark's slice length form
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tks,
+        |    list_transform(string_split(text, ' '), t ->
+        |      CAST(concat('0x', substring(sha256(t), 1, 14)) AS BIGINT)
+        |        % 2147483647) AS hsp
+        |  FROM documents),
+        |b AS (SELECT doc_id, tks,
+        |    list_filter(range(1, len(tks) + 1), i -> i = 1 OR
+        |      (CASE WHEN i >= 4 THEN
+        |        ((((hsp[i-3] * 31 + hsp[i-2]) % 2147483647)
+        |           * 31 + hsp[i-1]) % 2147483647
+        |           * 31 + hsp[i]) % 2147483647 % 64 = 0
+        |       ELSE false END)) AS bps
+        |  FROM d),
+        |c AS (SELECT doc_id, unnest(list_transform(range(1, len(bps) + 1),
+        |    j -> array_to_string(list_slice(tks, bps[j],
+        |      coalesce(bps[j + 1], len(tks) + 1) - 1), ' '))) AS chunk
+        |  FROM b)
+        |SELECT CAST(concat('0x', substring(sha256(chunk), 1, 14)) AS BIGINT)
+        |    AS fp,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks,
+        |  count(*) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM c GROUP BY chunk HAVING count(*) > 1
+        |ORDER BY n_copies DESC, fp LIMIT 20""".stripMargin,
+
     "text_fingerprint" ->
-      s"""WITH h AS ($withHashesSql)
+s"""WITH h AS ($withHashesSql)
          |SELECT doc_id,
          |  sha256(array_to_string(list_sort(dtoks), ' ')) AS bow_fp,
          |  list_reduce(

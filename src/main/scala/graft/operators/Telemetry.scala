@@ -661,6 +661,41 @@ object Telemetry extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_peaks" -> { (spark, dir) =>
+      // LOCAL-MAXIMA detection per vehicle — the spike inventory a
+      // telemetry backend feeds to alerting: an interior reading is a
+      // peak when its value strictly exceeds both neighbors on each
+      // side (w=2) and rises ≥ 5.00 units over the higher shoulder
+      // (the prominence floor that kills sensor jitter). INTEGER
+      // arithmetic throughout: cents via the canonical floor(x·100+½),
+      // neighbor maxes and prominence are exact longs, so both engines
+      // agree bit-for-bit with zero float comparisons. Edge readings
+      // (fewer than 2 neighbors a side) are not peaks by definition —
+      // the four-lag existence guard, identical in the oracle. Plan:
+      // ONE user_id exchange feeds all four lag/lead columns (a single
+      // in-partition sort by (ts, event_id)); linear in events.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), c.as("c"))
+        .withColumn("p1", lag("c", 1).over(w))
+        .withColumn("p2", lag("c", 2).over(w))
+        .withColumn("n1", lead("c", 1).over(w))
+        .withColumn("n2", lead("c", 2).over(w))
+        .filter(col("p1").isNotNull && col("p2").isNotNull &&
+          col("n1").isNotNull && col("n2").isNotNull)
+        .withColumn("shoulder",
+          greatest(col("p1"), col("p2"), col("n1"), col("n2")))
+        .filter(col("c") > col("shoulder") &&
+          col("c") - col("shoulder") >= 500)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          (col("c").cast("double") / 100).as("value"),
+          ((col("c") - col("shoulder")).cast("double") / 100)
+            .as("prominence"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "events_twap" -> { (spark, dir) =>
       // TIME-weighted average — the sampling-robust mean every telemetry
       // and market-data backend pairs with the count-weighted one: per
@@ -1219,6 +1254,22 @@ object Telemetry extends QueryGroup {
         |    ELSE -floor(-med * 1e6 + 0.5) / 1e6 END + 0.0 AS DOUBLE)
         |    AS theil_slope
         |FROM m ORDER BY user_id""".stripMargin,
+
+    "events_peaks" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id, t, event_id, c,
+        |    lag(c, 1) OVER w AS p1, lag(c, 2) OVER w AS p2,
+        |    lead(c, 1) OVER w AS n1, lead(c, 2) OVER w AS n2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |f AS (SELECT *, greatest(p1, p2, n1, n2) AS shoulder FROM l
+        |  WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+        |    AND n1 IS NOT NULL AND n2 IS NOT NULL)
+        |SELECT user_id, t AS ts_us, event_id,
+        |  CAST(c AS DOUBLE) / 100 AS value,
+        |  CAST(c - shoulder AS DOUBLE) / 100 AS prominence
+        |FROM f WHERE c > shoulder AND c - shoulder >= 500
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "events_twap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

