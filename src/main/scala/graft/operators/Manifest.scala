@@ -62,6 +62,17 @@ object ManifestTable {
   private def manifestDir(root: Path) = root.resolve("_manifests")
   private def name(v: Int) = f"v$v%05d.txt"
 
+  /** Writer nonce for staged-file batch prefixes: pid + thread alone
+    * is NOT unique across two writes from one thread — the second
+    * write's stage() would silently REPLACE the first's committed
+    * data files (same target names) before its own commit even runs.
+    * The counter makes every stage batch name JVM-unique.
+    */
+  private val writeNonce = new java.util.concurrent.atomic.AtomicLong(0)
+  private def nonce(): String =
+    s"x${ProcessHandle.current().pid()}t${Thread.currentThread().getId}" +
+      s"n${writeNonce.incrementAndGet()}"
+
   /** Latest committed version, 0 if none. */
   def latestVersion(root: Path): Int = {
     val d = manifestDir(root)
@@ -119,7 +130,10 @@ object ManifestTable {
     */
   def appendCommit(root: Path, added: Seq[String], meta: String = ""): Int =
     commitWith(root, meta)(parent =>
-      Some((if (parent == 0) Nil else filesFor(root, parent)) ++ added)).get
+      // parent lines VERBATIM (path or path\tstats) — folding through
+      // filesFor would silently strip the stats off a stats-carrying
+      // table on every append (caught by Wave95Spec's optimize test)
+      Some((if (parent == 0) Nil else rawLines(root, parent)) ++ added)).get
 
   /** Compact `name:type,...` encoding of a snapshot's logical schema
     * for the manifest header (`schema=` meta) — the minimal schema
@@ -211,8 +225,7 @@ object ManifestTable {
     // private file names, the ledger picks one commit, and the loser's
     // orphans stay invisible (vacuum fodder), the uuid-named-files
     // discipline of the real formats
-    val added = stage(df, root, s"b${batchId}x" +
-      s"${ProcessHandle.current().pid()}t${Thread.currentThread().getId}")
+    val added = stage(df, root, s"b$batchId${nonce()}")
     commitWith(root, s"batch=$batchId") { parent =>
       if (committedBatches(root).contains(batchId)) None
       else Some((if (parent == 0) Nil else filesFor(root, parent)) ++ added)
@@ -324,9 +337,62 @@ object ManifestTable {
     val rewritten = stageWithStats(
       transform(affected).repartitionByRange(
         math.max(1, hit.size), col(keyCol)),
-      root, s"merge$from", keyCol)
-    commit(root, skip.map(e => s"${e.path}\t${e.minKey}\t${e.maxKey}")
-      ++ rewritten)
+      root, s"merge$from${nonce()}", keyCol)
+    // SERIALIZABLE-WRITER commit: recompute the untouched list against
+    // whatever parent WINS the publish race. If a concurrent commit
+    // removed any file this merge read (our snapshot's read set was
+    // rewritten under us), the result could silently drop that
+    // writer's changes — abort with a conflict instead of committing,
+    // the Delta/Iceberg write-conflict rule. A concurrent APPEND or a
+    // disjoint-band merge leaves our read files live, so it composes:
+    // the retry folds its files in and both commits land.
+    commitWith(root, s"merge=v$from") { parent =>
+      val live =
+        if (parent == from) skip.map(e => s"${e.path}\t${e.minKey}\t${e.maxKey}")
+        else {
+          val cur = entriesFor(root, parent)
+          val curPaths = cur.map(_.path).toSet
+          if (!hit.forall(e => curPaths.contains(e.path)))
+            throw new java.util.ConcurrentModificationException(
+              s"merge over v$from conflicts: a commit after v$from " +
+              "rewrote part of its read set — re-read and re-merge")
+          cur.filterNot(e => hit.exists(_.path == e.path))
+            .map(e => s"${e.path}\t${e.minKey}\t${e.maxKey}")
+        }
+      Some(live ++ rewritten)
+    }.get
+  }
+
+  /** OPTIMIZE (small-file bin-packing): rewrite ONLY the live files
+    * smaller than `smallBytes` into one range-laid, stats-carrying
+    * replacement set; files already big enough survive verbatim —
+    * unlike [[compact]]'s full rewrite, cost rides the small-file
+    * tail, not the table (the Delta OPTIMIZE shape). Returns the new
+    * version (or `from` unchanged when <2 small files — nothing to
+    * pack). Pinned readers of `from` are untouched by immutability.
+    */
+  def optimizeSmall(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, keyCol: String, smallBytes: Long): Int = {
+    val data = root.resolve("data")
+    val (small, keep) = entriesFor(root, from)
+      .partition(e => Files.size(data.resolve(e.path)) < smallBytes)
+    if (small.size < 2) return from
+    val packed = stageWithStats(
+      spark.read.schema(schema)
+        .parquet(small.map(e => data.resolve(e.path).toString): _*)
+        .repartitionByRange(math.max(1,
+          (small.map(e => Files.size(data.resolve(e.path))).sum
+            / smallBytes).toInt), col(keyCol)),
+      root, s"opt$from${nonce()}", keyCol)
+    commitWith(root, s"optimize=v$from") { parent =>
+      val curPaths = entriesFor(root, parent).map(_.path).toSet
+      if (!small.forall(e => curPaths.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"optimize over v$from conflicts with a later rewrite")
+      Some(entriesFor(root, parent)
+        .filterNot(e => small.exists(_.path == e.path))
+        .map(e => s"${e.path}\t${e.minKey}\t${e.maxKey}") ++ packed)
+    }.get
   }
 
   /** Retention: delete data files referenced by NO version ≥
