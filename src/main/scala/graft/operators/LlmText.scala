@@ -619,6 +619,30 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "curation_soft_dedup" -> { (spark, dir) =>
+      // SOFT dedup for training mixtures: instead of dropping
+      // near-dups, every document keeps weight 1/|cluster|, so each
+      // near-dup cluster contributes exactly one document's worth of
+      // training mass — the duplication-aware reweighting used when
+      // hard dedup would cost coverage (rare domains often survive
+      // only as near-dup families). Same shared pair index +
+      // distributed CC as dedup_clusters; the weight is one column on
+      // top of that plan.
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
+      val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canonical_id")))
+        .withColumn("weight",
+          Canon.round6(lit(1.0) / col("cluster_size")))
+        .orderBy("doc_id")
+    },
+
     "dedup_survivors" -> { (spark, dir) =>
       // The dedup DECISION step: one surviving document per near-dup
       // cluster (same edge set + components as dedup_clusters), chosen
@@ -1429,6 +1453,25 @@ s"""WITH h AS ($withHashesSql)
           |    AS cluster_size
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
           |ORDER BY d.doc_id""".stripMargin),
+
+    "curation_soft_dedup" ->
+      // dedup_clusters' closure CTE + the 1/|cluster| weight
+      ("WITH RECURSIVE " + ngramGlobalPairsCte + ",\n" +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM gpairs
+          |      UNION ALL SELECT doc_b, doc_a FROM gpairs),
+          |r(id, m) AS (SELECT DISTINCT a, a FROM e
+          |  UNION
+          |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.id),
+          |comp AS (SELECT id, min(m) AS canonical FROM r GROUP BY id),
+          |cl AS (SELECT d.doc_id,
+          |    coalesce(c.canonical, d.doc_id) AS canonical_id,
+          |    COUNT(*) OVER (PARTITION BY coalesce(c.canonical, d.doc_id))
+          |      AS cluster_size
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+          |SELECT doc_id, canonical_id, cluster_size,
+          |  CAST(floor(1.0 / cluster_size * 1e6 + 0.5) / 1e6 AS DOUBLE)
+          |    AS weight
+          |FROM cl ORDER BY doc_id""".stripMargin),
 
     "dedup_survivors" ->
       // same recursive-closure component CTE as dedup_clusters, then

@@ -248,6 +248,37 @@ object Stats extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "stat_ztest_prop" -> { (spark, dir) =>
+      // TWO-PROPORTION z — does the error RATE differ on weekends?
+      // The proportions counterpart of events_weekend_effect's Welch t
+      // on means: counts are exact longs off one groupBy (the same
+      // (epochday+4)%7 calendar split), the pooled-variance z is one
+      // fixed-order IEEE expression over four scalars. Single-row
+      // output; the statistic is the deterministic mergeable part,
+      // thresholds are the caller's lookup (the Stats policy).
+      val DayUs = 86400000000L
+      val ev = Tables.events(spark, dir)
+        .withColumn("wk", (expr(s"ts_us div $DayUs") + 4) % 7 >= 5)
+      ev.agg(
+          sum(when(col("wk"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("wk") && col("event_type") === "error", 1L)
+            .otherwise(0L)).as("x1"),
+          sum(when(!col("wk"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("wk") && col("event_type") === "error", 1L)
+            .otherwise(0L)).as("x0"))
+        .withColumn("p1", col("x1").cast("double") / col("n1"))
+        .withColumn("p0", col("x0").cast("double") / col("n0"))
+        .withColumn("p", (col("x1") + col("x0")).cast("double")
+          / (col("n1") + col("n0")))
+        .select(col("n1"), col("x1"), col("n0"), col("x0"),
+          Canon.round6(col("p1")).as("p_weekend"),
+          Canon.round6(col("p0")).as("p_weekday"),
+          Canon.round6((col("p1") - col("p0"))
+            / sqrt(col("p") * (lit(1.0) - col("p"))
+              * (lit(1.0) / col("n1") + lit(1.0) / col("n0"))))
+            .as("z_stat"))
+    },
+
     "stat_kruskal" -> { (spark, dir) =>
       // Kruskal–Wallis H across event types — the rank-based one-way
       // ANOVA (does ANY type's value distribution sit higher?), robust
@@ -341,6 +372,38 @@ object Stats extends QueryGroup {
   )
 
   def oracle = Map(
+    "stat_ztest_prop" ->
+      // same calendar split, same operand order, symmetric rounding
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS wk
+        |  FROM events),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN wk AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN NOT wk THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN NOT wk AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x0
+        |  FROM e),
+        |f AS (SELECT n1, x1, n0, x0,
+        |    CAST(x1 AS DOUBLE) / n1 AS p1,
+        |    CAST(x0 AS DOUBLE) / n0 AS p0,
+        |    CAST(x1 + x0 AS DOUBLE) / (n1 + n0) AS p
+        |  FROM a),
+        |g AS (SELECT n1, x1, n0, x0, p1, p0,
+        |    (p1 - p0) / sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n0)) AS z
+        |  FROM f)
+        |SELECT n1, x1, n0, x0,
+        |  CAST(CASE WHEN p1 >= 0 THEN floor(p1 * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-p1 * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS p_weekend,
+        |  CAST(CASE WHEN p0 >= 0 THEN floor(p0 * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-p0 * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS p_weekday,
+        |  CAST(CASE WHEN z >= 0 THEN floor(z * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-z * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS z_stat
+        |FROM g""".stripMargin,
+
     "stat_kruskal" ->
       // grid-based ×2 average ranks (2·cum − tc + 1), exact-long group
       // rank sums, ORDERED double fold over the five R²/n terms,
