@@ -717,6 +717,42 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    "ivm_manifest_cow_delta" -> { (spark, dir) =>
+      // view maintenance ACROSS a copy-on-write merge — the case
+      // ivm_manifest_delta's append-only guard refuses: the change set
+      // is derived from the FILE diff (rows of the replacement files
+      // minus rows of the replaced files — inserts, updates and
+      // DELETES all land as one signed delta), so the refresh scans
+      // only the merge band's files, never the table. The stored v1
+      // view (ArtifactCache) plus signed partials per priority: count
+      // via ±1, revenue via ±price — associative, so this is exactly
+      // the ivm_retract algebra fed by CoW file lineage. Wave97Spec
+      // asserts the refresh never touches a surviving file.
+      import graft.Canon
+      val orders = Tables.table(spark, dir, "orders")
+      val root = cowRoot(spark, dir)
+      val v1Files = ManifestTable.filesFor(root, 1).toSet
+      val v2Files = ManifestTable.filesFor(root, 2).toSet
+      def readFiles(fs: Set[String]): DataFrame =
+        spark.read.schema(orders.schema).parquet(
+          fs.toSeq.sorted.map(f =>
+            root.resolve("data").resolve(f).toString): _*)
+      def signed(df: DataFrame, sign: Int): DataFrame = df
+        .groupBy("o_orderpriority")
+        .agg((count(lit(1)) * sign).as("n"),
+          (sum(col("o_totalprice").cast(Canon.Dec)) * sign).as("rev"))
+      val stored = ArtifactCache(spark, "mf_cow_view_v1",
+        Seq(s"$dir/orders.parquet")) {
+        signed(ManifestTable.read(spark, root, 1, orders.schema), 1)
+      }
+      val adds = signed(readFiles(v2Files -- v1Files), 1)
+      val dels = signed(readFiles(v1Files -- v2Files), -1)
+      stored.unionByName(adds).unionByName(dels)
+        .groupBy("o_orderpriority")
+        .agg(sum("n").as("n"), Canon.decRound4(sum("rev")).as("rev"))
+        .orderBy("o_orderpriority")
+    },
+
     "stream_manifest_sink" -> { (spark, dir) =>
       // Structured Streaming INTO the manifest format: each micro-batch
       // (3 deterministic ones via the shared 3-file replay) is one
@@ -807,6 +843,22 @@ object ManifestOps extends QueryGroup {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
         |    AS DOUBLE) AS rev
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ivm_manifest_cow_delta" ->
+      // the refreshed view == the aggregate over the MERGED state,
+      // restated from the source table (same band/delete/price rules
+      // as source_manifest_merge)
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey >= lo AND o_orderkey < hi
+        |         THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+        |  FROM orders CROSS JOIN b
+        |  WHERE NOT (o_orderkey >= lo AND o_orderkey < hi
+        |             AND o_orderkey % 19 = 0))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(p AS DECIMAL(18,6))), 4) AS DOUBLE) AS rev
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_manifest_sink" ->
       // all three replay files land (no watermark on the append sink);

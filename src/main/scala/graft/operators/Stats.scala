@@ -248,6 +248,34 @@ object Stats extends QueryGroup {
         .orderBy("user_id")
     },
 
+    "events_dispersion" -> { (spark, dir) =>
+      // Poisson DISPERSION index per event type — variance/mean of the
+      // daily arrival counts over observed days (D ≈ 1 ⇒ Poisson-like
+      // arrivals; D > 1 ⇒ bursty, D < 1 ⇒ paced): the burstiness
+      // screen an ingest monitor runs before alert thresholds assume
+      // Poisson noise. Counts are exact longs; the two moments stay
+      // integers up to one fixed-order IEEE division each. Plan: two
+      // keyed aggregates (events → daily grid → per-type moments),
+      // output |types| rows.
+      val DayUs = 86400000000L
+      val daily = Tables.events(spark, dir)
+        .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .withColumn("mean", col("s1").cast("double") / col("n_days"))
+        .withColumn("vr",
+          (col("s2").cast("double")
+            - col("s1").cast("double") * col("s1") / col("n_days"))
+            / (col("n_days") - 1))
+        .select(col("event_type"), col("n_days"),
+          Canon.round6(col("mean")).as("mean_daily"),
+          Canon.round6(col("vr")).as("var_daily"),
+          Canon.round6(col("vr") / col("mean")).as("dispersion"))
+        .orderBy("event_type")
+    },
+
     "stat_ztest_prop" -> { (spark, dir) =>
       // TWO-PROPORTION z — does the error RATE differ on weekends?
       // The proportions counterpart of events_weekend_effect's Welch t
@@ -372,6 +400,32 @@ object Stats extends QueryGroup {
   )
 
   def oracle = Map(
+    "events_dispersion" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT event_type, n_days,
+        |    CAST(s1 AS DOUBLE) / n_days AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+        |      / (n_days - 1) AS vr
+        |  FROM a)
+        |SELECT event_type, n_days,
+        |  CAST(CASE WHEN mean >= 0 THEN floor(mean * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-mean * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS mean_daily,
+        |  CAST(CASE WHEN vr >= 0 THEN floor(vr * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-vr * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS var_daily,
+        |  CAST(CASE WHEN vr / mean >= 0
+        |       THEN floor(vr / mean * 1e6 + 0.5) / 1e6
+        |       ELSE -floor(-(vr / mean) * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS dispersion
+        |FROM f ORDER BY event_type""".stripMargin,
+
     "stat_ztest_prop" ->
       // same calendar split, same operand order, symmetric rounding
       """WITH e AS (SELECT event_type,
