@@ -948,6 +948,37 @@ object Corpus extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "graph_closeness" -> { (spark, dir) =>
+      // TRUNCATED closeness centrality for the 5 smallest vertices of
+      // the near-dup graph: (reached within 3 hops) / Σdist — the
+      // bounded-radius form every at-scale graph system substitutes
+      // for exact closeness (exact needs all-pairs distances; radius-k
+      // multi-source BFS is k join+agg rounds over |E|·|seeds|, the
+      // same dataflow as graph_bfs with a seed label carried through).
+      // Eleventh consumer of the shared pair index.
+      val pairs = TextDedup.sharedNgramPairs(spark, dir, n = 3,
+        threshold = 0.2)
+      val e = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      val seeds = e.select(col("s").as("v")).distinct()
+        .orderBy("v").limit(5)
+        .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
+      def round(l: org.apache.spark.sql.DataFrame) =
+        l.unionAll(
+            e.join(l, e("s") === l("v"))
+              .select(col("seed"), e("d").as("v"),
+                (col("dist") + 1L).as("dist")))
+          .groupBy("seed", "v").agg(min("dist").as("dist"))
+      round(round(round(seeds)))
+        .groupBy("seed")
+        .agg((count(lit(1)) - 1).as("reached"), sum("dist").as("sumd"))
+        .filter(col("sumd") > 0)
+        .select(col("seed"), col("reached"),
+          Canon.round6(col("reached").cast("double") / col("sumd"))
+            .as("closeness"))
+        .orderBy("seed")
+    },
+
     "dedup_semantic_hybrid" -> { (spark, dir) =>
       // Multi-signal near-dup triage: the text candidate set (exact
       // 3-gram Jaccard ≥ 0.2, from the shared pair index) FULL OUTER
@@ -1684,6 +1715,33 @@ object Corpus extends QueryGroup {
         |  UNION ALL SELECT e.d, dist + 1 FROM e JOIN l2 ON e.s = l2.v)
         |  GROUP BY v)
         |SELECT v AS doc_id, dist FROM l3 ORDER BY doc_id""".stripMargin),
+
+    "graph_closeness" ->
+      ("WITH " + LlmText.ngramGlobalPairsCte + """,
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM gpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM gpairs),
+        |seeds AS (SELECT v AS seed, v, CAST(0 AS BIGINT) AS dist FROM (
+        |  SELECT DISTINCT s AS v FROM e ORDER BY v LIMIT 5)),
+        |l1 AS (SELECT seed, v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |  SELECT seed, v, dist FROM seeds
+        |  UNION ALL SELECT seed, e.d, dist + 1
+        |    FROM e JOIN seeds ON e.s = seeds.v)
+        |  GROUP BY seed, v),
+        |l2 AS (SELECT seed, v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |  SELECT seed, v, dist FROM l1
+        |  UNION ALL SELECT seed, e.d, dist + 1 FROM e JOIN l1 ON e.s = l1.v)
+        |  GROUP BY seed, v),
+        |l3 AS (SELECT seed, v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |  SELECT seed, v, dist FROM l2
+        |  UNION ALL SELECT seed, e.d, dist + 1 FROM e JOIN l2 ON e.s = l2.v)
+        |  GROUP BY seed, v),
+        |a AS (SELECT seed, count(*) - 1 AS reached,
+        |    CAST(sum(dist) AS BIGINT) AS sumd
+        |  FROM l3 GROUP BY seed)
+        |SELECT seed, CAST(reached AS BIGINT) AS reached,
+        |  CAST(floor(CAST(reached AS DOUBLE) / sumd * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS closeness
+        |FROM a WHERE sumd > 0 ORDER BY seed""".stripMargin),
 
     "dedup_semantic_hybrid" ->
       ("WITH " + LlmText.ngramGlobalPairsCte + s""",
