@@ -73,17 +73,48 @@ object ManifestTable {
     s"x${ProcessHandle.current().pid()}t${Thread.currentThread().getId}" +
       s"n${writeNonce.incrementAndGet()}"
 
-  /** Latest committed version, 0 if none. */
+  /** Latest committed version, 0 if none — the `_latest` HINT file
+    * (the _last_checkpoint refinement the object doc previously only
+    * documented) plus forward existence probes from it. The hint is
+    * advisory, never authoritative: it is written AFTER the commit
+    * wins (losers and crashes leave it stale-low, never high — a
+    * higher-than-real hint would fabricate a version, so writes take
+    * max(current, v) under REPLACE-atomic move), and the probe loop
+    * walks forward until the next manifest is absent. Cost: O(1 +
+    * staleness) stat calls instead of a directory listing — the
+    * object-store-scale lookup (LIST is the expensive op there).
+    */
   def latestVersion(root: Path): Int = {
     val d = manifestDir(root)
     if (!Files.isDirectory(d)) return 0
-    val s = Files.list(d)
-    try s.map[String](_.getFileName.toString).toArray
-      .collect { case n: String if n.matches("v\\d{5}\\.txt") =>
-        n.substring(1, 6).toInt }
-      .foldLeft(0)(math.max)
-    finally s.close()
+    val hintFile = d.resolve("_latest")
+    val hint =
+      try new String(Files.readAllBytes(hintFile), "UTF-8").trim.toInt
+      catch { case _: Exception => 0 }
+    // never trust the hint's existence claim — verify, fall back to 0
+    var v = if (hint > 0 && Files.exists(d.resolve(name(hint)))) hint else 0
+    while (Files.exists(d.resolve(name(v + 1)))) v += 1
+    v
   }
+
+  /** Advance the `_latest` hint to at least `v` (best-effort; losers
+    * of the REPLACE race leave a lower value, which is safe).
+    */
+  private def writeHint(root: Path, v: Int): Unit =
+    try {
+      val d = manifestDir(root)
+      val cur =
+        try new String(Files.readAllBytes(d.resolve("_latest")), "UTF-8")
+          .trim.toInt
+        catch { case _: Exception => 0 }
+      if (v > cur) {
+        val tmp = d.resolve(s"._latest_${nonce()}")
+        Files.write(tmp, v.toString.getBytes("UTF-8"))
+        Files.move(tmp, d.resolve("_latest"),
+          StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch { case _: Exception => () } // advisory only
 
   /** Relative live-file list of a committed version. Manifest lines
     * are `path` or `path\tminKey\tmaxKey`; the path is always the
@@ -260,6 +291,7 @@ object ManifestTable {
       try {
         Files.createLink(d.resolve(name(v)), tmp) // atomic, fails if exists
         Files.delete(tmp)
+        writeHint(root, v)
         return Some(v)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -487,6 +487,52 @@ object Streaming extends QueryGroup {
         .orderBy("event_type")
     },
 
+    "stream_peaks" -> { (spark, dir) =>
+      // Online PEAK detection — the streaming twin of events_peaks: a
+      // reading is confirmed a peak once its two successors have
+      // arrived (detection latency = 2 readings, the price of the
+      // two-sided prominence test). State per user = the last 4
+      // readings (a 5-slot sliding window), ~100 bytes regardless of
+      // stream length; each batch folds its rows in (ts, event_id)
+      // order and emits the window's center whenever it strictly tops
+      // all four neighbors by ≥ 500 cents. Exact integer comparisons —
+      // the emits hash-match the batch events_peaks oracle verbatim.
+      // Correct under per-user time-ordered admission (AvailableNow
+      // replay; the fillForward/funnelStages contract).
+      import spark.implicits._
+      val typed = eventStream(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .as[(Long, Long, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[Array[(Long, Long, Long)],
+          (Long, Long, Long, Double, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (u: Long, rows: Iterator[(Long, Long, Long, Long)],
+              state: GroupState[Array[(Long, Long, Long)]]) =>
+            var buf = state.getOption.getOrElse(Array.empty)
+            val emits = Seq.newBuilder[(Long, Long, Long, Double, Double)]
+            rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+              buf = buf :+ ((r._2, r._3, r._4))
+              if (buf.length == 5) {
+                val c = buf(2)._3
+                val sh = math.max(math.max(buf(0)._3, buf(1)._3),
+                  math.max(buf(3)._3, buf(4)._3))
+                if (c > sh && c - sh >= 500)
+                  emits += ((u, buf(2)._1, buf(2)._2,
+                    c.toDouble / 100, (c - sh).toDouble / 100))
+                buf = buf.drop(1)
+              }
+            }
+            state.update(buf)
+            emits.result().iterator
+        }
+      runToMemory(spark,
+        out.toDF("user_id", "ts_us", "event_id", "value", "prominence"),
+        OutputMode.Append())
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "stream_ohlc" -> { (spark, dir) =>
       // Streaming candlestick compaction — the online twin of
       // events_ohlc: per (vehicle, hour) open/high/low/close maintained
@@ -1036,6 +1082,24 @@ object Streaming extends QueryGroup {
         |  count(*) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "stream_peaks" ->
+      // the BATCH events_peaks oracle verbatim: the online window fold
+      // emits exactly the interior peaks under ordered admission
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id, t, event_id, c,
+        |    lag(c, 1) OVER w AS p1, lag(c, 2) OVER w AS p2,
+        |    lead(c, 1) OVER w AS n1, lead(c, 2) OVER w AS n2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |f AS (SELECT *, greatest(p1, p2, n1, n2) AS shoulder FROM l
+        |  WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+        |    AND n1 IS NOT NULL AND n2 IS NOT NULL)
+        |SELECT user_id, t AS ts_us, event_id,
+        |  CAST(c AS DOUBLE) / 100 AS value,
+        |  CAST(c - shoulder AS DOUBLE) / 100 AS prominence
+        |FROM f WHERE c > shoulder AND c - shoulder >= 500
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "stream_quantile" ->
       // replay end-state histogram == the batch histogram (additive
