@@ -551,6 +551,37 @@ object Analytics extends QueryGroup {
         .orderBy("p_size", "p_partkey")
     },
 
+    "orders_hazard" -> { (spark, dir) =>
+      // Discrete reorder-HAZARD table — the Kaplan-Meier ingredient
+      // that stays engine-exact (the survival curve itself needs a
+      // cumulative float product; the hazard column is pure integer
+      // counts + one division per row, and S(t) follows offline):
+      // per week-bucket b of customer reorder gaps, hazard(b) =
+      // events(b) / at_risk(b), at_risk = gaps lasting ≥ b weeks —
+      // i.e. "given a customer has waited b weeks, how likely do they
+      // reorder this week", the churn-model input. Plan: one custkey
+      // window for consecutive gaps, one ≤14-row grid with a reverse
+      // running sum (bounded two-phase window).
+      val DayUs = 86400000000L
+      val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+      val gaps = Tables.table(spark, dir, "orders")
+        .withColumn("day",
+          expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $DayUs"))
+        .withColumn("nxt", lead("day", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("wk",
+          least(expr("(nxt - day) div 7"), lit(12L)).cast("long"))
+      val grid = gaps.groupBy("wk").agg(count(lit(1)).as("events"))
+      grid
+        .withColumn("at_risk", sum("events").over(
+          Window.orderBy(col("wk").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("wk"), col("at_risk"), col("events"),
+          Canon.round6(col("events").cast("double") / col("at_risk"))
+            .as("hazard"))
+        .orderBy("wk")
+    },
+
     "orders_pareto" -> { (spark, dir) =>
       // Revenue concentration by customer decile — the 80/20 dashboard
       // stat. Same anti-ntile architecture as orders_rfm: per-customer
@@ -1076,6 +1107,24 @@ object Analytics extends QueryGroup {
         |    AND (q.p_retailprice < p.p_retailprice
         |      OR q.p_size > p.p_size))
         |ORDER BY p_size, p_partkey""".stripMargin,
+
+    "orders_hazard" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+        |g AS (SELECT o_custkey, day,
+        |    lead(day, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey) AS nxt
+        |  FROM o),
+        |wk AS (SELECT least((nxt - day) // 7, 12) AS wk FROM g
+        |  WHERE nxt IS NOT NULL),
+        |e AS (SELECT wk, count(*) AS events FROM wk GROUP BY 1),
+        |r AS (SELECT wk, events, sum(events) OVER (ORDER BY wk DESC)
+        |      AS at_risk
+        |  FROM e)
+        |SELECT wk, CAST(at_risk AS BIGINT) AS at_risk, events,
+        |  CAST(floor(CAST(events AS DOUBLE) / at_risk * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS hazard
+        |FROM r ORDER BY wk""".stripMargin,
 
     "orders_pareto" -> {
       val binCases = (1 to 9).map(i =>

@@ -619,6 +619,40 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "agg_countmin" -> { (spark, dir) =>
+      // COUNT-MIN frequency sketch — the third mergeable sketch next
+      // to HLL (distinct) and Misra-Gries (top-k), and unlike those
+      // two it is FULLY deterministic here, so it gets a real hash
+      // oracle, not a rows-only check: d=4 affine hash rows (the
+      // minhash family convention (2j+3)·h+(5j+7) mod p), w=256
+      // counters, all mergeable by addition — the shape a streaming
+      // or distributed frequency service keeps per shard and sums.
+      // Probes = the exact top-10 tokens; estimate = min over the 4
+      // rows, and overestimate = est − exact is ≥ 0 BY CONSTRUCTION
+      // (counters only ever overcount), exposed per probe so the
+      // sketch's error is measured, not claimed.
+      val W = 256
+      val tk = Tables.table(spark, dir, "documents")
+        .select(explode(toks(col("text"))).as("t"))
+        .withColumn("h", tokHash56(col("t")) % P)
+      def bucket(j: Column, h: Column): Column =
+        ((lit(2L) * j + 3L) * h + (lit(5L) * j + 7L)) % P % W
+      val counters = tk
+        .select(col("h"), explode(sequence(lit(0L), lit(3L))).as("j"))
+        .withColumn("bucket", bucket(col("j"), col("h")))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+      val probes = tk.groupBy("t", "h").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("t")).limit(10)
+      probes
+        .withColumn("j", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("bucket", bucket(col("j"), col("h")))
+        .join(counters, Seq("j", "bucket"))
+        .groupBy("t", "exact").agg(min("cnt").as("cm_est"))
+        .select(col("t").as("token"), col("exact"), col("cm_est"),
+          (col("cm_est") - col("exact")).as("overestimate"))
+        .orderBy(col("exact").desc, col("token"))
+    },
+
     "curation_soft_dedup" -> { (spark, dir) =>
       // SOFT dedup for training mixtures: instead of dropping
       // near-dups, every document keeps weight 1/|cluster|, so each
@@ -1453,6 +1487,30 @@ s"""WITH h AS ($withHashesSql)
           |    AS cluster_size
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
           |ORDER BY d.doc_id""".stripMargin),
+
+    "agg_countmin" ->
+      // same affine rows, same min-over-rows probe, exact longs
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |h AS (SELECT t,
+         |    CAST(concat('0x', substring(sha256(t), 1, 14)) AS BIGINT)
+         |      % $P AS h
+         |  FROM tk),
+         |c AS (SELECT j, ((2 * j + 3) * h + (5 * j + 7)) % $P % 256
+         |      AS bucket, count(*) AS cnt
+         |  FROM h CROSS JOIN (SELECT unnest(range(4)) AS j) GROUP BY 1, 2),
+         |p AS (SELECT t, h, count(*) AS exact FROM h GROUP BY 1, 2
+         |  ORDER BY exact DESC, t LIMIT 10),
+         |e AS (SELECT p.t, p.exact, min(c.cnt) AS cm_est
+         |  FROM p CROSS JOIN (SELECT unnest(range(4)) AS j) pj
+         |    JOIN c ON c.j = pj.j
+         |      AND c.bucket = ((2 * pj.j + 3) * p.h + (5 * pj.j + 7))
+         |        % $P % 256
+         |  GROUP BY 1, 2)
+         |SELECT t AS token, CAST(exact AS BIGINT) AS exact,
+         |  CAST(cm_est AS BIGINT) AS cm_est,
+         |  CAST(cm_est - exact AS BIGINT) AS overestimate
+         |FROM e ORDER BY exact DESC, token""".stripMargin,
 
     "curation_soft_dedup" ->
       // dedup_clusters' closure CTE + the 1/|cluster| weight
