@@ -446,6 +446,44 @@ object Streaming extends QueryGroup {
         .orderBy("day", "event_type")
     },
 
+    "stream_countmin" -> { (spark, dir) =>
+      // Streaming COUNT-MIN — the frequency twin of stream_quantile's
+      // histogram: state is the d=4 × w=256 counter grid over
+      // event_type tokens (the agg_countmin hash family), maintained
+      // as a Complete-mode (j, bucket) count — addition-mergeable, so
+      // partial merges and replays land on the same end state and the
+      // batch sketch is the oracle. Probes (the 5 event types) resolve
+      // at read time against the ≤1024-row sink: estimate = min over
+      // rows, conservative by construction. O(1) state in stream
+      // length — the shape a live frequency service keeps per shard.
+      val P = 2147483647L
+      val hashed = eventStream(spark, dir)
+        .select(col("event_type").as("t"))
+        .withColumn("h", graft.operators.TextDedup.hash56(col("t")) % P)
+      val counters = hashed
+        .select(col("h"), explode(sequence(lit(0L), lit(3L))).as("j"))
+        .withColumn("bucket",
+          ((lit(2L) * col("j") + 3L) * col("h")
+            + (lit(5L) * col("j") + 7L)) % P % 256)
+        .groupBy("j", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val sink = runToMemory(spark, counters, OutputMode.Complete())
+      val probes = Tables.events(spark, dir)
+        .groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("exact"))
+        .withColumn("h",
+          graft.operators.TextDedup.hash56(col("t")) % P)
+        .withColumn("j", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("bucket",
+          ((lit(2L) * col("j") + 3L) * col("h")
+            + (lit(5L) * col("j") + 7L)) % P % 256)
+      probes.join(sink, Seq("j", "bucket"))
+        .groupBy("t", "exact").agg(min("cnt").as("cm_est"))
+        .select(col("t").as("event_type"), col("exact"), col("cm_est"),
+          (col("cm_est") - col("exact")).as("overestimate"))
+        .orderBy("event_type")
+    },
+
     "stream_quantile" -> { (spark, dir) =>
       // Streaming quantiles via a MERGEABLE fixed-bin histogram — the
       // deterministic stand-in for t-digest/KLL: the stream maintains
@@ -1100,6 +1138,28 @@ object Streaming extends QueryGroup {
         |  CAST(c - shoulder AS DOUBLE) / 100 AS prominence
         |FROM f WHERE c > shoulder AND c - shoulder >= 500
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "stream_countmin" ->
+      // replay end-state counters == the batch sketch (additive merge)
+      """WITH h AS (SELECT event_type AS t,
+        |    CAST(concat('0x', substring(sha256(event_type), 1, 14))
+        |      AS BIGINT) % 2147483647 AS h
+        |  FROM events),
+        |c AS (SELECT j,
+        |    ((2 * j + 3) * h + (5 * j + 7)) % 2147483647 % 256 AS bucket,
+        |    count(*) AS cnt
+        |  FROM h CROSS JOIN (SELECT unnest(range(4)) AS j) GROUP BY 1, 2),
+        |p AS (SELECT t, h, count(*) AS exact FROM h GROUP BY 1, 2),
+        |e AS (SELECT p.t, p.exact, min(c.cnt) AS cm_est
+        |  FROM p CROSS JOIN (SELECT unnest(range(4)) AS j) pj
+        |    JOIN c ON c.j = pj.j
+        |      AND c.bucket = ((2 * pj.j + 3) * p.h + (5 * pj.j + 7))
+        |        % 2147483647 % 256
+        |  GROUP BY 1, 2)
+        |SELECT t AS event_type, CAST(exact AS BIGINT) AS exact,
+        |  CAST(cm_est AS BIGINT) AS cm_est,
+        |  CAST(cm_est - exact AS BIGINT) AS overestimate
+        |FROM e ORDER BY event_type""".stripMargin,
 
     "stream_quantile" ->
       // replay end-state histogram == the batch histogram (additive
