@@ -248,18 +248,26 @@ object ManifestTable {
     * half of exactly-once (the source side is Spark's checkpointed
     * offset log).
     */
-  def commitBatch(df: DataFrame, root: Path, batchId: Long): Int = {
+  def commitBatch(df: DataFrame, root: Path, batchId: Long,
+      statsKey: Option[String] = None): Int = {
     if (committedBatches(root).contains(batchId)) return latestVersion(root)
     // batch prefix carries a writer nonce: two RACING replays of the
     // same batch (the top check can't see an in-flight twin) must not
     // stage into one path and clobber each other mid-write — each gets
     // private file names, the ledger picks one commit, and the loser's
     // orphans stay invisible (vacuum fodder), the uuid-named-files
-    // discipline of the real formats
-    val added = stage(df, root, s"b$batchId${nonce()}")
+    // discipline of the real formats. statsKey makes the sink write
+    // stats-carrying lines, so a streamed table composes with the
+    // stats consumers (readPruned / mergeCoW / optimizeSmall).
+    val batch = s"b$batchId${nonce()}"
+    val added = statsKey match {
+      case Some(k) => stageWithStats(df, root, batch, k)
+      case None => stage(df, root, batch)
+    }
     commitWith(root, s"batch=$batchId") { parent =>
       if (committedBatches(root).contains(batchId)) None
-      else Some((if (parent == 0) Nil else filesFor(root, parent)) ++ added)
+      // parent lines verbatim — the appendCommit stats-preservation rule
+      else Some((if (parent == 0) Nil else rawLines(root, parent)) ++ added)
     }.getOrElse(latestVersion(root))
   }
 
