@@ -277,6 +277,13 @@ object ManifestTable {
     * None on abort.
     */
   private def commitWith(root: Path, meta: String)(
+      live: Int => Option[Seq[String]]): Option[Int] =
+    commitWithF(root, _ => meta)(live)
+
+  /** [[commitWith]] with parent-dependent metadata (the DV list must
+    * be recomputed against whatever parent wins the publish race).
+    */
+  private def commitWithF(root: Path, metaOf: Int => String)(
       live: Int => Option[Seq[String]]): Option[Int] = {
     val d = manifestDir(root)
     Files.createDirectories(d)
@@ -290,6 +297,7 @@ object ManifestTable {
         case Some(f) => f
         case None => return None
       }
+      val meta = metaOf(parent)
       val head = s"# graft-manifest version=$v parent=$parent" +
         (if (meta.nonEmpty) s" $meta" else "")
       val body = (head +: files).mkString("", "\n", "\n")
@@ -435,14 +443,71 @@ object ManifestTable {
     }.get
   }
 
+  /** Deletion-vector names a version references (merge-on-read state),
+    * from the `dv=` header meta.
+    */
+  def dvsFor(root: Path, version: Int): Seq[String] =
+    headerMeta(root, version).get("dv")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Merge-on-READ delete — the CoW alternative real formats call
+    * deletion vectors / positional deletes: the commit writes ONLY a
+    * tiny sidecar of deleted keys (one column, `keyCol`-named) and
+    * annotates the snapshot; zero data files are rewritten (write
+    * cost = |deleted keys|), and READERS subtract the vectors with one
+    * broadcast anti-join ([[readMOR]]) until a [[compactMOR]]
+    * materializes the view. The trade vs [[mergeCoW]]: MOR makes
+    * deletes O(delta) at write time and taxes every read; CoW pays
+    * once at write. Delete-by-key stays correct across concurrent
+    * key-preserving rewrites, so no file-level conflict check is
+    * needed; the DV list accumulates parent-dependently inside the
+    * publish retry.
+    */
+  def deleteMOR(root: Path, deletedKeys: DataFrame): Int = {
+    val rel = stage(deletedKeys.coalesce(1), root, s"dv${nonce()}")
+    commitWithF(root, parent => "dv=" +
+        ((if (parent == 0) Nil else dvsFor(root, parent)) ++ rel)
+          .mkString(","))(parent =>
+      Some(if (parent == 0) Nil else rawLines(root, parent))).get
+  }
+
+  /** Read a snapshot MINUS its deletion vectors: the base scan plus
+    * one broadcast anti-join on `keyCol` — the merge-on-read price.
+    */
+  def readMOR(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, keyCol: String): DataFrame = {
+    val base = read(spark, root, version, schema)
+    val dvs = dvsFor(root, version)
+    if (dvs.isEmpty) base
+    else base.join(
+      broadcast(spark.read.parquet(dvs.map(f =>
+          root.resolve("data").resolve(f).toString): _*)
+        .select(keyCol).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Materialize the MOR view into plain stats-carrying files: the
+    * next snapshot has no `dv=` meta, and plain [[read]] equals the
+    * pre-compaction [[readMOR]] — when the read tax exceeds the
+    * rewrite cost, this is the switch back.
+    */
+  def compactMOR(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, keyCol: String, targetFiles: Int): Int =
+    commit(root, stageWithStats(
+      readMOR(spark, root, from, schema, keyCol)
+        .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
+      root, s"cmor$from${nonce()}", keyCol))
+
   /** Retention: delete data files referenced by NO version ≥
     * `keepFrom` (time travel older than the horizon dies; every kept
     * snapshot still reads). The one op that may remove bytes — kept
     * strictly separate from commits, exactly like VACUUM.
     */
   def vacuum(root: Path, keepFrom: Int): Seq[String] = {
+    // a kept snapshot needs its data files AND its deletion vectors —
+    // dropping a referenced DV would silently resurrect deleted rows
     val keep = (keepFrom to latestVersion(root))
-      .flatMap(filesFor(root, _)).toSet
+      .flatMap(v => filesFor(root, v) ++ dvsFor(root, v)).toSet
     val data = root.resolve("data")
     val s = Files.list(data)
     val all =
@@ -624,6 +689,32 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** Merge-on-read lifecycle: v1 = orders range-laid with stats; v2 =
+    * a DELETION-VECTOR commit (keys %13 — writes only the sidecar,
+    * zero data files rewritten); v3 = compactMOR materializing the
+    * view. Wave103Spec asserts the zero-rewrite and read-equivalence
+    * claims the oracle can't see.
+    */
+  private[graft] def morRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_mor",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(4, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val v2 = ManifestTable.deleteMOR(root,
+        orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"))
+      val v3 = ManifestTable.compactMOR(spark, root, v2, orders.schema,
+        "o_orderkey", 4)
+      require(v1 == 1 && v2 == 2 && v3 == 3,
+        s"mor lifecycle built versions ($v1,$v2,$v3), expected (1,2,3)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** Per-invocation scratch root for the streaming-sink table: the
     * WRITE is the operation under test, so it cannot be cached — but
     * pid-keyed scratch must not accumulate across JVM runs (the r6/r8
@@ -757,6 +848,18 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    "source_manifest_mor" -> { (spark, dir) =>
+      // merge-on-READ deletes: v2 committed ONLY a deletion vector
+      // (write cost = |deleted keys|, zero files rewritten —
+      // Wave103Spec asserts the file identity); this read pays the
+      // broadcast anti-join instead. The oracle restates the deletes
+      // from the source table.
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.readMOR(spark, morRoot(spark, dir), 2,
+          orders.schema, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     "ivm_manifest_cow_delta" -> { (spark, dir) =>
       // view maintenance ACROSS a copy-on-write merge — the case
       // ivm_manifest_delta's append-only guard refuses: the change set
@@ -883,6 +986,13 @@ object ManifestOps extends QueryGroup {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
         |    AS DOUBLE) AS rev
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "source_manifest_mor" ->
+      // the DV subtraction restated from the source table
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "ivm_manifest_cow_delta" ->
       // the refreshed view == the aggregate over the MERGED state,
