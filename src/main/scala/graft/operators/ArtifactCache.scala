@@ -20,6 +20,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    exactly the 100 TB operating model, where the layout job is a
   *    separate pipeline stage and queries only ever read it.
   */
+/** Per-invocation scratch dirs that must NOT outlive the JVM (the
+  * write itself is the operation under test, so ArtifactCache's
+  * build-once reuse would defeat it): each dir registers a shutdown
+  * hook, so scratch never accumulates across JVM runs — the r6/r8
+  * ADVICE discipline for everything that can't be fingerprint-cached.
+  */
+object Scratch {
+  def dir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook(delete(p.toFile))
+    p.toString
+  }
+
+  /** A stable pid-keyed root (`/tmp/<base>/p<pid>`) for per-process
+    * scratch that IS reused within the JVM (idempotent layout writes,
+    * replay dirs) but must die with it; the hook registers once per
+    * base.
+    */
+  private val pidRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  def pidDir(base: String): String =
+    pidRoots.getOrElseUpdate(base, {
+      val p = java.nio.file.Paths.get(
+        s"/tmp/$base/p${ProcessHandle.current().pid()}")
+      sys.addShutdownHook(delete(p.toFile))
+      p.toString
+    })
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(delete)
+    f.delete(): Unit
+  }
+}
+
 object ArtifactCache {
 
   /** Fingerprint of the inputs an artifact derives from. */

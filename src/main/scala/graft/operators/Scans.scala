@@ -51,7 +51,10 @@ object Scans extends QueryGroup {
       // roundtrip preserved cardinality. Oracle checks the counts against
       // the original table.
       val nation = Tables.table(spark, dir, "nation")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      // self-cleaning scratch (shutdown hook): a bare createTempDirectory
+      // here accumulated one dir per invocation across JVM runs — the
+      // r6/r8 ADVICE class
+      val tmp = Scratch.dir("graft_rt")
       nation.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       nation.write.mode("overwrite").json(s"$tmp/json")
       val csvBack = spark.read.option("header", "true")
@@ -73,7 +76,7 @@ object Scans extends QueryGroup {
       // difference between listing one partition and scanning the lake.
       val docs = Tables.table(spark, dir, "documents")
       // pid-keyed against concurrent harness processes (see join_bucketed)
-      val out = s"/tmp/graft_part/p${ProcessHandle.current().pid()}/" +
+      val out = s"${Scratch.pidDir("graft_part")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       docs.write.mode("overwrite").partitionBy("lang").parquet(out)
       spark.read.parquet(out)
@@ -309,7 +312,7 @@ object Scans extends QueryGroup {
       // a lake migrates formats without touching query code. The oracle
       // reads the original parquet: byte-identical values after the
       // roundtrip IS the assertion.
-      val out = s"/tmp/graft_orc/p${ProcessHandle.current().pid()}/" +
+      val out = s"${Scratch.pidDir("graft_orc")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       Tables.table(spark, dir, "orders").write.mode("overwrite").orc(out)
       spark.read.orc(out)
@@ -329,7 +332,7 @@ object Scans extends QueryGroup {
       // compression is a storage decision, never a semantics one. At
       // 100 TB the ratio delta is petabytes; the query plan is
       // identical either way (codec lives below the columnar reader).
-      val out = s"/tmp/graft_zstd/p${ProcessHandle.current().pid()}/" +
+      val out = s"${Scratch.pidDir("graft_zstd")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       Tables.table(spark, dir, "lineitem")
         .write.mode("overwrite").option("compression", "zstd").parquet(out)
@@ -354,7 +357,7 @@ object Scans extends QueryGroup {
       // metadata only (per-file, parallel) — the data pages of old
       // batches are never touched, and the per-batch directory layout
       // keeps partition pruning intact.
-      val out = s"/tmp/graft_evolve/p${ProcessHandle.current().pid()}/" +
+      val out = s"${Scratch.pidDir("graft_evolve")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       val cut = lit("1998-01-01").cast("timestamp_ntz")
       val orders = Tables.table(spark, dir, "orders")

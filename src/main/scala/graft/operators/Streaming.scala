@@ -91,8 +91,7 @@ object Streaming extends QueryGroup {
     // pid-keyed like source_zorder/join_bucketed (r4 ADVICE): two JVMs
     // running concurrently must never read each other's half-written
     // replay, and a fixture regenerated between runs gets a fresh build
-    val root = Paths.get("/tmp/graft_replay3",
-      s"p${ProcessHandle.current().pid()}",
+    val root = Paths.get(Scratch.pidDir("graft_replay3"),
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val data = root.resolve("data")
     if (!Files.exists(root.resolve("_READY"))) {
