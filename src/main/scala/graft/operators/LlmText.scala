@@ -619,6 +619,42 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "text_compressibility" -> { (spark, dir) =>
+      // COMPRESSION-RATIO quality screen (oracle-omitted: zlib is not
+      // expressible in DuckDB SQL; Wave104Spec pins the numbers against
+      // a direct JVM deflate and the monotonicity laws) — the classic
+      // curation heuristic: highly compressible text is repetitive
+      // boilerplate, incompressible text is noise/binary junk; both
+      // tails get flagged. Deflate (level 6, fixed) runs per document
+      // in a mapPartitions JVM loop over the UTF-8 bytes — one corpus
+      // map, ~40 B/row out, embarrassingly parallel; the ratio is
+      // deterministic for a given zlib, which the driver's single-JVM
+      // rows-only check and the spec both satisfy.
+      import spark.implicits._
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val raw = text.getBytes("UTF-8")
+            val d = new java.util.zip.Deflater(6)
+            d.setInput(raw); d.finish()
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            d.end()
+            (id, raw.length.toLong, n,
+              math.floor(n.toDouble / raw.length * 1e6 + 0.5) / 1e6)
+          }
+        }
+        .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")
+        .withColumn("flag",
+          when(col("ratio") < 0.35, "repetitive")
+            .when(col("ratio") > 0.9, "incompressible")
+            .otherwise("ok"))
+        .orderBy("doc_id")
+    },
+
     "agg_countmin" -> { (spark, dir) =>
       // COUNT-MIN frequency sketch — the third mergeable sketch next
       // to HLL (distinct) and Misra-Gries (top-k), and unlike those
