@@ -350,7 +350,11 @@ object Stats extends QueryGroup {
           (col("n").cast("double") * col("n") * col("n")
             - col("n").cast("double")))
         .select(col("n"), Canon.round6(col("h")).as("h"),
-          Canon.round6(col("h") / col("corr")).as("h_tied"))
+          // corr = 0 only when EVERY value is one tie group (tsum =
+          // N³−N) — H' is undefined there; NULL, not a NaN/Inf hash
+          // hazard (the dedup_lsh_tuning empty-config lesson)
+          when(col("corr") > 0,
+            Canon.round6(col("h") / col("corr"))).as("h_tied"))
     },
 
     "stat_anova" -> { (spark, dir) =>
@@ -487,7 +491,8 @@ object Stats extends QueryGroup {
         |SELECT n,
         |  CAST(CASE WHEN h0 >= 0 THEN floor(h0 * 1e6 + 0.5) / 1e6
         |       ELSE -floor(-h0 * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS h,
-        |  CAST(CASE WHEN h0 / corr >= 0
+        |  CAST(CASE WHEN corr <= 0 THEN NULL
+        |       WHEN h0 / corr >= 0
         |       THEN floor(h0 / corr * 1e6 + 0.5) / 1e6
         |       ELSE -floor(-(h0 / corr) * 1e6 + 0.5) / 1e6 END
         |    AS DOUBLE) AS h_tied
