@@ -619,6 +619,41 @@ object LlmText extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    "dedup_ncd" -> { (spark, dir) =>
+      // NORMALIZED COMPRESSION DISTANCE over the mined candidate pairs
+      // (oracle-omitted: zlib; Wave105Spec is the oracle substitute) —
+      // the information-theoretic near-dup signal the token family
+      // can't see: NCD(a,b) = (C(ab) − min(C(a),C(b))) / max(...), low
+      // when one document's content predicts the other's even under
+      // paraphrase-ish edits token Jaccard misses. Candidates come
+      // from the shared pair index (never all-pairs); per pair three
+      // deflates in one mapPartitions pass.
+      import spark.implicits._
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      TextDedup.sharedNgramPairs(spark, dir, n = 3, threshold = 0.2)
+        .select("doc_a", "doc_b")
+        .join(docs.select(col("doc_id").as("doc_a"),
+          col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+        .as[(Long, Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (a, b, ta, tb) =>
+            val ca = TextDedup.deflateLen(ta.getBytes("UTF-8"))
+            val cb = TextDedup.deflateLen(tb.getBytes("UTF-8"))
+            val cab = TextDedup.deflateLen((ta + " " + tb).getBytes("UTF-8"))
+            val ncd = (cab - math.min(ca, cb)).toDouble / math.max(ca, cb)
+            (a, b, math.floor(ncd * 1e6 + 0.5) / 1e6)
+          }
+        }
+        .toDF("doc_a", "doc_b", "ncd")
+        .withColumn("verdict",
+          when(col("ncd") < 0.45, "near_dup").otherwise("distinct"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     "text_compressibility" -> { (spark, dir) =>
       // COMPRESSION-RATIO quality screen (oracle-omitted: zlib is not
       // expressible in DuckDB SQL; Wave104Spec pins the numbers against
@@ -635,14 +670,9 @@ object LlmText extends QueryGroup {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
-          val buf = new Array[Byte](1 << 16)
           it.map { case (id, text) =>
             val raw = text.getBytes("UTF-8")
-            val d = new java.util.zip.Deflater(6)
-            d.setInput(raw); d.finish()
-            var n = 0L
-            while (!d.finished()) n += d.deflate(buf)
-            d.end()
+            val n = TextDedup.deflateLen(raw)
             (id, raw.length.toLong, n,
               math.floor(n.toDouble / raw.length * 1e6 + 0.5) / 1e6)
           }

@@ -33,6 +33,20 @@ object TextDedup {
   def hash56(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 14), 16, 10).cast("long")
 
+  /** Deflate(6) output size of `raw` — the shared compressor behind
+    * text_compressibility and dedup_ncd (one zlib config, so the two
+    * signals are comparable).
+    */
+  def deflateLen(raw: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n
+  }
+
   /** CONTENT-DEFINED CHUNKING: split `textCol` where the 4-token mod-p
     * rolling hash ≡ 0 (mod `divisor`) — boundaries depend only on a
     * local token window, so an insertion shifts content WITHOUT moving

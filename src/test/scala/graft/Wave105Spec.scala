@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+
+/** Round-8 wave 105: normalized compression distance — the oracle
+  * substitute for a zlib-based rows-only op: per-pair JVM recompute,
+  * the identity/independence extremes, and correlation with the token
+  * Jaccard signal on the same candidate set.
+  */
+class Wave105Spec extends SparkSpec {
+
+  private def ncd(a: String, b: String): Double = {
+    val ca = TextDedup.deflateLen(a.getBytes("UTF-8"))
+    val cb = TextDedup.deflateLen(b.getBytes("UTF-8"))
+    val cab = TextDedup.deflateLen((a + " " + b).getBytes("UTF-8"))
+    (cab - math.min(ca, cb)).toDouble / math.max(ca, cb)
+  }
+
+  test("dedup_ncd matches a per-pair JVM recompute over the mined " +
+    "candidates") {
+    val got = q("dedup_ncd").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val texts = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case ((a, b), (v, verdict)) =>
+      val expect = math.floor(ncd(texts(a), texts(b)) * 1e6 + 0.5) / 1e6
+      assert(v == expect, s"pair ($a,$b): $v vs $expect")
+      assert(verdict == (if (v < 0.45) "near_dup" else "distinct"))
+    }
+  }
+
+  test("NCD extremes and signal agreement: self ≈ 0, independents ≈ 1, " +
+    "and high-Jaccard pairs sit lower than threshold-edge pairs") {
+    val doc = Tables.table(spark, sfDir, "documents")
+      .select("text").head().getString(0)
+    assert(ncd(doc, doc) < 0.15, s"NCD(x,x) = ${ncd(doc, doc)}")
+    val rng = new scala.util.Random(7)
+    val noise = Array.fill(600)(rng.nextPrintableChar()).mkString
+    assert(ncd(doc, noise) > 0.8, s"NCD(x, noise) = ${ncd(doc, noise)}")
+    // signal gradient: the mined high-Jaccard pairs must sit far below
+    // a HALF-NOISE twin (token J ≈ 0.33 — the fixture has no natural
+    // mid-J pairs at this SF, so the edge point is synthetic)
+    val got = q("dedup_ncd").collect().map(_.getDouble(2))
+    assert(got.nonEmpty)
+    val highMean = got.sum / got.length
+    val toks = doc.split(" ")
+    val halfNoise = toks.zipWithIndex.map { case (t, i) =>
+      if (i % 2 == 0) t
+      else Array.fill(t.length)(rng.nextPrintableChar()).mkString
+    }.mkString(" ")
+    val edgeNcd = ncd(doc, halfNoise)
+    assert(highMean < edgeNcd - 0.2,
+      s"mined near-dups (mean $highMean) must compress-predict far " +
+        s"better than a half-noise twin ($edgeNcd)")
+  }
+}
