@@ -235,7 +235,10 @@ object Knn {
       .groupBy(col("q_id").as("tq"))
       .agg(element_at(sort_array(collect_list(
         dot(col("qe"), col("ie"))), asc = false), k).as("tau"))
-    val qt = q.join(tau, col("q_id") === col("tq"), "left").drop("tq")
+    // broadcast: tau is |Q| rows — without it this left join planned a
+    // SortMergeJoin with two pointless exchanges (Wave106Spec's audit)
+    val qt = q.join(broadcast(tau), col("q_id") === col("tq"), "left")
+      .drop("tq")
     val admitted = ix.join(broadcast(qt), col("q_id") =!= col("idx_id"))
       .filter(col("tau").isNull || col("tau") - 1e-6 <= 0 ||
         col("n2") * col("qn2") >=
