@@ -461,13 +461,21 @@ object Corpus extends QueryGroup {
       // mixture is reproducible and append-stable). The weight reuses
       // corpus_mixture's round6 value, making the two queries one
       // policy: quota derivation there, execution here. Plan: one
-      // 20-row aggregate + one source-keyed window exchange.
+      // 20-row aggregate + one source-keyed window exchange. The
+      // weight denominator Σ tokens^0.7 is an ORDERED double fold
+      // (sort_array → aggregate, the stat_kruskal discipline), not an
+      // unordered window sum: a parallel double sum's addition order
+      // is nondeterministic, and a last-ulp flip would shift
+      // floor(round6(w)·200) by 1 vs the oracle (r8 ADVICE).
       val d = Tables.table(spark, dir, "documents")
-      val all = Window.partitionBy(lit(1))
-      val quota = d.groupBy("source")
+      val q0 = d.groupBy("source")
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
         .withColumn("raw", pow(col("tokens").cast("double"), 0.7))
-        .withColumn("w", graft.Canon.round6(col("raw") / sum("raw").over(all)))
+      val den = q0.agg(expr(
+        "aggregate(array_sort(collect_list(raw)), 0D, (acc, x) -> acc + x)")
+        .as("den"))
+      val quota = q0.crossJoin(broadcast(den))
+        .withColumn("w", graft.Canon.round6(col("raw") / col("den")))
         .withColumn("quota", floor(col("w") * 200).cast("long"))
         .select("source", "quota")
       val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
@@ -1339,11 +1347,13 @@ object Corpus extends QueryGroup {
       s"""WITH t AS (SELECT source,
          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
          |  FROM documents GROUP BY source),
+         |d AS (SELECT list_sum(list_sort(list(
+         |      power(CAST(tokens AS DOUBLE), 0.7)))) AS den FROM t),
          |q AS (SELECT source,
          |    CAST(floor(CAST(round(power(CAST(tokens AS DOUBLE), 0.7)
-         |      / sum(power(CAST(tokens AS DOUBLE), 0.7)) OVER (), 6)
+         |      / den, 6)
          |      AS DOUBLE) * 200) AS BIGINT) AS quota
-         |  FROM t),
+         |  FROM t CROSS JOIN d),
          |h AS (SELECT doc_id, source, lang,
          |    ${h56Sql("concat('mix|', CAST(doc_id AS VARCHAR))")} AS hh
          |  FROM documents),

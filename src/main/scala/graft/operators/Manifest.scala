@@ -152,8 +152,8 @@ object ManifestTable {
     * list via [[appendCommit]] instead, which folds the parent in
     * inside the retry loop.
     */
-  def commit(root: Path, files: Seq[String]): Int =
-    commitWith(root, "")(_ => Some(files)).get
+  def commit(root: Path, files: Seq[String], meta: String = ""): Int =
+    commitWith(root, meta)(_ => Some(files)).get
 
   /** Append-style commit: the new snapshot = (winner parent's live
     * set) ++ `added`, recomputed inside the retry loop so a lost race
@@ -282,6 +282,19 @@ object ManifestTable {
 
   /** [[commitWith]] with parent-dependent metadata (the DV list must
     * be recomputed against whatever parent wins the publish race).
+    *
+    * EVERY commit path propagates the parent's outstanding deletion
+    * vectors unless its meta says otherwise (r8 ADVICE: appendCommit /
+    * commitBatch / mergeCoW / optimizeSmall / compact used to commit
+    * DV-free meta, silently resurrecting deleted rows on the next
+    * readMOR). A caller that really means "no DVs" — [[compactMOR]],
+    * which just materialized them — passes an explicit empty `dv=`
+    * token. Key-based DVs survive any key-preserving rewrite by
+    * construction; the one documented semantic edge is an APPEND that
+    * re-inserts a previously deleted key: the key-predicate still
+    * subtracts it until a compactMOR (positional deletes, which real
+    * formats use to scope a DV to one file, are out of this format's
+    * minimal scope — the caveat mirrors a DELETE-WHERE predicate).
     */
   private def commitWithF(root: Path, metaOf: Int => String)(
       live: Int => Option[Seq[String]]): Option[Int] = {
@@ -297,7 +310,15 @@ object ManifestTable {
         case Some(f) => f
         case None => return None
       }
-      val meta = metaOf(parent)
+      val meta0 = metaOf(parent)
+      val inheritedDvs =
+        if (parent == 0 || meta0.split(' ').exists(_.startsWith("dv=")))
+          "" // caller manages (or clears) the DV list itself
+        else dvsFor(root, parent) match {
+          case Nil => ""
+          case dvs => s"dv=${dvs.mkString(",")}"
+        }
+      val meta = Seq(meta0, inheritedDvs).filter(_.nonEmpty).mkString(" ")
       val head = s"# graft-manifest version=$v parent=$parent" +
         (if (meta.nonEmpty) s" $meta" else "")
       val body = (head +: files).mkString("", "\n", "\n")
@@ -387,13 +408,19 @@ object ManifestTable {
         math.max(1, hit.size), col(keyCol)),
       root, s"merge$from${nonce()}", keyCol)
     // SERIALIZABLE-WRITER commit: recompute the untouched list against
-    // whatever parent WINS the publish race. If a concurrent commit
-    // removed any file this merge read (our snapshot's read set was
-    // rewritten under us), the result could silently drop that
-    // writer's changes — abort with a conflict instead of committing,
-    // the Delta/Iceberg write-conflict rule. A concurrent APPEND or a
-    // disjoint-band merge leaves our read files live, so it composes:
-    // the retry folds its files in and both commits land.
+    // whatever parent WINS the publish race, aborting on BOTH conflict
+    // directions. (1) A concurrent commit removed a file this merge
+    // read — our read set was rewritten under us, and committing would
+    // silently drop that writer's changes (the Delta/Iceberg
+    // write-conflict rule). (2) A concurrent commit ADDED a file whose
+    // key band intersects our merge band — its rows should have seen
+    // the transform but did not, the write-skew the r8 ADVICE showed
+    // made the old check merely snapshot-isolated; a band-intersecting
+    // newcomer (or one with no stats for the key, which cannot prove
+    // disjointness) now aborts too. Appends and merges DISJOINT from
+    // the band still compose: the retry folds their files in and both
+    // commits land.
+    val fromPaths = (hit ++ skip).map(_.path).toSet
     commitWith(root, s"merge=v$from") { parent =>
       val live =
         if (parent == from) skip.map(e => s"${e.path}\t${e.minKey}\t${e.maxKey}")
@@ -404,6 +431,14 @@ object ManifestTable {
             throw new java.util.ConcurrentModificationException(
               s"merge over v$from conflicts: a commit after v$from " +
               "rewrote part of its read set — re-read and re-merge")
+          val inBandNewcomer = cur.filterNot(e => fromPaths.contains(e.path))
+            .filter(e => e.minKey <= hiKey && e.maxKey >= loKey)
+          if (inBandNewcomer.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"merge over v$from conflicts: a commit after v$from added " +
+              s"rows inside the merge band [$loKey,$hiKey] " +
+              s"(${inBandNewcomer.map(_.path).mkString(",")}) that the " +
+              "transform never saw — re-read and re-merge")
           cur.filterNot(e => hit.exists(_.path == e.path))
             .map(e => s"${e.path}\t${e.minKey}\t${e.maxKey}")
         }
@@ -493,28 +528,42 @@ object ManifestTable {
     */
   def compactMOR(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, targetFiles: Int): Int =
+    // explicit empty dv= token: the vectors were just materialized, so
+    // this is the ONE commit that must NOT inherit the parent's list
     commit(root, stageWithStats(
       readMOR(spark, root, from, schema, keyCol)
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
-      root, s"cmor$from${nonce()}", keyCol))
+      root, s"cmor$from${nonce()}", keyCol), meta = "dv=")
 
   /** Retention: delete data files referenced by NO version ≥
     * `keepFrom` (time travel older than the horizon dies; every kept
     * snapshot still reads). The one op that may remove bytes — kept
     * strictly separate from commits, exactly like VACUUM.
+    *
+    * `retainMillis` is the concurrent-writer guard (r8 ADVICE): a
+    * writer between stage() and commit has files referenced by NO
+    * manifest yet, so an unguarded vacuum would delete them and the
+    * writer would then publish a snapshot pointing at missing files.
+    * Files whose mtime is inside the retention horizon are therefore
+    * kept even when unreferenced — Delta VACUUM's retention-period
+    * rule. Pass 0 ONLY when no writer can be in flight (tests,
+    * single-process maintenance windows).
     */
-  def vacuum(root: Path, keepFrom: Int): Seq[String] = {
+  def vacuum(root: Path, keepFrom: Int,
+      retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     // a kept snapshot needs its data files AND its deletion vectors —
     // dropping a referenced DV would silently resurrect deleted rows
     val keep = (keepFrom to latestVersion(root))
       .flatMap(v => filesFor(root, v) ++ dvsFor(root, v)).toSet
+    val horizon = System.currentTimeMillis() - retainMillis
     val data = root.resolve("data")
     val s = Files.list(data)
     val all =
       try s.map[String](_.getFileName.toString).toArray.toSeq
         .collect { case n: String => n }
       finally s.close()
-    val dead = all.filterNot(keep)
+    val dead = all.filterNot(keep).filter(n =>
+      Files.getLastModifiedTime(data.resolve(n)).toMillis < horizon)
     dead.foreach(n => Files.delete(data.resolve(n)))
     dead
   }
@@ -584,9 +633,13 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, root: Path, from: Int,
       schema: StructType, targetFiles: Int): Int = {
+    // batch prefix carries the writer nonce like every other rewrite
+    // path (r8 ADVICE): a repeated or concurrent compaction of the
+    // same `from` must stage under private names, not REPLACE_EXISTING
+    // the earlier run's already-committed data files.
     val rewritten = stage(
       read(spark, root, from, schema).repartition(targetFiles),
-      root, s"compact$from")
+      root, s"compact$from${nonce()}")
     commit(root, rewritten)
   }
 }

@@ -67,7 +67,7 @@ class Wave102Spec extends SparkSpec {
       statsKey = Some("k")) == 5)
     assert(ManifestTable.committedBatches(root) == Set(0L, 1L, 2L))
     // 5) vacuum to the optimize horizon: v4/v5 read, v3 dies
-    ManifestTable.vacuum(root, keepFrom = 4)
+    ManifestTable.vacuum(root, keepFrom = 4, retainMillis = 0)
     assert(ManifestTable.read(spark, root, 5, schema).count() == 450)
     val v3Dead =
       try { ManifestTable.read(spark, root, 3, schema).count(); false }

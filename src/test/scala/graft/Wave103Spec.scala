@@ -60,7 +60,7 @@ class Wave103Spec extends SparkSpec {
     // compact, then vacuum to the compaction horizon: the DV sidecars
     // are no longer referenced and die; the materialized read is whole
     val v4 = ManifestTable.compactMOR(spark, root, 3, df.schema, "k", 1)
-    val dead = ManifestTable.vacuum(root, keepFrom = v4)
+    val dead = ManifestTable.vacuum(root, keepFrom = v4, retainMillis = 0)
     assert(ManifestTable.dvsFor(root, 3).forall(dead.contains),
       "unreferenced DVs must be vacuumed")
     assert(ManifestTable.read(spark, root, v4, df.schema).count() == 80)
@@ -69,7 +69,7 @@ class Wave103Spec extends SparkSpec {
     ManifestTable.commit(root2, ManifestTable.stageWithStats(
       df.coalesce(1), root2, "base", "k"))
     ManifestTable.deleteMOR(root2, df.filter(col("k") < 10).select("k"))
-    val dead2 = ManifestTable.vacuum(root2, keepFrom = 2)
+    val dead2 = ManifestTable.vacuum(root2, keepFrom = 2, retainMillis = 0)
     assert(!ManifestTable.dvsFor(root2, 2).exists(dead2.contains),
       "a referenced DV was vacuumed — deleted rows would resurrect")
     assert(ManifestTable.readMOR(spark, root2, 2, df.schema, "k")

@@ -69,7 +69,7 @@ class Wave87Spec extends SparkSpec {
       "o_orderkey", lo, hi - 1)(df => df)
     val onlyV1 = ManifestTable.filesFor(root, v1).toSet
       .diff(ManifestTable.filesFor(root, v2).toSet)
-    val dead = ManifestTable.vacuum(root, keepFrom = v2)
+    val dead = ManifestTable.vacuum(root, keepFrom = v2, retainMillis = 0)
     assert(dead.toSet == onlyV1,
       s"vacuum removed ${dead.toSet} but only $onlyV1 was unreferenced")
     // kept snapshot fully readable
