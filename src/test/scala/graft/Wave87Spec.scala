@@ -25,7 +25,7 @@ class Wave87Spec extends SparkSpec {
     val (root, orders, v1, lo, hi) = build()
     val before = ManifestTable.entriesFor(root, v1)
     val (hit, skip) = before.partition(e =>
-      e.minKey <= hi - 1 && e.maxKey >= lo)
+      e.mayContain("o_orderkey", lo, hi - 1))
     assert(hit.nonEmpty && skip.nonEmpty,
       s"band [$lo,$hi) must split the ${before.size} files to make " +
         "this test meaningful")

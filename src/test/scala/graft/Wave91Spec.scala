@@ -18,7 +18,7 @@ class Wave91Spec extends SparkSpec {
     val mx = orders.agg(max("o_orderkey")).head().getLong(0)
     val (lo, hi) = (mx / 10, mx / 5)
     val entries = ManifestTable.entriesFor(root, v)
-    val admitted = entries.filter(e => e.minKey <= hi && e.maxKey >= lo)
+    val admitted = entries.filter(e => e.mayContain("o_orderkey", lo, hi))
     assert(admitted.size < entries.size,
       s"band [$lo,$hi] admits all ${entries.size} files — pruning inert")
     val pruned = ManifestTable.readPruned(spark, root, v, orders.schema,
