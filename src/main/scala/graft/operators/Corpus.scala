@@ -24,6 +24,35 @@ object Corpus extends QueryGroup {
     */
   private def hash56(c: Column): Column = TextDedup.hash56(c)
 
+  /** The documents corpus as a manifest (lakehouse) table, built once
+    * per fixture snapshot: v1 = the existing corpus (doc_id % 10 != 0),
+    * v2 = one appended crawl batch (doc_id % 10 == 0) — the substrate
+    * for [[dedup_manifest_incremental]]'s file-delta batch read. The
+    * same %10 split as dedup_incremental, so the two queries' verdicts
+    * are directly comparable.
+    */
+  private[graft] def docsManifestRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val out = ArtifactCache.path("manifest_documents",
+      Seq(s"$dir/documents.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val docs = Tables.table(spark, dir, "documents")
+      val v1 = ManifestTable.appendCommit(root, ManifestTable.stage(
+        docs.filter(col("doc_id") % 10 =!= 0).repartition(4),
+        root, "corpus"))
+      val v2 = ManifestTable.appendCommit(root, ManifestTable.stage(
+        docs.filter(col("doc_id") % 10 === 0).repartition(2),
+        root, "crawl"))
+      require(v1 == 1 && v2 == 2,
+        s"documents manifest built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    java.nio.file.Paths.get(out)
+  }
+
   /** Two unrolled synchronous-LPA rounds over the shared near-dup graph
     * (graph_communities' partition), returned as (vid, lbl) — shared by
     * graph_communities and graph_modularity so the score is computed
@@ -163,6 +192,57 @@ object Corpus extends QueryGroup {
         count(when(col("partner") % 10 =!= 0, 1)).as("n_dup_corpus"),
         count(when(col("partner") % 10 === 0, 1)).as("n_dup_batch"))
       docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
+          coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"))
+        .withColumn("verdict",
+          when(col("n_dup_corpus") > 0, "dup_of_corpus")
+            .when(col("n_dup_batch") > 0, "new_dup_group")
+            .otherwise("unique"))
+        .orderBy("doc_id")
+    },
+
+    "dedup_manifest_incremental" -> { (spark, dir) =>
+      // The lakehouse × dedup COMPOSITION (r8 VERDICT item 3) — the
+      // production shape both round-8 arcs were building toward:
+      // incremental corpus dedup riding the transactional table. The
+      // documents corpus is a manifest table (v1 = existing corpus,
+      // v2 = append of "today's crawl"); the batch side comes from
+      // [[ManifestTable.readIncremental]]'s FILE DELTA — exactly the
+      // files the append committed, so the base corpus is never
+      // rescanned (Wave109Spec asserts the batch scan's physical
+      // inputFiles) — and joins the PERSISTED full-corpus posting
+      // index (ArtifactCache, built once per fixture snapshot; the
+      // final plan never touches documents.parquet at all). Verdicts
+      // are identical to dedup_incremental's: candidate work is
+      // Σ (batch postings × list hits), linear in the batch.
+      val docs = Tables.table(spark, dir, "documents")
+      val root = docsManifestRoot(spark, dir)
+      val batch = ManifestTable.readIncremental(spark, root, 1, 2,
+        docs.schema)
+      val post = ArtifactCache(spark, "ngram_postings3",
+        Seq(s"$dir/documents.parquet")) {
+        TextDedup.ngramPostings(docs, idCol = "doc_id", textCol = "text",
+          blockCols = Seq.empty, n = 3)
+      }
+      val postB = TextDedup.ngramPostings(batch, idCol = "doc_id",
+        textCol = "text", blockCols = Seq.empty, n = 3)
+      val pairs = postB.as("x").join(post.as("y"),
+          col("x.h") === col("y.h")
+            && col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("partner"),
+          col("x.nsh").as("na"), col("y.nsh").as("nb"))
+        .agg(count(lit(1)).as("i"))
+        .select(col("doc_id"), col("partner"),
+          Canon.round6(col("i") / (col("na") + col("nb") - col("i")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+      val counts = pairs.groupBy("doc_id").agg(
+        count(when(col("partner") % 10 =!= 0, 1)).as("n_dup_corpus"),
+        count(when(col("partner") % 10 === 0, 1)).as("n_dup_batch"))
+      batch.select("doc_id")
         .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
@@ -1181,6 +1261,29 @@ object Corpus extends QueryGroup {
       // oracle engine optimizes for simplicity, not incrementality) and
       // restricts to pairs touching the batch; the Spark side must
       // produce identical verdicts from the batch-driven join only
+      ("WITH " + LlmText.ngramGlobalPairsCte + """,
+        |pb AS (SELECT doc_a AS doc_id, doc_b AS partner FROM gpairs
+        |       UNION ALL
+        |       SELECT doc_b AS doc_id, doc_a AS partner FROM gpairs),
+        |cnt AS (SELECT doc_id,
+        |    count(*) FILTER (WHERE partner % 10 <> 0) AS n_dup_corpus,
+        |    count(*) FILTER (WHERE partner % 10 = 0) AS n_dup_batch
+        |  FROM pb WHERE doc_id % 10 = 0 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_dup_corpus, 0) AS BIGINT) AS n_dup_corpus,
+        |  CAST(coalesce(n_dup_batch, 0) AS BIGINT) AS n_dup_batch,
+        |  CASE WHEN coalesce(n_dup_corpus, 0) > 0 THEN 'dup_of_corpus'
+        |       WHEN coalesce(n_dup_batch, 0) > 0 THEN 'new_dup_group'
+        |       ELSE 'unique' END AS verdict
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "dedup_manifest_incremental" ->
+      // identical oracle shape to dedup_incremental: the oracle mines
+      // the full pair set and restricts to batch-touching pairs — the
+      // Spark side must reproduce the verdicts from the manifest's
+      // file delta + the persisted index alone
       ("WITH " + LlmText.ngramGlobalPairsCte + """,
         |pb AS (SELECT doc_a AS doc_id, doc_b AS partner FROM gpairs
         |       UNION ALL
