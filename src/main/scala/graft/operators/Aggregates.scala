@@ -55,24 +55,31 @@ object Aggregates extends QueryGroup {
     },
 
     "profile_columns" -> { (spark, dir) =>
-      // one-pass data profile of lineitem: per column, non-null and exact
-      // distinct counts — the schema-drift / data-quality primitive of a
-      // training pipeline. ONE scan: all 11 distinct aggregates share a
-      // single Expand (the multi-distinct rewrite), then stack() unpivots
-      // the 1×23 aggregate row (n_rows + 11 nn_ + 11 nd_) to one row per
-      // column. At 100 TB this is
-      // one pass + an 11× expand shuffle — vs 11 separate scans for the
-      // naive per-column loop.
+      // Exact data profile of lineitem: per column, non-null and exact
+      // distinct counts — the schema-drift / data-quality primitive of
+      // a training pipeline. The 11 distinct aggregates run in GROUPS
+      // OF TWO (6 jobs, each a 3-branch Expand) rather than one
+      // 12-branch Expand — the r8 VERDICT item-5 decision, measured at
+      // sf0.1/local[32] (noop-write, warm): 12-branch 3.4-3.5 s;
+      // 3 groups 1.3-1.5 s; 6 groups 0.8-1.0 s. The wide Expand loses
+      // on CPU, not I/O: its partial hash-aggregate interleaves 12 gid
+      // key spaces in one table (cache-hostile) and materializes 12×
+      // rows; small expands stay cache-resident. The k extra scans are
+      // nearly free at ANY scale because column pruning makes each
+      // group's scan read ONLY its 2 columns — total bytes ≈ one full
+      // scan regardless of k. profile_columns_approx remains the
+      // 100 TB recommendation (single pass, no Expand at all).
       val df = Tables.table(spark, dir, "lineitem")
-      val cols = LineitemCols
-      val aggs = count(lit(1)).as("n_rows") +:
-        cols.flatMap(c => Seq(
-          count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c")))
-      val wide = df.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
-      wide.selectExpr("n_rows",
-          s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct)")
+      LineitemCols.grouped(2).toSeq.map { g =>
+        val aggs = count(lit(1)).as("n_rows") +:
+          g.flatMap(c => Seq(
+            count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c")))
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = g.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+        wide.selectExpr("n_rows",
+          s"stack(${g.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct)")
+      }.reduce(_ unionAll _)
         .select(col("col_name"), col("n_rows"), col("n_nonnull"),
           col("n_distinct"))
         .orderBy("col_name")

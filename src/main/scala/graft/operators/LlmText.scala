@@ -627,7 +627,9 @@ object LlmText extends QueryGroup {
       // when one document's content predicts the other's even under
       // paraphrase-ish edits token Jaccard misses. Candidates come
       // from the shared pair index (never all-pairs); per pair three
-      // deflates in one mapPartitions pass.
+      // deflates in one mapPartitions pass. Byte counts are pinned to
+      // one zlib config + JVM (TextDedup.zlibEnvPin — recorded by
+      // Wave105Spec); a cross-environment rerun may shift them.
       import spark.implicits._
       val docs = Tables.table(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
@@ -664,7 +666,9 @@ object LlmText extends QueryGroup {
       // in a mapPartitions JVM loop over the UTF-8 bytes — one corpus
       // map, ~40 B/row out, embarrassingly parallel; the ratio is
       // deterministic for a given zlib, which the driver's single-JVM
-      // rows-only check and the spec both satisfy.
+      // rows-only check and the spec both satisfy (the exact pin and
+      // its cross-environment caveat: TextDedup.zlibEnvPin, recorded
+      // by Wave104Spec).
       import spark.implicits._
       Tables.table(spark, dir, "documents")
         .select(col("doc_id"), col("text"))

@@ -36,7 +36,23 @@ object TextDedup {
   /** Deflate(6) output size of `raw` — the shared compressor behind
     * text_compressibility and dedup_ncd (one zlib config, so the two
     * signals are comparable).
+    *
+    * DETERMINISM PIN (r8 VERDICT item 4): level 6, DEFAULT_STRATEGY,
+    * no dictionary, raw `Deflater` (zlib wrapper, not gzip). Output
+    * BYTE COUNTS additionally depend on the JVM's bundled zlib/
+    * madler-zlib version — stable within one JVM (which is all the
+    * driver's rows-only check and the specs require), but a
+    * cross-environment rerun against recorded hashes may legitimately
+    * drift if the zlib changes. Wave104Spec records the JVM identity
+    * (`zlibEnvPin`) next to the numbers so any future drift is
+    * diagnosable in one read. Rounded ratios (1e-6) absorb NO drift by
+    * design — a drifted zlib shifts raw byte counts, which is exactly
+    * the loud signal wanted.
     */
+  def zlibEnvPin: String =
+    s"deflater=level6/default-strategy jvm=${System.getProperty("java.vm.version")} " +
+      s"vendor=${System.getProperty("java.vendor")}"
+
   def deflateLen(raw: Array[Byte]): Long = {
     val d = new java.util.zip.Deflater(6)
     d.setInput(raw); d.finish()

@@ -92,15 +92,23 @@ class AggregateSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_supp") <= 10)) // 10 suppliers at sf0.001
   }
 
-  test("profile_columns: one scan, sane per-column stats") {
+  test("profile_columns: grouped scans each pruned to their own " +
+    "columns, sane per-column stats") {
     val df = q("profile_columns")
     val p = plan(df)
-    // the whole point: ONE pass over the table (the 11 distinct aggs
-    // share a single Expand), not a scan per column. Formatted explain
-    // lists each node twice (tree + details); count detail headers.
-    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
-      "profile must read the table once")
+    // the r9 form (r8 VERDICT item 5, measured 3.5 s → 0.8-1.0 s warm
+    // at sf0.1): 6 groups of 2 distinct-aggregates, each its own small
+    // Expand. The scans stay ~free at any scale because每 each group's
+    // scan is column-pruned to its own two columns — total bytes ≈
+    // one full pass; assert exactly that.
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 6,
+      "profile must read once per 2-column group")
     assert(p.contains("Expand"), "multi-distinct rewrite must engage")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.size == 6 &&
+      schemas.forall(_.split(',').length <= 2),
+      s"a group scan reads more than its own 2 columns: $schemas")
     val rows = df.collect()
     assert(rows.length == 11)
     val total = Tables.table(spark, sfDir, "lineitem").count()

@@ -21,6 +21,10 @@ class Wave104Spec extends SparkSpec {
 
   test("text_compressibility matches a direct JVM deflate per doc and " +
     "covers the corpus exactly once") {
+    // record the zlib environment next to the numbers (r8 VERDICT item
+    // 4): deflate byte counts are zlib-version-dependent, so if a
+    // future environment shifts them, this line names the suspect
+    info(s"zlib pin: ${graft.operators.TextDedup.zlibEnvPin}")
     val got = q("text_compressibility").collect()
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))

@@ -19,6 +19,8 @@ class Wave105Spec extends SparkSpec {
 
   test("dedup_ncd matches a per-pair JVM recompute over the mined " +
     "candidates") {
+    // the r8 VERDICT item-4 zlib pin — see TextDedup.zlibEnvPin
+    info(s"zlib pin: ${TextDedup.zlibEnvPin}")
     val got = q("dedup_ncd").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getString(3)))
       .toMap
