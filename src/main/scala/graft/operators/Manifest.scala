@@ -740,6 +740,69 @@ object ManifestTable {
       added.map(f => root.resolve("data").resolve(f).toString): _*)
   }
 
+  /** Row-level CHANGE DATA FEED between two snapshots — the
+    * generalization whose absence [[readIncremental]]'s append-only
+    * guard documents: every committed difference surfaces as tagged
+    * rows (`_change_type` = insert | delete; an update is its
+    * delete(old image) + insert(new image) pair, the standard CDF
+    * pre/post-image shape), derived from FILE LINEAGE, never a
+    * full-table diff:
+    *
+    *  - rows of files `to` added, minus rows of files it removed
+    *    (multiset exceptAll), are the inserts; the reverse difference
+    *    the deletes — so a compaction or optimize, which only moves
+    *    rows between files, yields an EMPTY feed, and a CoW merge
+    *    yields exactly the band rows it changed (untouched rows in
+    *    rewritten files cancel);
+    *  - deletion vectors added in (from, to] kill rows of SURVIVING
+    *    files: those surface as deletes via one broadcast semi-join —
+    *    the only case that reads a file both versions share, and only
+    *    because its rows' visibility changed.
+    *
+    * Both sides of the exceptAll are bounded by the CHANGED files, so
+    * feed cost rides the delta at any table size. Invariant (the CDF
+    * contract, proven by Wave115Spec across append+merge+MOR+compact
+    * lifecycles): readMOR(from) − deletes ⊎ inserts ≡ readMOR(to) as
+    * multisets.
+    */
+  def readChanges(spark: SparkSession, root: Path, from: Int, to: Int,
+      schema: StructType, keyCol: String): DataFrame = {
+    require(from <= to, s"change range v$from→v$to is backwards")
+    val fromFiles =
+      if (from == 0) Set.empty[String] else filesFor(root, from).toSet
+    val toFiles = filesFor(root, to).toSet
+    def readSet(fs: Set[String]): DataFrame =
+      if (fs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(fs.toSeq.sorted.map(f =>
+        root.resolve("data").resolve(f).toString): _*)
+    def dvKeys(v: Int): Option[DataFrame] = {
+      val dvs = if (v == 0) Nil else dvsFor(root, v)
+      if (dvs.isEmpty) None
+      else Some(spark.read.parquet(dvs.map(f =>
+          root.resolve("data").resolve(f).toString): _*)
+        .select(keyCol).distinct())
+    }
+    def visible(df: DataFrame, keys: Option[DataFrame]): DataFrame =
+      keys.fold(df)(k => df.join(broadcast(k), Seq(keyCol), "left_anti"))
+    val addVis = visible(readSet(toFiles -- fromFiles), dvKeys(to))
+    val remVis = visible(readSet(fromFiles -- toFiles), dvKeys(from))
+    val inserts = addVis.exceptAll(remVis)
+    val deletes = remVis.exceptAll(addVis)
+    val newDvKeys = (dvKeys(to), dvKeys(from)) match {
+      case (Some(t), Some(f)) => Some(t.join(f, Seq(keyCol), "left_anti"))
+      case (Some(t), None) => Some(t)
+      case _ => None
+    }
+    val dvDeletes = newDvKeys.map(k =>
+      readSet(fromFiles.intersect(toFiles))
+        .join(broadcast(k), Seq(keyCol), "left_semi"))
+    val tagged = inserts.withColumn("_change_type", lit("insert"))
+      .unionAll(deletes.withColumn("_change_type", lit("delete")))
+    dvDeletes.fold(tagged)(d =>
+      tagged.unionAll(d.withColumn("_change_type", lit("delete"))))
+  }
+
   /** Compaction as a normal snapshot: rewrite version `from`'s live
     * set into `targetFiles` files and commit the REPLACEMENT list.
     * Old files stay on disk — every pinned reader of `from` is
@@ -1088,6 +1151,35 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    "cdf_manifest" -> { (spark, dir) =>
+      // row-level CHANGE DATA FEED across the copy-on-write merge —
+      // the case the file-level readIncremental refuses: the v1→v2
+      // feed derives from the merge's file lineage alone (removed ∪
+      // rewritten files; Wave115Spec asserts the physical inputFiles
+      // never touch a surviving file) and surfaces the update as
+      // delete(old image) + insert(new image) pairs, the %19 band
+      // deletes as bare deletes, and NOTHING for the untouched rows
+      // that merely rode along in rewritten files (the exceptAll
+      // cancellation). The oracle restates both images from the
+      // source table.
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.readChanges(spark, cowRoot(spark, dir), 1, 2,
+          orders.schema, "o_orderkey")
+        .orderBy("o_orderkey", "_change_type")
+    },
+
+    "cdf_manifest_mor" -> { (spark, dir) =>
+      // the change feed's DELETION-VECTOR path: v1→v2 of the MOR
+      // lifecycle commits no file change at all (zero-body delta
+      // manifest), so the feed is pure deletes — the surviving files'
+      // rows killed by the new vector, surfaced via one broadcast
+      // semi-join on the DV keys.
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.readChanges(spark, morRoot(spark, dir), 1, 2,
+          orders.schema, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     "stream_manifest_sink" -> { (spark, dir) =>
       // Structured Streaming INTO the manifest format: each micro-batch
       // (3 deterministic ones via the shared 3-file replay) is one
@@ -1215,6 +1307,32 @@ object ManifestOps extends QueryGroup {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(p AS DECIMAL(18,6))), 4) AS DOUBLE) AS rev
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdf_manifest" ->
+      // the merge's change set restated from the source table: every
+      // band row emits its pre-image as a delete; surviving band rows
+      // (%19 ≠ 0) also emit the post-image (+1.0 price) as an insert
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders),
+        |i AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE o_orderkey >= lo AND o_orderkey < hi)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'delete' AS _change_type
+        |FROM i
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 1.0, o_orderdate, o_orderpriority, 'insert'
+        |FROM i WHERE o_orderkey % 19 <> 0
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    "cdf_manifest_mor" ->
+      // pure deletes: the DV commit killed the %13 keys
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'delete' AS _change_type
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "stream_manifest_sink" ->
       // all three replay files land (no watermark on the append sink);
