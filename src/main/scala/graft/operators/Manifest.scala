@@ -1151,6 +1151,48 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    "ivm_manifest_cdf" -> { (spark, dir) =>
+      // view maintenance driven by the CHANGE FEED across the WHOLE
+      // version chain — the general form that retires both special
+      // cases: ivm_manifest_delta rides only append-only ranges
+      // (readIncremental's guard) and ivm_manifest_cow_delta
+      // hand-rolls one merge's file diff; this query folds
+      // readChanges deltas v1→v2→v3 (append, then compaction) into
+      // the stored v1 view with the ivm_retract signed algebra —
+      // inserts +1/+price, deletes −1/−price. The compaction step
+      // contributes ZERO rows by the feed's exceptAll cancellation,
+      // so the refresh rides rewrites without rescanning anything
+      // (Wave115Spec's empty-feed law is exactly what makes IVM
+      // log-driven instead of rewrite-aware).
+      import graft.Canon
+      val orders = Tables.table(spark, dir, "orders")
+      val root = lifecycleRoot(spark, dir)
+      def signedChanges(from: Int, to: Int): DataFrame = {
+        val ch = ManifestTable.readChanges(spark, root, from, to,
+          orders.schema, "o_orderkey")
+        val sign = when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)
+        ch.groupBy("o_orderpriority")
+          .agg(sum(sign).as("n"),
+            sum(col("o_totalprice").cast(Canon.Dec) * sign).as("rev"))
+      }
+      val stored = ArtifactCache(spark, "mf_view_v1",
+        Seq(s"$dir/orders.parquet")) {
+        ManifestTable.read(spark, root, 1, orders.schema)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Canon.Dec)).as("rev"))
+      }
+      val last = ManifestTable.latestVersion(root)
+      (2 to last).map(v => signedChanges(v - 1, v))
+        .foldLeft(stored.select(col("o_orderpriority"),
+          col("n").cast("long").as("n"), col("rev")))(
+          (acc, d) => acc.unionByName(d))
+        .groupBy("o_orderpriority")
+        .agg(sum("n").as("n"), Canon.decRound4(sum("rev")).as("rev"))
+        .orderBy("o_orderpriority")
+    },
+
     "cdf_manifest" -> { (spark, dir) =>
       // row-level CHANGE DATA FEED across the copy-on-write merge —
       // the case the file-level readIncremental refuses: the v1→v2
@@ -1307,6 +1349,16 @@ object ManifestOps extends QueryGroup {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(p AS DECIMAL(18,6))), 4) AS DOUBLE) AS rev
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ivm_manifest_cdf" ->
+      // the CDF-refreshed view == the full aggregate over the source
+      // (v3's content is the whole table); sums staged in exact
+      // decimal — same restatement as ivm_manifest_delta, reached
+      // through the general log-driven path
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdf_manifest" ->
       // the merge's change set restated from the source table: every
