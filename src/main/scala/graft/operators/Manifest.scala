@@ -383,14 +383,19 @@ object ManifestTable {
         case None => return None
       }
       val meta0 = metaOf(parent)
-      val inheritedDvs =
-        if (parent == 0 || meta0.split(' ').exists(_.startsWith("dv=")))
-          "" // caller manages (or clears) the DV list itself
-        else dvsFor(root, parent) match {
-          case Nil => ""
-          case dvs => s"dv=${dvs.mkString(",")}"
-        }
-      val meta = Seq(meta0, inheritedDvs).filter(_.nonEmpty).mkString(" ")
+      // both vector kinds inherit unless the caller's meta names them
+      val inheritedDvs = Seq(
+        "dv" -> ((v: Int) => dvsFor(root, v)),
+        "dvp" -> ((v: Int) => scopedDvsFor(root, v))).flatMap {
+        case (k, f) =>
+          if (parent == 0 || meta0.split(' ').exists(_.startsWith(k + "=")))
+            None // caller manages (or clears) this list itself
+          else f(parent) match {
+            case Nil => None
+            case vs => Some(s"$k=${vs.mkString(",")}")
+          }
+      }
+      val meta = (meta0 +: inheritedDvs).filter(_.nonEmpty).mkString(" ")
       val parentDepth =
         if (parent == 0) -1
         else manifestOf(root, parent)._2.get("depth").map(_.toInt).getOrElse(0)
@@ -498,6 +503,7 @@ object ManifestTable {
   def mergeCoW(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, loKey: Long, hiKey: Long)(
       transform: DataFrame => DataFrame): Int = {
+    requireNoScopedDvs(root, from, "mergeCoW")
     val fromEntries = entriesFor(root, from)
     val hit = fromEntries.filter(_.mayContain(keyCol, loKey, hiKey))
     require(hit.nonEmpty, "merge band matched no file — nothing to do")
@@ -554,6 +560,7 @@ object ManifestTable {
     */
   def optimizeSmall(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, smallBytes: Long): Int = {
+    requireNoScopedDvs(root, from, "optimizeSmall")
     val data = root.resolve("data")
     val (small, keep) = entriesFor(root, from)
       .partition(e => Files.size(data.resolve(e.path)) < smallBytes)
@@ -606,6 +613,117 @@ object ManifestTable {
           .mkString(","))(_ => Some((Nil, Nil))).get
   }
 
+  /** Positional (file-SCOPED) deletion-vector names of a version, from
+    * the `dvp=` header meta — the round-9 upgrade of the key-based
+    * `dv=` form.
+    */
+  def scopedDvsFor(root: Path, version: Int): Seq[String] =
+    headerMeta(root, version).get("dvp")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Positional (file-scoped) merge-on-read delete — the form real
+    * formats actually ship (Delta deletion vectors / Iceberg
+    * positional deletes, minimally restated): the sidecar records
+    * (key, src file) pairs, resolved by a stats-pruned provenance
+    * scan at delete time, and [[readMORScoped]] subtracts a row only
+    * when BOTH its key and its source file match. That closes the
+    * key-based form's documented semantic edge: an append that
+    * RE-INSERTS a previously deleted key produces rows in a NEW file,
+    * which no scoped vector matches — they survive, exactly like the
+    * real formats (proven in Wave117Spec).
+    *
+    * The price is the positional contract: a scoped vector is pinned
+    * to its file, so REWRITING that file would silently resurrect its
+    * deleted rows under new file names. The rewrite paths
+    * (mergeCoW / optimizeSmall / compact / the CDF) therefore fail
+    * loudly while scoped vectors are outstanding — run
+    * [[compactMORScoped]] first, which materializes and clears them
+    * (the same order of operations Delta's OPTIMIZE enforces by
+    * applying DVs during the rewrite).
+    *
+    * Write cost: one provenance scan over the files whose key stats
+    * admit the deleted keys (never the table, when stats exist) + a
+    * sidecar of |deleted keys| rows; zero data files rewritten.
+    */
+  def deleteMORScoped(spark: SparkSession, root: Path,
+      deletedKeys: DataFrame, keyCol: String, schema: StructType): Int = {
+    val from = latestVersion(root)
+    require(from > 0, "scoped delete on an empty table")
+    val entries = entriesFor(root, from)
+    val bounds = deletedKeys.agg(min(keyCol), max(keyCol)).head()
+    if (bounds.isNullAt(0)) return from // nothing to delete
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val hit = entries.filter(_.mayContain(keyCol, lo, hi))
+    if (hit.isEmpty) return from
+    val sidecar = spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .withColumn("__src",
+        substring_index(input_file_name(), "/", -1))
+      .join(broadcast(deletedKeys.select(keyCol).distinct()),
+        Seq(keyCol), "left_semi")
+      .select(col(keyCol), col("__src").as("src"))
+    val rel = stage(sidecar.coalesce(1), root, s"dvp${nonce()}")
+    commitOpsF(root, parent => "dvp=" +
+        ((if (parent == 0) Nil else scopedDvsFor(root, parent)) ++ rel)
+          .mkString(",")) { parent =>
+      // positional provenance is only valid while the scanned files
+      // are live: a rewrite that raced in invalidates the (key, src)
+      // pairs — conflict instead of committing stale scopes
+      val live = filesFor(root, parent).toSet
+      if (!hit.forall(e => live.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"scoped delete over v$from conflicts: a commit rewrote its " +
+          "provenance files — re-read and re-delete")
+      Some((Nil, Nil)) // zero-op body; only the dvp= meta changes
+    }.get
+  }
+
+  /** Read a snapshot MINUS its scoped vectors: rows drop only when
+    * (key, source file) BOTH match — one broadcast anti-join against
+    * the sidecars, with provenance from `input_file_name()`.
+    */
+  def readMORScoped(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, keyCol: String): DataFrame = {
+    val base = read(spark, root, version, schema)
+    val dvps = scopedDvsFor(root, version)
+    if (dvps.isEmpty) base
+    else {
+      val sc = spark.read.parquet(dvps.map(f =>
+          root.resolve("data").resolve(f).toString): _*)
+        .select(col(keyCol).as("__k"), col("src").as("__s")).distinct()
+      base.withColumn("__src",
+          substring_index(input_file_name(), "/", -1))
+        .join(broadcast(sc),
+          col(keyCol) === col("__k") && col("__src") === col("__s"),
+          "left_anti")
+        .drop("__src")
+    }
+  }
+
+  /** Materialize the scoped-MOR view into plain stats-carrying files
+    * and CLEAR the vectors — the mandatory step before any rewrite of
+    * a scoped-DV table (see [[deleteMORScoped]]).
+    */
+  def compactMORScoped(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, keyCol: String, targetFiles: Int): Int = {
+    require(dvsFor(root, from).isEmpty,
+      "mixed key-based and scoped vectors on one snapshot — compactMOR first")
+    commit(root, stageWithStats(
+      readMORScoped(spark, root, from, schema, keyCol)
+        .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
+      root, s"cmors$from${nonce()}", keyCol), meta = "dvp=")
+  }
+
+  /** Fail-loud guard for the rewrite paths: positional vectors do not
+    * survive file rewrites (their (key, src) pairs would dangle and
+    * the deleted rows resurrect under new names).
+    */
+  private def requireNoScopedDvs(root: Path, version: Int, op: String): Unit =
+    require(scopedDvsFor(root, version).isEmpty,
+      s"$op on v$version: scoped (positional) deletion vectors are " +
+      "outstanding — compactMORScoped first; a rewrite would orphan " +
+      "their file scopes and resurrect deleted rows")
+
   /** Read a snapshot MINUS its deletion vectors: the base scan plus
     * one broadcast anti-join on `keyCol` — the merge-on-read price.
     */
@@ -627,13 +745,15 @@ object ManifestTable {
     * rewrite cost, this is the switch back.
     */
   def compactMOR(spark: SparkSession, root: Path, from: Int,
-      schema: StructType, keyCol: String, targetFiles: Int): Int =
+      schema: StructType, keyCol: String, targetFiles: Int): Int = {
+    requireNoScopedDvs(root, from, "compactMOR")
     // explicit empty dv= token: the vectors were just materialized, so
     // this is the ONE commit that must NOT inherit the parent's list
     commit(root, stageWithStats(
       readMOR(spark, root, from, schema, keyCol)
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
       root, s"cmor$from${nonce()}", keyCol), meta = "dv=")
+  }
 
   /** Retention: delete data files referenced by NO version ≥
     * `keepFrom` (time travel older than the horizon dies; every kept
@@ -651,10 +771,12 @@ object ManifestTable {
     */
   def vacuum(root: Path, keepFrom: Int,
       retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
-    // a kept snapshot needs its data files AND its deletion vectors —
-    // dropping a referenced DV would silently resurrect deleted rows
+    // a kept snapshot needs its data files AND its deletion vectors
+    // (both kinds) — dropping a referenced vector would silently
+    // resurrect deleted rows
     val keep = (keepFrom to latestVersion(root))
-      .flatMap(v => filesFor(root, v) ++ dvsFor(root, v)).toSet
+      .flatMap(v => filesFor(root, v) ++ dvsFor(root, v) ++
+        scopedDvsFor(root, v)).toSet
     val horizon = System.currentTimeMillis() - retainMillis
     val data = root.resolve("data")
     val s = Files.list(data)
@@ -768,6 +890,10 @@ object ManifestTable {
   def readChanges(spark: SparkSession, root: Path, from: Int, to: Int,
       schema: StructType, keyCol: String): DataFrame = {
     require(from <= to, s"change range v$from→v$to is backwards")
+    // the feed's visibility algebra covers key-based vectors only;
+    // scoped (positional) vectors must be compacted first
+    requireNoScopedDvs(root, from, "readChanges")
+    requireNoScopedDvs(root, to, "readChanges")
     val fromFiles =
       if (from == 0) Set.empty[String] else filesFor(root, from).toSet
     val toFiles = filesFor(root, to).toSet
@@ -810,6 +936,7 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, root: Path, from: Int,
       schema: StructType, targetFiles: Int): Int = {
+    requireNoScopedDvs(root, from, "compact")
     // batch prefix carries the writer nonce like every other rewrite
     // path (r8 ADVICE): a repeated or concurrent compaction of the
     // same `from` must stage under private names, not REPLACE_EXISTING
@@ -947,6 +1074,36 @@ object ManifestOps extends QueryGroup {
         "o_orderkey", 4)
       require(v1 == 1 && v2 == 2 && v3 == 3,
         s"mor lifecycle built versions ($v1,$v2,$v3), expected (1,2,3)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** Positional (file-scoped) MOR lifecycle: v1 = orders range-laid
+    * with stats; v2 = a SCOPED deletion-vector commit (%13 keys,
+    * provenance-resolved to their files, zero rewrites); v3 = an
+    * append that RE-INSERTS a subset of the deleted keys (%13 ∧ %3) —
+    * the case that distinguishes positional from key-predicate
+    * deletes: the re-inserted rows live in a new file no vector
+    * scopes, so they survive the read while the originals stay dead.
+    */
+  private[graft] def morScopedRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_morp",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(4, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val v2 = ManifestTable.deleteMORScoped(spark, root,
+        orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        "o_orderkey", orders.schema)
+      val v3 = ManifestTable.appendCommit(root, ManifestTable.stage(
+        orders.filter(col("o_orderkey") % 13 === 0
+          && col("o_orderkey") % 3 === 0).coalesce(1), root, "reinsert"))
+      require(v1 == 1 && v2 == 2 && v3 == 3,
+        s"scoped-mor lifecycle built versions ($v1,$v2,$v3), expected (1,2,3)")
       Files.createFile(root.resolve("_SUCCESS")): Unit
     }
     Paths.get(out)
@@ -1151,6 +1308,20 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    "source_manifest_mor_scoped" -> { (spark, dir) =>
+      // POSITIONAL (file-scoped) deletion vectors — the real formats'
+      // DV shape, closing the key-predicate form's re-insert edge:
+      // v2 deleted the %13 keys as (key, src-file) pairs; v3
+      // re-inserted the %13∧%3 subset in a NEW file. The scoped read
+      // keeps the re-inserted rows alive while the originals stay
+      // dead — a key-based DV would wrongly subtract both
+      // (Wave117Spec proves the contrast directly).
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.readMORScoped(spark, morScopedRoot(spark, dir), 3,
+          orders.schema, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     "ivm_manifest_cdf" -> { (spark, dir) =>
       // view maintenance driven by the CHANGE FEED across the WHOLE
       // version chain — the general form that retires both special
@@ -1349,6 +1520,18 @@ object ManifestOps extends QueryGroup {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(p AS DECIMAL(18,6))), 4) AS DOUBLE) AS rev
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "source_manifest_mor_scoped" ->
+      // survivors = everything outside %13, plus the re-inserted
+      // %13∧%3 copies (identical source rows in a new file)
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "ivm_manifest_cdf" ->
       // the CDF-refreshed view == the full aggregate over the source
