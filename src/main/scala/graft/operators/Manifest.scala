@@ -1116,7 +1116,8 @@ object ManifestOps extends QueryGroup {
     * the previous invocation's run dir is removed as each new one
     * starts.
     */
-  private val sinkRun = new java.util.concurrent.atomic.AtomicLong(0)
+  private val sinkRuns = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
   private lazy val sinkBase: Path = {
     val p = Paths.get("/tmp/graft_mfsink", s"p${ProcessHandle.current().pid()}")
     sys.addShutdownHook(deleteTree(p))
@@ -1130,9 +1131,10 @@ object ManifestOps extends QueryGroup {
       }
       Files.delete(p)
     }
-  private def freshSinkRoot(dir: String): Path = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val n = sinkRun.incrementAndGet()
+  private def freshSinkRoot(dir: String, tag: String = ""): Path = {
+    val key = tag + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val n = sinkRuns.getOrElseUpdate(key,
+      new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
     deleteTree(sinkBase.resolve(s"${key}_r${n - 1}"))
     val p = sinkBase.resolve(s"${key}_r$n")
     Files.createDirectories(p)
@@ -1393,6 +1395,43 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "manifest_replicate" -> { (spark, dir) =>
+      // CDC REPLICATION — the full consume-produce pipeline the
+      // format's pieces were built for: source (the CoW lifecycle) →
+      // change feed → transactional apply → mirror table. Bootstrap
+      // copies v1 under batch id 1 (exactly-once ledger, stats-
+      // carrying so later provenance scans prune); the v1→v2 delta
+      // applies as (a) the feed's deletes as SCOPED vectors —
+      // provenance resolved against the mirror's PRE-batch files —
+      // then (b) the feed's inserts as batch-id-2 append. Order is
+      // the point: an update's delete half can only scope to old
+      // files, so its re-inserted image in the new file survives —
+      // exactly why the positional DV form exists (a key-based apply
+      // would erase the update's new image too). The declared result
+      // reads the mirror back; equality with the merged-state oracle
+      // proves the replication end to end. Cost rides the delta: the
+      // feed reads only changed source files, the apply writes only
+      // the sidecar + the insert batch.
+      val orders = Tables.table(spark, dir, "orders")
+      val src = cowRoot(spark, dir)
+      val mirror = freshSinkRoot(dir, tag = "repl_")
+      ManifestTable.commitBatch(
+        ManifestTable.read(spark, src, 1, orders.schema)
+          .repartitionByRange(4, col("o_orderkey")),
+        mirror, batchId = 1L, statsKey = Some("o_orderkey"))
+      val ch = ManifestTable.readChanges(spark, src, 1, 2,
+        orders.schema, "o_orderkey")
+      ManifestTable.deleteMORScoped(spark, mirror,
+        ch.filter(col("_change_type") === "delete").select("o_orderkey"),
+        "o_orderkey", orders.schema)
+      ManifestTable.commitBatch(
+        ch.filter(col("_change_type") === "insert").drop("_change_type"),
+        mirror, batchId = 2L, statsKey = Some("o_orderkey"))
+      ManifestTable.readMORScoped(spark, mirror,
+          ManifestTable.latestVersion(mirror), orders.schema, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     "stream_manifest_sink" -> { (spark, dir) =>
       // Structured Streaming INTO the manifest format: each micro-batch
       // (3 deterministic ones via the shared 3-file replay) is one
@@ -1567,6 +1606,21 @@ object ManifestOps extends QueryGroup {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority, 'delete' AS _change_type
         |FROM orders WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_replicate" ->
+      // the mirror equals the source's merged state — identical
+      // restatement to source_manifest_merge's oracle
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey >= lo AND o_orderkey < hi
+        |       THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE NOT (o_orderkey >= lo AND o_orderkey < hi
+        |           AND o_orderkey % 19 = 0)
         |ORDER BY o_orderkey""".stripMargin,
 
     "stream_manifest_sink" ->

@@ -101,6 +101,27 @@ class Wave117Spec extends SparkSpec {
       .count() == 94)
   }
 
+  test("manifest_replicate: updates survive as exactly one new image, " +
+    "band deletes vanish, untouched rows replicate verbatim") {
+    val orders = Tables.table(spark, sfDir, "orders")
+    val got = q("manifest_replicate").cache()
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    // every surviving key appears exactly once (the update's delete
+    // half scoped to old files; its insert half in the new file)
+    assert(got.groupBy("o_orderkey").count()
+      .filter(col("count") > 1).count() == 0,
+      "a replicated key appears twice — the scoped apply leaked")
+    // in-band survivors carry the NEW image (+1.0), out-of-band the old
+    val inBand = got.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+    val srcBand = orders.filter(col("o_orderkey") >= lo
+      && col("o_orderkey") < hi && col("o_orderkey") % 19 =!= 0)
+    assert(inBand.count() == srcBand.count())
+    assert(got.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi
+      && col("o_orderkey") % 19 === 0).count() == 0, "band deletes leaked")
+    got.unpersist(): Unit
+  }
+
   test("the declared scoped lifecycle matches its oracle shape and " +
     "rewrote nothing at delete time") {
     val orders = Tables.table(spark, sfDir, "orders")
