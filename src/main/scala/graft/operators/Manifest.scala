@@ -550,6 +550,101 @@ object ManifestTable {
     }.get
   }
 
+  /** MERGE INTO (keyed upsert), copy-on-write: replace the FULL ROW of
+    * every table key present in `updates` and insert the rows whose
+    * key the table does not hold — one OCC commit, the
+    * `WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT` shape
+    * every real format exposes. Unlike [[mergeCoW]] (a band-scoped
+    * TRANSFORM the caller expresses as a closure), the update set here
+    * is DATA: an arbitrary keyed DataFrame, which is how upserts
+    * arrive in production (a CDC batch, a corrections feed).
+    *
+    * Touched-file discovery is a broadcast join of the update keys
+    * against the per-file key bands (one row per live file — the same
+    * order of bytes the manifest itself is): a file is touched when
+    * ANY update key falls inside its recorded band; a file with no
+    * recorded `keyCol` stats cannot prove disjointness and is always
+    * touched. The collected result is O(|touched files|), never
+    * O(table) — at 100 TB a keyed upsert rewrites the handful of files
+    * the stats admit ("a MERGE into 100 TB rewrites 3 files, not the
+    * table"). Matched-row replacement and the insert remainder are ONE
+    * union: survivors (touched-file rows whose key is not updated)
+    * ++ the entire `updates` frame.
+    *
+    * Contract: `updates` carries `schema`'s columns and at most one
+    * row per key (two images of one key would land nondeterministically).
+    * Conflicts follow [[mergeCoW]]'s SERIALIZABLE-WRITER rule,
+    * recomputed inside the publish retry against the winning parent:
+    * a later commit that rewrote part of the touched set aborts, and
+    * so does a newcomer file whose band intersects the updates' global
+    * key range (its rows never saw the upsert — write skew); appends
+    * and rewrites disjoint from the range compose. Key-based DVs
+    * inherit with the documented [[deleteMOR]] caveat (an upserted key
+    * that is also in an outstanding DV stays subtracted until
+    * [[compactMOR]]); scoped DVs fail loudly like every rewrite path.
+    */
+  def upsert(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, keyCol: String, updates: DataFrame): Int = {
+    requireNoScopedDvs(root, from, "upsert")
+    val fromEntries = entriesFor(root, from)
+    val bandsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(fromEntries.map { e =>
+        val b = e.band(keyCol)
+        org.apache.spark.sql.Row(e.path,
+          b.map(_._1).getOrElse(Long.MinValue),
+          b.map(_._2).getOrElse(Long.MaxValue))
+      }, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__p",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__lo",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__hi",
+          org.apache.spark.sql.types.LongType))))
+    val hitPaths = updates.select(col(keyCol).as("__k")).distinct()
+      .join(broadcast(bandsDf),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select("__p").distinct().collect().map(_.getString(0)).toSet
+    val hit = fromEntries.filter(e => hitPaths(e.path))
+    val data = root.resolve("data")
+    val ordered = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    val replacement =
+      if (hit.isEmpty) ordered // pure insert — nothing to rewrite
+      else spark.read.schema(schema)
+        .parquet(hit.map(e => data.resolve(e.path).toString): _*)
+        .join(updates.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(ordered)
+    // rewritten files keep the touched set's stats coverage (mergeCoW
+    // discipline): an upsert must not narrow the columns later prunes
+    // rely on
+    val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
+    val rewritten = stageWithStats(
+      replacement.repartitionByRange(math.max(1, hit.size + 1),
+        col(keyCol)),
+      root, s"upsert$from${nonce()}", statCols)
+    val kb = updates.agg(min(keyCol), max(keyCol)).head()
+    require(!kb.isNullAt(0), "upsert with an empty updates set")
+    val (kLo, kHi) = (kb.getLong(0), kb.getLong(1))
+    val fromPaths = fromEntries.map(_.path).toSet
+    commitOpsF(root, _ => s"upsert=v$from") { parent =>
+      val cur = entriesFor(root, parent)
+      val curPaths = cur.map(_.path).toSet
+      if (!hit.forall(e => curPaths.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"upsert over v$from conflicts: a commit after v$from " +
+          "rewrote part of its touched set — re-read and re-upsert")
+      val newcomer = cur.filterNot(e => fromPaths.contains(e.path))
+        .filter(_.mayContain(keyCol, kLo, kHi))
+      if (newcomer.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"upsert over v$from conflicts: a commit after v$from added " +
+          s"rows inside the update key range [$kLo,$kHi] " +
+          s"(${newcomer.map(_.path).mkString(",")}) the upsert never " +
+          "saw — re-read and re-upsert")
+      Some((rewritten, hit.map(_.path)))
+    }.get
+  }
+
   /** OPTIMIZE (small-file bin-packing): rewrite ONLY the live files
     * smaller than `smallBytes` into one range-laid, stats-carrying
     * replacement set; files already big enough survive verbatim —
@@ -1022,6 +1117,46 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** MERGE INTO lifecycle: v1 = orders range-laid into 8
+    * stats-carrying files; v2 = one [[ManifestTable.upsert]] whose
+    * update set carries BOTH matched keys (%17 keys in the bottom
+    * quarter of the keyspace → full-row replace: status 'U', price
+    * +5.0) and never-seen keys (%23 keys shifted above max →
+    * inserts). The matched half sits in the bottom-quarter band, so
+    * only ~2 of the 8 base files are touched — Wave120Spec asserts
+    * the untouched files survive v2 by path identity, the
+    * copy-on-write claim.
+    */
+  private[graft] def upsertRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_upsert",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val upd = orders
+        .filter(col("o_orderkey") % 17 === 0 && col("o_orderkey") < mx / 4)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0d))
+      // o_orderkey starts at 0 in the fixture: key 0's shifted image
+      // would be 0+max = max, an EXISTING key (an update, not an
+      // insert) — exclude it so the insert set is provably disjoint
+      val ins = orders
+        .filter(col("o_orderkey") % 23 === 0 && col("o_orderkey") > 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mx))
+        .withColumn("o_orderstatus", lit("N"))
+      val v2 = ManifestTable.upsert(spark, root, v1, orders.schema,
+        "o_orderkey", upd.unionByName(ins))
+      require(v1 == 1 && v2 == 2,
+        s"upsert lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** ADD COLUMN lifecycle: v1 = even-key orders under a 3-column
     * schema; v2 = odd-key append under the WIDENED 4-column schema
     * (o_orderpriority added). No v1 data file is rewritten — the
@@ -1219,6 +1354,22 @@ object ManifestOps extends QueryGroup {
       ManifestTable.readPrunedMulti(spark, root,
           ManifestTable.latestVersion(root), orders.schema,
           Seq(("o_orderkey", mx / 10, mx / 5), ("o_custkey", 0L, mxC / 2)))
+        .orderBy("o_orderkey")
+    },
+
+    "manifest_upsert" -> { (spark, dir) =>
+      // latest snapshot of the MERGE INTO lifecycle: one keyed upsert
+      // whose update frame carried full-row replacements (bottom-
+      // quarter %17 keys: status 'U', price +5.0) AND inserts (%23
+      // keys shifted above max, status 'N'). The oracle restates the
+      // merged state from the original parquet — equality proves the
+      // matched/not-matched split, the full-row replace, and that
+      // skipping stats-disjoint files lost nothing (the file-identity
+      // half is Wave120Spec's plan-level assertion).
+      val orders = Tables.table(spark, dir, "orders")
+      val root = upsertRoot(spark, dir)
+      ManifestTable.read(spark, root,
+          ManifestTable.latestVersion(root), orders.schema)
         .orderBy("o_orderkey")
     },
 
@@ -1521,6 +1672,28 @@ object ManifestOps extends QueryGroup {
         |WHERE o_orderkey >= lo AND o_orderkey <= hi
         |  AND o_custkey >= 0 AND o_custkey <= hic
         |ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_upsert" ->
+      // the merged state restated from the source table: matched keys
+      // (%17, bottom quarter) carry the replaced image, everything
+      // else survives, and the %23 insert images land above max
+      """WITH b AS (SELECT max(o_orderkey) AS m,
+        |    max(o_orderkey) // 4 AS q FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN o_totalprice + 5.0 ELSE o_totalprice END
+        |      AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
+        |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
     "source_manifest_schema_evolution" ->
       // even keys predate the ADD COLUMN → null o_orderpriority
