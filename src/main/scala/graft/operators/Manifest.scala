@@ -685,6 +685,73 @@ object ManifestTable {
     headerMeta(root, version).get("dv")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
+  /** Spread the low 21 bits of a long into every SECOND bit position —
+    * one half of a 2-D Morton (Z-order) interleave, expressed entirely
+    * in built-in bitwise ops so the whole z-value computation stays
+    * inside whole-stage codegen (the standard mask-and-shift bit
+    * spreading; public-domain bit-twiddling identity).
+    */
+  private def spreadBits(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    var x = c.bitwiseAND(lit(0x1FFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** OPTIMIZE ZORDER (multi-dimensional clustering): rewrite the live
+    * set ordered by the 2-D Morton interleave of `cols`, so every
+    * rewritten file covers a small HYPER-RECTANGLE of the (c1, c2)
+    * value space instead of a slab of one column. The point is what it
+    * does to [[readPrunedMulti]]: under a single-column range layout a
+    * predicate on the OTHER column admits every file (each file spans
+    * that column's full range); under the z-layout both columns' per-
+    * file bands are narrow, so a 2-predicate prune admits roughly the
+    * product of the band fractions — the Delta OPTIMIZE ZORDER
+    * rationale, and the reason real tables z-order their two or three
+    * hottest filter columns. Each column is affinely normalized to 21
+    * bits (doubles, clamp-safe for any value range — the z-value only
+    * ORDERS the rewrite, data is untouched), interleaved with
+    * codegen-friendly mask/shift ops, range-partitioned and sorted on
+    * the z-value, and staged with stats on BOTH columns. Commit
+    * follows [[optimizeSmall]]'s read-set conflict rule.
+    */
+  def optimizeZorder(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, cols: Seq[String], targetFiles: Int): Int = {
+    requireNoScopedDvs(root, from, "optimizeZorder")
+    require(cols.size == 2, "optimizeZorder interleaves exactly 2 columns")
+    val live = entriesFor(root, from)
+    val df = read(spark, root, from, schema)
+    val b = df.agg(min(cols(0)), max(cols(0)), min(cols(1)), max(cols(1)))
+      .head()
+    if (b.isNullAt(0)) return from // empty table — nothing to cluster
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo)
+      ((col(c) - lit(lo)).cast("double") * lit(2097151.0 / span))
+        .cast("long")
+    }
+    val z = spreadBits(norm(cols(0), b.getLong(0), b.getLong(1)))
+      .bitwiseOR(shiftleft(
+        spreadBits(norm(cols(1), b.getLong(2), b.getLong(3))), 1))
+    // stats on both interleaved columns: the narrow per-file bands ARE
+    // the product this op sells; preserve any further recorded columns
+    val statCols = (cols ++ live.flatMap(_.stats.map(_._1))).distinct
+    val rewritten = stageWithStats(
+      df.withColumn("__z", z)
+        .repartitionByRange(math.max(1, targetFiles), col("__z"))
+        .sortWithinPartitions("__z").drop("__z"),
+      root, s"zorder$from${nonce()}", statCols)
+    commitOpsF(root, _ => s"zorder=v$from") { parent =>
+      val curPaths = entriesFor(root, parent).map(_.path).toSet
+      if (!live.forall(e => curPaths.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"zorder over v$from conflicts with a later rewrite")
+      Some((rewritten, live.map(_.path)))
+    }.get
+  }
+
   /** Merge-on-READ delete — the CoW alternative real formats call
     * deletion vectors / positional deletes: the commit writes ONLY a
     * tiny sidecar of deleted keys (one column, `keyCol`-named) and
@@ -1157,6 +1224,32 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** OPTIMIZE ZORDER lifecycle: v1 = orders range-laid by o_orderkey
+    * only (8 files — each spans o_custkey's FULL range, the layout
+    * under which any custkey predicate must scan everything); v2 = the
+    * z-order rewrite interleaving (o_orderkey, o_custkey) into 8
+    * hyper-rectangle files. Wave121Spec asserts the admitted-file
+    * counts that make the layout worth paying for; the declared query
+    * asserts the data survived the rewrite bit-for-bit.
+    */
+  private[graft] def zorderRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_zorder",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", Seq("o_orderkey", "o_custkey")))
+      val v2 = ManifestTable.optimizeZorder(spark, root, v1, orders.schema,
+        Seq("o_orderkey", "o_custkey"), 8)
+      require(v1 == 1 && v2 == 2,
+        s"zorder lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** ADD COLUMN lifecycle: v1 = even-key orders under a 3-column
     * schema; v2 = odd-key append under the WIDENED 4-column schema
     * (o_orderpriority added). No v1 data file is rewritten — the
@@ -1370,6 +1463,24 @@ object ManifestOps extends QueryGroup {
       val root = upsertRoot(spark, dir)
       ManifestTable.read(spark, root,
           ManifestTable.latestVersion(root), orders.schema)
+        .orderBy("o_orderkey")
+    },
+
+    "source_manifest_zorder" -> { (spark, dir) =>
+      // 2-predicate stats-pruned read over the Z-ORDERED layout: after
+      // the (o_orderkey, o_custkey) Morton rewrite each file's bands
+      // are narrow in BOTH columns, so the conjunctive prune admits
+      // roughly the product of the band fractions — Wave121Spec
+      // asserts the admitted-file counts (z-layout beats the range
+      // layout on the same predicate). Rows re-filter exactly, so the
+      // oracle is the plain two-predicate source filter.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = zorderRoot(spark, dir)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val mxC = orders.agg(max("o_custkey")).head().getLong(0)
+      ManifestTable.readPrunedMulti(spark, root,
+          ManifestTable.latestVersion(root), orders.schema,
+          Seq(("o_orderkey", mx / 8, mx / 4), ("o_custkey", 0L, mxC / 4)))
         .orderBy("o_orderkey")
     },
 
@@ -1694,6 +1805,20 @@ object ManifestOps extends QueryGroup {
         |  FROM orders CROSS JOIN b
         |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_zorder" ->
+      // both bands restated from the source table; the admitted-file
+      // claim is Wave121Spec's plan-level assertion
+      """WITH b AS (SELECT max(o_orderkey) // 8 AS lo,
+        |    max(o_orderkey) // 4 AS hi,
+        |    (SELECT max(o_custkey) // 4 FROM orders) AS hic
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |  AND o_custkey >= 0 AND o_custkey <= hic
+        |ORDER BY o_orderkey""".stripMargin,
 
     "source_manifest_schema_evolution" ->
       // even keys predate the ADD COLUMN → null o_orderpriority
