@@ -1250,6 +1250,55 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** Streaming-SOURCE lifecycle: an append-only commit chain (v1..v4 =
+    * orders quartered by o_orderkey % 4) plus a replay directory
+    * holding each version's [[ManifestTable.readIncremental]] file
+    * delta as ONE parquet file with (mtime, path) pinned to commit
+    * order — Spark's file source processes files in that order, so
+    * `maxFilesPerTrigger=1` turns each COMMIT into one deterministic
+    * micro-batch. This is "stream a lakehouse table from version K"
+    * driven through actual Structured Streaming, the source half
+    * complementing stream_manifest_sink.
+    */
+  private[graft] def streamSrcRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_stream",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val vs = (0 to 3).map { r =>
+        ManifestTable.appendCommit(root, ManifestTable.stage(
+          orders.filter(col("o_orderkey") % 4 === r).repartition(2),
+          root, s"q$r"))
+      }
+      require(vs == Seq(1, 2, 3, 4), s"stream-source chain built $vs")
+      val replay = root.resolve("replay")
+      Files.createDirectories(replay)
+      (1 to 4).foreach { v =>
+        val tmp = root.resolve(s".rtmp$v")
+        ManifestTable.readIncremental(spark, root, v - 1, v, orders.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val s = Files.list(tmp)
+        val part =
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        val dst = replay.resolve(f"d$v%02d.parquet")
+        Files.move(part, dst)
+        // fixed, strictly increasing mtimes (any constant base works —
+        // only the ORDER matters to the file source)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + v * 1000L))
+        val rest = Files.list(tmp)
+        try rest.forEach(p => Files.delete(p)) finally rest.close()
+        Files.delete(tmp)
+      }
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** ADD COLUMN lifecycle: v1 = even-key orders under a 3-column
     * schema; v2 = odd-key append under the WIDENED 4-column schema
     * (o_orderpriority added). No v1 data file is rewritten — the
@@ -1694,6 +1743,33 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "stream_manifest_source" -> { (spark, dir) =>
+      // Structured Streaming FROM the manifest format — the source
+      // half complementing stream_manifest_sink ("stream a lakehouse
+      // table"): the append-only commit chain v1..v4 is resolved into
+      // per-version readIncremental file deltas whose (mtime, path)
+      // order pins commit order, and maxFilesPerTrigger=1 makes each
+      // COMMIT one micro-batch (Wave122Spec asserts exactly 4 batches
+      // fired and none was empty). The stateful Complete-mode
+      // aggregate over the stream must equal the batch aggregate over
+      // the table's latest snapshot — the oracle restates it from the
+      // source table.
+      import graft.Canon
+      val orders = Tables.table(spark, dir, "orders")
+      val root = streamSrcRoot(spark, dir)
+      val st = spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.resolve("replay").toString)
+      val agg = st.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Canon.Dec)).as("rev0"))
+        .select(col("o_orderpriority"), col("n"),
+          Canon.decRound4(col("rev0")).as("rev"))
+      Streaming.runToMemory(spark, agg,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("o_orderpriority")
+    },
+
     "stream_manifest_sink" -> { (spark, dir) =>
       // Structured Streaming INTO the manifest format: each micro-batch
       // (3 deterministic ones via the shared 3-file replay) is one
@@ -1830,6 +1906,14 @@ object ManifestOps extends QueryGroup {
     "ivm_manifest_delta" ->
       // the refreshed view == the full aggregate over the source (v2's
       // content is the whole table); sums staged in exact decimal
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_manifest_source" ->
+      // the streamed Complete-mode aggregate over the 4-commit chain
+      // == the batch aggregate over the whole table (v4's content)
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
         |    AS DOUBLE) AS rev

@@ -137,7 +137,7 @@ object Streaming extends QueryGroup {
   /** Run `df` (streaming) to completion into a memory sink, return the
     * materialized result.
     */
-  private def runToMemory(spark: SparkSession, df: DataFrame,
+  private[operators] def runToMemory(spark: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_sink_${sink.incrementAndGet()}"
     // state-store parallelism sized to the replay volume: each stateful
