@@ -409,7 +409,11 @@ object ManifestTable {
         } else
           (s"kind=delta depth=${parentDepth + 1}",
             removes.map("-" + _) ++ adds.map("+" + _))
-      val extras = Seq(meta, kindMeta).filter(_.nonEmpty)
+      // every commit records its wall-clock time — the index TIMESTAMP
+      // AS OF resolution ([[versionAt]]) scans; ties (same-ms commits)
+      // resolve to the latest version, the Delta rule
+      val extras = Seq(meta, s"ts=${System.currentTimeMillis()}", kindMeta)
+        .filter(_.nonEmpty)
       val head = s"# graft-manifest version=$v parent=$parent" +
         (if (extras.isEmpty) "" else extras.mkString(" ", " ", ""))
       val body = (head +: bodyLines).mkString("", "\n", "\n")
@@ -428,6 +432,40 @@ object ManifestTable {
     }
     None // unreachable
   }
+
+  /** Recorded commit wall-time of a version (the `ts=` header field
+    * every commit writes), in epoch millis.
+    */
+  def commitTime(root: Path, version: Int): Long =
+    headerMeta(root, version).get("ts").map(_.toLong).getOrElse(
+      throw new IllegalStateException(
+        s"v$version predates timestamp recording — resolve it by version"))
+
+  /** TIMESTAMP AS OF: the largest committed version whose recorded
+    * commit time is <= `tMillis` — time-travel by wall clock, the
+    * Delta/Iceberg query surface for "the table as of last midnight".
+    * Same-millisecond commits tie-break to the LATEST version (later
+    * versions strictly supersede within one timestamp). O(versions)
+    * header reads; real formats pay the same log scan (or index it in
+    * a checkpoint). Throws when `tMillis` predates the first commit —
+    * there is no table to read there.
+    */
+  def versionAt(root: Path, tMillis: Long): Int = {
+    val latest = latestVersion(root)
+    require(latest > 0, "versionAt on an empty table")
+    val eligible = (1 to latest).filter { v =>
+      headerMeta(root, v).get("ts").exists(_.toLong <= tMillis)
+    }
+    require(eligible.nonEmpty,
+      s"no committed version at or before t=$tMillis — the table " +
+      "did not exist yet")
+    eligible.max
+  }
+
+  /** [[read]] pinned by wall clock instead of version number. */
+  def readAsOf(spark: SparkSession, root: Path, tMillis: Long,
+      schema: StructType): DataFrame =
+    read(spark, root, versionAt(root, tMillis), schema)
 
   /** Stage a DataFrame as immutable data files under data/ with a
     * caller-chosen batch prefix; returns the relative paths (NOT yet
