@@ -230,6 +230,32 @@ object LlmVectors extends QueryGroup {
       topEigvec(spark, dir)
     }
 
+  /** Embeddings as a manifest table: v1 = the existing corpus
+    * (vec_id % 10 != 0, 4 files), v2 = the appended batch (% 10 == 0,
+    * 1 file) — the [[knn_manifest_incremental]] fixture, mirroring
+    * [[Corpus.docsManifestRoot]]'s split convention.
+    */
+  private[graft] def embManifestRoot(spark: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val out = ArtifactCache.path("manifest_embeddings",
+      Seq(s"$dir/embeddings.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val emb = Tables.table(spark, dir, "embeddings")
+      val v1 = ManifestTable.appendCommit(root, ManifestTable.stage(
+        emb.filter(col("vec_id") % 10 =!= 0).repartition(4),
+        root, "corpus"))
+      val v2 = ManifestTable.appendCommit(root, ManifestTable.stage(
+        emb.filter(col("vec_id") % 10 === 0).repartition(1),
+        root, "batch"))
+      require(v1 == 1 && v2 == 2,
+        s"embeddings manifest built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   def queries = Map(
     "knn_cosine" -> { (spark, dir) =>
       // exact global top-20: orderBy+limit compiles to
@@ -270,6 +296,30 @@ object LlmVectors extends QueryGroup {
       // Query set = every 50th vector — deterministic, ~2% of the index.
       val emb = Tables.table(spark, dir, "embeddings")
       Knn.search(emb.filter(col("vec_id") % 50 === 0), emb, k = 3)
+        .orderBy("q_id", "rank")
+    },
+
+    "knn_manifest_incremental" -> { (spark, dir) =>
+      // the lakehouse × VECTORS composition (the dedup_manifest_
+      // incremental shape applied to similarity search): embeddings
+      // live in a manifest table (v1 = existing corpus, v2 = appended
+      // "today's vectors"); the QUERY side is readIncremental's file
+      // delta — exactly the appended files — and the index side is the
+      // PERSISTED v1 corpus artifact (built once per fixture snapshot)
+      // plus the same delta (new vectors join the index without any
+      // base rebuild — incremental index maintenance). The final plan
+      // never rescans embeddings.parquet (Wave124Spec asserts the
+      // physical inputFiles); results equal the from-scratch exact
+      // search, which is what the oracle restates.
+      val emb = Tables.table(spark, dir, "embeddings")
+      val root = embManifestRoot(spark, dir)
+      val batch = ManifestTable.readIncremental(spark, root, 1, 2,
+        emb.schema).select("vec_id", "embedding")
+      val baseIdx = ArtifactCache(spark, "knn_base_corpus",
+        Seq(s"$dir/embeddings.parquet")) {
+        emb.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding")
+      }
+      Knn.search(batch, baseIdx.unionByName(batch), k = 3)
         .orderBy("q_id", "rank")
     },
 
@@ -1473,6 +1523,20 @@ object LlmVectors extends QueryGroup {
          |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
          |  FROM embeddings q JOIN embeddings i
          |    ON q.vec_id % 50 = 0 AND q.vec_id <> i.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, idx_id, cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_manifest_incremental" ->
+      // the composed incremental plan must equal the from-scratch
+      // exact search: appended vectors (%10 == 0) as queries, the
+      // whole current corpus (old ∪ batch) as the index
+      s"""WITH s AS (SELECT q.vec_id AS q_id, i.vec_id AS idx_id,
+         |    CAST(round(${cosDuck("q.embedding", "i.embedding")}, 6) AS DOUBLE) AS cosine
+         |  FROM embeddings q JOIN embeddings i
+         |    ON q.vec_id % 10 = 0 AND q.vec_id <> i.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY q_id ORDER BY cosine DESC, idx_id) AS rank
          |  FROM s)
