@@ -101,6 +101,33 @@ class Wave120Spec extends SparkSpec {
     }
   }
 
+  test("the change feed spans an upsert commit: updated rows surface " +
+    "as delete/insert image pairs and the replay contract holds") {
+    val (root, df) = base()
+    val upd = spark.createDataFrame(Seq(
+      (10L, 999L), (20L, 888L), (150L, 777L))).toDF("k", "v")
+    val v2 = ManifestTable.upsert(spark, root, 1, df.schema, "k", upd)
+    val feed = ManifestTable.readChanges(spark, root, 1, v2, df.schema, "k")
+    val ins = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val del = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    // updated keys appear on BOTH sides (pre-image delete, post-image
+    // insert); the pure insert only on the insert side; untouched
+    // rows (even inside rewritten files) feed NOTHING
+    assert(del.filter(col("k").isin(10L, 20L)).count() == 2)
+    assert(ins.filter(col("k").isin(10L, 20L, 150L)).count() == 3)
+    assert(del.filter(col("k") === 150L).count() == 0)
+    assert(feed.filter(!col("k").isin(10L, 20L, 150L)).count() == 0,
+      "rows the upsert did not touch leaked into the change feed")
+    // replay: read(v1) − deletes ⊎ inserts ≡ read(v2)
+    val replayed = ManifestTable.read(spark, root, 1, df.schema)
+      .exceptAll(del).unionAll(ins)
+    val want = ManifestTable.read(spark, root, v2, df.schema)
+    assert(replayed.exceptAll(want).isEmpty && want.exceptAll(replayed).isEmpty,
+      "CDF replay across the upsert diverged from the target snapshot")
+  }
+
   test("declared query: the merged state equals the source-side " +
     "restatement at sf0.001") {
     val dir = "/root/testdata/sf0.001"
