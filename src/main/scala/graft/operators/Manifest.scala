@@ -467,6 +467,38 @@ object ManifestTable {
       schema: StructType): DataFrame =
     read(spark, root, versionAt(root, tMillis), schema)
 
+  /** DESCRIBE HISTORY: one row per committed version — (version,
+    * ts_millis, kind, operation) — from the manifest headers alone.
+    * `operation` is the committing path's own meta token (merge=vK /
+    * optimize=vK / zorder=vK / upsert=vK / batch=N / dv= / …), "" for
+    * plain appends; `kind` is checkpoint or delta. The audit surface
+    * every real format exposes, derived rather than stored: the log IS
+    * the history.
+    */
+  def history(spark: SparkSession, root: Path): DataFrame = {
+    val infra = Set("ts", "depth", "schema")
+    val rows = (1 to latestVersion(root)).map { v =>
+      val m = headerMeta(root, v)
+      org.apache.spark.sql.Row(
+        v.toLong,
+        m.get("ts").map(_.toLong).getOrElse(-1L),
+        if (m.contains("kind")) m("kind") else "checkpoint",
+        m.view.filterKeys(k => !infra(k) && k != "kind")
+          .map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(" "))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_millis",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("operation",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** Stage a DataFrame as immutable data files under data/ with a
     * caller-chosen batch prefix; returns the relative paths (NOT yet
     * visible to readers — only a commit references them).
@@ -624,6 +656,15 @@ object ManifestTable {
   def upsert(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, updates: DataFrame): Int = {
     requireNoScopedDvs(root, from, "upsert")
+    // two source images of one key would land nondeterministically —
+    // fail loudly like Delta's "multiple source rows matched" MERGE
+    // error (one aggregate job over the small update set)
+    val dup = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert updates carry duplicate $keyCol values (e.g. " +
+      s"${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
+      "an upsert needs at most one row per key")
     val fromEntries = entriesFor(root, from)
     val bandsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(fromEntries.map { e =>
