@@ -656,15 +656,19 @@ object ManifestTable {
   def upsert(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, updates: DataFrame): Int = {
     requireNoScopedDvs(root, from, "upsert")
-    // two source images of one key would land nondeterministically —
-    // fail loudly like Delta's "multiple source rows matched" MERGE
-    // error (one aggregate job over the small update set)
-    val dup = updates.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert updates carry duplicate $keyCol values (e.g. " +
-      s"${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
+    // ONE aggregate pass over the update set yields the emptiness
+    // check, the duplicate-key check (two source images of one key
+    // would land nondeterministically — fail loudly like Delta's
+    // "multiple source rows matched" MERGE error), and the global key
+    // bounds the conflict rule needs
+    val kb = updates.agg(min(keyCol), max(keyCol), count(lit(1)),
+      count_distinct(col(keyCol))).head()
+    require(!kb.isNullAt(0), "upsert with an empty updates set")
+    require(kb.getLong(2) == kb.getLong(3),
+      s"upsert updates carry duplicate $keyCol values " +
+      s"(${kb.getLong(2)} rows, ${kb.getLong(3)} distinct keys) — " +
       "an upsert needs at most one row per key")
+    val (kLo, kHi) = (kb.getLong(0), kb.getLong(1))
     val fromEntries = entriesFor(root, from)
     val bandsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(fromEntries.map { e =>
@@ -701,9 +705,6 @@ object ManifestTable {
       replacement.repartitionByRange(math.max(1, hit.size + 1),
         col(keyCol)),
       root, s"upsert$from${nonce()}", statCols)
-    val kb = updates.agg(min(keyCol), max(keyCol)).head()
-    require(!kb.isNullAt(0), "upsert with an empty updates set")
-    val (kLo, kHi) = (kb.getLong(0), kb.getLong(1))
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"upsert=v$from") { parent =>
       val cur = entriesFor(root, parent)
