@@ -198,7 +198,17 @@ object Api {
             val orders = Tables.table(spark, dir, "orders")
             val root = graft.operators.ManifestOps.cowRoot(spark, dir)
             val latest = graft.operators.ManifestTable.latestVersion(root)
-            val v = param(x, "version").map(_.toInt).getOrElse(latest)
+            // ?asof=<epoch millis> resolves through the ts= headers
+            // (TIMESTAMP AS OF); a time before the first commit — or a
+            // root whose manifests predate timestamp recording — maps
+            // to the version=0 "no such version" reply below
+            val v = param(x, "asof").map(_.toLong) match {
+              case Some(t) =>
+                try graft.operators.ManifestTable.versionAt(root, t)
+                catch { case _: IllegalArgumentException => 0 }
+              case None =>
+                param(x, "version").map(_.toInt).getOrElse(latest)
+            }
             if (v < 1 || v > latest)
               respond(x, 404,
                 s"""{"error":"no such version","latest":$latest}""")

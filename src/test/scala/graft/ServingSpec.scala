@@ -180,6 +180,20 @@ class ServingSpec extends SparkSpec {
     // past-the-end version 404s with the latest pointer
     val (c4, b4) = get(s"/table/orders?version=${latest + 5}")
     assert(c4 == 404 && b4.contains(s""""latest":$latest"""))
+    // TIMESTAMP AS OF: the v1 commit's own wall time resolves to v1
+    // (cached roots built before ts= recording resolve nothing — both
+    // shapes are legitimate replies here, 200@v1 or 404)
+    try {
+      val t1 = operators.ManifestTable.commitTime(root, 1)
+      val (c5, b5) = get(s"/table/orders?asof=$t1")
+      assert(c5 == 200 && b5.contains("\"version\":1,"), b5.take(120))
+      // before the first commit → 404 with the latest pointer
+      val (c6, b6) = get(s"/table/orders?asof=${t1 - 1}")
+      assert(c6 == 404 && b6.contains(s""""latest":$latest"""))
+    } catch {
+      case _: IllegalStateException => // pre-ts= cached root: still 404s
+        assert(get("/table/orders?asof=1")._1 == 404)
+    }
   }
 
   test("unknown routes 404 with a JSON error") {
