@@ -1595,6 +1595,23 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "source_manifest_v1api" -> { (spark, dir) =>
+      // the manifest table read through Spark's STANDARD source API
+      // (spark.read.format("graft-manifest"), registered by short name
+      // via META-INF/services) — version-pinned to the pre-merge
+      // snapshot, with a key-band filter that reaches the per-file
+      // stats as file skipping (Wave126Spec asserts the admitted-file
+      // counts). Pinned v1 = the source table verbatim, so the oracle
+      // is the plain band filter.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = cowRoot(spark, dir)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).option("version", "1").load()
+        .filter(col("o_orderkey") >= mx / 20 && col("o_orderkey") <= mx / 10)
+        .orderBy("o_orderkey")
+    },
+
     "source_manifest_zorder" -> { (spark, dir) =>
       // 2-predicate stats-pruned read over the Z-ORDERED layout: after
       // the (o_orderkey, o_custkey) Morton rewrite each file's bands
@@ -1961,6 +1978,17 @@ object ManifestOps extends QueryGroup {
         |  FROM orders CROSS JOIN b
         |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_v1api" ->
+      // pinned v1 is the source table verbatim; the band re-filters
+      // exactly and the file-skip claim is Wave126Spec's assertion
+      """WITH b AS (SELECT max(o_orderkey) // 20 AS lo,
+        |    max(o_orderkey) // 10 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
 
     "source_manifest_zorder" ->
       // both bands restated from the source table; the admitted-file

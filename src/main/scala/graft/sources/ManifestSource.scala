@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import graft.operators.ManifestTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The manifest table format addressable through Spark's STANDARD
+  * source API — `spark.read.format("graft-manifest")` (registered via
+  * META-INF/services, so the short name resolves with no imports):
+  *
+  * {{{
+  * spark.read.format("graft-manifest")
+  *   .option("path", "/tables/orders")   // table root
+  *   .option("version", "3")             // optional: pinned snapshot
+  *   .option("asof", "1755266000000")    // optional: TIMESTAMP AS OF
+  *   .load()
+  * }}}
+  *
+  * Semantics match the library read path exactly, lifecycle state
+  * included: outstanding key-based deletion vectors are subtracted
+  * (readMOR) and scoped vectors applied (readMORScoped) — a format
+  * reader must never resurrect deleted rows just because the caller
+  * came through `spark.read`. The key column is derived from the
+  * vector sidecar's own schema, which carries it by construction.
+  *
+  * The V1 source contract is deliberate: `PrunedFilteredScan` gives
+  * this reader column pruning AND filter-driven FILE SKIPPING through
+  * the manifest's per-file column stats — an equality/range predicate
+  * on a stats-carrying long column admits only the files whose
+  * recorded bounds intersect, before any scan, exactly like
+  * [[ManifestTable.readPrunedMulti]]. Every filter is reported
+  * unhandled so Spark re-applies them row-exactly on the admitted
+  * files (the stats prune is a superset admit, never an answer).
+  * Schema resolution order: caller-supplied > `schema=` header meta
+  * (ADD COLUMN evolution) > first data file's parquet footer.
+  */
+class ManifestSource extends RelationProvider with SchemaRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    createRelation(ctx, parameters, null)
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String], userSchema: StructType)
+      : BaseRelation = {
+    val root = Paths.get(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest needs .option(\"path\", <table root>)")))
+    require(Files.isDirectory(root.resolve("_manifests")),
+      s"$root is not a graft manifest table (no _manifests/)")
+    val spark = ctx.sparkSession
+    val version = parameters.get("asof") match {
+      case Some(t) => ManifestTable.versionAt(root, t.toLong)
+      case None => parameters.get("version").map(_.toInt)
+        .getOrElse(ManifestTable.latestVersion(root))
+    }
+    require(version >= 1 && version <= ManifestTable.latestVersion(root),
+      s"no committed version $version at $root")
+    val meta = ManifestTable.headerMeta(root, version)
+    val schema = Option(userSchema)
+      .orElse(meta.get("schema").map(ManifestTable.parseSchemaMeta))
+      .getOrElse {
+        val fs = ManifestTable.filesFor(root, version)
+        require(fs.nonEmpty, s"v$version at $root holds no data files")
+        spark.read.parquet(root.resolve("data")
+          .resolve(fs.head).toString).schema
+      }
+    new ManifestRelation(ctx, root, version, schema)
+  }
+}
+
+private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
+    version: Int, override val schema: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  // the stats prune is a superset admit; Spark must re-apply every
+  // predicate row-exactly on the admitted files
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  /** Conservative per-column bands from the pushed filters: only
+    * long-valued comparisons contribute (anything else admits all
+    * files); conjunctions intersect per column inside mayContain.
+    */
+  private def bands(filters: Array[Filter]): Seq[(String, Long, Long)] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v: Long) => Seq((a, v, v))
+      case EqualTo(a, v: Int) => Seq((a, v.toLong, v.toLong))
+      case GreaterThan(a, v: Long) => Seq((a, v + 1, Long.MaxValue))
+      case GreaterThan(a, v: Int) => Seq((a, v.toLong + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, v: Long) => Seq((a, v, Long.MaxValue))
+      case GreaterThanOrEqual(a, v: Int) => Seq((a, v.toLong, Long.MaxValue))
+      case LessThan(a, v: Long) => Seq((a, Long.MinValue, v - 1))
+      case LessThan(a, v: Int) => Seq((a, Long.MinValue, v.toLong - 1))
+      case LessThanOrEqual(a, v: Long) => Seq((a, Long.MinValue, v))
+      case LessThanOrEqual(a, v: Int) => Seq((a, Long.MinValue, v.toLong))
+      case And(l, r) => bands(Array(l, r))
+      case _ => Nil
+    }
+
+  /** Sidecar-derived key column: a vector sidecar carries exactly the
+    * key column (plus `src` for the scoped form).
+    */
+  private def sidecarKey(files: Seq[String]): String = {
+    val spark = ctx.sparkSession
+    spark.read.parquet(root.resolve("data").resolve(files.head).toString)
+      .schema.fieldNames.filterNot(_ == "src").head
+  }
+
+  /** The stats-admitted live files under the pushed filters — exposed
+    * at package level so the file-skipping claim is unit-assertable.
+    */
+  private[graft] def admittedEntries(filters: Array[Filter])
+      : Seq[ManifestTable.FileEntry] = {
+    val bs = bands(filters)
+    ManifestTable.entriesFor(root, version).filter(e =>
+      bs.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) })
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val dvs = ManifestTable.dvsFor(root, version)
+    val dvps = ManifestTable.scopedDvsFor(root, version)
+    val df =
+      if (dvps.nonEmpty) // positional vectors: full MOR-scoped read
+        ManifestTable.readMORScoped(spark, root, version, schema,
+          sidecarKey(dvps))
+      else if (dvs.nonEmpty) // key vectors: subtract, no file skip
+        ManifestTable.readMOR(spark, root, version, schema,
+          sidecarKey(dvs))
+      else { // clean snapshot: stats-pruned file set, explicit schema
+        val admitted = admittedEntries(filters)
+        if (admitted.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).parquet(admitted.map(e =>
+          root.resolve("data").resolve(e.path).toString): _*)
+      }
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+  }
+}
