@@ -39,9 +39,55 @@ import org.apache.spark.sql.types.StructType
   * (ADD COLUMN evolution) > first data file's parquet footer.
   */
 class ManifestSource extends RelationProvider with SchemaRelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** The WRITE path: `df.write.format("graft-manifest")` maps Spark's
+    * save modes onto the commit protocol — Append = stage + O(delta)
+    * appendCommit, Overwrite = full checkpoint commit replacing the
+    * live set, ErrorIfExists/Ignore = their contract against table
+    * existence. `.option("statsColumns", "k,c")` stages with exact
+    * per-file min/max on those (long) columns so the written table
+    * composes with every stats consumer (pruned reads, merges, the
+    * read path's file skipping). Concurrency is the OCC publish loop —
+    * two racing writers both land, in some serial order.
+    */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      df: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val root = Paths.get(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest needs .option(\"path\", <table root>)")))
+    Files.createDirectories(root)
+    val exists = ManifestTable.latestVersion(root) > 0
+    val statsCols = parameters.get("statsColumns")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    // batch prefixes must be write-unique (the writeNonce discipline:
+    // a repeated prefix REPLACE_EXISTINGs an earlier write's committed
+    // data files) — uuid-named files, like the real formats
+    def staged(tag: String): Seq[String] = {
+      val batch = tag + java.util.UUID.randomUUID().toString.take(8)
+      if (statsCols.isEmpty) ManifestTable.stage(df, root, batch)
+      else ManifestTable.stageWithStats(df, root, batch, statsCols)
+    }
+    val schemaMeta = s"schema=${ManifestTable.schemaMeta(df.schema)}"
+    mode match {
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-manifest table at $root already exists (SaveMode." +
+          "ErrorIfExists)")
+      case Ignore if exists => ()
+      case Overwrite =>
+        ManifestTable.commit(root, staged("ow"), schemaMeta): Unit
+      case _ => // Append, or a first write under any mode
+        ManifestTable.appendCommit(root, staged("ap"), schemaMeta): Unit
+    }
+    createRelation(ctx, parameters - "statsColumns")
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation =

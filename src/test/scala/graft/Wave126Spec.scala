@@ -87,6 +87,45 @@ class Wave126Spec extends SparkSpec {
     assert(got.select("v").count() == 90)
   }
 
+  test("the WRITE path maps save modes onto the commit protocol: " +
+    "append = O(delta) commit, overwrite = checkpoint replace, " +
+    "errorIfExists honors existence, stats columns compose") {
+    val root = Files.createTempDirectory("graft_src_write")
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 3).as("v"))
+    def w(d: org.apache.spark.sql.DataFrame) = d.write
+      .format("graft-manifest").option("path", root.toString)
+      .option("statsColumns", "k")
+    w(df.repartitionByRange(4, col("k"))).mode("append").save()
+    assert(ManifestTable.latestVersion(root) == 1)
+    w(spark.range(100, 150).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .coalesce(1)).mode("append").save()
+    val v2 = ManifestTable.latestVersion(root)
+    assert(v2 == 2)
+    // the append rode the delta log, and stats carried through
+    assert(ManifestTable.headerMeta(root, 2).get("kind").contains("delta"))
+    assert(ManifestTable.entriesFor(root, 2).forall(_.band("k").nonEmpty))
+    // round-trip through the read path
+    val got = spark.read.format("graft-manifest")
+      .option("path", root.toString).load()
+    assert(got.count() == 150)
+    // the written stats drive file skipping on the read side
+    val rel = new ManifestRelation(spark.sqlContext, root, 2, got.schema)
+    assert(rel.admittedEntries(
+      Array(GreaterThanOrEqual("k", 120L))).size <
+      rel.admittedEntries(Array.empty).size)
+    // overwrite replaces the live set with a checkpoint commit
+    w(df.limit(10).coalesce(1)).mode("overwrite").save()
+    assert(spark.read.format("graft-manifest")
+      .option("path", root.toString).load().count() == 10)
+    // pinned pre-overwrite snapshots still read (immutability)
+    assert(spark.read.format("graft-manifest")
+      .option("path", root.toString).option("version", v2.toString)
+      .load().count() == 150)
+    intercept[IllegalStateException] {
+      w(df).mode("errorIfExists").save()
+    }
+  }
+
   test("schema= header meta (ADD COLUMN evolution) wins over footers") {
     val dir = "/root/testdata/sf0.001"
     val root = graft.operators.ManifestOps.evoRoot(spark, dir)
