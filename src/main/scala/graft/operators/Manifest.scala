@@ -781,6 +781,19 @@ object ManifestTable {
     x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
+  /** Every-THIRD-bit spread of the low 21 bits — the 3-D Morton half
+    * (same mask-and-shift identity, stride 3).
+    */
+  private def spreadBits3(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    var x = c.bitwiseAND(lit(0x1FFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
   /** OPTIMIZE ZORDER (multi-dimensional clustering): rewrite the live
     * set ordered by the 2-D Morton interleave of `cols`, so every
     * rewritten file covers a small HYPER-RECTANGLE of the (c1, c2)
@@ -801,20 +814,23 @@ object ManifestTable {
   def optimizeZorder(spark: SparkSession, root: Path, from: Int,
       schema: StructType, cols: Seq[String], targetFiles: Int): Int = {
     requireNoScopedDvs(root, from, "optimizeZorder")
-    require(cols.size == 2, "optimizeZorder interleaves exactly 2 columns")
+    require(cols.size == 2 || cols.size == 3,
+      "optimizeZorder interleaves 2 or 3 columns")
     val live = entriesFor(root, from)
     val df = read(spark, root, from, schema)
-    val b = df.agg(min(cols(0)), max(cols(0)), min(cols(1)), max(cols(1)))
-      .head()
+    val aggs = cols.flatMap(c => Seq(min(c), max(c)))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
     if (b.isNullAt(0)) return from // empty table — nothing to cluster
-    def norm(c: String, lo: Long, hi: Long) = {
+    def norm(i: Int) = {
+      val (lo, hi) = (b.getLong(2 * i), b.getLong(2 * i + 1))
       val span = math.max(1L, hi - lo)
-      ((col(c) - lit(lo)).cast("double") * lit(2097151.0 / span))
+      ((col(cols(i)) - lit(lo)).cast("double") * lit(2097151.0 / span))
         .cast("long")
     }
-    val z = spreadBits(norm(cols(0), b.getLong(0), b.getLong(1)))
-      .bitwiseOR(shiftleft(
-        spreadBits(norm(cols(1), b.getLong(2), b.getLong(3))), 1))
+    val spread: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (cols.size == 2) spreadBits else spreadBits3
+    val z = cols.indices.map(i => shiftleft(spread(norm(i)), i))
+      .reduce(_ bitwiseOR _)
     // stats on both interleaved columns: the narrow per-file bands ARE
     // the product this op sells; preserve any further recorded columns
     val statCols = (cols ++ live.flatMap(_.stats.map(_._1))).distinct

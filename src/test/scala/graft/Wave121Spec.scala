@@ -84,6 +84,39 @@ class Wave121Spec extends SparkSpec {
     }
   }
 
+  test("3-D interleave: each dimension's quarter-band prunes files " +
+    "under the z3 layout, and the data survives exactly") {
+    val root = Files.createTempDirectory("graft_mf_z3")
+    // 16^3 grid: a = high bits, b = middle, c = scramble — under the
+    // initial a-range layout, b and c span every file
+    val df = spark.range(4096).select(
+      (col("id") / 256).cast("long").as("a"),
+      ((col("id") / 16) % 16).cast("long").as("b"),
+      (col("id") * 2654435761L % 16).as("c"))
+    ManifestTable.commit(root, ManifestTable.stageWithStats(
+      df.repartitionByRange(16, col("a")), root, "base",
+      Seq("a", "b", "c")))
+    val v2 = ManifestTable.optimizeZorder(spark, root, 1, df.schema,
+      Seq("a", "b", "c"), 16)
+    val got = ManifestTable.read(spark, root, v2, df.schema)
+    assert(got.count() == 4096)
+    assert(got.exceptAll(df).isEmpty && df.exceptAll(got).isEmpty)
+    def admitted(v: Int, preds: Seq[(String, Long, Long)]) =
+      ManifestTable.readPrunedMulti(spark, root, v, df.schema, preds)
+        .inputFiles.length
+    // the unclustered dims cannot prune the range layout at all
+    assert(admitted(1, Seq(("b", 0L, 3L))) == 16)
+    assert(admitted(1, Seq(("c", 0L, 3L))) == 16)
+    // under z3, EVERY dimension's quarter-band skips files
+    assert(admitted(v2, Seq(("a", 0L, 3L))) < 16)
+    assert(admitted(v2, Seq(("b", 0L, 3L))) < 16)
+    assert(admitted(v2, Seq(("c", 0L, 3L))) < 16)
+    // and the 3-D octant conjunction admits a small corner
+    val corner = admitted(v2,
+      Seq(("a", 0L, 3L), ("b", 0L, 3L), ("c", 0L, 3L)))
+    assert(corner <= 4, s"3-D corner admitted $corner of 16 files")
+  }
+
   test("declared query: the z-ordered pruned read equals the " +
     "source-side restatement at sf0.001") {
     val dir = "/root/testdata/sf0.001"
