@@ -1628,6 +1628,31 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "sink_manifest_v1api" -> { (spark, dir) =>
+      // round-trip through the REGISTERED source API's write path:
+      // orders written with df.write.format("graft-manifest") in two
+      // halves (append mode, stats on o_orderkey — each append an
+      // O(delta) commit), read back through spark.read with a pushed
+      // band filter riding the written stats. Equality with the plain
+      // band filter proves the SaveMode mapping committed exactly
+      // once per write and the written stats compose with the read
+      // path's file skipping (Wave126Spec asserts the skip itself).
+      val orders = Tables.table(spark, dir, "orders")
+      val root = freshSinkRoot(dir, tag = "v1w_")
+      def w(df: DataFrame) = df.write.format("graft-manifest")
+        .option("path", root.toString)
+        .option("statsColumns", "o_orderkey").mode("append").save()
+      w(orders.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")))
+      w(orders.filter(col("o_orderkey") % 2 === 1)
+        .repartitionByRange(2, col("o_orderkey")))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      spark.read.format("graft-manifest").option("path", root.toString)
+        .load()
+        .filter(col("o_orderkey") >= mx / 10 && col("o_orderkey") <= mx / 5)
+        .orderBy("o_orderkey")
+    },
+
     "source_manifest_zorder" -> { (spark, dir) =>
       // 2-predicate stats-pruned read over the Z-ORDERED layout: after
       // the (o_orderkey, o_custkey) Morton rewrite each file's bands
@@ -2000,6 +2025,17 @@ object ManifestOps extends QueryGroup {
       // exactly and the file-skip claim is Wave126Spec's assertion
       """WITH b AS (SELECT max(o_orderkey) // 20 AS lo,
         |    max(o_orderkey) // 10 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sink_manifest_v1api" ->
+      // both write halves together are the whole table; the band
+      // re-filters exactly
+      """WITH b AS (SELECT max(o_orderkey) // 10 AS lo,
+        |    max(o_orderkey) // 5 AS hi FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders CROSS JOIN b
