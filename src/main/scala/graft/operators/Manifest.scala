@@ -69,29 +69,63 @@ object ManifestTable {
     * format (r8 VERDICT item 2) to a small ordered column→bounds list,
     * so pruning composes across predicates on different columns.
     */
-  case class FileEntry(path: String, stats: Seq[(String, (Long, Long))]) {
+  case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
+      strStats: Seq[(String, (String, String))] = Nil) {
     /** Recorded bounds of `c`, None when this file carries none. */
     def band(c: String): Option[(Long, Long)] =
       stats.collectFirst { case (`c`, b) => b }
+    /** Recorded STRING bounds of `c` (round-9 wave 132: the r8/r9
+      * format carried long bounds only — "no string/binary bounds"
+      * was a named representational gap). Comparisons are binary
+      * (codepoint) order on both the write side (Spark's min/max on
+      * StringType) and here (Java String compare) — identical for
+      * ASCII, which covers every fixture column; supplementary-plane
+      * text would need UTF-8-byte order to match Spark exactly, the
+      * same caveat real formats document for truncated string bounds.
+      */
+    def bandStr(c: String): Option[(String, String)] =
+      strStats.collectFirst { case (`c`, b) => b }
     /** Can this file contain a row with `c` in [lo, hi]? A file with
       * no stats for `c` CANNOT be proven disjoint, so it is admitted —
       * pruning must only ever skip provably-empty files.
       */
     def mayContain(c: String, lo: Long, hi: Long): Boolean =
       band(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
-    /** The manifest line: `path` or `path\tc:min:max[,c2:min:max…]`. */
-    def line: String =
-      if (stats.isEmpty) path
-      else path + "\t" + stats.map { case (c, (mn, mx)) => s"$c:$mn:$mx" }
-        .mkString(",")
+    /** String-band admission, same only-skip-provably-empty rule. */
+    def mayContainStr(c: String, lo: String, hi: String): Boolean =
+      bandStr(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
+    /** The manifest line: `path` or `path\tc:min:max[,c2:min:max…]`.
+      * String bounds ride the same comma list as `c:~b64:~b64` tokens
+      * — base64 because a string bound may contain the line format's
+      * own separators (colon, comma, tab, newline); the `~` marker
+      * disambiguates from long bounds (a long never starts with `~`),
+      * so pre-wave-132 lines parse unchanged.
+      */
+    def line: String = {
+      val toks = stats.map { case (c, (mn, mx)) => s"$c:$mn:$mx" } ++
+        strStats.map { case (c, (mn, mx)) => s"$c:~${b64(mn)}:~${b64(mx)}" }
+      if (toks.isEmpty) path else path + "\t" + toks.mkString(",")
+    }
   }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   private def parseEntry(l: String): FileEntry = l.split('\t') match {
     case Array(p) => FileEntry(p, Nil)
-    case Array(p, s) => FileEntry(p, s.split(',').toSeq.map { t =>
-      val Array(c, mn, mx) = t.split(':')
-      c -> (mn.toLong, mx.toLong)
-    })
+    case Array(p, s) =>
+      val toks = s.split(',').toSeq.map { t =>
+        val Array(c, mn, mx) = t.split(':')
+        (c, mn, mx)
+      }
+      FileEntry(p,
+        toks.collect { case (c, mn, mx) if !mn.startsWith("~") =>
+          c -> (mn.toLong, mx.toLong) },
+        toks.collect { case (c, mn, mx) if mn.startsWith("~") =>
+          require(mx.startsWith("~"), s"corrupt string-stat token in: $l")
+          c -> (unb64(mn.drop(1)), unb64(mx.drop(1))) })
     case _ => throw new IllegalArgumentException(s"corrupt manifest line: $l")
   }
 
@@ -195,7 +229,17 @@ object ManifestTable {
     */
   private def rawLines(root: Path, version: Int): Seq[String] = {
     val (parent, kv, body) = manifestOf(root, version)
-    if (!kv.contains("kind")) body
+    if (kv.get("body").contains("seg"))
+      // parquet checkpoint: the body is a manifest LIST — resolve each
+      // segment file to its entries, in list order
+      body.flatMap { l =>
+        val (seg, n, _) = parseDesc(l)
+        val es = SegIO.read(manifestDir(root).resolve(seg))
+        require(es.size == n,
+          s"segment $seg holds ${es.size} entries, list says $n")
+        es.map(_.line)
+      }
+    else if (!kv.contains("kind")) body
     else {
       require(kv("kind") == "delta", s"unknown manifest kind ${kv("kind")}")
       val base = rawLines(root, parent)
@@ -329,6 +373,157 @@ object ManifestTable {
     }.getOrElse(latestVersion(root))
   }
 
+  /** Columnar (parquet) encoding of checkpoint manifest SEGMENTS —
+    * wave 133, closing the "text manifests vs avro/parquet" encoding
+    * gap. A full checkpoint no longer inlines its entry lines into the
+    * commit file: entries are written as one or more parquet segment
+    * files under `_manifests/` (path + typed per-column bounds as
+    * proper columns — dictionary/RLE-compressed, splittable), and the
+    * commit file's body holds one DESCRIPTOR line per segment carrying
+    * the segment's AGGREGATE bounds. That makes the commit file a
+    * MANIFEST LIST and the segments manifest files — Iceberg's
+    * two-level shape — so pruned planning reads only the segments
+    * whose aggregate bounds intersect the predicate
+    * ([[prunedEntries]]): planning cost rides the relevant fraction of
+    * the file list, not O(files). Driver-side IO uses the parquet
+    * example Group API (no SparkSession needed at plan time); segment
+    * files are nonce-named and written BEFORE the commit link, so a
+    * lost publish race orphans them invisibly (vacuum fodder), never
+    * corrupts a winner.
+    */
+  private object SegIO {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.MessageTypeParser
+
+    val schema = MessageTypeParser.parseMessageType(
+      """message graft_manifest_entry {
+        |  required binary path (UTF8);
+        |  repeated group lstats { required binary col (UTF8);
+        |    required int64 lmin; required int64 lmax; }
+        |  repeated group sstats { required binary col (UTF8);
+        |    required binary smin (UTF8); required binary smax (UTF8); }
+        |}""".stripMargin)
+
+    def write(file: Path, entries: Seq[FileEntry]): Unit = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      @annotation.nowarn("cat=deprecation")
+      val w = ExampleParquetWriter.builder(
+          new org.apache.hadoop.fs.Path(file.toString))
+        .withConf(conf).withType(schema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+      val f = new SimpleGroupFactory(schema)
+      try entries.foreach { e =>
+        val g = f.newGroup()
+        g.append("path", e.path)
+        e.stats.foreach { case (c, (mn, mx)) =>
+          val sg = g.addGroup("lstats")
+          sg.append("col", c); sg.append("lmin", mn)
+          sg.append("lmax", mx); ()
+        }
+        e.strStats.foreach { case (c, (mn, mx)) =>
+          val sg = g.addGroup("sstats")
+          sg.append("col", c); sg.append("smin", mn)
+          sg.append("smax", mx); ()
+        }
+        w.write(g)
+      } finally w.close()
+    }
+
+    /** Published segments are immutable (nonce-named, referenced only
+      * after their commit wins), so a JVM-wide cache is safe; it turns
+      * repeated plan-time resolutions of one snapshot into zero IO.
+      * Crude size bound: clear-all past 512 segments (a perf cache,
+      * never a correctness structure).
+      */
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+
+    def read(file: Path): Seq[FileEntry] = {
+      val key = file.toAbsolutePath.toString
+      val hit = cache.get(key)
+      if (hit != null) return hit
+      val conf = new org.apache.hadoop.conf.Configuration()
+      @annotation.nowarn("cat=deprecation")
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(key)).withConf(conf).build()
+      val out = Seq.newBuilder[FileEntry]
+      try {
+        var g = r.read()
+        while (g != null) {
+          val nl = g.getFieldRepetitionCount("lstats")
+          val ns = g.getFieldRepetitionCount("sstats")
+          out += FileEntry(g.getString("path", 0),
+            (0 until nl).map { i =>
+              val sg = g.getGroup("lstats", i)
+              sg.getString("col", 0) ->
+                (sg.getLong("lmin", 0), sg.getLong("lmax", 0))
+            },
+            (0 until ns).map { i =>
+              val sg = g.getGroup("sstats", i)
+              sg.getString("col", 0) ->
+                (sg.getString("smin", 0), sg.getString("smax", 0))
+            })
+          g = r.read()
+        }
+      } finally r.close()
+      val res = out.result()
+      if (cache.size > 512) cache.clear()
+      cache.put(key, res)
+      res
+    }
+  }
+
+  /** Segment granularity for parquet checkpoints: entries per manifest
+    * segment file. Bounds the two-level trade like real formats do —
+    * a 10M-file table checkpoints into ~10k segments, each a few
+    * hundred KB, and a pruned plan reads only the segments whose
+    * aggregate bounds intersect the predicate.
+    */
+  private val SegmentEntries = 1024
+
+  /** Aggregate (manifest-list-level) bounds of one segment: a column
+    * appears only when EVERY entry in the segment records bounds for
+    * it — a statless member makes the segment unprovable-disjoint for
+    * that column, so the descriptor must admit it unconditionally.
+    */
+  private def segmentBounds(entries: Seq[FileEntry]): FileEntry = {
+    val lcols = entries.head.stats.map(_._1)
+      .filter(c => entries.forall(_.band(c).isDefined))
+    val scols = entries.head.strStats.map(_._1)
+      .filter(c => entries.forall(_.bandStr(c).isDefined))
+    FileEntry("",
+      lcols.map { c =>
+        val bs = entries.map(_.band(c).get)
+        c -> (bs.map(_._1).min, bs.map(_._2).max) },
+      scols.map { c =>
+        val bs = entries.map(_.bandStr(c).get)
+        c -> (bs.map(_._1).min, bs.map(_._2).max) })
+  }
+
+  /** Manifest-LIST descriptor line for one checkpoint segment:
+    * `@<segfile>\t<count>[\t<aggregate-bounds tokens>]` — the same
+    * comma token syntax entry lines use, so the list level reuses the
+    * entry level's typed-bounds encoding verbatim.
+    */
+  private def descLine(seg: String, n: Int, b: FileEntry): String = {
+    val toks = FileEntry("x", b.stats, b.strStats).line.split('\t')
+    if (toks.length == 1) s"@$seg\t$n" else s"@$seg\t$n\t${toks(1)}"
+  }
+
+  /** (segment file, entry count, aggregate bounds). */
+  private def parseDesc(l: String): (String, Int, FileEntry) = {
+    require(l.startsWith("@"), s"corrupt manifest-list line: $l")
+    l.drop(1).split('\t') match {
+      case Array(seg, n) => (seg, n.toInt, FileEntry(seg, Nil))
+      case Array(seg, n, toks) => (seg, n.toInt, parseEntry(s"$seg\t$toks"))
+      case _ => throw new IllegalArgumentException(
+        s"corrupt manifest-list line: $l")
+    }
+  }
+
   /** Checkpoint cadence for the delta log: a commit whose delta chain
     * since the last full manifest would reach this length writes a
     * full (checkpoint) manifest instead. 8 bounds BOTH sides of the
@@ -405,7 +600,25 @@ object ManifestTable {
         if (full) {
           val base = if (parent == 0) Nil else rawLines(root, parent)
           val rm = removes.toSet
-          ("", base.filterNot(l => rm(l.split('\t').head)) ++ adds)
+          val entryLines =
+            base.filterNot(l => rm(l.split('\t').head)) ++ adds
+          if (entryLines.isEmpty) ("", Nil)
+          else {
+            // parquet-encoded checkpoint (wave 133): entries land in
+            // nonce-named segment files, the commit file's body is the
+            // manifest LIST (one descriptor + aggregate bounds per
+            // segment). Segments are written before the publish link —
+            // a lost race orphans them (vacuum fodder), never corrupts
+            // the winner.
+            val segNonce = nonce()
+            val descs = entryLines.map(parseEntry)
+              .grouped(SegmentEntries).zipWithIndex.map { case (es, i) =>
+                val segName = s"cp$segNonce-s$i.parquet"
+                SegIO.write(d.resolve(segName), es)
+                descLine(segName, es.size, segmentBounds(es))
+              }.toSeq
+            ("body=seg", descs)
+          }
         } else
           (s"kind=delta depth=${parentDepth + 1}",
             removes.map("-" + _) ++ adds.map("+" + _))
@@ -476,7 +689,7 @@ object ManifestTable {
     * the history.
     */
   def history(spark: SparkSession, root: Path): DataFrame = {
-    val infra = Set("ts", "depth", "schema")
+    val infra = Set("ts", "depth", "schema", "body")
     val rows = (1 to latestVersion(root)).map { v =>
       val m = headerMeta(root, v)
       org.apache.spark.sql.Row(
@@ -543,19 +756,45 @@ object ManifestTable {
     * key (r8 VERDICT item 2).
     */
   def stageWithStats(df: DataFrame, root: Path, batch: String,
-      statCols: Seq[String]): Seq[String] = {
-    require(statCols.nonEmpty, "stageWithStats needs at least one column")
+      statCols: Seq[String]): Seq[String] =
+    stageWithTypedStats(df, root, batch, statCols, Nil)
+
+  /** Typed form: exact per-file min/max for `longCols` (long-typed)
+    * AND `strCols` (string-typed) in one stats pass per staged file —
+    * string bounds being the wave-132 closure of the format's
+    * long-only-stats gap, so prunes compose across numeric and string
+    * predicates the way real formats' per-column stats do.
+    */
+  def stageWithTypedStats(df: DataFrame, root: Path, batch: String,
+      longCols: Seq[String], strCols: Seq[String]): Seq[String] = {
+    require(longCols.nonEmpty || strCols.nonEmpty,
+      "stageWithTypedStats needs at least one stats column")
     val spark = df.sparkSession
     stage(df, root, batch).flatMap { rel =>
-      val aggs = statCols.flatMap(c => Seq(min(c), max(c)))
+      // count first: emptiness must be decided by ROWS, not by a null
+      // min (an all-null stats column in a non-empty file would
+      // otherwise delete live data); per-column null bounds are simply
+      // not recorded — the file is then admitted unconditionally for
+      // that column, the only-skip-provably-empty rule
+      val aggs = count(lit(1)) +:
+        (longCols ++ strCols).flatMap(c => Seq(min(c), max(c)))
       val mm = spark.read.schema(df.schema)
         .parquet(root.resolve("data").resolve(rel).toString)
         .agg(aggs.head, aggs.tail: _*).head()
-      if (mm.isNullAt(0)) { // empty partition's file: not a live file
+      if (mm.getLong(0) == 0L) { // empty partition's file: not live
         Files.delete(root.resolve("data").resolve(rel)); None
-      } else Some(FileEntry(rel, statCols.zipWithIndex.map { case (c, i) =>
-        c -> (mm.getLong(2 * i), mm.getLong(2 * i + 1))
-      }).line)
+      } else {
+        val off = 1 + 2 * longCols.size
+        Some(FileEntry(rel,
+          longCols.zipWithIndex.flatMap { case (c, i) =>
+            if (mm.isNullAt(1 + 2 * i)) None
+            else Some(c -> (mm.getLong(1 + 2 * i), mm.getLong(2 + 2 * i))) },
+          strCols.zipWithIndex.flatMap { case (c, i) =>
+            if (mm.isNullAt(off + 2 * i)) None
+            else Some(c ->
+              (mm.getString(off + 2 * i), mm.getString(off + 2 * i + 1)))
+          }).line)
+      }
     }
   }
 
@@ -580,13 +819,14 @@ object ManifestTable {
     val affected = spark.read.schema(schema).parquet(
       hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
     // the rewrite preserves the hit files' FULL stats coverage (plus
-    // the merge key): a merge must not silently narrow the column set
-    // later prunes rely on
+    // the merge key), STRING bounds included: a merge must not
+    // silently narrow the column set later prunes rely on
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
-    val rewritten = stageWithStats(
+    val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
+    val rewritten = stageWithTypedStats(
       transform(affected).repartitionByRange(
         math.max(1, hit.size), col(keyCol)),
-      root, s"merge$from${nonce()}", statCols)
+      root, s"merge$from${nonce()}", statCols, strCols)
     // SERIALIZABLE-WRITER commit: recompute the conflict checks against
     // whatever parent WINS the publish race, aborting on BOTH conflict
     // directions. (1) A concurrent commit removed a file this merge
@@ -698,13 +938,14 @@ object ManifestTable {
         .join(updates.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(ordered)
     // rewritten files keep the touched set's stats coverage (mergeCoW
-    // discipline): an upsert must not narrow the columns later prunes
-    // rely on
+    // discipline, string bounds included): an upsert must not narrow
+    // the columns later prunes rely on
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
-    val rewritten = stageWithStats(
+    val strColsU = hit.flatMap(_.strStats.map(_._1)).distinct
+    val rewritten = stageWithTypedStats(
       replacement.repartitionByRange(math.max(1, hit.size + 1),
         col(keyCol)),
-      root, s"upsert$from${nonce()}", statCols)
+      root, s"upsert$from${nonce()}", statCols, strColsU)
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"upsert=v$from") { parent =>
       val cur = entriesFor(root, parent)
@@ -740,15 +981,17 @@ object ManifestTable {
     val (small, keep) = entriesFor(root, from)
       .partition(e => Files.size(data.resolve(e.path)) < smallBytes)
     if (small.size < 2) return from
-    // preserve the packed files' stats coverage, like mergeCoW
+    // preserve the packed files' stats coverage (string bounds
+    // included), like mergeCoW
     val statCols = (keyCol +: small.flatMap(_.stats.map(_._1))).distinct
-    val packed = stageWithStats(
+    val strCols = small.flatMap(_.strStats.map(_._1)).distinct
+    val packed = stageWithTypedStats(
       spark.read.schema(schema)
         .parquet(small.map(e => data.resolve(e.path).toString): _*)
         .repartitionByRange(math.max(1,
           (small.map(e => Files.size(data.resolve(e.path))).sum
             / smallBytes).toInt), col(keyCol)),
-      root, s"opt$from${nonce()}", statCols)
+      root, s"opt$from${nonce()}", statCols, strCols)
     commitOpsF(root, _ => s"optimize=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!small.forall(e => curPaths.contains(e.path)))
@@ -1048,6 +1291,38 @@ object ManifestTable {
     dead
   }
 
+  /** Remove ORPHAN checkpoint segments: `cp*.parquet` files under
+    * `_manifests/` referenced by NO committed version — the residue of
+    * lost publish races and crashes between segment write and commit
+    * link (wave 133's parquet checkpoints write segments first, so the
+    * loser's are invisible but occupy bytes). Kept separate from
+    * [[vacuum]] exactly like Iceberg splits remove-orphan-files from
+    * expire-snapshots: data-file retention and metadata hygiene have
+    * different blast radii. The same retention horizon guards an
+    * in-flight committer whose segments exist but whose link hasn't
+    * landed yet.
+    */
+  def vacuumOrphanSegments(root: Path,
+      retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val d = manifestDir(root)
+    if (!Files.isDirectory(d)) return Nil
+    val referenced = (1 to latestVersion(root)).flatMap { v =>
+      val (_, kv, body) = manifestOf(root, v)
+      if (kv.get("body").contains("seg")) body.map(parseDesc(_)._1) else Nil
+    }.toSet
+    val horizon = System.currentTimeMillis() - retainMillis
+    val s = Files.list(d)
+    val all =
+      try s.map[String](_.getFileName.toString).toArray.toSeq
+        .collect { case n: String
+          if n.startsWith("cp") && n.endsWith(".parquet") => n }
+      finally s.close()
+    val dead = all.filterNot(referenced).filter(n =>
+      Files.getLastModifiedTime(d.resolve(n)).toMillis < horizon)
+    dead.foreach(n => Files.delete(d.resolve(n)))
+    dead
+  }
+
   /** Scan one snapshot: exactly its listed files, explicit schema. */
   def read(spark: SparkSession, root: Path, version: Int,
       schema: StructType): DataFrame = {
@@ -1069,6 +1344,48 @@ object ManifestTable {
       schema: StructType, keyCol: String, lo: Long, hi: Long): DataFrame =
     readPrunedMulti(spark, root, version, schema, Seq((keyCol, lo, hi)))
 
+  /** Plan-time pruned resolution (wave 134 — the two-level payoff): the
+    * admitted entry set of `version` under conjunctive long + string
+    * band predicates, computed WITHOUT resolving the full file list.
+    * A parquet checkpoint's manifest list is consulted first: segments
+    * whose aggregate bounds prove disjointness are never read, so
+    * planning IO rides the relevant fraction of the file list — on a
+    * 10M-file table a narrow band reads a handful of segment files,
+    * not the 10M-entry checkpoint. Delta commits on top apply as
+    * usual (removes may name entries in skipped segments; filtering a
+    * set they were never admitted to is a no-op). Returns (admitted
+    * entries, segments read, segments listed) — the counters are the
+    * spec's hook for asserting the skip physically happened.
+    */
+  private[graft] def prunedEntries(root: Path, version: Int,
+      longPreds: Seq[(String, Long, Long)],
+      strPreds: Seq[(String, String, String)])
+      : (Seq[FileEntry], Int, Int) = {
+    def admit(e: FileEntry): Boolean =
+      longPreds.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
+      strPreds.forall { case (c, lo, hi) => e.mayContainStr(c, lo, hi) }
+    val (parent, kv, body) = manifestOf(root, version)
+    if (kv.get("body").contains("seg")) {
+      var segsRead = 0
+      val out = body.flatMap { l =>
+        val (seg, _, bounds) = parseDesc(l)
+        if (!admit(bounds)) Nil
+        else {
+          segsRead += 1
+          SegIO.read(manifestDir(root).resolve(seg)).filter(admit)
+        }
+      }
+      (out, segsRead, body.size)
+    } else if (!kv.contains("kind"))
+      (body.map(parseEntry).filter(admit), 0, 0)
+    else {
+      val (base, r, t) = prunedEntries(root, parent, longPreds, strPreds)
+      val removes = body.filter(_.startsWith("-")).map(_.drop(1)).toSet
+      val adds = body.filter(_.startsWith("+")).map(_.drop(1)).map(parseEntry)
+      (base.filterNot(e => removes(e.path)) ++ adds.filter(admit), r, t)
+    }
+  }
+
   /** Multi-predicate stats prune: a file is scanned only when EVERY
     * `(col, lo, hi)` band intersects its recorded bounds for that
     * column — predicates on different columns compose conjunctively,
@@ -1080,8 +1397,7 @@ object ManifestTable {
   def readPrunedMulti(spark: SparkSession, root: Path, version: Int,
       schema: StructType, preds: Seq[(String, Long, Long)]): DataFrame = {
     require(preds.nonEmpty, "readPrunedMulti needs at least one predicate")
-    val hit = entriesFor(root, version).filter(e =>
-      preds.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) })
+    val (hit, _, _) = prunedEntries(root, version, preds, Nil)
     if (hit.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1089,6 +1405,27 @@ object ManifestTable {
         hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
       .filter(preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
         .reduce(_ && _))
+  }
+
+  /** String-band stats prune (wave 132): admit only the files whose
+    * recorded STRING bounds for `keyCol` intersect [lo, hi] — the
+    * mechanism behind "a brand/tenant/category predicate on 100 TB
+    * touches the handful of files whose dictionary band contains it".
+    * Same exactness contract as [[readPrunedMulti]]: stats admit at
+    * file granularity, the row filter re-applies, statless files are
+    * admitted (never skipped).
+    */
+  def readPrunedStr(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, keyCol: String, lo: String, hi: String)
+      : DataFrame = {
+    val (hit, _, _) = prunedEntries(root, version, Nil,
+      Seq((keyCol, lo, hi)))
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
   /** Incremental consumption: the rows added between two snapshots =
@@ -1341,6 +1678,37 @@ object ManifestOps extends QueryGroup {
         Seq("o_orderkey", "o_custkey"), 8)
       require(v1 == 1 && v2 == 2,
         s"zorder lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** STRING-stats lifecycle (wave 132): the part table as a manifest
+    * table whose files are range-laid by p_brand and carry TYPED
+    * per-file bounds — string (p_brand) plus long (p_partkey) — in two
+    * append batches (even/odd part keys, both brand-range-laid, so
+    * every file's brand band is narrow). The declared query prunes on
+    * a lexicographic brand band; Wave132Spec asserts the physical
+    * file skips.
+    */
+  private[graft] def strRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_part_str",
+      Seq(s"$dir/part.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val part = Tables.table(spark, dir, "part")
+      val v1 = ManifestTable.appendCommit(root,
+        ManifestTable.stageWithTypedStats(
+          part.filter(col("p_partkey") % 2 === 0)
+            .repartitionByRange(6, col("p_brand")),
+          root, "base", Seq("p_partkey"), Seq("p_brand")))
+      val v2 = ManifestTable.appendCommit(root,
+        ManifestTable.stageWithTypedStats(
+          part.filter(col("p_partkey") % 2 === 1)
+            .repartitionByRange(3, col("p_brand")),
+          root, "odd", Seq("p_partkey"), Seq("p_brand")))
+      require(v1 == 1 && v2 == 2,
+        s"string-stats lifecycle built versions ($v1,$v2), expected (1,2)")
       Files.createFile(root.resolve("_SUCCESS")): Unit
     }
     Paths.get(out)
@@ -1671,6 +2039,22 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "source_manifest_pruned_str" -> { (spark, dir) =>
+      // STRING-band stats prune (wave 132 — the format's long-only
+      // stats gap closed): the lexicographic brand band
+      // ['Brand#12','Brand#19'] admits only the files whose recorded
+      // p_brand bounds intersect it — Wave132Spec asserts the physical
+      // inputFiles are a strict subset of the live set. Rows re-filter
+      // exactly, so the oracle is the plain string-band filter on the
+      // source table (pure-ASCII values: binary order everywhere).
+      val part = Tables.table(spark, dir, "part")
+      val root = strRoot(spark, dir)
+      ManifestTable.readPrunedStr(spark, root,
+          ManifestTable.latestVersion(root), part.schema,
+          "p_brand", "Brand#12", "Brand#19")
+        .orderBy("p_partkey")
+    },
+
     "source_manifest_schema_evolution" -> { (spark, dir) =>
       // latest snapshot of the ADD COLUMN lifecycle read under ITS
       // recorded schema: v1's 3-column files null-fill the column v2
@@ -1997,6 +2381,16 @@ object ManifestOps extends QueryGroup {
         |WHERE o_orderkey >= lo AND o_orderkey <= hi
         |  AND o_custkey >= 0 AND o_custkey <= hic
         |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_pruned_str" ->
+      // the string band restated on the source table (both engines
+      // compare pure-ASCII brands in binary order); the file-skip
+      // claim itself is Wave132Spec's plan-level assertion
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |  p_retailprice
+        |FROM part
+        |WHERE p_brand >= 'Brand#12' AND p_brand <= 'Brand#19'
+        |ORDER BY p_partkey""".stripMargin,
 
     "manifest_upsert" ->
       // the merged state restated from the source table: matched keys

@@ -69,8 +69,16 @@ class Wave108Spec extends SparkSpec {
     // EVERY commit). Headers are excluded — they are O(1) per commit
     // (version/parent/ts/kind) and dominate a 1-line delta on this
     // deliberately tiny table, which would make the ratio measure the
-    // header constant instead of the claim
-    def bodyBytes(v: Int) = bodyLines(root, v).map(_.length + 1).sum
+    // header constant instead of the claim. A checkpoint's body since
+    // wave 133 is its parquet SEGMENTS (the manifest list's @lines
+    // point at them) — its bytes are the segment file sizes.
+    def bodyBytes(v: Int): Long = {
+      val ls = bodyLines(root, v)
+      if (ls.forall(_.startsWith("@")) && header(root, v).contains("body=seg"))
+        ls.map(l => Files.size(root.resolve("_manifests")
+          .resolve(l.drop(1).split('\t').head))).sum
+      else ls.map(_.length + 1L).sum
+    }
     val deltaBytes = bodyBytes(v1 + 20)
     val ckptBytes = bodyBytes(v1 + 16)
     assert(deltaBytes * 4 < ckptBytes,
