@@ -94,6 +94,15 @@ object ManifestTable {
     /** String-band admission, same only-skip-provably-empty rule. */
     def mayContainStr(c: String, lo: String, hi: String): Boolean =
       bandStr(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
+    /** Open-interval form (None = unbounded side) — strings have no
+      * finite top element, so an unbounded `col > v` predicate cannot
+      * be expressed with closed bounds without a fabricated sentinel
+      * a pathological string could legitimately exceed.
+      */
+    def mayContainStrOpt(c: String, lo: Option[String],
+        hi: Option[String]): Boolean =
+      bandStr(c).forall { case (mn, mx) =>
+        lo.forall(mx >= _) && hi.forall(mn <= _) }
     /** The manifest line: `path` or `path\tc:min:max[,c2:min:max…]`.
       * String bounds ride the same comma list as `c:~b64:~b64` tokens
       * — base64 because a string bound may contain the line format's
@@ -1359,11 +1368,11 @@ object ManifestTable {
     */
   private[graft] def prunedEntries(root: Path, version: Int,
       longPreds: Seq[(String, Long, Long)],
-      strPreds: Seq[(String, String, String)])
+      strPreds: Seq[(String, Option[String], Option[String])])
       : (Seq[FileEntry], Int, Int) = {
     def admit(e: FileEntry): Boolean =
       longPreds.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
-      strPreds.forall { case (c, lo, hi) => e.mayContainStr(c, lo, hi) }
+      strPreds.forall { case (c, lo, hi) => e.mayContainStrOpt(c, lo, hi) }
     val (parent, kv, body) = manifestOf(root, version)
     if (kv.get("body").contains("seg")) {
       var segsRead = 0
@@ -1419,7 +1428,7 @@ object ManifestTable {
       schema: StructType, keyCol: String, lo: String, hi: String)
       : DataFrame = {
     val (hit, _, _) = prunedEntries(root, version, Nil,
-      Seq((keyCol, lo, hi)))
+      Seq((keyCol, Some(lo), Some(hi))))
     if (hit.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -2055,6 +2064,20 @@ object ManifestOps extends QueryGroup {
         .orderBy("p_partkey")
     },
 
+    "source_manifest_v1api_str" -> { (spark, dir) =>
+      // the string-stats table read through the REGISTERED source API
+      // with a brand EQUALITY filter: the V1 relation turns the pushed
+      // string predicate into file skipping via the per-file string
+      // bounds (wave 135 — Wave135Spec asserts the admitted-file
+      // counts), and Spark re-applies the filter row-exactly, so the
+      // oracle is the plain equality filter on the source table.
+      val root = strRoot(spark, dir)
+      spark.read.format("graft-manifest").option("path", root.toString)
+        .load()
+        .filter(col("p_brand") === "Brand#21")
+        .orderBy("p_partkey")
+    },
+
     "source_manifest_schema_evolution" -> { (spark, dir) =>
       // latest snapshot of the ADD COLUMN lifecycle read under ITS
       // recorded schema: v1's 3-column files null-fill the column v2
@@ -2390,6 +2413,14 @@ object ManifestOps extends QueryGroup {
         |  p_retailprice
         |FROM part
         |WHERE p_brand >= 'Brand#12' AND p_brand <= 'Brand#19'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "source_manifest_v1api_str" ->
+      // the equality restated on the source table; the file-skip claim
+      // is Wave135Spec's plan-level assertion
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |  p_retailprice
+        |FROM part WHERE p_brand = 'Brand#21'
         |ORDER BY p_partkey""".stripMargin,
 
     "manifest_upsert" ->

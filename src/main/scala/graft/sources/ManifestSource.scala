@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.StructType
   *
   * The V1 source contract is deliberate: `PrunedFilteredScan` gives
   * this reader column pruning AND filter-driven FILE SKIPPING through
-  * the manifest's per-file column stats — an equality/range predicate
-  * on a stats-carrying long column admits only the files whose
-  * recorded bounds intersect, before any scan, exactly like
-  * [[ManifestTable.readPrunedMulti]]. Every filter is reported
+  * the manifest's per-file column stats — an equality/range/prefix
+  * predicate on a stats-carrying column (long OR string, wave 135)
+  * admits only the files whose recorded bounds intersect, before any
+  * scan, exactly like [[ManifestTable.readPrunedMulti]]; planning
+  * resolves through the manifest LIST, reading only the intersecting
+  * checkpoint segments. Every filter is reported
   * unhandled so Spark re-applies them row-exactly on the admitted
   * files (the stats prune is a superset admit, never an answer).
   * Schema resolution order: caller-supplied > `schema=` header meta
@@ -63,16 +65,23 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         "graft-manifest needs .option(\"path\", <table root>)")))
     Files.createDirectories(root)
     val exists = ManifestTable.latestVersion(root) > 0
-    val statsCols = parameters.get("statsColumns")
+    def colsOf(key: String) = parameters.get(key)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
+    val statsCols = colsOf("statsColumns")
+    // string-typed bounds (wave 135): .option("statsStringColumns",
+    // "brand,region") records per-file string min/max so the read
+    // path's string-filter file skipping composes with written tables
+    val statsStrCols = colsOf("statsStringColumns")
     // batch prefixes must be write-unique (the writeNonce discipline:
     // a repeated prefix REPLACE_EXISTINGs an earlier write's committed
     // data files) — uuid-named files, like the real formats
     def staged(tag: String): Seq[String] = {
       val batch = tag + java.util.UUID.randomUUID().toString.take(8)
-      if (statsCols.isEmpty) ManifestTable.stage(df, root, batch)
-      else ManifestTable.stageWithStats(df, root, batch, statsCols)
+      if (statsCols.isEmpty && statsStrCols.isEmpty)
+        ManifestTable.stage(df, root, batch)
+      else ManifestTable.stageWithTypedStats(df, root, batch,
+        statsCols, statsStrCols)
     }
     val schemaMeta = s"schema=${ManifestTable.schemaMeta(df.schema)}"
     mode match {
@@ -86,7 +95,7 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       case _ => // Append, or a first write under any mode
         ManifestTable.appendCommit(root, staged("ap"), schemaMeta): Unit
     }
-    createRelation(ctx, parameters - "statsColumns")
+    createRelation(ctx, parameters - "statsColumns" - "statsStringColumns")
   }
 
   override def createRelation(ctx: SQLContext,
@@ -153,6 +162,35 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
       case _ => Nil
     }
 
+  /** STRING comparison bands (wave 135), open intervals because
+    * strings have no finite top element. Strict comparisons keep the
+    * inclusive endpoint — a superset admit is always safe (Spark
+    * re-applies the filter row-exactly); prefix predicates use the
+    * classic increment-last-non-maximal-char upper bound.
+    */
+  private def strBands(filters: Array[Filter])
+      : Seq[(String, Option[String], Option[String])] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v: String) => Seq((a, Some(v), Some(v)))
+      case GreaterThan(a, v: String) => Seq((a, Some(v), None))
+      case GreaterThanOrEqual(a, v: String) => Seq((a, Some(v), None))
+      case LessThan(a, v: String) => Seq((a, None, Some(v)))
+      case LessThanOrEqual(a, v: String) => Seq((a, None, Some(v)))
+      case StringStartsWith(a, p) => Seq((a, Some(p), prefixUpper(p)))
+      case And(l, r) => strBands(Array(l, r))
+      case _ => Nil
+    }
+
+  /** Least string that upper-bounds every string with prefix `p`:
+    * drop trailing U+FFFF chars, increment the last survivor; all-max
+    * prefixes have no finite bound (None = unbounded).
+    */
+  private def prefixUpper(p: String): Option[String] = {
+    val t = p.reverse.dropWhile(_ == '\uffff').reverse
+    if (t.isEmpty) None
+    else Some(t.dropRight(1) + (t.last + 1).toChar)
+  }
+
   /** Sidecar-derived key column: a vector sidecar carries exactly the
     * key column (plus `src` for the scoped form).
     */
@@ -166,11 +204,13 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
     * at package level so the file-skipping claim is unit-assertable.
     */
   private[graft] def admittedEntries(filters: Array[Filter])
-      : Seq[ManifestTable.FileEntry] = {
-    val bs = bands(filters)
-    ManifestTable.entriesFor(root, version).filter(e =>
-      bs.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) })
-  }
+      : Seq[ManifestTable.FileEntry] =
+    // two-level planning (wave 134/135): long AND string bands resolve
+    // through the manifest list, reading only the checkpoint segments
+    // whose aggregate bounds intersect — plan IO rides the relevant
+    // fraction of the file list
+    ManifestTable.prunedEntries(root, version,
+      bands(filters), strBands(filters))._1
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
