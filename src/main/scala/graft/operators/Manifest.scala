@@ -325,12 +325,125 @@ object ManifestTable {
     * added columns — parquet's missing-column semantics under an
     * explicit read schema, which is exactly how the real formats
     * implement metadata-only column addition (zero data rewritten).
+    *
+    * COLUMN MAPPING (wave 136): when the header carries `colmap=`
+    * (written by [[renameColumn]]), each logical column reads from its
+    * recorded PHYSICAL name — so a rename is one zero-body commit and
+    * zero rewritten bytes, Delta's column-mapping idea stated
+    * minimally. A column dropped by [[dropColumn]] simply leaves the
+    * logical schema; its bytes stay in the files, projected away.
+    * Note: per-file stats keys are PHYSICAL names (they were the
+    * logical names at stage time) — pruned reads on a renamed column
+    * must pass the physical name ([[physicalName]]).
     */
   def readEvolved(spark: SparkSession, root: Path, version: Int): DataFrame = {
     val m = headerMeta(root, version)
     require(m.contains("schema"),
       s"v$version carries no schema meta — use read() with an explicit schema")
-    read(spark, root, version, parseSchemaMeta(m("schema")))
+    val logical = parseSchemaMeta(m("schema"))
+    val cmap = colMap(m)
+    val physical = StructType(logical.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+    read(spark, root, version, physical)
+      .select(logical.fields.toSeq.map(f =>
+        col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+  }
+
+  /** logical→physical map of a version's header (`colmap=` meta). */
+  private def colMap(m: Map[String, String]): Map[String, String] =
+    m.get("colmap").map(_.split(',').toSeq.map { t =>
+      val Array(l, p) = t.split(':')
+      l -> p
+    }.toMap).getOrElse(Map.empty)
+
+  /** Physical (in-file) name of a logical column at `version` — what
+    * stats-pruned reads and new writers must address.
+    */
+  def physicalName(root: Path, version: Int, logical: String): String =
+    colMap(headerMeta(root, version)).getOrElse(logical, logical)
+
+  private def tokenSafe(n: String): Unit =
+    require(!n.exists(c => c == ':' || c == ',' || c == ' ' || c == '\t'),
+      s"column name not header-token-safe: '$n'")
+
+  /** Metadata-only RENAME COLUMN: one ZERO-body commit whose header
+    * carries the renamed logical schema plus the logical→physical
+    * mapping; no data file is touched — files keep the physical name,
+    * [[readEvolved]] aliases it back. The schema state is recomputed
+    * against the WINNING parent inside the OCC retry, so a racing
+    * append simply composes. Returns the new version.
+    */
+  def renameColumn(root: Path, oldName: String, newName: String): Int = {
+    tokenSafe(newName)
+    commitOpsF(root, { parent =>
+      require(parent > 0, "renameColumn on an empty table")
+      val m = headerMeta(root, parent)
+      require(m.contains("schema"),
+        s"v$parent carries no schema meta — the table is not evolvable")
+      val logical = parseSchemaMeta(m("schema"))
+      require(logical.fieldNames.contains(oldName),
+        s"renameColumn: no column '$oldName' in ${logical.fieldNames.toSeq}")
+      require(!logical.fieldNames.contains(newName),
+        s"renameColumn: '$newName' already exists")
+      val cmap0 = colMap(m)
+      val phys = cmap0.getOrElse(oldName, oldName)
+      val cmap = (cmap0 - oldName) ++ (
+        if (phys == newName) Nil else Seq(newName -> phys))
+      val renamed = StructType(logical.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      s"schema=${schemaMeta(renamed)}" + (if (cmap.isEmpty) "" else
+        s" colmap=${cmap.toSeq.sorted.map { case (l, p) => s"$l:$p" }
+          .mkString(",")}")
+    })(_ => Some((Nil, Nil))).get
+  }
+
+  /** Metadata-only DROP COLUMN: the column leaves the logical schema
+    * (and the mapping) in one zero-body commit; its bytes stay in the
+    * immutable files, projected away by every evolved read — exactly
+    * how real formats make DROP instant at any table size. At least
+    * one column must remain.
+    */
+  def dropColumn(root: Path, name: String): Int =
+    commitOpsF(root, { parent =>
+      require(parent > 0, "dropColumn on an empty table")
+      val m = headerMeta(root, parent)
+      require(m.contains("schema"),
+        s"v$parent carries no schema meta — the table is not evolvable")
+      val logical = parseSchemaMeta(m("schema"))
+      require(logical.fieldNames.contains(name),
+        s"dropColumn: no column '$name' in ${logical.fieldNames.toSeq}")
+      require(logical.fields.length > 1,
+        "dropColumn would leave an empty schema")
+      val cmap = colMap(m) - name
+      val dropped = StructType(logical.fields.filterNot(_.name == name))
+      s"schema=${schemaMeta(dropped)}" + (if (cmap.isEmpty) "" else
+        s" colmap=${cmap.toSeq.sorted.map { case (l, p) => s"$l:$p" }
+          .mkString(",")}")
+    })(_ => Some((Nil, Nil))).get
+
+  /** The `schema=`/`colmap=` meta tokens of a committed version — what
+    * an appending writer passes so its commit PRESERVES the evolution
+    * state (commit meta is per-commit, not inherited; a schema-less
+    * append on an evolved table would strand readEvolved).
+    */
+  def evolutionMeta(root: Path, version: Int): String = {
+    val m = headerMeta(root, version)
+    require(m.contains("schema"),
+      s"v$version carries no schema meta — the table is not evolvable")
+    s"schema=${m("schema")}" +
+      m.get("colmap").map(c => s" colmap=$c").getOrElse("")
+  }
+
+  /** Stage under the PHYSICAL names of `version`'s mapping: a writer
+    * appending after a rename holds logical column names; files must
+    * carry physical ones or the mapped read would miss them. A no-op
+    * select when the table has no mapping.
+    */
+  def stageEvolved(df: DataFrame, root: Path, batch: String,
+      version: Int): Seq[String] = {
+    val cmap = colMap(headerMeta(root, version))
+    stage(df.select(df.columns.toSeq.map(c =>
+      col(c).as(cmap.getOrElse(c, c))): _*), root, batch)
   }
 
   /** Header key=value metadata of one committed version (empty for
@@ -1803,6 +1916,53 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** COLUMN-MAPPING lifecycle (wave 136): v1 = even-key orders under a
+    * 3-column schema; v2 = odd-key append under the widened 4-column
+    * schema (the evo lifecycle's ADD COLUMN); v3 = metadata-only
+    * RENAME o_totalprice→o_price (zero body, zero rewritten bytes —
+    * files keep the physical name); v4 = an append AFTER the rename
+    * (%5 keys shifted above max, price +1000) staged through
+    * [[ManifestTable.stageEvolved]] so its files carry the physical
+    * name; v5 = metadata-only DROP o_custkey. The declared query reads
+    * the result under the final logical schema; Wave136Spec asserts
+    * the zero-rewrite claims file-by-file.
+    */
+  private[graft] def evo2Root(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_evo2",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val s1 = orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = ManifestTable.appendCommit(root,
+        ManifestTable.stage(s1.repartition(2), root, "base"),
+        s"schema=${ManifestTable.schemaMeta(s1.schema)}")
+      val s2 = orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+      val v2 = ManifestTable.appendCommit(root,
+        ManifestTable.stage(s2.repartition(2), root, "widen"),
+        s"schema=${ManifestTable.schemaMeta(s2.schema)}")
+      val v3 = ManifestTable.renameColumn(root, "o_totalprice", "o_price")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val s4 = orders
+        .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") > 0)
+        .select((col("o_orderkey") + mx).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") + lit(1000.0d)).as("o_price"),
+          col("o_orderpriority"))
+      val v4 = ManifestTable.appendCommit(root,
+        ManifestTable.stageEvolved(s4.repartition(1), root, "late", v3),
+        ManifestTable.evolutionMeta(root, v3))
+      val v5 = ManifestTable.dropColumn(root, "o_custkey")
+      require(Seq(v1, v2, v3, v4, v5) == Seq(1, 2, 3, 4, 5),
+        s"colmap lifecycle built ($v1,$v2,$v3,$v4,$v5), expected 1..5")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** Merge-on-read lifecycle: v1 = orders range-laid with stats; v2 =
     * a DELETION-VECTOR commit (keys %13 — writes only the sidecar,
     * zero data files rewritten); v3 = compactMOR materializing the
@@ -2084,6 +2244,21 @@ object ManifestOps extends QueryGroup {
       // added, zero bytes rewritten — metadata-only evolution. The
       // oracle restates the null-fill from the original parquet.
       val root = evoRoot(spark, dir)
+      ManifestTable.readEvolved(spark, root,
+          ManifestTable.latestVersion(root))
+        .orderBy("o_orderkey")
+    },
+
+    "source_manifest_colmap" -> { (spark, dir) =>
+      // COLUMN MAPPING (wave 136): latest snapshot of the rename/drop
+      // lifecycle read under its final logical schema (o_orderkey,
+      // o_price, o_orderpriority) — pre-rename files alias their
+      // physical o_totalprice to o_price, the post-rename append wrote
+      // physical names via stageEvolved, and the dropped o_custkey is
+      // projected away with zero bytes rewritten (Wave136Spec asserts
+      // the files are untouched). The oracle restates all three
+      // batches from the source table.
+      val root = evo2Root(spark, dir)
       ManifestTable.readEvolved(spark, root,
           ManifestTable.latestVersion(root))
         .orderBy("o_orderkey")
@@ -2487,6 +2662,24 @@ object ManifestOps extends QueryGroup {
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
         |    AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_colmap" ->
+      // the three batches restated: pre-rename evens (null priority,
+      // price = o_totalprice), odds, and the post-rename shifted %5
+      // append (price +1000.0, the same IEEE add on both engines)
+      """WITH b AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderkey, o_totalprice AS o_price,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice AS o_price, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey + m AS o_orderkey,
+        |  o_totalprice + 1000.0 AS o_price, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey > 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "ivm_manifest_delta" ->
       // the refreshed view == the full aggregate over the source (v2's
