@@ -461,6 +461,36 @@ object ManifestTable {
     (1 to latestVersion(root))
       .flatMap(v => headerMeta(root, v).get("batch").map(_.toLong)).toSet
 
+  /** Incremental ledger (wave 137): manifest headers are immutable, so
+    * a JVM-wide cache of (versions scanned so far, batch ids seen)
+    * turns the per-micro-batch ledger check from O(versions) header
+    * reads into O(new commits since the last check) — without it a
+    * long-lived sink pays O(n²) cumulative header IO over its
+    * lifetime. Correct under races and other writers by construction:
+    * the cache is only ever a (bound, subset) pair of immutable
+    * history; a stale bound just re-reads the missed suffix on the
+    * next call, and a concurrent put that regresses the bound leaves a
+    * valid (smaller) snapshot. Delta carries the same state in its
+    * checkpoints (per-appId txn versions); an in-JVM suffix cache is
+    * the minimal form that keeps this format's no-extra-state shape.
+    */
+  private val batchLedger = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Set[Long])]()
+
+  private def committedBatchesCached(root: Path): Set[Long] = {
+    val key = root.toAbsolutePath.toString
+    val latest = latestVersion(root)
+    val (seen, known) = Option(batchLedger.get(key))
+      .getOrElse((0, Set.empty[Long]))
+    if (latest <= seen) known
+    else {
+      val merged = known ++ (seen + 1 to latest)
+        .flatMap(v => headerMeta(root, v).get("batch").map(_.toLong))
+      batchLedger.put(key, (latest, merged))
+      merged
+    }
+  }
+
   /** Exactly-once streaming commit: append `df`'s rows as the next
     * snapshot, recording `batchId` in the manifest header. A replayed
     * batch (same id — Spark's foreachBatch may re-deliver after a
@@ -475,7 +505,8 @@ object ManifestTable {
     */
   def commitBatch(df: DataFrame, root: Path, batchId: Long,
       statsKey: Option[String] = None): Int = {
-    if (committedBatches(root).contains(batchId)) return latestVersion(root)
+    if (committedBatchesCached(root).contains(batchId))
+      return latestVersion(root)
     // batch prefix carries a writer nonce: two RACING replays of the
     // same batch (the top check can't see an in-flight twin) must not
     // stage into one path and clobber each other mid-write — each gets
@@ -490,7 +521,7 @@ object ManifestTable {
       case None => stage(df, root, batch)
     }
     commitOpsF(root, _ => s"batch=$batchId") { parent =>
-      if (committedBatches(root).contains(batchId)) None
+      if (committedBatchesCached(root).contains(batchId)) None
       else Some((added, Nil)) // O(|batch|) delta commit
     }.getOrElse(latestVersion(root))
   }
