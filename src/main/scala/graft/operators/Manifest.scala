@@ -173,7 +173,46 @@ object ManifestTable {
     // never trust the hint's existence claim — verify, fall back to 0
     var v = if (hint > 0 && Files.exists(d.resolve(name(hint)))) hint else 0
     while (Files.exists(d.resolve(name(v + 1)))) v += 1
+    // wave 138: with the hint lost AND v00001 expired by log retention,
+    // the forward probe from 0 finds nothing — fall back to ONE
+    // directory listing (the cold path real formats also pay when
+    // their _last_checkpoint is gone), then probe forward from it
+    if (v == 0) {
+      manifestVersionsListed(d).maxOption.foreach { m =>
+        v = m
+        while (Files.exists(d.resolve(name(v + 1)))) v += 1
+      }
+    }
     v
+  }
+
+  /** Every live manifest version by directory listing — the cold-path
+    * fallback only; steady-state lookups ride the hints.
+    */
+  private def manifestVersionsListed(d: Path): Seq[Int] = {
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try s.map[String](_.getFileName.toString).toArray.toSeq.collect {
+      case n: String if n.startsWith("v") && n.endsWith(".txt") =>
+        n.substring(1, n.length - 4).toInt
+    } finally s.close()
+  }
+
+  /** Smallest LIVE manifest version, 0 for an empty table — 1 until
+    * [[expireManifests]] first truncates the log. The `_first` hint is
+    * advisory like `_latest`: written after an expiry completes,
+    * validated by existence, listing fallback when wrong.
+    */
+  def firstVersion(root: Path): Int = {
+    val d = manifestDir(root)
+    if (!Files.isDirectory(d)) return 0
+    val hint =
+      try new String(Files.readAllBytes(d.resolve("_first")), "UTF-8")
+        .trim.toInt
+      catch { case _: Exception => 1 }
+    if (hint >= 1 && Files.exists(d.resolve(name(hint)))) hint
+    else if (Files.exists(d.resolve(name(1)))) 1
+    else manifestVersionsListed(d).minOption.getOrElse(0)
   }
 
   /** Advance the `_latest` hint to at least `v` (best-effort; losers
@@ -213,8 +252,12 @@ object ManifestTable {
   /** Header fields + body lines of ONE manifest file, unresolved. */
   private def manifestOf(root: Path, version: Int)
       : (Int, Map[String, String], Seq[String]) = {
+    val f = manifestDir(root).resolve(name(version))
+    if (!Files.exists(f))
+      throw new IllegalStateException(s"manifest v$version is absent — " +
+        "expired by log retention (expireManifests) or never committed")
     val lines = scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(manifestDir(root).resolve(name(version)))).asScala
+      Files.readAllLines(f)).asScala
     require(lines.nonEmpty && lines.head.startsWith(
       s"# graft-manifest version=$version "),
       s"corrupt manifest for v$version")
@@ -458,7 +501,7 @@ object ManifestTable {
     * replay contract.
     */
   def committedBatches(root: Path): Set[Long] =
-    (1 to latestVersion(root))
+    (math.max(1, firstVersion(root)) to latestVersion(root))
       .flatMap(v => headerMeta(root, v).get("batch").map(_.toLong)).toSet
 
   /** Incremental ledger (wave 137): manifest headers are immutable, so
@@ -484,7 +527,12 @@ object ManifestTable {
       .getOrElse((0, Set.empty[Long]))
     if (latest <= seen) known
     else {
-      val merged = known ++ (seen + 1 to latest)
+      // start past BOTH the cache bound and the retention horizon —
+      // batches recorded only in expired manifests are forgotten, the
+      // same window semantics as Delta's txn retention (don't expire
+      // below a live sink's replay horizon)
+      val from = math.max(seen, math.max(1, firstVersion(root)) - 1)
+      val merged = known ++ (from + 1 to latest)
         .flatMap(v => headerMeta(root, v).get("batch").map(_.toLong))
       batchLedger.put(key, (latest, merged))
       merged
@@ -819,7 +867,7 @@ object ManifestTable {
   def versionAt(root: Path, tMillis: Long): Int = {
     val latest = latestVersion(root)
     require(latest > 0, "versionAt on an empty table")
-    val eligible = (1 to latest).filter { v =>
+    val eligible = (math.max(1, firstVersion(root)) to latest).filter { v =>
       headerMeta(root, v).get("ts").exists(_.toLong <= tMillis)
     }
     require(eligible.nonEmpty,
@@ -843,7 +891,8 @@ object ManifestTable {
     */
   def history(spark: SparkSession, root: Path): DataFrame = {
     val infra = Set("ts", "depth", "schema", "body")
-    val rows = (1 to latestVersion(root)).map { v =>
+    val rows = (math.max(1, firstVersion(root)) to latestVersion(root))
+      .map { v =>
       val m = headerMeta(root, v)
       org.apache.spark.sql.Row(
         v.toLong,
@@ -1428,7 +1477,8 @@ object ManifestTable {
     // a kept snapshot needs its data files AND its deletion vectors
     // (both kinds) — dropping a referenced vector would silently
     // resurrect deleted rows
-    val keep = (keepFrom to latestVersion(root))
+    val keep = (math.max(keepFrom, math.max(1, firstVersion(root)))
+        to latestVersion(root))
       .flatMap(v => filesFor(root, v) ++ dvsFor(root, v) ++
         scopedDvsFor(root, v)).toSet
     val horizon = System.currentTimeMillis() - retainMillis
@@ -1459,7 +1509,8 @@ object ManifestTable {
       retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val d = manifestDir(root)
     if (!Files.isDirectory(d)) return Nil
-    val referenced = (1 to latestVersion(root)).flatMap { v =>
+    val referenced = (math.max(1, firstVersion(root))
+        to latestVersion(root)).flatMap { v =>
       val (_, kv, body) = manifestOf(root, v)
       if (kv.get("body").contains("seg")) body.map(parseDesc(_)._1) else Nil
     }.toSet
@@ -1473,6 +1524,58 @@ object ManifestTable {
     val dead = all.filterNot(referenced).filter(n =>
       Files.getLastModifiedTime(d.resolve(n)).toMillis < horizon)
     dead.foreach(n => Files.delete(d.resolve(n)))
+    dead
+  }
+
+  /** LOG retention (wave 138): delete the manifest files no kept
+    * version's resolution can reach — without it `_manifests/` grows
+    * one file per commit FOREVER (a million-commit table carries a
+    * million log files), the unbounded-metadata twin of the data-file
+    * problem [[vacuum]] solves; Delta's logRetentionDuration and
+    * Iceberg's expire-snapshots exist for exactly this.
+    *
+    * Resolving any v ≥ `keepFrom` needs v's delta chain back to its
+    * checkpoint, and chains only ever point BACKWARD — so everything
+    * below `chainBase(keepFrom)` (the checkpoint at or below it) is
+    * unreachable from every kept version and can go. Time travel below
+    * `keepFrom` dies — that is the point, the same contract as
+    * [[vacuum]]; batch-ledger entries recorded only in expired
+    * manifests are forgotten (don't expire below a live sink's replay
+    * horizon), and `history`/`versionAt` truncate to the kept range.
+    * The `_first` hint is written BEFORE the deletes so a crash
+    * mid-expiry leaves a valid (already-truncated) view plus some
+    * undeleted stragglers the next expiry sweeps; the expired
+    * checkpoints' parquet segments become unreferenced and fall to
+    * [[vacuumOrphanSegments]]. Returns the deleted manifest names.
+    */
+  def expireManifests(root: Path, keepFrom: Int): Seq[String] = {
+    val latest = latestVersion(root)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"expireManifests keepFrom=$keepFrom outside committed 1..$latest")
+    // the checkpoint keepFrom's chain resolves from (chains are
+    // parent-linked, so walk until a non-delta manifest)
+    var base = keepFrom
+    while (manifestOf(root, base)._2.contains("kind"))
+      base = manifestOf(root, base)._1
+    val d = manifestDir(root)
+    // listing, not the firstVersion..base range: a crashed previous
+    // expiry can leave stragglers BELOW the _first hint, which a
+    // range walk would never sweep
+    val expendable = manifestVersionsListed(d).filter(_ < base).sorted
+    if (expendable.isEmpty) return Nil
+    // hint first: a crash after this point leaves a consistent
+    // truncated table with vacuumable stragglers, never a live table
+    // whose firstVersion points at a deleted manifest
+    try {
+      val tmp = d.resolve(s"._first_${nonce()}")
+      Files.write(tmp, base.toString.getBytes("UTF-8"))
+      Files.move(tmp, d.resolve("_first"),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () }
+    val dead = expendable.map(name)
+    // deleteIfExists: two concurrent expiries may race on one file
+    dead.foreach(n => Files.deleteIfExists(d.resolve(n)): Unit)
     dead
   }
 
