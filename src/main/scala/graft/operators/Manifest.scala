@@ -76,12 +76,13 @@ object ManifestTable {
       stats.collectFirst { case (`c`, b) => b }
     /** Recorded STRING bounds of `c` (round-9 wave 132: the r8/r9
       * format carried long bounds only — "no string/binary bounds"
-      * was a named representational gap). Comparisons are binary
-      * (codepoint) order on both the write side (Spark's min/max on
-      * StringType) and here (Java String compare) — identical for
-      * ASCII, which covers every fixture column; supplementary-plane
-      * text would need UTF-8-byte order to match Spark exactly, the
-      * same caveat real formats document for truncated string bounds.
+      * was a named representational gap). Admission compares in
+      * UTF-8 BYTE order ([[ManifestTable.u8cmp]]) because that is the
+      * order Spark's min/max on StringType recorded the bounds in —
+      * Java's UTF-16 code-unit compare disagrees for
+      * supplementary-plane text vs U+E000..U+FFFF, and a wrong-order
+      * compare there would SKIP a non-empty file (wave-139 review
+      * fix), breaking the only-skip-provably-empty rule.
       */
     def bandStr(c: String): Option[(String, String)] =
       strStats.collectFirst { case (`c`, b) => b }
@@ -93,7 +94,8 @@ object ManifestTable {
       band(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
     /** String-band admission, same only-skip-provably-empty rule. */
     def mayContainStr(c: String, lo: String, hi: String): Boolean =
-      bandStr(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
+      bandStr(c).forall { case (mn, mx) =>
+        u8cmp(mn, hi) <= 0 && u8cmp(mx, lo) >= 0 }
     /** Open-interval form (None = unbounded side) — strings have no
       * finite top element, so an unbounded `col > v` predicate cannot
       * be expressed with closed bounds without a fabricated sentinel
@@ -102,7 +104,7 @@ object ManifestTable {
     def mayContainStrOpt(c: String, lo: Option[String],
         hi: Option[String]): Boolean =
       bandStr(c).forall { case (mn, mx) =>
-        lo.forall(mx >= _) && hi.forall(mn <= _) }
+        lo.forall(u8cmp(mx, _) >= 0) && hi.forall(u8cmp(mn, _) <= 0) }
     /** The manifest line: `path` or `path\tc:min:max[,c2:min:max…]`.
       * String bounds ride the same comma list as `c:~b64:~b64` tokens
       * — base64 because a string bound may contain the line format's
@@ -121,6 +123,29 @@ object ManifestTable {
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Unsigned UTF-8 byte comparison — the collation Spark's UTF8String
+    * min/max recorded the string bounds in. Java String.compareTo
+    * (UTF-16 code units) agrees on the BMP below the surrogate block
+    * but INVERTS supplementary-plane text vs U+E000..U+FFFF; pruning
+    * with the wrong order would skip non-empty files.
+    */
+  private[graft] def u8cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private[graft] def u8min(a: String, b: String): String =
+    if (u8cmp(a, b) <= 0) a else b
+  private[graft] def u8max(a: String, b: String): String =
+    if (u8cmp(a, b) >= 0) a else b
 
   private def parseEntry(l: String): FileEntry = l.split('\t') match {
     case Array(p) => FileEntry(p, Nil)
@@ -189,13 +214,17 @@ object ManifestTable {
   /** Every live manifest version by directory listing — the cold-path
     * fallback only; steady-state lookups ride the hints.
     */
+  private val ManifestName = """v(\d{5,})\.txt""".r
+
   private def manifestVersionsListed(d: Path): Seq[Int] = {
     if (!Files.isDirectory(d)) return Nil
     val s = Files.list(d)
+    // exact-shape match: a stray "v2-backup.txt" or "versions.txt"
+    // dropped into _manifests/ must be inert, not a NumberFormat crash
     try s.map[String](_.getFileName.toString).toArray.toSeq.collect {
-      case n: String if n.startsWith("v") && n.endsWith(".txt") =>
-        n.substring(1, n.length - 4).toInt
-    } finally s.close()
+      case n: String => n
+    }.collect { case ManifestName(v) => v.toInt }
+    finally s.close()
   }
 
   /** Smallest LIVE manifest version, 0 for an empty table — 1 until
@@ -405,6 +434,12 @@ object ManifestTable {
   def physicalName(root: Path, version: Int, logical: String): String =
     colMap(headerMeta(root, version)).getOrElse(logical, logical)
 
+  /** The whole logical→physical map of a version (empty when the
+    * table has never been renamed) — one header read.
+    */
+  def columnMap(root: Path, version: Int): Map[String, String] =
+    colMap(headerMeta(root, version))
+
   private def tokenSafe(n: String): Unit =
     require(!n.exists(c => c == ':' || c == ',' || c == ' ' || c == '\t'),
       s"column name not header-token-safe: '$n'")
@@ -523,8 +558,15 @@ object ManifestTable {
   private def committedBatchesCached(root: Path): Set[Long] = {
     val key = root.toAbsolutePath.toString
     val latest = latestVersion(root)
-    val (seen, known) = Option(batchLedger.get(key))
+    val (seen0, known0) = Option(batchLedger.get(key))
       .getOrElse((0, Set.empty[Long]))
+    // history SHRANK → the table at this path was deleted and
+    // recreated (a reset test harness, a rebuilt staging table):
+    // trusting the old ids would silently DROP the new table's
+    // replayed batches — discard and rescan (wave-139 review fix)
+    val (seen, known) =
+      if (latest < seen0) { batchLedger.remove(key); (0, Set.empty[Long]) }
+      else (seen0, known0)
     if (latest <= seen) known
     else {
       // start past BOTH the cache bound and the retention horizon —
@@ -534,6 +576,10 @@ object ManifestTable {
       val from = math.max(seen, math.max(1, firstVersion(root)) - 1)
       val merged = known ++ (from + 1 to latest)
         .flatMap(v => headerMeta(root, v).get("batch").map(_.toLong))
+      // crude bound like SegIO's: a test JVM creating hundreds of
+      // temp tables must not accumulate entries forever (a perf
+      // cache, never a correctness structure)
+      if (batchLedger.size > 512) batchLedger.clear()
       batchLedger.put(key, (latest, merged))
       merged
     }
@@ -701,7 +747,8 @@ object ManifestTable {
         c -> (bs.map(_._1).min, bs.map(_._2).max) },
       scols.map { c =>
         val bs = entries.map(_.bandStr(c).get)
-        c -> (bs.map(_._1).min, bs.map(_._2).max) })
+        // UTF-8 order, matching the entry-level bounds' collation
+        c -> (bs.map(_._1).reduce(u8min), bs.map(_._2).reduce(u8max)) })
   }
 
   /** Manifest-LIST descriptor line for one checkpoint segment:
@@ -1278,12 +1325,14 @@ object ManifestTable {
       .reduce(_ bitwiseOR _)
     // stats on both interleaved columns: the narrow per-file bands ARE
     // the product this op sells; preserve any further recorded columns
+    // of BOTH kinds (the non-narrowing rule, wave-139 review fix)
     val statCols = (cols ++ live.flatMap(_.stats.map(_._1))).distinct
-    val rewritten = stageWithStats(
+    val strCols = live.flatMap(_.strStats.map(_._1)).distinct
+    val rewritten = stageWithTypedStats(
       df.withColumn("__z", z)
         .repartitionByRange(math.max(1, targetFiles), col("__z"))
         .sortWithinPartitions("__z").drop("__z"),
-      root, s"zorder$from${nonce()}", statCols)
+      root, s"zorder$from${nonce()}", statCols, strCols)
     commitOpsF(root, _ => s"zorder=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!live.forall(e => curPaths.contains(e.path)))
@@ -1411,10 +1460,14 @@ object ManifestTable {
       schema: StructType, keyCol: String, targetFiles: Int): Int = {
     require(dvsFor(root, from).isEmpty,
       "mixed key-based and scoped vectors on one snapshot — compactMOR first")
-    commit(root, stageWithStats(
+    // preserve recorded stat coverage of BOTH kinds (non-narrowing)
+    val live = entriesFor(root, from)
+    commit(root, stageWithTypedStats(
       readMORScoped(spark, root, from, schema, keyCol)
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
-      root, s"cmors$from${nonce()}", keyCol), meta = "dvp=")
+      root, s"cmors$from${nonce()}",
+      (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
+      live.flatMap(_.strStats.map(_._1)).distinct), meta = "dvp=")
   }
 
   /** Fail-loud guard for the rewrite paths: positional vectors do not
@@ -1451,11 +1504,15 @@ object ManifestTable {
       schema: StructType, keyCol: String, targetFiles: Int): Int = {
     requireNoScopedDvs(root, from, "compactMOR")
     // explicit empty dv= token: the vectors were just materialized, so
-    // this is the ONE commit that must NOT inherit the parent's list
-    commit(root, stageWithStats(
+    // this is the ONE commit that must NOT inherit the parent's list.
+    // Stat coverage of BOTH kinds is preserved (non-narrowing).
+    val live = entriesFor(root, from)
+    commit(root, stageWithTypedStats(
       readMOR(spark, root, from, schema, keyCol)
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
-      root, s"cmor$from${nonce()}", keyCol), meta = "dv=")
+      root, s"cmor$from${nonce()}",
+      (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
+      live.flatMap(_.strStats.map(_._1)).distinct), meta = "dv=")
   }
 
   /** Retention: delete data files referenced by NO version ≥
@@ -1509,11 +1566,16 @@ object ManifestTable {
       retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val d = manifestDir(root)
     if (!Files.isDirectory(d)) return Nil
-    val referenced = (math.max(1, firstVersion(root))
-        to latestVersion(root)).flatMap { v =>
-      val (_, kv, body) = manifestOf(root, v)
-      if (kv.get("body").contains("seg")) body.map(parseDesc(_)._1) else Nil
-    }.toSet
+    // referenced = segments of EVERY manifest still on disk (listed,
+    // not firstVersion..latest): a crashed expiry leaves straggler
+    // manifests below _first whose segments must survive until the
+    // stragglers themselves are swept (wave-139 review fix)
+    val referenced = manifestVersionsListed(manifestDir(root))
+      .flatMap { v =>
+        val (_, kv, body) = manifestOf(root, v)
+        if (kv.get("body").contains("seg")) body.map(parseDesc(_)._1)
+        else Nil
+      }.toSet
     val horizon = System.currentTimeMillis() - retainMillis
     val s = Files.list(d)
     val all =
@@ -1553,10 +1615,14 @@ object ManifestTable {
     require(keepFrom >= 1 && keepFrom <= latest,
       s"expireManifests keepFrom=$keepFrom outside committed 1..$latest")
     // the checkpoint keepFrom's chain resolves from (chains are
-    // parent-linked, so walk until a non-delta manifest)
+    // parent-linked, so walk until a non-delta manifest; one read per
+    // hop)
     var base = keepFrom
-    while (manifestOf(root, base)._2.contains("kind"))
-      base = manifestOf(root, base)._1
+    var m = manifestOf(root, base)
+    while (m._2.contains("kind")) {
+      base = m._1
+      m = manifestOf(root, base)
+    }
     val d = manifestDir(root)
     // listing, not the firstVersion..base range: a crashed previous
     // expiry can leave stragglers BELOW the _first hint, which a
@@ -1650,9 +1716,25 @@ object ManifestTable {
     * disjoint and is admitted (the row-level filter still applies, so
     * results stay exact either way).
     */
+  /** Fail-loud guard shared by the pruned readers: they scan snapshot
+    * FILES and never subtract deletion vectors, so running one on a
+    * DV-carrying version would silently resurrect deleted rows — the
+    * same hazard the V1 source guards by checking vectors before
+    * pruning (wave-139 review fix). Use [[readMOR]] /
+    * [[readMORScoped]] (or compact first) on such snapshots.
+    */
+  private def requirePrunableSnapshot(root: Path, version: Int,
+      op: String): Unit =
+    require(dvsFor(root, version).isEmpty &&
+        scopedDvsFor(root, version).isEmpty,
+      s"$op on v$version: outstanding deletion vectors — a pruned " +
+      "file scan would resurrect deleted rows; use readMOR/" +
+      "readMORScoped or compact first")
+
   def readPrunedMulti(spark: SparkSession, root: Path, version: Int,
       schema: StructType, preds: Seq[(String, Long, Long)]): DataFrame = {
     require(preds.nonEmpty, "readPrunedMulti needs at least one predicate")
+    requirePrunableSnapshot(root, version, "readPrunedMulti")
     val (hit, _, _) = prunedEntries(root, version, preds, Nil)
     if (hit.isEmpty)
       return spark.createDataFrame(
@@ -1674,6 +1756,7 @@ object ManifestTable {
   def readPrunedStr(spark: SparkSession, root: Path, version: Int,
       schema: StructType, keyCol: String, lo: String, hi: String)
       : DataFrame = {
+    requirePrunableSnapshot(root, version, "readPrunedStr")
     val (hit, _, _) = prunedEntries(root, version, Nil,
       Seq((keyCol, Some(lo), Some(hi))))
     if (hit.isEmpty)

@@ -137,6 +137,22 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
 
   override def sqlContext: SQLContext = ctx
 
+  // COLUMN MAPPING (wave 139 review fix): `schema` is the LOGICAL
+  // schema (what Spark sees); after a renameColumn the files carry
+  // PHYSICAL names — reading under the logical schema would null-fill
+  // the renamed column silently. Read physical, alias back; pushed
+  // filter names translate logical→physical before stats admission.
+  private val cmap: Map[String, String] =
+    ManifestTable.columnMap(root, version)
+  private def phys(c: String): String = cmap.getOrElse(c, c)
+  private val physSchema: StructType =
+    StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
+  private def toLogical(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (cmap.isEmpty) df
+    else df.select(schema.fields.toSeq.map(f =>
+      col(phys(f.name)).as(f.name)): _*)
+
   // the stats prune is a superset admit; Spark must re-apply every
   // predicate row-exactly on the admitted files
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
@@ -208,30 +224,32 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
     // two-level planning (wave 134/135): long AND string bands resolve
     // through the manifest list, reading only the checkpoint segments
     // whose aggregate bounds intersect — plan IO rides the relevant
-    // fraction of the file list
+    // fraction of the file list. Band names translate to PHYSICAL
+    // (stats keys are stage-time names).
     ManifestTable.prunedEntries(root, version,
-      bands(filters), strBands(filters))._1
+      bands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      strBands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val spark = ctx.sparkSession
     val dvs = ManifestTable.dvsFor(root, version)
     val dvps = ManifestTable.scopedDvsFor(root, version)
-    val df =
+    val df = toLogical(
       if (dvps.nonEmpty) // positional vectors: full MOR-scoped read
-        ManifestTable.readMORScoped(spark, root, version, schema,
+        ManifestTable.readMORScoped(spark, root, version, physSchema,
           sidecarKey(dvps))
       else if (dvs.nonEmpty) // key vectors: subtract, no file skip
-        ManifestTable.readMOR(spark, root, version, schema,
+        ManifestTable.readMOR(spark, root, version, physSchema,
           sidecarKey(dvs))
       else { // clean snapshot: stats-pruned file set, explicit schema
         val admitted = admittedEntries(filters)
         if (admitted.isEmpty)
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], schema)
-        else spark.read.schema(schema).parquet(admitted.map(e =>
+            spark.sparkContext.emptyRDD[Row], physSchema)
+        else spark.read.schema(physSchema).parquet(admitted.map(e =>
           root.resolve("data").resolve(e.path).toString): _*)
-      }
+      })
     (if (requiredColumns.isEmpty) df
      else df.select(requiredColumns.toSeq.map(col): _*)).rdd
   }
