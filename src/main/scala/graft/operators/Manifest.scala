@@ -147,7 +147,7 @@ object ManifestTable {
   private[graft] def u8max(a: String, b: String): String =
     if (u8cmp(a, b) >= 0) a else b
 
-  private def parseEntry(l: String): FileEntry = l.split('\t') match {
+  private[graft] def parseEntry(l: String): FileEntry = l.split('\t') match {
     case Array(p) => FileEntry(p, Nil)
     case Array(p, s) =>
       val toks = s.split(',').toSeq.map { t =>
@@ -736,7 +736,7 @@ object ManifestTable {
     * it — a statless member makes the segment unprovable-disjoint for
     * that column, so the descriptor must admit it unconditionally.
     */
-  private def segmentBounds(entries: Seq[FileEntry]): FileEntry = {
+  private[graft] def segmentBounds(entries: Seq[FileEntry]): FileEntry = {
     val lcols = entries.head.stats.map(_._1)
       .filter(c => entries.forall(_.band(c).isDefined))
     val scols = entries.head.strStats.map(_._1)
@@ -756,13 +756,13 @@ object ManifestTable {
     * comma token syntax entry lines use, so the list level reuses the
     * entry level's typed-bounds encoding verbatim.
     */
-  private def descLine(seg: String, n: Int, b: FileEntry): String = {
+  private[graft] def descLine(seg: String, n: Int, b: FileEntry): String = {
     val toks = FileEntry("x", b.stats, b.strStats).line.split('\t')
     if (toks.length == 1) s"@$seg\t$n" else s"@$seg\t$n\t${toks(1)}"
   }
 
   /** (segment file, entry count, aggregate bounds). */
-  private def parseDesc(l: String): (String, Int, FileEntry) = {
+  private[graft] def parseDesc(l: String): (String, Int, FileEntry) = {
     require(l.startsWith("@"), s"corrupt manifest-list line: $l")
     l.drop(1).split('\t') match {
       case Array(seg, n) => (seg, n.toInt, FileEntry(seg, Nil))
