@@ -556,8 +556,19 @@ object ManifestTable {
     String, (Int, Set[Long])]()
 
   private def committedBatchesCached(root: Path): Set[Long] = {
-    val key = root.toAbsolutePath.toString
     val latest = latestVersion(root)
+    // cache key carries TABLE IDENTITY, not just the path: the first
+    // live manifest's ts= header (unique per creation, and per expiry
+    // horizon). A table deleted and recreated at the same path that
+    // reaches a version >= the cached bound would otherwise reuse
+    // stale batch ids and silently skip the new table's replayed
+    // batches (round-10 ADVICE fix). Legacy pre-ts roots key on "0" —
+    // same behavior as before for them.
+    val ident =
+      if (latest == 0) "0"
+      else headerMeta(root, math.max(1, firstVersion(root)))
+        .getOrElse("ts", "0")
+    val key = root.toAbsolutePath.toString + "#" + ident
     val (seen0, known0) = Option(batchLedger.get(key))
       .getOrElse((0, Set.empty[Long]))
     // history SHRANK → the table at this path was deleted and
@@ -677,6 +688,13 @@ object ManifestTable {
         }
         w.write(g)
       } finally w.close()
+      // Hadoop's checksummed LocalFileSystem drops a `.<name>.crc`
+      // sidecar the NIO-based sweeps would never match (they filter on
+      // names starting with "cp") — checksum files would accumulate
+      // unboundedly on long-lived tables (round-10 ADVICE fix). The
+      // local segment write doesn't need the sidecar; drop it here.
+      Files.deleteIfExists(
+        file.resolveSibling("." + file.getFileName.toString + ".crc")): Unit
     }
 
     /** Published segments are immutable (nonce-named, referenced only
@@ -937,7 +955,10 @@ object ManifestTable {
     * the history.
     */
   def history(spark: SparkSession, root: Path): DataFrame = {
-    val infra = Set("ts", "depth", "schema", "body")
+    // colmap is evolution plumbing like schema — without it rename/
+    // drop commits surface the raw logical:physical blob as their
+    // "operation" (round-10 ADVICE fix)
+    val infra = Set("ts", "depth", "schema", "body", "colmap")
     val rows = (math.max(1, firstVersion(root)) to latestVersion(root))
       .map { v =>
       val m = headerMeta(root, v)
@@ -1585,7 +1606,12 @@ object ManifestTable {
       finally s.close()
     val dead = all.filterNot(referenced).filter(n =>
       Files.getLastModifiedTime(d.resolve(n)).toMillis < horizon)
-    dead.foreach(n => Files.delete(d.resolve(n)))
+    dead.foreach { n =>
+      Files.delete(d.resolve(n))
+      // checksum sidecar from a pre-round-10 writer (SegIO now strips
+      // them at write time, but existing tables may still carry them)
+      Files.deleteIfExists(d.resolve("." + n + ".crc")): Unit
+    }
     dead
   }
 

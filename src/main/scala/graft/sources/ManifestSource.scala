@@ -76,14 +76,35 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
     // batch prefixes must be write-unique (the writeNonce discipline:
     // a repeated prefix REPLACE_EXISTINGs an earlier write's committed
     // data files) — uuid-named files, like the real formats
-    def staged(tag: String): Seq[String] = {
+    // COLUMN MAPPING (round-10 ADVICE fix): an Append onto a renamed
+    // table must stage under PHYSICAL names and carry the parent's
+    // colmap= forward, or the mapping-aware read null-fills the
+    // renamed column for every pre-rename file. Overwrite REPLACES
+    // the live file set, so it legitimately resets the evolution
+    // state (new files under logical names, no mapping).
+    val cmap: Map[String, String] =
+      if (exists) ManifestTable.columnMap(root,
+        ManifestTable.latestVersion(root))
+      else Map.empty
+    def physName(c: String) = cmap.getOrElse(c, c)
+    def staged(tag: String, mapped: Boolean): Seq[String] = {
       val batch = tag + java.util.UUID.randomUUID().toString.take(8)
+      val out = if (mapped && cmap.nonEmpty)
+        df.select(df.columns.toSeq.map(c => col(c).as(physName(c))): _*)
+      else df
+      def names(cs: Seq[String]) =
+        if (mapped) cs.map(physName) else cs
       if (statsCols.isEmpty && statsStrCols.isEmpty)
-        ManifestTable.stage(df, root, batch)
-      else ManifestTable.stageWithTypedStats(df, root, batch,
-        statsCols, statsStrCols)
+        ManifestTable.stage(out, root, batch)
+      else ManifestTable.stageWithTypedStats(out, root, batch,
+        names(statsCols), names(statsStrCols))
     }
     val schemaMeta = s"schema=${ManifestTable.schemaMeta(df.schema)}"
+    // keep only mapping entries for columns this write still carries
+    val liveMap = cmap.filter { case (l, _) => df.columns.contains(l) }
+    val appendMeta = schemaMeta + (if (liveMap.isEmpty) "" else
+      " colmap=" + liveMap.toSeq.sorted
+        .map { case (l, p) => s"$l:$p" }.mkString(","))
     mode match {
       case ErrorIfExists if exists =>
         throw new IllegalStateException(
@@ -91,9 +112,11 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
           "ErrorIfExists)")
       case Ignore if exists => ()
       case Overwrite =>
-        ManifestTable.commit(root, staged("ow"), schemaMeta): Unit
+        ManifestTable.commit(root, staged("ow", mapped = false),
+          schemaMeta): Unit
       case _ => // Append, or a first write under any mode
-        ManifestTable.appendCommit(root, staged("ap"), schemaMeta): Unit
+        ManifestTable.appendCommit(root, staged("ap", mapped = true),
+          appendMeta): Unit
     }
     createRelation(ctx, parameters - "statsColumns" - "statsStringColumns")
   }
@@ -197,14 +220,32 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
       case _ => Nil
     }
 
-  /** Least string that upper-bounds every string with prefix `p`:
-    * drop trailing U+FFFF chars, increment the last survivor; all-max
-    * prefixes have no finite bound (None = unbounded).
+  /** Least string that upper-bounds every string with prefix `p`,
+    * computed over CODE POINTS (bounds compare in UTF-8 byte order,
+    * which is code-point order): drop trailing U+10FFFF scalars,
+    * increment the last survivor; all-max prefixes have no finite
+    * bound (None = unbounded). Incrementing into the surrogate gap
+    * (U+D7FF+1 = U+D800) would leave an unpaired surrogate whose
+    * UTF-8 encoding ('?') sorts BELOW the prefix itself \u2014 snap to
+    * U+E000, the smallest scalar above the gap; safe because recorded
+    * bounds are valid scalars, so no file content sorts inside the
+    * gap (round-10 ADVICE fix \u2014 the UTF-16 char increment silently
+    * skipped matching files for prefixes ending in U+D7FF).
     */
   private def prefixUpper(p: String): Option[String] = {
-    val t = p.reverse.dropWhile(_ == '\uffff').reverse
-    if (t.isEmpty) None
-    else Some(t.dropRight(1) + (t.last + 1).toChar)
+    val cps = p.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val next0 = cps(i) + 1
+      val next = if (next0 >= 0xD800 && next0 <= 0xDFFF) 0xE000 else next0
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+      sb.appendCodePoint(next)
+      Some(sb.toString)
+    }
   }
 
   /** Sidecar-derived key column: a vector sidecar carries exactly the
