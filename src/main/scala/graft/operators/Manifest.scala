@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import graft.{QueryGroup, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -423,7 +423,7 @@ object ManifestTable {
 
   /** logical→physical map of a version's header (`colmap=` meta). */
   private def colMap(m: Map[String, String]): Map[String, String] =
-    m.get("colmap").map(_.split(',').toSeq.map { t =>
+    m.get("colmap").map(_.split(',').toSeq.filter(_.nonEmpty).map { t =>
       val Array(l, p) = t.split(':')
       l -> p
     }.toMap).getOrElse(Map.empty)
@@ -469,9 +469,9 @@ object ManifestTable {
         if (phys == newName) Nil else Seq(newName -> phys))
       val renamed = StructType(logical.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
-      s"schema=${schemaMeta(renamed)}" + (if (cmap.isEmpty) "" else
-        s" colmap=${cmap.toSeq.sorted.map { case (l, p) => s"$l:$p" }
-          .mkString(",")}")
+      // colmap= is ALWAYS written (empty clears an inherited mapping)
+      s"schema=${schemaMeta(renamed)} colmap=" +
+        cmap.toSeq.sorted.map { case (l, p) => s"$l:$p" }.mkString(",")
     })(_ => Some((Nil, Nil))).get
   }
 
@@ -494,10 +494,32 @@ object ManifestTable {
         "dropColumn would leave an empty schema")
       val cmap = colMap(m) - name
       val dropped = StructType(logical.fields.filterNot(_.name == name))
-      s"schema=${schemaMeta(dropped)}" + (if (cmap.isEmpty) "" else
-        s" colmap=${cmap.toSeq.sorted.map { case (l, p) => s"$l:$p" }
-          .mkString(",")}")
+      s"schema=${schemaMeta(dropped)} colmap=" +
+        cmap.toSeq.sorted.map { case (l, p) => s"$l:$p" }.mkString(",")
     })(_ => Some((Nil, Nil))).get
+
+  /** Metadata-only ADD COLUMN: one zero-body commit whose header
+    * carries the widened logical schema; existing files null-fill the
+    * new column under [[readEvolved]]'s explicit-schema read — zero
+    * bytes rewritten at any table size (the evolution primitive the
+    * evo lifecycle built inline; public for the SQL catalog's
+    * `ALTER TABLE … ADD COLUMN`, round 10).
+    */
+  def addColumn(root: Path, name: String,
+      dt: org.apache.spark.sql.types.DataType): Int = {
+    tokenSafe(name)
+    commitOpsF(root, { parent =>
+      require(parent > 0, "addColumn on an empty table")
+      val m = headerMeta(root, parent)
+      require(m.contains("schema"),
+        s"v$parent carries no schema meta — the table is not evolvable")
+      val logical = parseSchemaMeta(m("schema"))
+      require(!logical.fieldNames.contains(name),
+        s"addColumn: '$name' already exists")
+      s"schema=${schemaMeta(logical.add(
+        org.apache.spark.sql.types.StructField(name, dt)))}"
+    })(_ => Some((Nil, Nil))).get
+  }
 
   /** The `schema=`/`colmap=` meta tokens of a committed version — what
     * an appending writer passes so its commit PRESERVES the evolution
@@ -529,7 +551,11 @@ object ManifestTable {
     * `# graft-manifest version=K parent=P [k=v ...]`.
     */
   def headerMeta(root: Path, version: Int): Map[String, String] =
-    manifestOf(root, version)._2 -- Seq("version", "parent")
+    (manifestOf(root, version)._2 -- Seq("version", "parent"))
+      // an explicit EMPTY colmap= token means "mapping cleared" (it
+      // blocks inheritance at commit time, round 10) — API consumers
+      // see it as no mapping at all
+      .filterNot { case (k, v) => k == "colmap" && v.isEmpty }
 
   /** Streaming-sink batch ids already committed — the ledger that makes
     * [[commitBatch]] idempotent under foreachBatch's at-least-once
@@ -856,7 +882,23 @@ object ManifestTable {
             case vs => Some(s"$k=${vs.mkString(",")}")
           }
       }
-      val meta = (meta0 +: inheritedDvs).filter(_.nonEmpty).mkString(" ")
+      // evolution state (schema=/colmap=) rides the log like the DV
+      // lists: a commit whose caller doesn't name them inherits the
+      // parent's, so a MERGE/UPDATE/DELETE/optimize on an evolved
+      // table never strands readEvolved or the catalog's schema
+      // resolution (round-10: the V2 catalog resolves schema from the
+      // LATEST header). renameColumn/dropColumn write colmap=
+      // explicitly — even when empty — to CLEAR an inherited mapping.
+      val inheritedEvo = {
+        lazy val pm = manifestOf(root, parent)._2
+        Seq("schema", "colmap").flatMap { k =>
+          if (parent == 0 || meta0.split(' ').exists(_.startsWith(k + "=")))
+            None
+          else pm.get(k).filter(_.nonEmpty).map(v => s"$k=$v")
+        }
+      }
+      val meta = (meta0 +: (inheritedDvs ++ inheritedEvo))
+        .filter(_.nonEmpty).mkString(" ")
       val parentDepth =
         if (parent == 0) -1
         else manifestOf(root, parent)._2.get("depth").map(_.toInt).getOrElse(0)
@@ -1234,6 +1276,97 @@ object ManifestTable {
           "saw — re-read and re-upsert")
       Some((rewritten, hit.map(_.path)))
     }.get
+  }
+
+  /** Shared copy-on-write file-rewrite commit: replace exactly `hit`
+    * with the staged `replacement` rows under the upsert's conflict
+    * discipline (touched files must still be live at publish time).
+    * The staged files keep the touched set's stat coverage — a rewrite
+    * must never narrow the columns later prunes rely on.
+    */
+  private def rewriteFilesCoW(spark: SparkSession, root: Path, from: Int,
+      hit: Seq[FileEntry], replacement: DataFrame, opMeta: String,
+      batchTag: String): Int = {
+    val statCols = hit.flatMap(_.stats.map(_._1)).distinct
+    val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
+    // keep the rewritten set clustered on the leading stat column when
+    // one exists (narrow bounds keep the files prunable); otherwise
+    // the layout is whatever the replacement plan produced
+    val laid = statCols.headOption match {
+      case Some(k) => replacement
+        .repartitionByRange(math.max(1, hit.size), col(k))
+      case None => replacement
+    }
+    val rewritten = stageWithTypedStats(laid, root,
+      s"$batchTag$from${nonce()}", statCols, strCols)
+    commitOpsF(root, _ => opMeta) { parent =>
+      val curPaths = entriesFor(root, parent).map(_.path).toSet
+      if (!hit.forall(e => curPaths.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"$opMeta over v$from conflicts: a commit after v$from " +
+          "rewrote part of its touched set — re-read and re-run")
+      Some((rewritten, hit.map(_.path)))
+    }.get
+  }
+
+  /** SQL `DELETE FROM … WHERE cond` as copy-on-write: the band hints
+    * (derived from the pushable conjuncts of `cond`) prune the
+    * candidate set through the per-file stats, ONLY the files that may
+    * hold matching rows are rewritten without them, and everything
+    * else rides the delta commit untouched — "a DELETE on 100 TB
+    * rewrites 3 files". Rows where `cond` is NULL are kept (SQL DELETE
+    * semantics). Key-based DVs survive (they subtract by key on any
+    * file); scoped DVs fail loudly like every rewrite path.
+    */
+  def deleteWhereCoW(spark: SparkSession, root: Path,
+      schema: StructType, cond: Column,
+      longBands: Seq[(String, Long, Long)] = Nil,
+      strBands: Seq[(String, Option[String], Option[String])] = Nil)
+      : Int = {
+    val from = latestVersion(root)
+    require(from > 0, "deleteWhere on an empty table")
+    requireNoScopedDvs(root, from, "deleteWhere")
+    val (hit, _, _) = prunedEntries(root, from, longBands, strBands)
+    if (hit.isEmpty) return from
+    val data = root.resolve("data")
+    val kept = spark.read.schema(schema)
+      .parquet(hit.map(e => data.resolve(e.path).toString): _*)
+      .filter(not(coalesce(cond, lit(false))))
+    rewriteFilesCoW(spark, root, from, hit, kept,
+      s"delete=v$from", "del")
+  }
+
+  /** SQL `UPDATE … SET … WHERE cond` as copy-on-write: same pruned
+    * touched-set discipline as [[deleteWhereCoW]]; within the admitted
+    * files each row either takes the assigned values (cond TRUE) or
+    * survives verbatim (FALSE or NULL).
+    */
+  def updateWhereCoW(spark: SparkSession, root: Path,
+      schema: StructType, cond: Column, set: Map[String, Column],
+      longBands: Seq[(String, Long, Long)] = Nil,
+      strBands: Seq[(String, Option[String], Option[String])] = Nil)
+      : Int = {
+    require(set.nonEmpty, "UPDATE with no assignments")
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"UPDATE assigns unknown column '$k'"))
+    val from = latestVersion(root)
+    require(from > 0, "updateWhere on an empty table")
+    requireNoScopedDvs(root, from, "updateWhere")
+    val (hit, _, _) = prunedEntries(root, from, longBands, strBands)
+    if (hit.isEmpty) return from
+    val data = root.resolve("data")
+    val c = coalesce(cond, lit(false))
+    val updated = spark.read.schema(schema)
+      .parquet(hit.map(e => data.resolve(e.path).toString): _*)
+      .select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) =>
+            when(c, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    rewriteFilesCoW(spark, root, from, hit, updated,
+      s"update=v$from", "upd")
   }
 
   /** OPTIMIZE (small-file bin-packing): rewrite ONLY the live files
@@ -2758,10 +2891,107 @@ object ManifestOps extends QueryGroup {
       ManifestTable.read(spark, root,
           ManifestTable.latestVersion(root), StructType(st.schema.fields))
         .orderBy("event_id")
+    },
+
+    "source_manifest_v2api" -> { (spark, dir) =>
+      // the manifest table consumed through the DataSourceV2 CATALOG
+      // in PLAIN SQL (round 10 — r9-VERDICT task 1): the TableCatalog
+      // plugin resolves the identifier to the table directory,
+      // `VERSION AS OF 1` pins the pre-merge snapshot through the V2
+      // time-travel loadTable hook, and the pushed key band reaches
+      // the per-file stats as file skipping through the V2
+      // ScanBuilder → V1Scan bridge (Wave142Spec asserts the admitted
+      // set equals readPrunedMulti's). Pinned v1 = the source table
+      // verbatim, so the oracle is the plain band filter.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = cowRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)} VERSION AS OF 1
+           |WHERE o_orderkey >= ${mx / 6} AND o_orderkey <= ${mx / 3}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "sink_manifest_v2sql" -> { (spark, dir) =>
+      // the full SQL write lifecycle through the catalog: CREATE
+      // TABLE … USING graft-manifest (the v1 schema commit) with
+      // statsColumns as a TABLE PROPERTY, two INSERT INTO halves
+      // (each an O(delta) append commit whose staged files carry
+      // per-file key stats — SQL writes compose with the stats
+      // consumers without per-write options), then a band SELECT
+      // whose pushed filter rides those written stats. Equality with
+      // the plain band filter proves exactly-once commits per INSERT.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = freshSinkRoot(dir, tag = "v2sql_")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` TBLPROPERTIES ('statsColumns' = 'o_orderkey')")
+      orders.createOrReplaceTempView("orders_v2sql_src")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM orders_v2sql_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM orders_v2sql_src WHERE o_orderkey % 2 = 1")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $ident
+           |WHERE o_orderkey >= ${mx / 8} AND o_orderkey <= ${mx / 4}
+           |ORDER BY o_orderkey""".stripMargin)
     }
   )
 
+  /** One session-wide SQL catalog over /tmp: every lifecycle root
+    * (ArtifactCache, sink scratch) lives under it, so a single
+    * `gm.<dir-segments...>` identifier reaches any table the declared
+    * queries build — the catalog itself is stateless (a table IS its
+    * directory).
+    */
+  private def sqlCatalog(spark: SparkSession): String = {
+    val cat = "gm"
+    if (!spark.conf.getOption(s"spark.sql.catalog.$cat")
+        .contains("graft.sources.ManifestCatalog")) {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.ManifestCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp")
+    }
+    cat
+  }
+
+  /** /tmp-relative identifier of a table root, each segment quoted. */
+  private def sqlIdent(root: Path): String = {
+    val rel = Paths.get("/tmp").relativize(root.toAbsolutePath)
+    (0 until rel.getNameCount)
+      .map(i => s"`${rel.getName(i)}`").mkString(".")
+  }
+
   def oracle = Map(
+    "source_manifest_v2api" ->
+      // pinned v1 is the source table verbatim; the band re-filters
+      // exactly (file skip asserted by Wave142Spec)
+      """WITH b AS (SELECT max(o_orderkey) // 6 AS lo,
+        |    max(o_orderkey) // 3 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sink_manifest_v2sql" ->
+      // both INSERT halves together are the whole table; the band
+      // re-filters exactly
+      """WITH b AS (SELECT max(o_orderkey) // 8 AS lo,
+        |    max(o_orderkey) // 4 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
     "source_manifest" ->
       // oracle reads the ORIGINAL parquet — equality across the
       // append + compaction lifecycle IS the assertion

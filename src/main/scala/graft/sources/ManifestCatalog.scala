@@ -1,0 +1,261 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.ManifestTable
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL catalog for manifest tables (round 10 — the r9-VERDICT top
+  * task's second half): a `TableCatalog` + `SupportsNamespaces` plugin
+  * mapping identifiers onto a warehouse directory tree, so the whole
+  * lifecycle runs in plain SQL:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.gm",
+  *   "graft.sources.ManifestCatalog")
+  * spark.conf.set("spark.sql.catalog.gm.warehouse", "/tables")
+  *
+  * CREATE NAMESPACE gm.sales
+  * CREATE TABLE gm.sales.orders (k BIGINT, v BIGINT)
+  *   USING graft-manifest TBLPROPERTIES ('statsColumns' = 'k')
+  * INSERT INTO gm.sales.orders SELECT id, id * 2 FROM range(100)
+  * SELECT * FROM gm.sales.orders VERSION AS OF 1
+  * SELECT * FROM gm.sales.orders TIMESTAMP AS OF '…'
+  * ALTER TABLE gm.sales.orders RENAME COLUMN v TO val
+  * ALTER TABLE gm.sales.orders ADD COLUMN note STRING
+  * DELETE FROM gm.sales.orders WHERE k = 3
+  * DROP TABLE gm.sales.orders
+  * }}}
+  *
+  * A table IS its directory (`warehouse/ns…/name/_manifests`), so the
+  * catalog holds no state of its own — exactly like a path-addressed
+  * lakehouse: every catalog operation is a manifest-log operation
+  * (CREATE = the v1 schema commit, ALTER COLUMN = the metadata-only
+  * evolution commits, DROP = remove the directory). Time travel maps
+  * onto the log's version pinning ([[ManifestTable.versionAt]] for
+  * `TIMESTAMP AS OF`, which Spark passes in MICROseconds).
+  */
+class ManifestCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse")))
+    Files.createDirectories(warehouse): Unit
+  }
+
+  override def name(): String = catalogName
+
+  private def safe(seg: String): String = {
+    require(seg.nonEmpty && !seg.contains('/') && !seg.contains('\\') &&
+      seg != "." && seg != "..",
+      s"illegal catalog path segment: '$seg'")
+    seg
+  }
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, s) => p.resolve(safe(s)))
+
+  private def tableDir(ident: Identifier): Path =
+    nsDir(ident.namespace()).resolve(safe(ident.name()))
+
+  private def isTable(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_manifests"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new ManifestV2Table(dir, ManifestTable.latestVersion(dir),
+      pinned = false, s"$catalogName.${ident.toString}")
+  }
+
+  /** `VERSION AS OF <v>` — a pinned snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-manifest versions are integers, got '$version'")
+    }
+    require(v >= 1 && v <= ManifestTable.latestVersion(dir),
+      s"no committed version $v at $dir")
+    new ManifestV2Table(dir, v, pinned = true,
+      s"$catalogName.${ident.toString}@v$v")
+  }
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = ManifestTable.versionAt(dir, timestamp / 1000L)
+    new ManifestV2Table(dir, v, pinned = true,
+      s"$catalogName.${ident.toString}@t$timestamp")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-manifest lays data out by commit-time clustering and " +
+      "per-file stats, not PARTITIONED BY — cluster with " +
+      "optimizeZorder / repartitionByRange before writes instead")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(dir)
+    // durable table properties (reserved keys stay Spark's)
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_COLLATION)
+    val props = properties.asScala.toMap.filterNot {
+      case (k, _) => reserved(k) || k.startsWith("option.")
+    }
+    Option(properties.get(TableCatalog.PROP_PROVIDER)).foreach(p =>
+      require(p.equalsIgnoreCase("graft-manifest") ||
+        p.equalsIgnoreCase("graft-manifest-v2"),
+        s"this catalog creates graft-manifest tables, got USING $p"))
+    if (props.nonEmpty) ManifestV2Table.writeProps(dir, props)
+    // the v1 commit IS the table creation: empty live set, schema meta
+    ManifestTable.commit(dir, Nil,
+      s"schema=${ManifestTable.schemaMeta(schema)}")
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1,
+          "graft-manifest columns are top-level")
+        ManifestTable.renameColumn(dir, c.fieldNames()(0), c.newName()): Unit
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1,
+          "graft-manifest columns are top-level")
+        ManifestTable.dropColumn(dir, c.fieldNames()(0)): Unit
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1,
+          "graft-manifest columns are top-level")
+        ManifestTable.addColumn(dir, c.fieldNames()(0), c.dataType()): Unit
+      case c: TableChange.SetProperty =>
+        ManifestV2Table.writeProps(dir,
+          ManifestV2Table.props(dir) + (c.property() -> c.value()))
+      case c: TableChange.RemoveProperty =>
+        ManifestV2Table.writeProps(dir,
+          ManifestV2Table.props(dir) - c.property())
+      case c => throw new UnsupportedOperationException(
+        s"graft-manifest ALTER TABLE does not support $c — supported: " +
+        "RENAME COLUMN, DROP COLUMN, ADD COLUMN, SET/UNSET TBLPROPERTIES")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else { deleteTree(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to): Unit
+  }
+
+  // ---- namespaces (directories; a namespace dir holds no _manifests) --
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally s.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (Files.isDirectory(nsDir(namespace)) && !isTable(nsDir(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsDir(namespace)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-manifest namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) false
+    else {
+      if (!cascade) {
+        val s = Files.list(d)
+        val empty = try !s.iterator().hasNext finally s.close()
+        require(empty, s"namespace ${namespace.mkString(".")} is not " +
+          "empty — DROP NAMESPACE … CASCADE")
+      }
+      deleteTree(d)
+      true
+    }
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+}

@@ -112,8 +112,10 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
           "ErrorIfExists)")
       case Ignore if exists => ()
       case Overwrite =>
+        // explicit empty colmap= CLEARS any inherited mapping — the
+        // replaced file set is staged under logical names
         ManifestTable.commit(root, staged("ow", mapped = false),
-          schemaMeta): Unit
+          schemaMeta + (if (cmap.isEmpty) "" else " colmap=")): Unit
       case _ => // Append, or a first write under any mode
         ManifestTable.appendCommit(root, staged("ap", mapped = true),
           appendMeta): Unit
@@ -181,72 +183,12 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
 
-  /** Conservative per-column bands from the pushed filters: only
-    * long-valued comparisons contribute (anything else admits all
-    * files); conjunctions intersect per column inside mayContain.
-    */
   private def bands(filters: Array[Filter]): Seq[(String, Long, Long)] =
-    filters.toSeq.flatMap {
-      case EqualTo(a, v: Long) => Seq((a, v, v))
-      case EqualTo(a, v: Int) => Seq((a, v.toLong, v.toLong))
-      case GreaterThan(a, v: Long) => Seq((a, v + 1, Long.MaxValue))
-      case GreaterThan(a, v: Int) => Seq((a, v.toLong + 1, Long.MaxValue))
-      case GreaterThanOrEqual(a, v: Long) => Seq((a, v, Long.MaxValue))
-      case GreaterThanOrEqual(a, v: Int) => Seq((a, v.toLong, Long.MaxValue))
-      case LessThan(a, v: Long) => Seq((a, Long.MinValue, v - 1))
-      case LessThan(a, v: Int) => Seq((a, Long.MinValue, v.toLong - 1))
-      case LessThanOrEqual(a, v: Long) => Seq((a, Long.MinValue, v))
-      case LessThanOrEqual(a, v: Int) => Seq((a, Long.MinValue, v.toLong))
-      case And(l, r) => bands(Array(l, r))
-      case _ => Nil
-    }
+    FilterBands.long(filters)
 
-  /** STRING comparison bands (wave 135), open intervals because
-    * strings have no finite top element. Strict comparisons keep the
-    * inclusive endpoint — a superset admit is always safe (Spark
-    * re-applies the filter row-exactly); prefix predicates use the
-    * classic increment-last-non-maximal-char upper bound.
-    */
   private def strBands(filters: Array[Filter])
       : Seq[(String, Option[String], Option[String])] =
-    filters.toSeq.flatMap {
-      case EqualTo(a, v: String) => Seq((a, Some(v), Some(v)))
-      case GreaterThan(a, v: String) => Seq((a, Some(v), None))
-      case GreaterThanOrEqual(a, v: String) => Seq((a, Some(v), None))
-      case LessThan(a, v: String) => Seq((a, None, Some(v)))
-      case LessThanOrEqual(a, v: String) => Seq((a, None, Some(v)))
-      case StringStartsWith(a, p) => Seq((a, Some(p), prefixUpper(p)))
-      case And(l, r) => strBands(Array(l, r))
-      case _ => Nil
-    }
-
-  /** Least string that upper-bounds every string with prefix `p`,
-    * computed over CODE POINTS (bounds compare in UTF-8 byte order,
-    * which is code-point order): drop trailing U+10FFFF scalars,
-    * increment the last survivor; all-max prefixes have no finite
-    * bound (None = unbounded). Incrementing into the surrogate gap
-    * (U+D7FF+1 = U+D800) would leave an unpaired surrogate whose
-    * UTF-8 encoding ('?') sorts BELOW the prefix itself \u2014 snap to
-    * U+E000, the smallest scalar above the gap; safe because recorded
-    * bounds are valid scalars, so no file content sorts inside the
-    * gap (round-10 ADVICE fix \u2014 the UTF-16 char increment silently
-    * skipped matching files for prefixes ending in U+D7FF).
-    */
-  private def prefixUpper(p: String): Option[String] = {
-    val cps = p.codePoints.toArray
-    var i = cps.length - 1
-    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
-    if (i < 0) None
-    else {
-      val next0 = cps(i) + 1
-      val next = if (next0 >= 0xD800 && next0 <= 0xDFFF) 0xE000 else next0
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
-      sb.appendCodePoint(next)
-      Some(sb.toString)
-    }
-  }
+    FilterBands.str(filters)
 
   /** Sidecar-derived key column: a vector sidecar carries exactly the
     * key column (plus `src` for the scoped form).
@@ -271,12 +213,16 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
       bands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
       strBands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
 
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
+  /** The stats-pruned, DV-subtracted, mapping-aliased snapshot scan as
+    * a DataFrame under the FULL logical schema — the shared core of
+    * the V1 `buildScan` and the V2 bridge scan ([[ManifestV2]]).
+    */
+  private[graft] def scanDF(filters: Array[Filter])
+      : org.apache.spark.sql.DataFrame = {
     val spark = ctx.sparkSession
     val dvs = ManifestTable.dvsFor(root, version)
     val dvps = ManifestTable.scopedDvsFor(root, version)
-    val df = toLogical(
+    toLogical(
       if (dvps.nonEmpty) // positional vectors: full MOR-scoped read
         ManifestTable.readMORScoped(spark, root, version, physSchema,
           sidecarKey(dvps))
@@ -291,7 +237,85 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
         else spark.read.schema(physSchema).parquet(admitted.map(e =>
           root.resolve("data").resolve(e.path).toString): _*)
       })
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val df = scanDF(filters)
     (if (requiredColumns.isEmpty) df
      else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+  }
+}
+
+/** Pushed-filter to per-column band translation, shared by the V1
+  * relation ([[ManifestRelation]]) and the V2 scan ([[ManifestV2]]):
+  * only comparisons against long/int (resp. string) literals
+  * contribute — anything else admits all files; conjunctions intersect
+  * per column inside the entry-level admission. The stats prune is a
+  * superset admit, never an answer: Spark re-applies every predicate
+  * row-exactly on the admitted files.
+  */
+private[graft] object FilterBands {
+
+  def long(filters: Array[Filter]): Seq[(String, Long, Long)] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v: Long) => Seq((a, v, v))
+      case EqualTo(a, v: Int) => Seq((a, v.toLong, v.toLong))
+      case GreaterThan(a, v: Long) => Seq((a, v + 1, Long.MaxValue))
+      case GreaterThan(a, v: Int) => Seq((a, v.toLong + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, v: Long) => Seq((a, v, Long.MaxValue))
+      case GreaterThanOrEqual(a, v: Int) => Seq((a, v.toLong, Long.MaxValue))
+      case LessThan(a, v: Long) => Seq((a, Long.MinValue, v - 1))
+      case LessThan(a, v: Int) => Seq((a, Long.MinValue, v.toLong - 1))
+      case LessThanOrEqual(a, v: Long) => Seq((a, Long.MinValue, v))
+      case LessThanOrEqual(a, v: Int) => Seq((a, Long.MinValue, v.toLong))
+      case And(l, r) => long(Array(l, r))
+      case _ => Nil
+    }
+
+  /** STRING comparison bands (wave 135), open intervals because
+    * strings have no finite top element. Strict comparisons keep the
+    * inclusive endpoint — a superset admit is always safe; prefix
+    * predicates use the increment-last-code-point upper bound.
+    */
+  def str(filters: Array[Filter])
+      : Seq[(String, Option[String], Option[String])] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v: String) => Seq((a, Some(v), Some(v)))
+      case GreaterThan(a, v: String) => Seq((a, Some(v), None))
+      case GreaterThanOrEqual(a, v: String) => Seq((a, Some(v), None))
+      case LessThan(a, v: String) => Seq((a, None, Some(v)))
+      case LessThanOrEqual(a, v: String) => Seq((a, None, Some(v)))
+      case StringStartsWith(a, p) => Seq((a, Some(p), prefixUpper(p)))
+      case And(l, r) => str(Array(l, r))
+      case _ => Nil
+    }
+
+  /** Least string that upper-bounds every string with prefix `p`,
+    * computed over CODE POINTS (bounds compare in UTF-8 byte order,
+    * which is code-point order): drop trailing U+10FFFF scalars,
+    * increment the last survivor; all-max prefixes have no finite
+    * bound (None = unbounded). Incrementing into the surrogate gap
+    * (U+D7FF + 1 = U+D800) would leave an unpaired surrogate whose
+    * UTF-8 encoding ('?') sorts BELOW the prefix itself, so that case
+    * snaps to U+E000, the smallest scalar above the gap; safe because
+    * recorded bounds are valid scalars and nothing sorts inside the
+    * gap (round-10 ADVICE fix: the old UTF-16 char increment silently
+    * skipped matching files for prefixes ending in U+D7FF).
+    */
+  def prefixUpper(p: String): Option[String] = {
+    val cps = p.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val next0 = cps(i) + 1
+      val next = if (next0 >= 0xD800 && next0 <= 0xDFFF) 0xE000 else next0
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+      sb.appendCodePoint(next)
+      Some(sb.toString)
+    }
   }
 }

@@ -1,0 +1,327 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.ManifestTable
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not => fnot}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The manifest format's DataSourceV2 integration (round 10 — the
+  * r9-VERDICT top task): `TableProvider` + `Table` + `ScanBuilder`
+  * with filter and column pushdown, so the format is consumable
+  * through Spark's modern connector surface — and, through
+  * [[ManifestCatalog]], through plain SQL:
+  *
+  * {{{
+  * CREATE TABLE gm.t (k BIGINT, v BIGINT) USING graft-manifest
+  * INSERT INTO gm.t SELECT id, id * 2 FROM range(10)
+  * SELECT * FROM gm.t VERSION AS OF 1 WHERE k BETWEEN 2 AND 5
+  * DELETE FROM gm.t WHERE k = 3
+  * }}}
+  *
+  * EXECUTION reuses the V1 relation through the `V1Scan` / `V1Write`
+  * bridges (the migration shape Spark's own JDBC connector uses): the
+  * V2 layer owns pushdown negotiation — `pushFilters` records the
+  * predicates for per-file stats admission and returns them ALL as
+  * residual (the stats prune is a superset admit, never an answer),
+  * `pruneColumns` narrows the projection — and the bridged V1 scan
+  * plans through the manifest list exactly like
+  * [[ManifestTable.readPrunedMulti]], vectorized parquet read
+  * included. A bespoke `PartitionReaderFactory` would duplicate
+  * Spark's parquet reader without its vectorization; the bridge keeps
+  * the scan on the fast path while the table still negotiates V2
+  * pushdown, time travel, and SQL DML.
+  */
+class ManifestV2Source extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest-v2"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestV2.tableFor(options.asScala.toMap).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    ManifestV2.tableFor(properties.asScala.toMap)
+}
+
+private[graft] object ManifestV2 {
+
+  /** Resolve a table from `path`/`version`/`asof` options — the same
+    * contract as the V1 source's read path.
+    */
+  def tableFor(parameters: Map[String, String]): ManifestV2Table = {
+    val root = Paths.get(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest-v2 needs .option(\"path\", <table root>)")))
+    require(Files.isDirectory(root.resolve("_manifests")),
+      s"$root is not a graft manifest table (no _manifests/)")
+    val pinned = parameters.contains("version") || parameters.contains("asof")
+    val version = parameters.get("asof") match {
+      case Some(t) => ManifestTable.versionAt(root, t.toLong)
+      case None => parameters.get("version").map(_.toInt)
+        .getOrElse(ManifestTable.latestVersion(root))
+    }
+    new ManifestV2Table(root, version, pinned, s"graft-manifest-v2 $root")
+  }
+
+  /** Logical schema of a committed version: `schema=` header meta
+    * (evolution-aware) first, first data file's footer as fallback —
+    * the V1 source's resolution order.
+    */
+  def resolveSchema(spark: SparkSession, root: Path, version: Int)
+      : StructType = {
+    require(version >= 1, s"no committed version at $root")
+    ManifestTable.headerMeta(root, version).get("schema")
+      .map(ManifestTable.parseSchemaMeta)
+      .getOrElse {
+        val fs = ManifestTable.filesFor(root, version)
+        require(fs.nonEmpty, s"v$version at $root holds no data files " +
+          "and no schema meta — create the table with a schema")
+        spark.read.parquet(root.resolve("data")
+          .resolve(fs.head).toString).schema
+      }
+  }
+
+  /** sources.Filter → Column under a logical→physical rename; None for
+    * shapes [[ManifestV2Table.deleteWhere]] cannot express (the caller
+    * then reports canDeleteWhere=false and Spark raises a clear error
+    * instead of deleting the wrong rows).
+    */
+  def filterToColumn(f: Filter, phys: String => String): Option[Column] = {
+    def c(a: String) = col(phys(a))
+    f match {
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case StringStartsWith(a, p) => Some(c(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(c(a).endsWith(p))
+      case StringContains(a, p) => Some(c(a).contains(p))
+      case And(l, r) => for {
+        x <- filterToColumn(l, phys); y <- filterToColumn(r, phys)
+      } yield x && y
+      case Or(l, r) => for {
+        x <- filterToColumn(l, phys); y <- filterToColumn(r, phys)
+      } yield x || y
+      case Not(g) => filterToColumn(g, phys).map(fnot)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+}
+
+/** One manifest table as a V2 `Table`: batch read (pushdown via the
+  * scan builder), batch write (V1Write bridge onto the commit
+  * protocol), and `SupportsDelete` (SQL `DELETE FROM … WHERE` as a
+  * stats-pruned copy-on-write rewrite, [[ManifestTable.deleteWhereCoW]]).
+  */
+class ManifestV2Table(val root: Path, val snapshot: Int,
+    val pinned: Boolean, tableName: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = tableName
+
+  // Table.version() is the V2 metadata hook for snapshot identity
+  override def version(): String = snapshot.toString
+
+  override lazy val schema: StructType =
+    ManifestV2.resolveSchema(spark, root, snapshot)
+
+  override def properties(): java.util.Map[String, String] =
+    (ManifestV2Table.props(root) +
+      (TableCatalog.PROP_PROVIDER -> "graft-manifest")).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ManifestScanBuilder(spark.sqlContext, root, snapshot, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"cannot write to a time-travel view of $root (VERSION AS OF)")
+    new ManifestWriteBuilder(root, ManifestV2Table.props(root))
+  }
+
+  private def cmap: Map[String, String] =
+    ManifestTable.columnMap(root, ManifestTable.latestVersion(root))
+  private def phys(c: String): String = cmap.getOrElse(c, c)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && filters.forall(f =>
+      ManifestV2.filterToColumn(f, phys).isDefined)
+
+  /** SQL `DELETE FROM … WHERE`: the pushable conjuncts become stats
+    * bands pruning the candidate files, only those are rewritten
+    * (copy-on-write), the rest of the table rides the delta commit.
+    * Runs against the CURRENT latest (DELETE is a write op — the
+    * table's pinned analysis version is a read concept); the OCC
+    * publish loop orders it serializably against racing writers.
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val s = spark
+    val m = cmap
+    def p(c: String) = m.getOrElse(c, c)
+    val cond = filters.flatMap(ManifestV2.filterToColumn(_, p))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val latest = ManifestTable.latestVersion(root)
+    val logical = ManifestV2.resolveSchema(s, root, latest)
+    val physSchema = StructType(logical.fields.map(f =>
+      f.copy(name = p(f.name))))
+    ManifestTable.deleteWhereCoW(s, root, physSchema, cond,
+      FilterBands.long(filters).map { case (c, lo, hi) => (p(c), lo, hi) },
+      FilterBands.str(filters).map { case (c, lo, hi) => (p(c), lo, hi) })
+    : Unit
+  }
+}
+
+private[graft] object ManifestV2Table {
+  /** Durable table properties (`_props.txt`, `k=v` lines) — written by
+    * the catalog at CREATE TABLE, consumed by writes (statsColumns /
+    * statsStringColumns make every INSERT commit stats-carrying
+    * entries without per-write options, which SQL cannot pass).
+    */
+  def props(root: Path): Map[String, String] = {
+    val f = root.resolve("_props.txt")
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+  }
+
+  def writeProps(root: Path, props: Map[String, String]): Unit = {
+    val body = props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n")
+    Files.write(root.resolve("_props.txt"), body.getBytes("UTF-8")): Unit
+  }
+}
+
+/** Pushdown negotiation for one scan: filters are recorded for file
+  * admission and ALL returned as residual (Spark re-applies them
+  * row-exactly — the stats prune only skips provably-empty files);
+  * `pruneColumns` narrows the projection the bridged V1 scan selects.
+  */
+class ManifestScanBuilder(ctx: SQLContext, root: Path, version: Int,
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: superset admit, Spark re-filters rows
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ManifestV2Scan(ctx, root, version, fullSchema, required, pushed)
+}
+
+/** The built scan: V2 metadata (readSchema = the pruned projection),
+  * V1 execution (the bridge relation plans the stats-admitted file
+  * set and reads it through Spark's vectorized parquet source).
+  */
+class ManifestV2Scan(ctx: SQLContext, root: Path, version: Int,
+    fullSchema: StructType, required: StructType,
+    filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new ManifestV2BridgeRelation(context, root, version, fullSchema,
+      required, filters).asInstanceOf[T]
+
+  override def description(): String =
+    s"graft-manifest v$version ${filters.mkString("[", ", ", "]")}"
+
+  /** The stats-admitted file entries under the pushed filters — the
+    * spec hook proving the V2 path physically skips files (must equal
+    * [[ManifestTable.readPrunedMulti]]'s admitted set).
+    */
+  private[graft] def admittedEntries: Seq[ManifestTable.FileEntry] =
+    new ManifestRelation(ctx, root, version, fullSchema)
+      .admittedEntries(filters)
+}
+
+private[graft] class ManifestV2BridgeRelation(ctx: SQLContext, root: Path,
+    version: Int, fullSchema: StructType, required: StructType,
+    filters: Array[Filter]) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    new ManifestRelation(ctx, root, version, fullSchema)
+      .scanDF(filters)
+      // exact projection, zero-column included (count(*) prunes all)
+      .select(required.fieldNames.toSeq.map(col): _*)
+      .rdd
+}
+
+/** Writes bridge to the V1 writer (which owns SaveMode→commit mapping,
+  * column-mapping-aware staging, and stats options): INSERT INTO =
+  * append (an O(delta) commit), INSERT OVERWRITE / truncate = full
+  * checkpoint commit replacing the live set.
+  */
+class ManifestWriteBuilder(root: Path, props: Map[String, String])
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft-manifest supports only full-table INSERT OVERWRITE " +
+      s"(got ${filters.mkString(", ")}); use DELETE FROM for " +
+      "predicate-scoped removal")
+    replace = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          var w = data.write.format("graft-manifest")
+            .option("path", root.toString)
+          props.get("statsColumns")
+            .foreach(v => w = w.option("statsColumns", v))
+          props.get("statsStringColumns")
+            .foreach(v => w = w.option("statsStringColumns", v))
+          w.mode(if (replace || overwrite) SaveMode.Overwrite
+                 else SaveMode.Append).save()
+        }
+      }
+  }
+}
