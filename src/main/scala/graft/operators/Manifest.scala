@@ -1297,8 +1297,13 @@ object ManifestTable {
         .repartitionByRange(math.max(1, hit.size), col(k))
       case None => replacement
     }
-    val rewritten = stageWithTypedStats(laid, root,
-      s"$batchTag$from${nonce()}", statCols, strCols)
+    // a stats-less table (no statsColumns property) still rewrites —
+    // there is just no coverage to preserve
+    val rewritten =
+      if (statCols.isEmpty && strCols.isEmpty)
+        stage(laid, root, s"$batchTag$from${nonce()}")
+      else stageWithTypedStats(laid, root,
+        s"$batchTag$from${nonce()}", statCols, strCols)
     commitOpsF(root, _ => opMeta) { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!hit.forall(e => curPaths.contains(e.path)))
@@ -2155,6 +2160,84 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** SQL MERGE lifecycle (round 10 — r9-VERDICT task 2): the EXACT
+    * [[upsertRoot]] update/insert sets, but driven by a `MERGE INTO …
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    * statement planned by [[graft.plans.ManifestDmlStrategy]] onto
+    * [[ManifestTable.upsert]]. Same oracle as manifest_upsert —
+    * equality proves the SQL surface is the programmatic op.
+    */
+  private[graft] def sqlMergeRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_sqlmerge",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val upd = orders
+        .filter(col("o_orderkey") % 17 === 0 && col("o_orderkey") < mx / 4)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0d))
+      val ins = orders
+        .filter(col("o_orderkey") % 23 === 0 && col("o_orderkey") > 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mx))
+        .withColumn("o_orderstatus", lit("N"))
+      upd.unionByName(ins).createOrReplaceTempView("manifest_sqlmerge_src")
+      org.apache.spark.sql.graft.bridge.addStrategy(spark,
+        graft.plans.ManifestDmlStrategy)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""MERGE INTO $cat.${sqlIdent(root)} t
+           |USING manifest_sqlmerge_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v2 = ManifestTable.latestVersion(root)
+      require(v1 == 1 && v2 == 2,
+        s"SQL MERGE lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** SQL UPDATE + DELETE lifecycle: v1 = orders range-laid by
+    * o_orderkey (8 stats-carrying files); v2 = `UPDATE … WHERE` a
+    * bottom-quarter band (priority replaced, price +1.0 — CoW through
+    * [[ManifestTable.updateWhereCoW]], only band-admitted files
+    * rewritten); v3 = `DELETE FROM … WHERE` a top-quarter band
+    * (SupportsDelete → [[ManifestTable.deleteWhereCoW]]). Both
+    * statements are plain SQL through the V2 catalog.
+    */
+  private[graft] def sqlDmlRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_sqldml",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      org.apache.spark.sql.graft.bridge.addStrategy(spark,
+        graft.plans.ManifestDmlStrategy)
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"UPDATE $ident SET o_orderpriority = 'X-SQL', " +
+        s"o_totalprice = o_totalprice + 1.0 " +
+        s"WHERE o_orderkey % 5 = 0 AND o_orderkey < ${mx / 4}")
+      spark.sql(s"DELETE FROM $ident " +
+        s"WHERE o_orderkey >= ${3 * (mx / 4)} AND o_orderstatus = 'F'")
+      val v3 = ManifestTable.latestVersion(root)
+      require(v1 == 1 && v3 == 3,
+        s"SQL DML lifecycle built versions ($v1,…,$v3), expected (1,2,3)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** OPTIMIZE ZORDER lifecycle: v1 = orders range-laid by o_orderkey
     * only (8 files — each spans o_custkey's FULL range, the layout
     * under which any custkey predicate must scan everything); v2 = the
@@ -2942,6 +3025,41 @@ object ManifestOps extends QueryGroup {
            |FROM $ident
            |WHERE o_orderkey >= ${mx / 8} AND o_orderkey <= ${mx / 4}
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_merge" -> { (spark, dir) =>
+      // the manifest_upsert lifecycle driven by a plain-SQL
+      // `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+      // THEN INSERT *` (round 10 — r9-VERDICT task 2):
+      // ManifestDmlStrategy intercepts the analyzed statement before
+      // Spark's built-in planning rejects it and hands it to
+      // ManifestTable.upsert — same touched-file discovery, same
+      // serializable-writer publish. The oracle is manifest_upsert's
+      // verbatim: equality proves the SQL surface IS the programmatic
+      // op (Wave143Spec asserts row identity directly as well).
+      val root = sqlMergeRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_update_delete" -> { (spark, dir) =>
+      // SQL UPDATE then SQL DELETE over the catalog table, both
+      // copy-on-write with stats-banded touched sets: the UPDATE's
+      // bottom-quarter band and the DELETE's top-quarter band each
+      // rewrite only the admitted files (Wave143Spec asserts the
+      // untouched files survive by path). The final state is read
+      // back through the same SQL surface.
+      val root = sqlDmlRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
     }
   )
 
@@ -2990,6 +3108,43 @@ object ManifestOps extends QueryGroup {
         |  o_orderdate, o_orderpriority
         |FROM orders CROSS JOIN b
         |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_sql_merge" ->
+      // manifest_upsert's oracle verbatim — the SQL MERGE must land
+      // the exact state the programmatic upsert lands
+      """WITH b AS (SELECT max(o_orderkey) AS m,
+        |    max(o_orderkey) // 4 AS q FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN o_totalprice + 5.0 ELSE o_totalprice END
+        |      AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
+        |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_sql_update_delete" ->
+      // the UPDATE's CASE image minus the DELETE's band — restated
+      // from the source table
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS q,
+        |    3 * (max(o_orderkey) // 4) AS h FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey < q
+        |       THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey < q
+        |       THEN 'X-SQL' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE NOT (o_orderkey >= h AND o_orderstatus = 'F')
         |ORDER BY o_orderkey""".stripMargin,
 
     "source_manifest" ->

@@ -23,6 +23,16 @@ object bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Catalyst predicate → V1 `sources.Filter` (None when the shape has
+    * no source-filter form) — the translation the V1 pushdown path gets
+    * for free from Spark; row-level SQL DML (UPDATE/MERGE intercepts)
+    * arrives as Catalyst expressions and reuses it for the per-file
+    * stats bands.
+    */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Install a planner strategy on a live session (idempotent). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
