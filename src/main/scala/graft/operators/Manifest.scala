@@ -2923,22 +2923,23 @@ object ManifestOps extends QueryGroup {
     },
 
     "stream_manifest_source" -> { (spark, dir) =>
-      // Structured Streaming FROM the manifest format — the source
-      // half complementing stream_manifest_sink ("stream a lakehouse
-      // table"): the append-only commit chain v1..v4 is resolved into
-      // per-version readIncremental file deltas whose (mtime, path)
-      // order pins commit order, and maxFilesPerTrigger=1 makes each
-      // COMMIT one micro-batch (Wave122Spec asserts exactly 4 batches
-      // fired and none was empty). The stateful Complete-mode
-      // aggregate over the stream must equal the batch aggregate over
-      // the table's latest snapshot — the oracle restates it from the
-      // source table.
+      // Structured Streaming FROM the manifest format through the
+      // REGISTERED source (round 10 — r9-VERDICT task 3; until round
+      // 9 this was a replay-directory harness): offsets are commit
+      // versions, each micro-batch one readIncremental file delta,
+      // and maxVersionsPerTrigger=1 makes each COMMIT of the v1..v4
+      // chain one micro-batch under Trigger.AvailableNow — the
+      // SupportsTriggerAvailableNow pacing Wave144Spec asserts on
+      // real micro-batch execution (4 batches, none empty, offsets =
+      // versions). The stateful Complete-mode aggregate over the
+      // stream must equal the batch aggregate over the table's latest
+      // snapshot — the oracle restates it from the source table.
       import graft.Canon
-      val orders = Tables.table(spark, dir, "orders")
       val root = streamSrcRoot(spark, dir)
-      val st = spark.readStream.schema(orders.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(root.resolve("replay").toString)
+      val st = spark.readStream.format("graft-manifest")
+        .option("path", root.toString)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
       val agg = st.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(Canon.Dec)).as("rev0"))

@@ -41,9 +41,26 @@ import org.apache.spark.sql.types.StructType
   * (ADD COLUMN evolution) > first data file's parquet footer.
   */
 class ManifestSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** `spark.readStream.format("graft-manifest")` — offsets are commit
+    * versions, each micro-batch one readIncremental file delta
+    * ([[ManifestStreamSource]]).
+    */
+  override def sourceSchema(ctx: SQLContext,
+      userSchema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ManifestStreamSource.resolve(ctx, userSchema,
+      parameters)._2)
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      userSchema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    ManifestStreamSource.create(ctx, userSchema, parameters)
 
   /** The WRITE path: `df.write.format("graft-manifest")` maps Spark's
     * save modes onto the commit protocol — Append = stage + O(delta)

@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.operators.ManifestTable
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming FROM a manifest table through the REGISTERED
+  * source (round 10 — r9-VERDICT task 3):
+  *
+  * {{{
+  * spark.readStream.format("graft-manifest")
+  *   .option("path", "/tables/orders")
+  *   .option("maxVersionsPerTrigger", "1")   // one micro-batch per commit
+  *   .option("startingVersion", "0")         // 0 = the whole table
+  *   .load()
+  * }}}
+  *
+  * OFFSETS ARE COMMIT VERSIONS: micro-batch (start, end] is exactly
+  * [[ManifestTable.readIncremental]](start, end) — the files the log
+  * added in that version range, planned as one vectorized parquet scan
+  * (the V1 `Source.getBatch`-returns-a-DataFrame contract, the same
+  * integration shape Delta's streaming source uses — a bespoke
+  * `PartitionReader` would re-implement Spark's parquet reader without
+  * its vectorization). Exactly-once is the offset WAL composed with
+  * the log's immutable versions: a replayed batch re-reads the same
+  * version range and gets byte-identical rows.
+  *
+  * Pacing implements [[SupportsTriggerAvailableNow]] directly (the
+  * FileStreamSource/Kafka pattern): `prepareForTriggerAvailableNow`
+  * pins the log head ONCE at query start and `latestOffset` advances
+  * at most `maxVersionsPerTrigger` commits per batch toward it —
+  * under the engine's generic wrapper a rate-limited source would
+  * stall at its first page instead.
+  *
+  * The append-only guard is inherited from readIncremental: a
+  * compaction/merge inside the streamed range fails loudly (rewritten
+  * files would re-surface rows the consumer already saw) — the same
+  * default contract as Delta's source without `ignoreChanges`.
+  * Column-mapped tables read files under PHYSICAL names and alias
+  * back to the logical schema, like every other read surface.
+  */
+private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
+    override val schema: StructType, startingVersion: Long,
+    maxVersionsPerTrigger: Long)
+    extends Source with SupportsTriggerAvailableNow {
+
+  // the log head pinned at AvailableNow start; None = unbounded
+  // (ProcessingTime triggers chase the live head)
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ManifestTable.latestVersion(root).toLong)
+
+  private def versionOf(o: AnyRef): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case o: OffsetV2 => o.json.trim.toLong
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** At most `maxVersionsPerTrigger` commits past the last processed
+    * version, never past the AvailableNow pin (or the live head).
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(start).map(versionOf).getOrElse(startingVersion)
+    val head = ManifestTable.latestVersion(root).toLong
+    val cap = availableNowCap.fold(head)(math.min(_, head))
+    // saturating step: base + Long.MaxValue (the unlimited default)
+    // must not overflow past the cap
+    val next = base + math.min(maxVersionsPerTrigger,
+      math.max(0L, cap - base))
+    if (next <= base) start else LongOffset(next)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(ManifestTable.latestVersion(root).toLong)
+
+  // the engine calls latestOffset (SupportsAdmissionControl) instead
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) replaces getOffset for " +
+      "admission-controlled sources")
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    val spark = ctx.sparkSession
+    // files carry PHYSICAL names; the stream's fixed schema is LOGICAL
+    val cmap = ManifestTable.columnMap(root, to.toInt)
+    val physSchema = StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+    val delta = ManifestTable.readIncremental(spark, root, from.toInt,
+      to.toInt, physSchema)
+    val logical =
+      if (cmap.isEmpty) delta
+      else delta.select(schema.fields.toSeq.map(f =>
+        col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+    // the engine asserts isStreaming on the returned plan; re-root the
+    // compiled (vectorized) scan as a streaming DataFrame
+    bridge.asStreaming(logical)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ManifestStreamSource[$root]"
+}
+
+private[graft] object ManifestStreamSource {
+
+  def resolve(ctx: SQLContext, userSchema: Option[StructType],
+      parameters: Map[String, String]): (Path, StructType) = {
+    val root = Paths.get(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest stream needs .option(\"path\", <table root>)")))
+    require(Files.isDirectory(root.resolve("_manifests")),
+      s"$root is not a graft manifest table (no _manifests/)")
+    require(!parameters.contains("version") && !parameters.contains("asof"),
+      "version/asof pins are batch-read concepts; a stream starts at " +
+      ".option(\"startingVersion\", <v>) and follows the log")
+    val schema = userSchema.getOrElse {
+      val latest = ManifestTable.latestVersion(root)
+      require(latest >= 1,
+        s"cannot infer a stream schema from empty table $root — " +
+        "pass .schema(...) or commit a first version")
+      ManifestV2.resolveSchema(ctx.sparkSession, root, latest)
+    }
+    (root, schema)
+  }
+
+  def create(ctx: SQLContext, userSchema: Option[StructType],
+      parameters: Map[String, String]): ManifestStreamSource = {
+    val (root, schema) = resolve(ctx, userSchema, parameters)
+    new ManifestStreamSource(ctx, root, schema,
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong)
+        .getOrElse(Long.MaxValue))
+  }
+}

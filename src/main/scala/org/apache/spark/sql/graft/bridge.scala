@@ -33,6 +33,18 @@ object bridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** Re-root a batch DataFrame as a STREAMING one (isStreaming=true on
+    * the logical plan) over its compiled physical RDD — the V1
+    * streaming `Source.getBatch` contract requires the returned frame
+    * to be streaming, while keeping the batch plan's vectorized scan
+    * (FileStreamSource's internalCreateDataFrame shape).
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Install a planner strategy on a live session (idempotent). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
