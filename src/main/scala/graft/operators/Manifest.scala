@@ -325,8 +325,19 @@ object ManifestTable {
       require(kv("kind") == "delta", s"unknown manifest kind ${kv("kind")}")
       val base = rawLines(root, parent)
       val removes = body.filter(_.startsWith("-")).map(_.drop(1)).toSet
-      val adds = body.filter(_.startsWith("+")).map(_.drop(1))
-      require(removes.size + adds.size == body.size,
+      // a LARGE delta's adds live in parquet segments listed as
+      // @descriptors (round 10 — the same columnar encoding wave 133
+      // gave checkpoints); small deltas inline them as +lines
+      val segAdds = body.filter(_.startsWith("@")).flatMap { l =>
+        val (seg, n, _) = parseDesc(l)
+        val es = SegIO.read(manifestDir(root).resolve(seg))
+        require(es.size == n,
+          s"delta segment $seg holds ${es.size} entries, list says $n")
+        es.map(_.line)
+      }
+      val adds = body.filter(_.startsWith("+")).map(_.drop(1)) ++ segAdds
+      require(body.forall(l => l.startsWith("-") || l.startsWith("+") ||
+          l.startsWith("@")),
         s"corrupt delta manifest v$version: unprefixed line")
       val basePaths = base.map(_.split('\t').head).toSet
       require(removes.subsetOf(basePaths),
@@ -775,6 +786,12 @@ object ManifestTable {
     */
   private val SegmentEntries = 1024
 
+  /** Columnar-delta threshold: a delta commit with at least this many
+    * ADD entries writes them as parquet segments instead of inline
+    * `+` lines. private[graft] so specs can reference the boundary.
+    */
+  private[graft] val DeltaSegEntries = 32
+
   /** Aggregate (manifest-list-level) bounds of one segment: a column
     * appears only when EVERY entry in the segment records bounds for
     * it — a statless member makes the segment unprovable-disjoint for
@@ -854,6 +871,15 @@ object ManifestTable {
     * formats use to scope a DV to one file, are out of this format's
     * minimal scope — the caveat mirrors a DELETE-WHERE predicate).
     */
+  /** Delta commit of (added entry lines, removed paths) against the
+    * live head — the raw rewrite primitive the CoW ops compose
+    * (package-visible for specs that need a remove-bearing delta
+    * without a full lifecycle op).
+    */
+  private[graft] def commitOps(root: Path, adds: Seq[String],
+      removes: Seq[String], meta: String = ""): Int =
+    commitOpsF(root, _ => meta)(_ => Some((adds, removes))).get
+
   private def commitOpsF(root: Path, metaOf: Int => String,
       checkpoint: Boolean = false)(
       ops: Int => Option[(Seq[String], Seq[String])]): Option[Int] = {
@@ -873,7 +899,8 @@ object ManifestTable {
       // both vector kinds inherit unless the caller's meta names them
       val inheritedDvs = Seq(
         "dv" -> ((v: Int) => dvsFor(root, v)),
-        "dvp" -> ((v: Int) => scopedDvsFor(root, v))).flatMap {
+        "dvp" -> ((v: Int) => scopedDvsFor(root, v)),
+        "dvr" -> ((v: Int) => rowDvsFor(root, v))).flatMap {
         case (k, f) =>
           if (parent == 0 || meta0.split(' ').exists(_.startsWith(k + "=")))
             None // caller manages (or clears) this list itself
@@ -891,7 +918,7 @@ object ManifestTable {
       // explicitly — even when empty — to CLEAR an inherited mapping.
       val inheritedEvo = {
         lazy val pm = manifestOf(root, parent)._2
-        Seq("schema", "colmap").flatMap { k =>
+        Seq("schema", "colmap", "ptrans").flatMap { k =>
           if (parent == 0 || meta0.split(' ').exists(_.startsWith(k + "=")))
             None
           else pm.get(k).filter(_.nonEmpty).map(v => s"$k=$v")
@@ -927,9 +954,29 @@ object ManifestTable {
               }.toSeq
             ("body=seg", descs)
           }
-        } else
+        } else {
+          // columnar delta (round 10): a delta whose ADD set is large
+          // writes its adds as parquet segments (the wave-133 SegIO
+          // encoding checkpoints use) listed as @descriptors beside
+          // the -path lines — a 10k-file rewrite commits ~100 KB of
+          // dictionary-compressed segment instead of ~1 MB of text,
+          // and the descriptor's aggregate bounds let pruned plans
+          // skip the whole segment. Small deltas stay inline text:
+          // a parquet file has a ~KB fixed cost a 2-line delta never
+          // amortizes (the same trade behind Delta Lake's JSON deltas)
+          val addBody =
+            if (adds.size >= DeltaSegEntries) {
+              val segNonce = nonce()
+              adds.map(parseEntry).grouped(SegmentEntries).zipWithIndex
+                .map { case (es, i) =>
+                  val segName = s"cp$segNonce-s$i.parquet"
+                  SegIO.write(d.resolve(segName), es)
+                  descLine(segName, es.size, segmentBounds(es))
+                }.toSeq
+            } else adds.map("+" + _)
           (s"kind=delta depth=${parentDepth + 1}",
-            removes.map("-" + _) ++ adds.map("+" + _))
+            removes.map("-" + _) ++ addBody)
+        }
       // every commit records its wall-clock time — the index TIMESTAMP
       // AS OF resolution ([[versionAt]]) scans; ties (same-ms commits)
       // resolve to the latest version, the Delta rule
@@ -1611,14 +1658,294 @@ object ManifestTable {
     }
   }
 
+  /** HIDDEN PARTITIONING (round 10 — r9-VERDICT task 6, Iceberg's
+    * headline feature restated): a table records VALUE TRANSFORMS in
+    * its header meta (`ptrans=bucket(16,c),truncate(1000,k),days(ts)`)
+    * and its writers lay files out by the transform values, recording
+    * each file's transform bounds as ordinary per-file stats under a
+    * reserved virtual column name (`__ptb16_c` / `__ptt1000_k` /
+    * `__ptd_ts`). Planning then DERIVES virtual bands from plain
+    * predicates on the SOURCE column — a user filters `c = 42` and the
+    * planner adds `__ptb16_c = bucket(42)` — so file skipping works
+    * with zero user knowledge of the layout (that is what makes the
+    * partitioning "hidden"; a Hive-style layout leaks partition
+    * columns into every query). The transform values are materialized
+    * as extra columns in the data files: explicit-schema readers never
+    * see them (parquet projection drops unrequested columns), and the
+    * bytes are RLE'd near-constants.
+    *
+    * Transforms cover LONG columns: `bucket(n,c)` =
+    * pmod(xxhash64(c), n) — equality predicates derive an exact
+    * bucket band, ranges derive nothing (hash is not monotone);
+    * `truncate(w,c)` = c - floorMod(c, w) and `days(c)` =
+    * floorDiv(c, 86400000000) are monotone, so range bands map
+    * through directly.
+    */
+  sealed trait PartTransform {
+    def srcCol: String
+    /** `ptrans=` meta token. */
+    def meta: String
+    /** Reserved virtual stats-column name the file bounds land under. */
+    def statName: String
+    /** Row-level transform value (stage-time layout + stats column). */
+    def exprCol: Column
+    /** Driver-side transform of one literal (plan-time derivation). */
+    def ofLiteral(v: Long): Long
+    /** Virtual band derived from a source-column band, when sound. */
+    def bandOf(lo: Long, hi: Long): Option[(Long, Long)]
+  }
+
+  case class BucketTransform(n: Int, srcCol: String) extends PartTransform {
+    def meta = s"bucket($n,$srcCol)"
+    def statName = s"__ptb${n}_$srcCol"
+    def exprCol: Column = pmod(xxhash64(col(srcCol)), lit(n.toLong))
+    def ofLiteral(v: Long): Long = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val h = new XxHash64(Seq(Literal(v)), 42L).eval(null)
+        .asInstanceOf[Long]
+      java.lang.Math.floorMod(h, n.toLong)
+    }
+    def bandOf(lo: Long, hi: Long): Option[(Long, Long)] =
+      if (lo == hi) { val b = ofLiteral(lo); Some((b, b)) } else None
+  }
+
+  case class TruncateTransform(w: Long, srcCol: String)
+      extends PartTransform {
+    require(w > 0, s"truncate width must be positive, got $w")
+    def meta = s"truncate($w,$srcCol)"
+    def statName = s"__ptt${w}_$srcCol"
+    def exprCol: Column =
+      col(srcCol) - pmod(col(srcCol), lit(w))
+    def ofLiteral(v: Long): Long = v - java.lang.Math.floorMod(v, w)
+    def bandOf(lo: Long, hi: Long): Option[(Long, Long)] =
+      Some((ofLiteral(lo), ofLiteral(hi))) // monotone
+  }
+
+  /** Epoch-micros → days-since-epoch (the Iceberg `days(ts)` shape on
+    * a long micros column, which is how this format's fixtures carry
+    * time).
+    */
+  case class DaysTransform(srcCol: String) extends PartTransform {
+    private val DayUs = 86400000000L
+    def meta = s"days($srcCol)"
+    def statName = s"__ptd_$srcCol"
+    def exprCol: Column = floor(col(srcCol).cast("double") / DayUs)
+      .cast("long")
+    def ofLiteral(v: Long): Long = java.lang.Math.floorDiv(v, DayUs)
+    def bandOf(lo: Long, hi: Long): Option[(Long, Long)] =
+      Some((ofLiteral(lo), ofLiteral(hi))) // monotone
+  }
+
+  private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
+  private val TruncRe = """truncate\((\d+),([^)]+)\)""".r
+  private val DaysRe = """days\(([^)]+)\)""".r
+
+  def parseTransform(s: String): PartTransform = s match {
+    case BucketRe(n, c) => BucketTransform(n.toInt, c)
+    case TruncRe(w, c) => TruncateTransform(w.toLong, c)
+    case DaysRe(c) => DaysTransform(c)
+    case _ => throw new IllegalArgumentException(
+      s"unknown partition transform '$s'")
+  }
+
+  /** Recorded transforms of a version (`ptrans=` header meta). The
+    * token is comma-separated transform specs; specs contain no commas
+    * outside their own parentheses, so a paren-depth split like
+    * [[parseSchemaMeta]]'s applies — but bucket/truncate/days args
+    * never nest, so a regex scan is enough.
+    */
+  def partTransforms(root: Path, version: Int): Seq[PartTransform] =
+    headerMeta(root, version).get("ptrans").map { t =>
+      """(bucket|truncate)\(\d+,[^)]+\)|days\([^)]+\)""".r
+        .findAllIn(t).toSeq.map(parseTransform)
+    }.getOrElse(Nil)
+
+  def transformsMeta(ts: Seq[PartTransform]): String = {
+    val m = ts.map(_.meta).mkString(",")
+    require(!m.contains(' '), s"ptrans meta must be space-free: $m")
+    s"ptrans=$m"
+  }
+
+  /** Stage `df` laid out BY the transform values (range-partitioned on
+    * the transform tuple, so each staged file covers a tight,
+    * near-disjoint transform range) with the transform bounds recorded
+    * as per-file stats under the reserved virtual names, alongside any
+    * ordinary stats columns. Commit the result with
+    * [[transformsMeta]] in the commit meta so readers can derive.
+    */
+  def stageHidden(df: DataFrame, root: Path, batch: String,
+      transforms: Seq[PartTransform], files: Int,
+      statsCols: Seq[String] = Nil, strCols: Seq[String] = Nil)
+      : Seq[String] = {
+    require(transforms.nonEmpty, "stageHidden needs at least one transform")
+    val withT = transforms.foldLeft(df)((d, t) =>
+      d.withColumn(t.statName, t.exprCol))
+    val laid = withT.repartitionByRange(math.max(1, files),
+      transforms.map(t => col(t.statName)): _*)
+    stageWithTypedStats(laid, root, batch,
+      (statsCols ++ transforms.map(_.statName)).distinct, strCols)
+  }
+
+  /** Plan-time derivation: map source-column bands through the
+    * version's recorded transforms into virtual-stat bands. A
+    * predicate shape a transform cannot soundly map (range over a
+    * bucket) derives nothing — the files are then admitted by the
+    * ordinary rules (only-skip-provably-empty).
+    */
+  def hiddenBands(root: Path, version: Int,
+      preds: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+    val ts = partTransforms(root, version)
+    if (ts.isEmpty) Nil
+    else preds.flatMap { case (c, lo, hi) =>
+      ts.filter(_.srcCol == c).flatMap(t =>
+        t.bandOf(lo, hi).map { case (l, h) => (t.statName, l, h) })
+    }
+  }
+
+  /** [[readPrunedMulti]] with hidden-partition derivation: predicates
+    * prune through BOTH their own recorded stats (if any) and the
+    * transform layout. The exact predicate re-applies on the admitted
+    * rows, so results equal a full scan + filter.
+    */
+  def readPrunedHidden(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "readPrunedHidden needs at least one predicate")
+    requirePrunableSnapshot(root, version, "readPrunedHidden")
+    val (hit, _, _) = prunedEntries(root, version,
+      preds ++ hiddenBands(root, version, preds), Nil)
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .filter(preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+        .reduce(_ && _))
+  }
+
+  /** Row-POSITION deletion-vector names of a version (`dvr=` header
+    * meta) — round 10's final granularity step (r9-VERDICT task 5).
+    */
+  def rowDvsFor(root: Path, version: Int): Seq[String] =
+    headerMeta(root, version).get("dvr")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** ROW-POSITION merge-on-read delete — the exact granularity real
+    * formats ship (Delta's deletion vectors are per-file row-index
+    * bitmaps; Iceberg's positional delete files are (file, pos) rows):
+    * the sidecar records `(src file, row position)` pairs and
+    * [[readMORPositional]] subtracts exactly those rows. This closes
+    * the key-scoped form's one declared granularity gap
+    * (r9 VERDICT "what's wrong" #3): a file holding two rows with the
+    * SAME key — or two fully identical rows — can now have exactly
+    * one of them deleted, which no key-based predicate can express.
+    *
+    * `positions` carries (src: string — file name relative to data/,
+    * pos: long — the row's index within that file, i.e. parquet's
+    * `_metadata.row_index`). Same positional contract as the scoped
+    * form: vectors pin to their files, rewrites fail loudly while any
+    * are outstanding ([[compactMORPositional]] materializes first),
+    * and the publish loop conflicts if a racing commit rewrote a
+    * referenced file. Write cost: one sidecar of |deleted rows| —
+    * zero data files rewritten.
+    */
+  def deleteMORPositional(spark: SparkSession, root: Path,
+      positions: DataFrame): Int = {
+    val from = latestVersion(root)
+    require(from > 0, "positional delete on an empty table")
+    require(positions.columns.toSeq == Seq("src", "pos"),
+      s"positions frame carries (src, pos), got " +
+      positions.columns.mkString(","))
+    val touched = positions.select("src").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return from
+    val rel = stage(positions.coalesce(1).sortWithinPartitions("src", "pos"),
+      root, s"dvr${nonce()}")
+    commitOpsF(root, parent => "dvr=" +
+        ((if (parent == 0) Nil else rowDvsFor(root, parent)) ++ rel)
+          .mkString(",")) { parent =>
+      val live = filesFor(root, parent).toSet
+      if (!touched.forall(live.contains))
+        throw new java.util.ConcurrentModificationException(
+          s"positional delete over v$from conflicts: a commit rewrote " +
+          "its referenced files — re-read and re-delete")
+      Some((Nil, Nil)) // zero-op body; only the dvr= meta changes
+    }.get
+  }
+
+  /** Predicate-driven positional delete: resolve `cond` to (src, pos)
+    * pairs by a stats-pruned provenance scan (only the band-admitted
+    * files are read; `_metadata.row_index` supplies the position),
+    * then commit them via [[deleteMORPositional]].
+    */
+  def deleteWhereMORPositional(spark: SparkSession, root: Path,
+      schema: StructType, cond: Column,
+      longBands: Seq[(String, Long, Long)] = Nil,
+      strBands: Seq[(String, Option[String], Option[String])] = Nil)
+      : Int = {
+    val from = latestVersion(root)
+    require(from > 0, "positional delete on an empty table")
+    val (hit, _, _) = prunedEntries(root, from, longBands, strBands)
+    if (hit.isEmpty) return from
+    val data = root.resolve("data")
+    val positions = spark.read.schema(schema)
+      .parquet(hit.map(e => data.resolve(e.path).toString): _*)
+      .withColumn("__src", substring_index(input_file_name(), "/", -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(coalesce(cond, lit(false)))
+      .select(col("__src").as("src"), col("__pos").as("pos"))
+    deleteMORPositional(spark, root, positions)
+  }
+
+  /** Read a snapshot MINUS its row-position vectors: one broadcast
+    * anti-join on (source file, row index) — provenance from
+    * `input_file_name()`, position from parquet's `_metadata.row_index`
+    * (stable per file by the metadata-column contract, independent of
+    * split planning).
+    */
+  def readMORPositional(spark: SparkSession, root: Path, version: Int,
+      schema: StructType): DataFrame = {
+    val base = read(spark, root, version, schema)
+    val dvrs = rowDvsFor(root, version)
+    if (dvrs.isEmpty) base
+    else {
+      val sc = spark.read.parquet(dvrs.map(f =>
+          root.resolve("data").resolve(f).toString): _*)
+        .select(col("src").as("__s"), col("pos").as("__p")).distinct()
+      base.withColumn("__src",
+          substring_index(input_file_name(), "/", -1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(sc),
+          col("__src") === col("__s") && col("__pos") === col("__p"),
+          "left_anti")
+        .drop("__src", "__pos")
+    }
+  }
+
+  /** Materialize the positional-MOR view into plain stats-carrying
+    * files and CLEAR the vectors — the mandatory pre-rewrite step,
+    * mirroring [[compactMORScoped]].
+    */
+  def compactMORPositional(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, keyCol: String, targetFiles: Int): Int = {
+    require(dvsFor(root, from).isEmpty && scopedDvsFor(root, from).isEmpty,
+      "mixed vector kinds on one snapshot — compact the others first")
+    val live = entriesFor(root, from)
+    commit(root, stageWithTypedStats(
+      readMORPositional(spark, root, from, schema)
+        .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
+      root, s"cmorp$from${nonce()}",
+      (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
+      live.flatMap(_.strStats.map(_._1)).distinct), meta = "dvr=")
+  }
+
   /** Materialize the scoped-MOR view into plain stats-carrying files
     * and CLEAR the vectors — the mandatory step before any rewrite of
     * a scoped-DV table (see [[deleteMORScoped]]).
     */
   def compactMORScoped(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, targetFiles: Int): Int = {
-    require(dvsFor(root, from).isEmpty,
-      "mixed key-based and scoped vectors on one snapshot — compactMOR first")
+    require(dvsFor(root, from).isEmpty && rowDvsFor(root, from).isEmpty,
+      "mixed vector kinds on one snapshot — compact the others first")
     // preserve recorded stat coverage of BOTH kinds (non-narrowing)
     val live = entriesFor(root, from)
     commit(root, stageWithTypedStats(
@@ -1633,11 +1960,16 @@ object ManifestTable {
     * survive file rewrites (their (key, src) pairs would dangle and
     * the deleted rows resurrect under new names).
     */
-  private def requireNoScopedDvs(root: Path, version: Int, op: String): Unit =
+  private def requireNoScopedDvs(root: Path, version: Int, op: String): Unit = {
     require(scopedDvsFor(root, version).isEmpty,
       s"$op on v$version: scoped (positional) deletion vectors are " +
       "outstanding — compactMORScoped first; a rewrite would orphan " +
       "their file scopes and resurrect deleted rows")
+    require(rowDvsFor(root, version).isEmpty,
+      s"$op on v$version: row-position deletion vectors are " +
+      "outstanding — compactMORPositional first; a rewrite would " +
+      "orphan their (file, pos) scopes and resurrect deleted rows")
+  }
 
   /** Read a snapshot MINUS its deletion vectors: the base scan plus
     * one broadcast anti-join on `keyCol` — the merge-on-read price.
@@ -1696,7 +2028,7 @@ object ManifestTable {
     val keep = (math.max(keepFrom, math.max(1, firstVersion(root)))
         to latestVersion(root))
       .flatMap(v => filesFor(root, v) ++ dvsFor(root, v) ++
-        scopedDvsFor(root, v)).toSet
+        scopedDvsFor(root, v) ++ rowDvsFor(root, v)).toSet
     val horizon = System.currentTimeMillis() - retainMillis
     val data = root.resolve("data")
     val s = Files.list(data)
@@ -1731,9 +2063,9 @@ object ManifestTable {
     // stragglers themselves are swept (wave-139 review fix)
     val referenced = manifestVersionsListed(manifestDir(root))
       .flatMap { v =>
-        val (_, kv, body) = manifestOf(root, v)
-        if (kv.get("body").contains("seg")) body.map(parseDesc(_)._1)
-        else Nil
+        // checkpoint bodies are ALL descriptors; columnar deltas mix
+        // @descriptors with -/+ lines — one filter covers both
+        manifestOf(root, v)._3.filter(_.startsWith("@")).map(parseDesc(_)._1)
       }.toSet
     val horizon = System.currentTimeMillis() - retainMillis
     val s = Files.list(d)
@@ -1865,10 +2197,23 @@ object ManifestTable {
     } else if (!kv.contains("kind"))
       (body.map(parseEntry).filter(admit), 0, 0)
     else {
-      val (base, r, t) = prunedEntries(root, parent, longPreds, strPreds)
+      val (base, r0, t0) = prunedEntries(root, parent, longPreds, strPreds)
       val removes = body.filter(_.startsWith("-")).map(_.drop(1)).toSet
       val adds = body.filter(_.startsWith("+")).map(_.drop(1)).map(parseEntry)
-      (base.filterNot(e => removes(e.path)) ++ adds.filter(admit), r, t)
+      // columnar-delta adds prune at the DESCRIPTOR level too: a
+      // segment whose aggregate bounds prove disjointness is never read
+      var segsRead = 0
+      val descs = body.filter(_.startsWith("@"))
+      val segAdds = descs.flatMap { l =>
+        val (seg, _, bounds) = parseDesc(l)
+        if (!admit(bounds)) Nil
+        else {
+          segsRead += 1
+          SegIO.read(manifestDir(root).resolve(seg)).filter(admit)
+        }
+      }
+      (base.filterNot(e => removes(e.path)) ++ adds.filter(admit)
+        ++ segAdds, r0 + segsRead, t0 + descs.size)
     }
   }
 
@@ -1890,10 +2235,11 @@ object ManifestTable {
   private def requirePrunableSnapshot(root: Path, version: Int,
       op: String): Unit =
     require(dvsFor(root, version).isEmpty &&
-        scopedDvsFor(root, version).isEmpty,
+        scopedDvsFor(root, version).isEmpty &&
+        rowDvsFor(root, version).isEmpty,
       s"$op on v$version: outstanding deletion vectors — a pruned " +
       "file scan would resurrect deleted rows; use readMOR/" +
-      "readMORScoped or compact first")
+      "readMORScoped/readMORPositional or compact first")
 
   def readPrunedMulti(spark: SparkSession, root: Path, version: Int,
       schema: StructType, preds: Seq[(String, Long, Long)]): DataFrame = {
@@ -2233,6 +2579,76 @@ object ManifestOps extends QueryGroup {
       val v3 = ManifestTable.latestVersion(root)
       require(v1 == 1 && v3 == 3,
         s"SQL DML lifecycle built versions ($v1,…,$v3), expected (1,2,3)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** ROW-POSITION DV lifecycle (round 10 — r9-VERDICT task 5): v1 =
+    * orders in 8 stats-carrying range files; v2 = a DUPLICATE file
+    * appended (every %7 key's full row again — same keys, same
+    * values); v3 = a positional delete of the duplicate file's %3
+    * rows by (file, row_index). The final table holds every original
+    * row PLUS the surviving duplicates — a state no key-based or
+    * key-scoped vector can express (deleting some copies of a key
+    * while keeping others in the SAME table), which is exactly the
+    * granularity gap the row-position form closes.
+    */
+  private[graft] def morPositionalRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_orders_morr",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val dupRel = ManifestTable.stage(
+        orders.filter(col("o_orderkey") % 7 === 0).coalesce(1),
+        root, "dup")
+      require(dupRel.size == 1, s"dup stage produced $dupRel")
+      val v2 = ManifestTable.appendCommit(root, dupRel)
+      val positions = spark.read.schema(orders.schema)
+        .parquet(root.resolve("data").resolve(dupRel.head).toString)
+        .withColumn("pos", col("_metadata.row_index"))
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(lit(dupRel.head).as("src"), col("pos"))
+      val v3 = ManifestTable.deleteMORPositional(spark, root, positions)
+      require(v1 == 1 && v2 == 2 && v3 == 3,
+        s"positional-DV lifecycle built ($v1,$v2,$v3), expected (1,2,3)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** HIDDEN-PARTITIONING lifecycle (round 10 — r9-VERDICT task 6):
+    * orders laid out by `bucket(16, o_custkey)` into 16 files whose
+    * transform bounds ride the manifest as virtual per-file stats.
+    * Deliberately NO plain stats on o_custkey — every custkey file
+    * skip the queries achieve comes from the transform derivation
+    * alone (a raw min/max on a high-cardinality scattered key would
+    * admit everything; the bucket layout is what makes the key
+    * prunable, which is the whole point of hidden partitioning).
+    */
+  private[graft] def hiddenRoot(spark: SparkSession, dir: String): Path = {
+    // "hidden2": the first build committed no schema= meta and its
+    // cached root would leak the layout column through the footer
+    // fallback — name bumped to invalidate it
+    val out = ArtifactCache.path("manifest_orders_hidden2",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val ts = Seq(ManifestTable.BucketTransform(16, "o_custkey"))
+      // schema= meta pins the LOGICAL schema: the data files carry the
+      // materialized __ptb16_o_custkey layout column, which must stay
+      // hidden from every reader
+      val v1 = ManifestTable.commit(root,
+        ManifestTable.stageHidden(orders, root, "base", ts, files = 16),
+        ManifestTable.transformsMeta(ts) +
+          s" schema=${ManifestTable.schemaMeta(orders.schema)}")
+      require(v1 == 1, s"hidden lifecycle built v$v1, expected 1")
       Files.createFile(root.resolve("_SUCCESS")): Unit
     }
     Paths.get(out)
@@ -3028,6 +3444,38 @@ object ManifestOps extends QueryGroup {
            |ORDER BY o_orderkey""".stripMargin)
     },
 
+    "source_manifest_hidden_partition" -> { (spark, dir) =>
+      // HIDDEN PARTITIONING through the registered source: the table
+      // is laid out by bucket(16, o_custkey) and carries NO plain
+      // custkey stats, yet a plain `o_custkey = k` filter skips
+      // files — the source derives the virtual bucket band from the
+      // recorded ptrans meta at plan time (Wave147Spec asserts the
+      // admitted-file count; this query asserts exactness). The user
+      // never names the layout: that is the "hidden" in hidden
+      // partitioning.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = hiddenRoot(spark, dir)
+      val ck = orders.agg(min("o_custkey")).head().getLong(0)
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+        .filter(col("o_custkey") === ck)
+        .orderBy("o_orderkey")
+    },
+
+    "source_manifest_mor_positional" -> { (spark, dir) =>
+      // ROW-POSITION deletion vectors (the real formats' bitmap
+      // granularity): a duplicate file's %3 rows die by (file,
+      // row_index) while the identical originals in the base files
+      // survive — key-based and key-scoped vectors cannot express
+      // this state at all (Wave146Spec proves the one-of-two-copies
+      // contrast directly). The registered source takes the same
+      // branch, so spark.read sees the subtracted view too.
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.readMORPositional(spark,
+          morPositionalRoot(spark, dir), 3, orders.schema)
+        .orderBy("o_orderkey")
+    },
+
     "manifest_sql_merge" -> { (spark, dir) =>
       // the manifest_upsert lifecycle driven by a plain-SQL
       // `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
@@ -3109,6 +3557,27 @@ object ManifestOps extends QueryGroup {
         |  o_orderdate, o_orderpriority
         |FROM orders CROSS JOIN b
         |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_hidden_partition" ->
+      // the bucket-derived file skip is a superset admit; the exact
+      // filter re-applies, so the result is the plain equality
+      """WITH b AS (SELECT min(o_custkey) AS ck FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_custkey = ck
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_mor_positional" ->
+      // originals all survive; duplicates survive only outside %3
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
         |ORDER BY o_orderkey""".stripMargin,
 
     "manifest_sql_merge" ->

@@ -166,8 +166,11 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       .getOrElse {
         val fs = ManifestTable.filesFor(root, version)
         require(fs.nonEmpty, s"v$version at $root holds no data files")
-        spark.read.parquet(root.resolve("data")
-          .resolve(fs.head).toString).schema
+        // reserved __pt* layout columns (hidden partitioning) must
+        // never surface through the footer fallback
+        StructType(spark.read.parquet(root.resolve("data")
+          .resolve(fs.head).toString).schema.fields
+          .filterNot(_.name.startsWith("__pt")))
       }
     new ManifestRelation(ctx, root, version, schema)
   }
@@ -220,15 +223,21 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
     * at package level so the file-skipping claim is unit-assertable.
     */
   private[graft] def admittedEntries(filters: Array[Filter])
-      : Seq[ManifestTable.FileEntry] =
+      : Seq[ManifestTable.FileEntry] = {
     // two-level planning (wave 134/135): long AND string bands resolve
     // through the manifest list, reading only the checkpoint segments
     // whose aggregate bounds intersect — plan IO rides the relevant
     // fraction of the file list. Band names translate to PHYSICAL
     // (stats keys are stage-time names).
+    val lb = bands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) }
+    // hidden partitioning (round 10): derive virtual transform bands
+    // from the pushed predicates, so a plain `c = 42` filter skips
+    // files by the table's bucket/truncate/days layout with zero user
+    // knowledge of it
     ManifestTable.prunedEntries(root, version,
-      bands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      lb ++ ManifestTable.hiddenBands(root, version, lb),
       strBands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
+  }
 
   /** The stats-pruned, DV-subtracted, mapping-aliased snapshot scan as
     * a DataFrame under the FULL logical schema — the shared core of
@@ -239,8 +248,11 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
     val spark = ctx.sparkSession
     val dvs = ManifestTable.dvsFor(root, version)
     val dvps = ManifestTable.scopedDvsFor(root, version)
+    val dvrs = ManifestTable.rowDvsFor(root, version)
     toLogical(
-      if (dvps.nonEmpty) // positional vectors: full MOR-scoped read
+      if (dvrs.nonEmpty) // row-position vectors: full positional read
+        ManifestTable.readMORPositional(spark, root, version, physSchema)
+      else if (dvps.nonEmpty) // file-scoped vectors: MOR-scoped read
         ManifestTable.readMORScoped(spark, root, version, physSchema,
           sidecarKey(dvps))
       else if (dvs.nonEmpty) // key vectors: subtract, no file skip

@@ -88,8 +88,11 @@ private[graft] object ManifestV2 {
         val fs = ManifestTable.filesFor(root, version)
         require(fs.nonEmpty, s"v$version at $root holds no data files " +
           "and no schema meta — create the table with a schema")
-        spark.read.parquet(root.resolve("data")
-          .resolve(fs.head).toString).schema
+        // reserved __pt* layout columns (hidden partitioning) must
+        // never surface through the footer fallback
+        StructType(spark.read.parquet(root.resolve("data")
+          .resolve(fs.head).toString).schema.fields
+          .filterNot(_.name.startsWith("__pt")))
       }
   }
 
