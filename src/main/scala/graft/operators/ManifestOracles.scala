@@ -1,0 +1,364 @@
+package graft.operators
+
+/** DuckDB oracle SQL for every [[ManifestOps]] declared query
+  * (round-10 split companion of ManifestQueries.scala — the SQL
+  * restatements are bulky and review independently of the Spark-side
+  * lifecycles). Keys mirror `ManifestOps.queries` exactly; the
+  * oracles read the ORIGINAL parquet tables, so equality through a
+  * manifest lifecycle IS the assertion.
+  */
+private[operators] object ManifestOracles {
+
+  val map: Map[String, String] = Map(
+    "source_manifest_v2api" ->
+      // pinned v1 is the source table verbatim; the band re-filters
+      // exactly (file skip asserted by Wave142Spec)
+      """WITH b AS (SELECT max(o_orderkey) // 6 AS lo,
+        |    max(o_orderkey) // 3 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sink_manifest_v2sql" ->
+      // both INSERT halves together are the whole table; the band
+      // re-filters exactly
+      """WITH b AS (SELECT max(o_orderkey) // 8 AS lo,
+        |    max(o_orderkey) // 4 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_hidden_partition" ->
+      // the bucket-derived file skip is a superset admit; the exact
+      // filter re-applies, so the result is the plain equality
+      """WITH b AS (SELECT min(o_custkey) AS ck FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_custkey = ck
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_mor_positional" ->
+      // originals all survive; duplicates survive only outside %3
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_sql_merge" ->
+      // manifest_upsert's oracle verbatim — the SQL MERGE must land
+      // the exact state the programmatic upsert lands
+      """WITH b AS (SELECT max(o_orderkey) AS m,
+        |    max(o_orderkey) // 4 AS q FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN o_totalprice + 5.0 ELSE o_totalprice END
+        |      AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
+        |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_sql_update_delete" ->
+      // the UPDATE's CASE image minus the DELETE's band — restated
+      // from the source table
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS q,
+        |    3 * (max(o_orderkey) // 4) AS h FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey < q
+        |       THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey < q
+        |       THEN 'X-SQL' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE NOT (o_orderkey >= h AND o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest" ->
+      // oracle reads the ORIGINAL parquet — equality across the
+      // append + compaction lifecycle IS the assertion
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_timetravel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_merge" ->
+      // the merged state restated from the source table: same integer
+      // band bounds (max//4, max//2), same one IEEE price add, same
+      // band-scoped delete predicate
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey >= lo AND o_orderkey < hi
+        |       THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE NOT (o_orderkey >= lo AND o_orderkey < hi
+        |           AND o_orderkey % 19 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_incremental" ->
+      // v2's appended files carry exactly the odd-key batch
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_pruned" ->
+      // the prune band lies below the merge band → rows unchanged; the
+      // file-skip claim itself is Wave91Spec's plan-level assertion
+      """WITH b AS (SELECT max(o_orderkey) // 10 AS lo,
+        |    max(o_orderkey) // 5 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_pruned2" ->
+      // both bands restated from the source table; the file-skip claim
+      // is Wave108Spec's plan-level assertion
+      """WITH b AS (SELECT max(o_orderkey) // 10 AS lo,
+        |    max(o_orderkey) // 5 AS hi,
+        |    (SELECT max(o_custkey) // 2 FROM orders) AS hic
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |  AND o_custkey >= 0 AND o_custkey <= hic
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_pruned_str" ->
+      // the string band restated on the source table (both engines
+      // compare pure-ASCII brands in binary order); the file-skip
+      // claim itself is Wave132Spec's plan-level assertion
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |  p_retailprice
+        |FROM part
+        |WHERE p_brand >= 'Brand#12' AND p_brand <= 'Brand#19'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "source_manifest_v1api_str" ->
+      // the equality restated on the source table; the file-skip claim
+      // is Wave135Spec's plan-level assertion
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |  p_retailprice
+        |FROM part WHERE p_brand = 'Brand#21'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "manifest_upsert" ->
+      // the merged state restated from the source table: matched keys
+      // (%17, bottom quarter) carry the replaced image, everything
+      // else survives, and the %23 insert images land above max
+      """WITH b AS (SELECT max(o_orderkey) AS m,
+        |    max(o_orderkey) // 4 AS q FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < q
+        |         THEN o_totalprice + 5.0 ELSE o_totalprice END
+        |      AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
+        |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_v1api" ->
+      // pinned v1 is the source table verbatim; the band re-filters
+      // exactly and the file-skip claim is Wave126Spec's assertion
+      """WITH b AS (SELECT max(o_orderkey) // 20 AS lo,
+        |    max(o_orderkey) // 10 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sink_manifest_v1api" ->
+      // both write halves together are the whole table; the band
+      // re-filters exactly
+      """WITH b AS (SELECT max(o_orderkey) // 10 AS lo,
+        |    max(o_orderkey) // 5 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_zorder" ->
+      // both bands restated from the source table; the admitted-file
+      // claim is Wave121Spec's plan-level assertion
+      """WITH b AS (SELECT max(o_orderkey) // 8 AS lo,
+        |    max(o_orderkey) // 4 AS hi,
+        |    (SELECT max(o_custkey) // 4 FROM orders) AS hic
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |  AND o_custkey >= 0 AND o_custkey <= hic
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_schema_evolution" ->
+      // even keys predate the ADD COLUMN → null o_orderpriority
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_colmap" ->
+      // the three batches restated: pre-rename evens (null priority,
+      // price = o_totalprice), odds, and the post-rename shifted %5
+      // append (price +1000.0, the same IEEE add on both engines)
+      """WITH b AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderkey, o_totalprice AS o_price,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice AS o_price, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey + m AS o_orderkey,
+        |  o_totalprice + 1000.0 AS o_price, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey > 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ivm_manifest_delta" ->
+      // the refreshed view == the full aggregate over the source (v2's
+      // content is the whole table); sums staged in exact decimal
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_manifest_source" ->
+      // the streamed Complete-mode aggregate over the 4-commit chain
+      // == the batch aggregate over the whole table (v4's content)
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "source_manifest_mor" ->
+      // the DV subtraction restated from the source table
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ivm_manifest_cow_delta" ->
+      // the refreshed view == the aggregate over the MERGED state,
+      // restated from the source table (same band/delete/price rules
+      // as source_manifest_merge)
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey >= lo AND o_orderkey < hi
+        |         THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+        |  FROM orders CROSS JOIN b
+        |  WHERE NOT (o_orderkey >= lo AND o_orderkey < hi
+        |             AND o_orderkey % 19 = 0))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(p AS DECIMAL(18,6))), 4) AS DOUBLE) AS rev
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "source_manifest_mor_scoped" ->
+      // survivors = everything outside %13, plus the re-inserted
+      // %13∧%3 copies (identical source rows in a new file)
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ivm_manifest_cdf" ->
+      // the CDF-refreshed view == the full aggregate over the source
+      // (v3's content is the whole table); sums staged in exact
+      // decimal — same restatement as ivm_manifest_delta, reached
+      // through the general log-driven path
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdf_manifest" ->
+      // the merge's change set restated from the source table: every
+      // band row emits its pre-image as a delete; surviving band rows
+      // (%19 ≠ 0) also emit the post-image (+1.0 price) as an insert
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders),
+        |i AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE o_orderkey >= lo AND o_orderkey < hi)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'delete' AS _change_type
+        |FROM i
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 1.0, o_orderdate, o_orderpriority, 'insert'
+        |FROM i WHERE o_orderkey % 19 <> 0
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    "cdf_manifest_mor" ->
+      // pure deletes: the DV commit killed the %13 keys
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'delete' AS _change_type
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_replicate" ->
+      // the mirror equals the source's merged state — identical
+      // restatement to source_manifest_merge's oracle
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey >= lo AND o_orderkey < hi
+        |       THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE NOT (o_orderkey >= lo AND o_orderkey < hi
+        |           AND o_orderkey % 19 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "stream_manifest_sink" ->
+      // all three replay files land (no watermark on the append sink);
+      // equality proves no batch lost, none double-committed
+      """SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
