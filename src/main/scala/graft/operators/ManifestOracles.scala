@@ -42,6 +42,18 @@ private[operators] object ManifestOracles {
         |WHERE o_custkey = ck
         |ORDER BY o_orderkey""".stripMargin,
 
+    "source_manifest_hidden_days" ->
+      // the derived day band is a superset admit; the exact filter
+      // re-applies, so the result is the plain one-day predicate
+      """WITH b AS (SELECT ((min(epoch_us(ts)) // 86400000000) + 3)
+        |    * 86400000000 AS lo FROM events)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value
+        |FROM events CROSS JOIN b
+        |WHERE epoch_us(ts) >= lo
+        |  AND epoch_us(ts) <= lo + 86400000000 - 1
+        |ORDER BY event_id""".stripMargin,
+
     "source_manifest_mor_positional" ->
       // originals all survive; duplicates survive only outside %3
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

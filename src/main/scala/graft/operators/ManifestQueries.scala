@@ -269,6 +269,32 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** days()-transform lifecycle: events (ts canonicalized to epoch
+    * micros) laid out by `days(ts_us)` into 16 files — the time-based
+    * hidden partitioning every real lakehouse runs on. ~30 days of
+    * fixture data → ~2 days per file, so a one-day predicate admits
+    * 1-2 of 16 files through the derived `__ptd_ts_us` band.
+    */
+  private[graft] def hiddenDaysRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_events_hiddendays",
+      Seq(s"$dir/events.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val events = Tables.table(spark, dir, "events")
+      val df = events.select(col("event_id"),
+        Tables.tsUsCol(events).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      val ts = Seq(ManifestTable.DaysTransform("ts_us"))
+      val v1 = ManifestTable.commit(root,
+        ManifestTable.stageHidden(df, root, "base", ts, files = 16),
+        ManifestTable.transformsMeta(ts) +
+          s" schema=${ManifestTable.schemaMeta(df.schema)}")
+      require(v1 == 1, s"hidden-days lifecycle built v$v1, expected 1")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** OPTIMIZE ZORDER lifecycle: v1 = orders range-laid by o_orderkey
     * only (8 files — each spans o_custkey's FULL range, the layout
     * under which any custkey predicate must scan everything); v2 = the
@@ -1075,6 +1101,24 @@ object ManifestOps extends QueryGroup {
         .option("path", root.toString).load()
         .filter(col("o_custkey") === ck)
         .orderBy("o_orderkey")
+    },
+
+    "source_manifest_hidden_days" -> { (spark, dir) =>
+      // time-based hidden partitioning — the canonical lakehouse
+      // layout: events laid by days(ts_us), a one-calendar-day
+      // predicate (day 4 of the ~30-day fixture) admits 1-2 of 16
+      // files through the derived day band (Wave147Spec proves the
+      // derivation; this query proves exactness through the
+      // registered source on the time shape).
+      val events = Tables.table(spark, dir, "events")
+      val root = hiddenDaysRoot(spark, dir)
+      val day = 86400000000L
+      val t0 = events.agg(min(Tables.tsUsCol(events))).head().getLong(0)
+      val lo = (t0 / day + 3) * day
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+        .filter(col("ts_us") >= lo && col("ts_us") <= lo + day - 1)
+        .orderBy("event_id")
     },
 
     "source_manifest_mor_positional" -> { (spark, dir) =>
