@@ -492,6 +492,12 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
     tokenSafe(newName)
     commitOpsF(root, { parent =>
       require(parent > 0, "renameColumn on an empty table")
+      // a hidden-partitioning transform records its source column by
+      // name at CREATE; renaming it would silently detach the
+      // plan-time derivation and the write-path layout (wave 151)
+      require(!partTransforms(root, parent).exists(_.srcCol == oldName),
+        s"cannot rename '$oldName': it is a partition-transform source " +
+        "column (ptrans=) — the derivation and write layout key on it")
       val m = headerMeta(root, parent)
       require(m.contains("schema"),
         s"v$parent carries no schema meta — the table is not evolvable")

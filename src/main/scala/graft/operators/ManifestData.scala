@@ -220,12 +220,39 @@ trait ManifestData { self: ManifestLog with ManifestMutations =>
       statsCols: Seq[String] = Nil, strCols: Seq[String] = Nil)
       : Seq[String] = {
     require(transforms.nonEmpty, "stageHidden needs at least one transform")
+    // the plan-time derivation hashes/arithmetics a LONG literal; a
+    // narrower source column would hash differently spark-side
+    // (xxhash64 of an int != xxhash64 of the widened long) and the
+    // derived band would FALSELY prune — reject the type up front
+    transforms.foreach { t =>
+      require(df.schema(t.srcCol).dataType ==
+          org.apache.spark.sql.types.LongType,
+        s"partition transform ${t.meta} needs a BIGINT source column; " +
+        s"'${t.srcCol}' is ${df.schema(t.srcCol).dataType.simpleString} " +
+        "— cast it to long before staging")
+    }
     val withT = transforms.foldLeft(df)((d, t) =>
       d.withColumn(t.statName, t.exprCol))
     val laid = withT.repartitionByRange(math.max(1, files),
       transforms.map(t => col(t.statName)): _*)
     stageWithTypedStats(laid, root, batch,
       (statsCols ++ transforms.map(_.statName)).distinct, strCols)
+  }
+
+  /** Re-materialize the recorded transforms' virtual columns on a
+    * rewrite frame (wave 150 review fix): every stat-preserving
+    * rewrite path re-reads files under the LOGICAL schema — which has
+    * no `__pt*` columns — while its preserved stat-column list (taken
+    * from the touched entries) DOES name them, so staging would fail
+    * on the missing column. The transform values are deterministic
+    * functions of the source columns, so restoring them is exact.
+    */
+  private[operators] def restoreTransformCols(root: Path, version: Int,
+      df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    partTransforms(root, version)
+      .filter(t => have(t.srcCol) && !have(t.statName))
+      .foldLeft(df)((d, t) => d.withColumn(t.statName, t.exprCol))
   }
 
   /** Plan-time derivation: map source-column bands through the

@@ -40,8 +40,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
-      transform(affected).repartitionByRange(
-        math.max(1, hit.size), col(keyCol)),
+      restoreTransformCols(root, from, transform(affected))
+        .repartitionByRange(math.max(1, hit.size), col(keyCol)),
       root, s"merge$from${nonce()}", statCols, strCols)
     // SERIALIZABLE-WRITER commit: recompute the conflict checks against
     // whatever parent WINS the publish race, aborting on BOTH conflict
@@ -159,8 +159,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strColsU = hit.flatMap(_.strStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
-      replacement.repartitionByRange(math.max(1, hit.size + 1),
-        col(keyCol)),
+      restoreTransformCols(root, from, replacement)
+        .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
       root, s"upsert$from${nonce()}", statCols, strColsU)
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"upsert=v$from") { parent =>
@@ -193,21 +193,25 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
       batchTag: String): Int = {
     val statCols = hit.flatMap(_.stats.map(_._1)).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
+    // restore hidden-partitioning virtual columns FIRST: the leading
+    // stat column (the clustering key below) may itself be a __pt*
+    // transform the logical-schema frame lacks (wave-150 review fix)
+    val restored = restoreTransformCols(root, from, replacement)
     // keep the rewritten set clustered on the leading stat column when
     // one exists (narrow bounds keep the files prunable); otherwise
     // the layout is whatever the replacement plan produced
     val laid = statCols.headOption match {
-      case Some(k) => replacement
+      case Some(k) => restored
         .repartitionByRange(math.max(1, hit.size), col(k))
-      case None => replacement
+      case None => restored
     }
     // a stats-less table (no statsColumns property) still rewrites —
     // there is just no coverage to preserve
     val rewritten =
       if (statCols.isEmpty && strCols.isEmpty)
         stage(laid, root, s"$batchTag$from${nonce()}")
-      else stageWithTypedStats(laid, root,
-        s"$batchTag$from${nonce()}", statCols, strCols)
+      else stageWithTypedStats(laid,
+        root, s"$batchTag$from${nonce()}", statCols, strCols)
     commitOpsF(root, _ => opMeta) { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!hit.forall(e => curPaths.contains(e.path)))
@@ -235,7 +239,10 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     val from = latestVersion(root)
     require(from > 0, "deleteWhere on an empty table")
     requireNoScopedDvs(root, from, "deleteWhere")
-    val (hit, _, _) = prunedEntries(root, from, longBands, strBands)
+    // hidden partitioning composes: derive virtual transform bands
+    // from the caller's plain bands (superset admit either way)
+    val (hit, _, _) = prunedEntries(root, from,
+      longBands ++ hiddenBands(root, from, longBands), strBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val kept = spark.read.schema(schema)
@@ -261,7 +268,10 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     val from = latestVersion(root)
     require(from > 0, "updateWhere on an empty table")
     requireNoScopedDvs(root, from, "updateWhere")
-    val (hit, _, _) = prunedEntries(root, from, longBands, strBands)
+    // hidden partitioning composes: derive virtual transform bands
+    // from the caller's plain bands (superset admit either way)
+    val (hit, _, _) = prunedEntries(root, from,
+      longBands ++ hiddenBands(root, from, longBands), strBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val c = coalesce(cond, lit(false))
@@ -298,8 +308,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     val statCols = (keyCol +: small.flatMap(_.stats.map(_._1))).distinct
     val strCols = small.flatMap(_.strStats.map(_._1)).distinct
     val packed = stageWithTypedStats(
-      spark.read.schema(schema)
-        .parquet(small.map(e => data.resolve(e.path).toString): _*)
+      restoreTransformCols(root, from, spark.read.schema(schema)
+          .parquet(small.map(e => data.resolve(e.path).toString): _*))
         .repartitionByRange(math.max(1,
           (small.map(e => Files.size(data.resolve(e.path))).sum
             / smallBytes).toInt), col(keyCol)),
@@ -392,9 +402,9 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     val statCols = (cols ++ live.flatMap(_.stats.map(_._1))).distinct
     val strCols = live.flatMap(_.strStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
-      df.withColumn("__z", z)
+      restoreTransformCols(root, from, df.withColumn("__z", z)
         .repartitionByRange(math.max(1, targetFiles), col("__z"))
-        .sortWithinPartitions("__z").drop("__z"),
+        .sortWithinPartitions("__z").drop("__z")),
       root, s"zorder$from${nonce()}", statCols, strCols)
     commitOpsF(root, _ => s"zorder=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
@@ -578,7 +588,10 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
       : Int = {
     val from = latestVersion(root)
     require(from > 0, "positional delete on an empty table")
-    val (hit, _, _) = prunedEntries(root, from, longBands, strBands)
+    // hidden partitioning composes: derive virtual transform bands
+    // from the caller's plain bands (superset admit either way)
+    val (hit, _, _) = prunedEntries(root, from,
+      longBands ++ hiddenBands(root, from, longBands), strBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val positions = spark.read.schema(schema)
@@ -625,7 +638,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
       "mixed vector kinds on one snapshot — compact the others first")
     val live = entriesFor(root, from)
     commit(root, stageWithTypedStats(
-      readMORPositional(spark, root, from, schema)
+      restoreTransformCols(root, from,
+          readMORPositional(spark, root, from, schema))
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
       root, s"cmorp$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
@@ -643,7 +657,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // preserve recorded stat coverage of BOTH kinds (non-narrowing)
     val live = entriesFor(root, from)
     commit(root, stageWithTypedStats(
-      readMORScoped(spark, root, from, schema, keyCol)
+      restoreTransformCols(root, from,
+          readMORScoped(spark, root, from, schema, keyCol))
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
       root, s"cmors$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
@@ -693,7 +708,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // Stat coverage of BOTH kinds is preserved (non-narrowing).
     val live = entriesFor(root, from)
     commit(root, stageWithTypedStats(
-      readMOR(spark, root, from, schema, keyCol)
+      restoreTransformCols(root, from,
+          readMOR(spark, root, from, schema, keyCol))
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
       root, s"cmor$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,

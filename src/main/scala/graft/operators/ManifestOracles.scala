@@ -42,6 +42,16 @@ private[operators] object ManifestOracles {
         |WHERE o_custkey = ck
         |ORDER BY o_orderkey""".stripMargin,
 
+    "sink_manifest_hidden_sql" ->
+      // both INSERT halves together are the whole table; the bucket
+      // skip is a superset admit, the equality re-filters exactly
+      """WITH b AS (SELECT min(o_custkey) AS ck FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_custkey = ck
+        |ORDER BY o_orderkey""".stripMargin,
+
     "source_manifest_hidden_days" ->
       // the derived day band is a superset admit; the exact filter
       // re-applies, so the result is the plain one-day predicate

@@ -1103,6 +1103,35 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "sink_manifest_hidden_sql" -> { (spark, dir) =>
+      // the FULL SQL hidden-partitioning lifecycle (wave 151,
+      // composing the catalog with the ptrans layout): CREATE TABLE …
+      // PARTITIONED BY (bucket(16, o_custkey)) records the transform,
+      // two plain INSERT INTO halves lay their files out by bucket
+      // with virtual per-file stats, and the final equality SELECT
+      // prunes through the derived band with zero user knowledge of
+      // the layout (Wave151Spec asserts the admitted-file counter).
+      val orders = Tables.table(spark, dir, "orders")
+      val root = freshSinkRoot(dir, tag = "hsql_")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      // freshSinkRoot pre-creates the dir; the catalog CREATE owns it
+      deleteTree(root)
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` PARTITIONED BY (bucket(16, o_custkey))")
+      orders.createOrReplaceTempView("orders_hsql_src")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM orders_hsql_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM orders_hsql_src WHERE o_orderkey % 2 = 1")
+      val ck = orders.agg(min("o_custkey")).head().getLong(0)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $ident WHERE o_custkey = $ck
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
     "source_manifest_hidden_days" -> { (spark, dir) =>
       // time-based hidden partitioning — the canonical lakehouse
       // layout: events laid by days(ts_us), a one-calendar-day

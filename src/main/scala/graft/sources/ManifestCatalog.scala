@@ -119,13 +119,65 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName.${ident.toString}@t$timestamp")
   }
 
+  /** `PARTITIONED BY (bucket(16, c) / truncate(1000, k) / days(ts))`
+    * → HIDDEN partitioning (wave 151, composing waves 142+147): the
+    * transforms land in the table's `ptrans=` meta at CREATE, every
+    * SQL INSERT lays its files out by the transform tuple with the
+    * per-file transform bounds as virtual stats, and plain predicates
+    * prune through the layout with zero user knowledge of it —
+    * exactly Iceberg's DDL surface for the feature.
+    */
+  private def toPartTransform(t: Transform, schema: StructType)
+      : ManifestTable.PartTransform = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : String = e match {
+      case f: NamedReference =>
+        require(f.fieldNames.length == 1,
+          "graft-manifest transforms take top-level columns, got " +
+          f.fieldNames.mkString("."))
+        f.fieldNames()(0)
+      case other => throw new IllegalArgumentException(
+        s"expected a column reference in ${t.name}, got $other")
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Long = e match {
+      case l: Literal[_] => l.value match {
+        case i: Integer => i.toLong
+        case l2: java.lang.Long => l2
+        case other => throw new IllegalArgumentException(
+          s"expected an integer argument in ${t.name}, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"expected a literal argument in ${t.name}, got $other")
+    }
+    val built = (t.name.toLowerCase, t.arguments().toSeq) match {
+      case ("bucket", Seq(n, c)) =>
+        ManifestTable.BucketTransform(lit(n).toInt, field(c))
+      case ("truncate", Seq(a, b)) =>
+        // both arg orders circulate (Iceberg DDL: truncate(w, col);
+        // Spark's Expressions.truncate: (col, w))
+        if (a.isInstanceOf[Literal[_]])
+          ManifestTable.TruncateTransform(lit(a), field(b))
+        else ManifestTable.TruncateTransform(lit(b), field(a))
+      case ("days", Seq(c)) => ManifestTable.DaysTransform(field(c))
+      case (other, _) => throw new UnsupportedOperationException(
+        s"graft-manifest supports PARTITIONED BY bucket(n, col) / " +
+        s"truncate(w, col) / days(col) — got $other")
+    }
+    val f = schema.fields.find(_.name == built.srcCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"PARTITIONED BY ${built.meta}: no column '${built.srcCol}'"))
+    require(f.dataType == org.apache.spark.sql.types.LongType,
+      s"PARTITIONED BY ${built.meta} needs a BIGINT column; " +
+      s"'${built.srcCol}' is ${f.dataType.simpleString}")
+    built
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-manifest lays data out by commit-time clustering and " +
-      "per-file stats, not PARTITIONED BY — cluster with " +
-      "optimizeZorder / repartitionByRange before writes instead")
+    val transforms = partitions.toSeq.map(toPartTransform(_, schema))
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
@@ -144,8 +196,12 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         s"this catalog creates graft-manifest tables, got USING $p"))
     if (props.nonEmpty) ManifestV2Table.writeProps(dir, props)
     // the v1 commit IS the table creation: empty live set, schema meta
+    // (+ the hidden-partitioning transforms, which every later commit
+    // inherits)
     ManifestTable.commit(dir, Nil,
-      s"schema=${ManifestTable.schemaMeta(schema)}")
+      s"schema=${ManifestTable.schemaMeta(schema)}" +
+        (if (transforms.isEmpty) ""
+         else " " + ManifestTable.transformsMeta(transforms)))
     loadTable(ident)
   }
 

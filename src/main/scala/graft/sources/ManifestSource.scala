@@ -103,18 +103,42 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       if (exists) ManifestTable.columnMap(root,
         ManifestTable.latestVersion(root))
       else Map.empty
+    // HIDDEN PARTITIONING (wave 151): a table created PARTITIONED BY
+    // bucket/truncate/days carries ptrans= meta — every write lays its
+    // files out by the transform tuple and records the virtual stats,
+    // so SQL INSERTs compose with the plan-time derivation without
+    // per-write options. Mapping + transforms together is rejected
+    // loudly (the recorded srcCol is the CREATE-time name; deriving
+    // through a rename needs a remap this format doesn't carry yet).
+    val transforms: Seq[ManifestTable.PartTransform] =
+      if (exists) ManifestTable.partTransforms(root,
+        ManifestTable.latestVersion(root))
+      else Nil
+    require(transforms.isEmpty || cmap.isEmpty,
+      "graft-manifest: writes to a table with BOTH partition " +
+      "transforms and renamed columns are unsupported — compact and " +
+      "recreate, or avoid renaming transform source columns")
     def physName(c: String) = cmap.getOrElse(c, c)
     def staged(tag: String, mapped: Boolean): Seq[String] = {
       val batch = tag + java.util.UUID.randomUUID().toString.take(8)
       val out = if (mapped && cmap.nonEmpty)
         df.select(df.columns.toSeq.map(c => col(c).as(physName(c))): _*)
       else df
+      val base =
+        if (transforms.isEmpty) out
+        else transforms.foldLeft(out)((d, t) =>
+            d.withColumn(t.statName, t.exprCol))
+          .repartitionByRange(
+            math.max(1, out.rdd.getNumPartitions),
+            transforms.map(t => col(t.statName)): _*)
       def names(cs: Seq[String]) =
         if (mapped) cs.map(physName) else cs
-      if (statsCols.isEmpty && statsStrCols.isEmpty)
-        ManifestTable.stage(out, root, batch)
-      else ManifestTable.stageWithTypedStats(out, root, batch,
-        names(statsCols), names(statsStrCols))
+      val allStats = (names(statsCols) ++ transforms.map(_.statName))
+        .distinct
+      if (allStats.isEmpty && statsStrCols.isEmpty)
+        ManifestTable.stage(base, root, batch)
+      else ManifestTable.stageWithTypedStats(base, root, batch,
+        allStats, names(statsStrCols))
     }
     val schemaMeta = s"schema=${ManifestTable.schemaMeta(df.schema)}"
     // keep only mapping entries for columns this write still carries

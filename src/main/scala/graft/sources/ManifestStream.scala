@@ -48,7 +48,7 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
     override val schema: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Long)
+    maxVersionsPerTrigger: Long, ignoreDeletes: Boolean)
     extends Source with SupportsTriggerAvailableNow {
 
   // the log head pinned at AvailableNow start; None = unbounded
@@ -93,6 +93,24 @@ private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
     val spark = ctx.sparkSession
+    // merge-on-read DELETES are data changes the file-delta stream
+    // cannot represent (a DV commit has an empty file delta, and a
+    // stream starting below an outstanding vector would re-emit the
+    // deleted rows raw) — fail loudly unless the caller opted into
+    // append-only semantics, Delta's ignoreDeletes contract
+    if (!ignoreDeletes) {
+      def lists(v: Int): (Seq[String], Seq[String], Seq[String]) =
+        if (v < 1) (Nil, Nil, Nil)
+        else (ManifestTable.dvsFor(root, v),
+          ManifestTable.scopedDvsFor(root, v),
+          ManifestTable.rowDvsFor(root, v))
+      if (lists(from.toInt) != lists(to.toInt))
+        throw new IllegalStateException(
+          s"stream range v$from→v$to contains merge-on-read deletes " +
+          "(deletion-vector commits), which a file-delta stream " +
+          "cannot represent — set .option(\"ignoreDeletes\", \"true\") " +
+          "to stream append-only semantics, or compact the table first")
+    }
     // files carry PHYSICAL names; the stream's fixed schema is LOGICAL
     val cmap = ManifestTable.columnMap(root, to.toInt)
     val physSchema = StructType(schema.fields.map(f =>
@@ -141,6 +159,7 @@ private[graft] object ManifestStreamSource {
     new ManifestStreamSource(ctx, root, schema,
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       parameters.get("maxVersionsPerTrigger").map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      parameters.get("ignoreDeletes").exists(_.toBoolean))
   }
 }

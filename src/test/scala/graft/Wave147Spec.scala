@@ -82,7 +82,8 @@ class Wave147Spec extends SparkSpec {
     val root = fresh("mono")
     val day = 86400000000L
     val df = spark.range(0, 2000).selectExpr("id AS k",
-      s"id * $day / 4 AS ts") // 4 rows per day, 500 days
+      s"id * ${day / 4} AS ts") // 4 rows per day, 500 days (BIGINT —
+      // SQL `/` would type ts DOUBLE, which stageHidden now rejects)
     val ts = Seq(DaysTransform("ts"), TruncateTransform(100, "k"))
     ManifestTable.commit(root,
       ManifestTable.stageHidden(df, root, "base", ts, files = 20),
