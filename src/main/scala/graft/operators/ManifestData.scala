@@ -171,8 +171,23 @@ trait ManifestData { self: ManifestLog with ManifestMutations =>
     private val DayUs = 86400000000L
     def meta = s"days($srcCol)"
     def statName = s"__ptd_$srcCol"
-    def exprCol: Column = floor(col(srcCol).cast("double") / DayUs)
-      .cast("long")
+    /** Exact integer floorDiv (round-10 ADVICE fix): the old
+      * floor(double/day) disagreed with [[ofLiteral]]'s Math.floorDiv
+      * for |micros| beyond 2^53 — and since the DERIVED band is used
+      * to SKIP files, a stage/plan mismatch there is a false prune
+      * (missing rows), not a superset admit. floorDiv = truncating
+      * `div` minus one when the remainder is negative — all long
+      * arithmetic, no intermediate multiple (which itself overflows
+      * within pmod of Long.MinValue under ANSI), bit-identical to
+      * Math.floorDiv for every long.
+      */
+    def exprCol: Column = {
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal => CLit}
+      val q = org.apache.spark.sql.graft.bridge.column(IntegralDivide(
+        org.apache.spark.sql.graft.bridge.expression(col(srcCol)),
+        CLit(DayUs)))
+      q - when(col(srcCol) % DayUs < 0, lit(1L)).otherwise(lit(0L))
+    }
     def ofLiteral(v: Long): Long = java.lang.Math.floorDiv(v, DayUs)
     def bandOf(lo: Long, hi: Long): Option[(Long, Long)] =
       Some((ofLiteral(lo), ofLiteral(hi))) // monotone

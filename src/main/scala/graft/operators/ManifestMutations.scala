@@ -147,10 +147,33 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     val hit = fromEntries.filter(e => hitPaths(e.path))
     val data = root.resolve("data")
     val ordered = updates.select(schema.fieldNames.map(col).toSeq: _*)
-    val replacement =
-      if (hit.isEmpty) ordered // pure insert — nothing to rewrite
+    val touched =
+      if (hit.isEmpty) null
       else spark.read.schema(schema)
         .parquet(hit.map(e => data.resolve(e.path).toString): _*)
+    // TARGET-side duplicate guard (round-10 ADVICE, medium): the
+    // upsert replaces every matched key with ONE source image — if the
+    // table holds duplicate rows for a matched key (appends are
+    // unconstrained, nothing in the format prevents it), Delta MERGE
+    // semantics would update EVERY matched row while this path would
+    // silently collapse them to one. Fail loudly instead of losing
+    // rows; general per-row semantics live in [[mergeRewrite]]. One
+    // O(touched) aggregate over the files already being rewritten.
+    if (hit.nonEmpty) {
+      val dup = touched
+        .join(broadcast(updates.select(keyCol).distinct()),
+          Seq(keyCol), "left_semi")
+        .agg(count(lit(1)), count_distinct(col(keyCol))).head()
+      require(dup.getLong(0) == dup.getLong(1),
+        s"upsert matched ${dup.getLong(0)} target rows across " +
+        s"${dup.getLong(1)} keys — the target holds duplicate rows " +
+        "for matched key(s), which a one-image-per-key upsert would " +
+        "silently collapse; deduplicate the target (or merge row-wise " +
+        "via mergeCoW) first")
+    }
+    val replacement =
+      if (hit.isEmpty) ordered // pure insert — nothing to rewrite
+      else touched
         .join(updates.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(ordered)
     // rewritten files keep the touched set's stats coverage (mergeCoW

@@ -124,12 +124,22 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       val out = if (mapped && cmap.nonEmpty)
         df.select(df.columns.toSeq.map(c => col(c).as(physName(c))): _*)
       else df
+      // transform-laid writes take an explicit target file count (the
+      // stageHidden convention; round-10 ADVICE fix — the old
+      // out.rdd.getNumPartitions forced an extra physical-plan compile
+      // per INSERT and the pre-shuffle partition count was an
+      // arbitrary proxy for output files): `writeFiles` as a write
+      // option or durable table property, else 16 — matching the
+      // bucket(16) convention, and harmless for small inserts because
+      // empty staged partitions are dropped at stats time.
+      val targetFiles = parameters.get("writeFiles")
+        .orElse(ManifestV2Table.props(root).get("writeFiles"))
+        .map(_.toInt).getOrElse(16)
       val base =
         if (transforms.isEmpty) out
         else transforms.foldLeft(out)((d, t) =>
             d.withColumn(t.statName, t.exprCol))
-          .repartitionByRange(
-            math.max(1, out.rdd.getNumPartitions),
+          .repartitionByRange(math.max(1, targetFiles),
             transforms.map(t => col(t.statName)): _*)
       def names(cs: Seq[String]) =
         if (mapped) cs.map(physName) else cs

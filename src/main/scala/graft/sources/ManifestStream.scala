@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.StructType
   * OFFSETS ARE COMMIT VERSIONS: micro-batch (start, end] is exactly
   * [[ManifestTable.readIncremental]](start, end) — the files the log
   * added in that version range, planned as one vectorized parquet scan
+  * — and `startingVersion` is INCLUSIVE of that version's own changes
+  * (`startingVersion=v` streams v, v+1, …), matching the Delta option
+  * of the same name this source's docs invoke; 0 (the default) means
+  * the whole table (round-10 ADVICE fix: the old exclusive reading
+  * silently dropped one commit from ported pipelines)
   * (the V1 `Source.getBatch`-returns-a-DataFrame contract, the same
   * integration shape Delta's streaming source uses — a bespoke
   * `PartitionReader` would re-implement Spark's parquet reader without
@@ -47,7 +52,7 @@ import org.apache.spark.sql.types.StructType
   * back to the logical schema, like every other read surface.
   */
 private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
-    override val schema: StructType, startingVersion: Long,
+    override val schema: StructType, baseVersion: Long,
     maxVersionsPerTrigger: Long, ignoreDeletes: Boolean)
     extends Source with SupportsTriggerAvailableNow {
 
@@ -70,7 +75,7 @@ private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
     * version, never past the AvailableNow pin (or the live head).
     */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val base = Option(start).map(versionOf).getOrElse(startingVersion)
+    val base = Option(start).map(versionOf).getOrElse(baseVersion)
     val head = ManifestTable.latestVersion(root).toLong
     val cap = availableNowCap.fold(head)(math.min(_, head))
     // saturating step: base + Long.MaxValue (the unlimited default)
@@ -90,26 +95,35 @@ private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
       "admission-controlled sources")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(startingVersion)
+    val from = start.map(versionOf).getOrElse(baseVersion)
     val to = versionOf(end)
     val spark = ctx.sparkSession
     // merge-on-read DELETES are data changes the file-delta stream
     // cannot represent (a DV commit has an empty file delta, and a
     // stream starting below an outstanding vector would re-emit the
-    // deleted rows raw) — fail loudly unless the caller opted into
-    // append-only semantics, Delta's ignoreDeletes contract
+    // deleted rows raw). Vectors OUTSTANDING at the range start are
+    // just as unrepresentable as ones committed inside it (round-10
+    // ADVICE fix): a key-based DV from before the stream subtracts
+    // in-range appends of its keys on every BATCH read, so emitting
+    // those appends raw would diverge the stream from the batch view
+    // of the same version. Fail loudly unless the caller opted into
+    // append-only (raw file-delta) semantics, Delta's ignoreDeletes
+    // contract.
     if (!ignoreDeletes) {
       def lists(v: Int): (Seq[String], Seq[String], Seq[String]) =
         if (v < 1) (Nil, Nil, Nil)
         else (ManifestTable.dvsFor(root, v),
           ManifestTable.scopedDvsFor(root, v),
           ManifestTable.rowDvsFor(root, v))
-      if (lists(from.toInt) != lists(to.toInt))
+      val atStart = lists(from.toInt)
+      if (atStart != lists(to.toInt) ||
+          atStart != ((Nil, Nil, Nil)))
         throw new IllegalStateException(
-          s"stream range v$from→v$to contains merge-on-read deletes " +
-          "(deletion-vector commits), which a file-delta stream " +
-          "cannot represent — set .option(\"ignoreDeletes\", \"true\") " +
-          "to stream append-only semantics, or compact the table first")
+          s"stream range v$from→v$to contains or starts below " +
+          "merge-on-read deletes (deletion-vector commits), which a " +
+          "file-delta stream cannot represent — set " +
+          ".option(\"ignoreDeletes\", \"true\") to stream append-only " +
+          "semantics, or compact the table first")
     }
     // files carry PHYSICAL names; the stream's fixed schema is LOGICAL
     val cmap = ManifestTable.columnMap(root, to.toInt)
@@ -156,8 +170,15 @@ private[graft] object ManifestStreamSource {
   def create(ctx: SQLContext, userSchema: Option[StructType],
       parameters: Map[String, String]): ManifestStreamSource = {
     val (root, schema) = resolve(ctx, userSchema, parameters)
-    new ManifestStreamSource(ctx, root, schema,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+    // startingVersion is INCLUSIVE (Delta's contract for the same
+    // option): the first micro-batch starts at (v-1, …], so v's own
+    // files are streamed; 0 = the whole table
+    val base = parameters.get("startingVersion").map(_.toLong)
+      .getOrElse(0L) match {
+      case v if v <= 0 => 0L
+      case v => v - 1
+    }
+    new ManifestStreamSource(ctx, root, schema, base,
       parameters.get("maxVersionsPerTrigger").map(_.toLong)
         .getOrElse(Long.MaxValue),
       parameters.get("ignoreDeletes").exists(_.toBoolean))

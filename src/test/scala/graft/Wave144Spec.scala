@@ -76,14 +76,16 @@ class Wave144Spec extends SparkSpec {
     val batches = q.recentProgress.filter(_.numInputRows > 0)
     assert(batches.map(_.numInputRows).toSeq == Seq(30L),
       s"expected one 30-row batch, got ${batches.map(_.numInputRows).toSeq}")
+    // startingVersion is INCLUSIVE of that version's own changes
+    // (the Delta contract, round-10 ADVICE fix): 2 streams v2 onward
     val st2 = spark.readStream.format("graft-manifest")
       .option("path", root.toString)
-      .option("startingVersion", "1").load()
+      .option("startingVersion", "2").load()
     val q2 = st2.writeStream.format("memory").queryName("w144_from1")
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(spark.table("w144_from1").count() == 20L,
-      s"startingVersion=1 must stream only v2's delta; progress=" +
+      s"startingVersion=2 must stream v2's own delta inclusively; progress=" +
       q2.recentProgress.map(p => s"(rows=${p.numInputRows} start=" +
         s"${p.sources.head.startOffset} end=${p.sources.head.endOffset})")
         .mkString(","))
