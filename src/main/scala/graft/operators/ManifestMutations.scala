@@ -109,6 +109,37 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     * that is also in an outstanding DV stays subtracted until
     * [[compactMOR]]); scoped DVs fail loudly like every rewrite path.
     */
+  /** Touched-file discovery shared by [[upsert]] and [[mergeRewrite]]:
+    * a broadcast join of the distinct source keys against the per-file
+    * key bands (one row per live file — the same order of bytes the
+    * manifest itself is); a file is touched when ANY key falls inside
+    * its recorded band, and a file with no recorded `keyCol` stats
+    * cannot prove disjointness so it is always touched. The collected
+    * result is O(|touched files|), never O(table).
+    */
+  private def touchedByKeys(spark: SparkSession, entries: Seq[FileEntry],
+      keyCol: String, keys: DataFrame): Seq[FileEntry] = {
+    val bandsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(entries.map { e =>
+        val b = e.band(keyCol)
+        org.apache.spark.sql.Row(e.path,
+          b.map(_._1).getOrElse(Long.MinValue),
+          b.map(_._2).getOrElse(Long.MaxValue))
+      }, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__p",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__lo",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__hi",
+          org.apache.spark.sql.types.LongType))))
+    val hitPaths = keys.select(col(keyCol).as("__k")).distinct()
+      .join(broadcast(bandsDf),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select("__p").distinct().collect().map(_.getString(0)).toSet
+    entries.filter(e => hitPaths(e.path))
+  }
+
   def upsert(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, updates: DataFrame): Int = {
     requireNoScopedDvs(root, from, "upsert")
@@ -126,25 +157,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
       "an upsert needs at most one row per key")
     val (kLo, kHi) = (kb.getLong(0), kb.getLong(1))
     val fromEntries = entriesFor(root, from)
-    val bandsDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(fromEntries.map { e =>
-        val b = e.band(keyCol)
-        org.apache.spark.sql.Row(e.path,
-          b.map(_._1).getOrElse(Long.MinValue),
-          b.map(_._2).getOrElse(Long.MaxValue))
-      }, 1),
-      StructType(Seq(
-        org.apache.spark.sql.types.StructField("__p",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__lo",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__hi",
-          org.apache.spark.sql.types.LongType))))
-    val hitPaths = updates.select(col(keyCol).as("__k")).distinct()
-      .join(broadcast(bandsDf),
-        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-      .select("__p").distinct().collect().map(_.getString(0)).toSet
-    val hit = fromEntries.filter(e => hitPaths(e.path))
+    val hit = touchedByKeys(spark, fromEntries, keyCol, updates)
     val data = root.resolve("data")
     val ordered = updates.select(schema.fieldNames.map(col).toSeq: _*)
     val touched =
@@ -201,6 +214,77 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
           s"rows inside the update key range [$kLo,$kHi] " +
           s"(${newcomer.map(_.path).mkString(",")}) the upsert never " +
           "saw — re-read and re-upsert")
+      Some((rewritten, hit.map(_.path)))
+    }.get
+  }
+
+  /** GENERAL row-level MERGE rewrite (round 11 — the r10-VERDICT top
+    * task's engine): the copy-on-write core [[upsert]] specializes,
+    * with the per-ROW semantics left to the caller. `rewrite` maps the
+    * touched files' rows to their full replacement — survivors,
+    * per-row updated images, per-row deletes, AND inserted rows, which
+    * is exactly the shape SQL MERGE's conditional WHEN clauses need
+    * (an upsert's one-image-per-key contract cannot express "update
+    * every matched row", "delete some matched rows", or NOT MATCHED BY
+    * SOURCE at all).
+    *
+    * Touched-file discovery: the stats-banded key join of
+    * [[touchedByKeys]] over `sourceKeys` — O(|touched|), never
+    * O(table) — UNLESS `touchAll` (a merge with NOT MATCHED BY SOURCE
+    * actions must see every target row; that clause is definitionally
+    * a full-table operation, exactly as in Delta). Conflicts follow
+    * the [[upsert]] serializable-writer rule recomputed inside the
+    * publish retry: a later commit that rewrote part of the touched
+    * set aborts, and so does a newcomer file whose band intersects the
+    * source key range (or ANY newcomer under `touchAll` — its rows
+    * never saw the not-matched-by-source clauses). An empty source
+    * with band-scoped semantics returns `from` untouched (nothing can
+    * match and nothing inserts).
+    */
+  def mergeRewrite(spark: SparkSession, root: Path, from: Int,
+      schema: StructType, keyCol: String, sourceKeys: DataFrame,
+      touchAll: Boolean)(rewrite: DataFrame => DataFrame): Int = {
+    requireNoScopedDvs(root, from, "mergeRewrite")
+    val kb = sourceKeys.agg(min(keyCol), max(keyCol)).head()
+    val bounds =
+      if (kb.isNullAt(0)) None else Some((kb.getLong(0), kb.getLong(1)))
+    if (bounds.isEmpty && !touchAll) return from
+    val fromEntries = entriesFor(root, from)
+    val hit =
+      if (touchAll) fromEntries
+      else touchedByKeys(spark, fromEntries, keyCol, sourceKeys)
+    val data = root.resolve("data")
+    val touched =
+      if (hit.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(hit.map(e => data.resolve(e.path).toString): _*)
+    val replacement = rewrite(touched)
+    // the non-narrowing rule: rewritten files keep the touched set's
+    // stat coverage, string bounds included
+    val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
+    val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
+    val rewritten = stageWithTypedStats(
+      restoreTransformCols(root, from, replacement)
+        .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
+      root, s"mrg$from${nonce()}", statCols, strCols)
+    val fromPaths = fromEntries.map(_.path).toSet
+    commitOpsF(root, _ => s"merge=v$from") { parent =>
+      val cur = entriesFor(root, parent)
+      val curPaths = cur.map(_.path).toSet
+      if (!hit.forall(e => curPaths.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"merge over v$from conflicts: a commit after v$from " +
+          "rewrote part of its touched set — re-read and re-merge")
+      val newcomer = cur.filterNot(e => fromPaths.contains(e.path))
+        .filter(e => touchAll || bounds.exists { case (lo, hi) =>
+          e.mayContain(keyCol, lo, hi) })
+      if (newcomer.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge over v$from conflicts: a commit after v$from added " +
+          s"rows the merge never saw " +
+          s"(${newcomer.map(_.path).mkString(",")}) — re-read and " +
+          "re-merge")
       Some((rewritten, hit.map(_.path)))
     }.get
   }

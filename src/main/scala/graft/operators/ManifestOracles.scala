@@ -96,6 +96,47 @@ private[operators] object ManifestOracles {
         |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_sql_merge_mixed" ->
+      // the mixed-clause row algebra restated: matched %13 bottom-half
+      // keys take the conditional-update image (source price = orig+10,
+      // updated = source+1, status 'M') when the source image exceeds
+      // the threshold, are DELETED otherwise; shifted %29 keys insert
+      // only when even (the conditional INSERT); everything else is
+      // untouched. Double adds restated with the same operation order.
+      """WITH b AS (SELECT max(o_orderkey) AS m,
+        |    max(o_orderkey) // 2 AS h FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 AND o_orderkey < h
+        |              AND (o_totalprice + 10.0) > 50000.0
+        |         THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 AND o_orderkey < h
+        |              AND (o_totalprice + 10.0) > 50000.0
+        |         THEN (o_totalprice + 10.0) + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey < h
+        |             AND NOT ((o_totalprice + 10.0) > 50000.0))
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  WHERE o_orderkey % 29 = 0 AND o_orderkey > 0
+        |    AND (o_orderkey + m) % 2 = 0)
+        |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_sql_merge_nmbs" ->
+      // sync-to-source: the post-MERGE table IS the bottom-quarter
+      // band with the source price image
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 2.0 AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey < q
+        |ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_update_delete" ->
       // the UPDATE's CASE image minus the DELETE's band — restated
       // from the source table

@@ -199,6 +199,100 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** GENERAL-shape SQL MERGE lifecycle (round 11 — r10-VERDICT task
+    * 1): v1 = orders range-laid into 8 stats-carrying files; v2 = ONE
+    * `MERGE INTO` statement mixing every clause kind the round-10
+    * upsert shape could not express — a CONDITIONAL partial-column
+    * UPDATE (price bumped and status 'M' only where the source image
+    * exceeds a threshold), a fall-through DELETE for the rest of the
+    * matched rows (first-true-wins clause order), and a CONDITIONAL
+    * INSERT (only even shifted keys land). Planned by
+    * [[graft.plans.ManifestDmlStrategy]] onto
+    * [[ManifestTable.mergeRewrite]]: touched files are the
+    * stats-banded intersection with the source keys, everything else
+    * rides the delta commit (Wave153Spec asserts survivor paths and
+    * the API-twin row identity).
+    */
+  private[graft] def sqlMergeMixedRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_orders_sqlmixed",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      // matched candidates: %13 keys in the bottom half, price+10
+      // images; insert candidates: %29 keys shifted above max
+      val upd = orders
+        .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") < mx / 2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0d))
+      val ins = orders
+        .filter(col("o_orderkey") % 29 === 0 && col("o_orderkey") > 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mx))
+      upd.unionByName(ins)
+        .createOrReplaceTempView("manifest_sqlmixed_src")
+      org.apache.spark.sql.graft.bridge.addStrategy(spark,
+        graft.plans.ManifestDmlStrategy)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""MERGE INTO $cat.${sqlIdent(root)} t
+           |USING manifest_sqlmixed_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_totalprice > 50000.0 THEN
+           |  UPDATE SET o_totalprice = s.o_totalprice + 1.0,
+           |             o_orderstatus = 'M'
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN INSERT *"""
+          .stripMargin)
+      val v2 = ManifestTable.latestVersion(root)
+      require(v1 == 1 && v2 == 2,
+        s"mixed-MERGE lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** NOT MATCHED BY SOURCE lifecycle (round 11): the "sync target to
+    * source" MERGE shape — matched rows take the source price image,
+    * target rows ABSENT from the source are deleted, so the post-MERGE
+    * table IS the source band. NMBS is definitionally full-table (any
+    * file may hold a not-matched row), so the touched set widens to
+    * every live file — the documented Delta-equivalent cost shape.
+    */
+  private[graft] def sqlMergeNmbsRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_orders_sqlnmbs",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      orders.filter(col("o_orderkey") < mx / 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2.0d))
+        .createOrReplaceTempView("manifest_sqlnmbs_src")
+      org.apache.spark.sql.graft.bridge.addStrategy(spark,
+        graft.plans.ManifestDmlStrategy)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""MERGE INTO $cat.${sqlIdent(root)} t
+           |USING manifest_sqlnmbs_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val v2 = ManifestTable.latestVersion(root)
+      require(v1 == 1 && v2 == 2,
+        s"NMBS lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** ROW-POSITION DV lifecycle (round 10 — r9-VERDICT task 5): v1 =
     * orders in 8 stats-carrying range files; v2 = a DUPLICATE file
     * appended (every %7 key's full row again — same keys, same
@@ -1175,6 +1269,34 @@ object ManifestOps extends QueryGroup {
       // verbatim: equality proves the SQL surface IS the programmatic
       // op (Wave143Spec asserts row identity directly as well).
       val root = sqlMergeRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_merge_mixed" -> { (spark, dir) =>
+      // conditional UPDATE + fall-through DELETE + conditional INSERT
+      // in ONE MERGE statement (round 11 — the r10-VERDICT top task):
+      // the general mergeRewrite path, first-true-wins clause order,
+      // partial-column SET, band-scoped touched files. The oracle
+      // restates the row algebra from the source table.
+      val root = sqlMergeMixedRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_merge_nmbs" -> { (spark, dir) =>
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE — the sync-to-source
+      // MERGE shape: post-MERGE state IS the source band (matched
+      // rows re-priced, everything else deleted).
+      val root = sqlMergeNmbsRoot(spark, dir)
       val cat = sqlCatalog(spark)
       spark.sql(
         s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

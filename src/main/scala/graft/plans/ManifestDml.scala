@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.command.{ExecutedCommandExec, LeafRunnableCommand}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -54,7 +54,7 @@ object ManifestDmlStrategy extends SparkStrategy {
         case Some(t) =>
           ExecutedCommandExec(MergeManifestCommand(t, m.sourceTable,
             m.mergeCondition, m.matchedActions, m.notMatchedActions,
-            m.notMatchedBySourceActions)) :: Nil
+            m.notMatchedBySourceActions, m.withSchemaEvolution)) :: Nil
         case None => Nil
       }
     case _ => Nil
@@ -157,104 +157,193 @@ case class UpdateManifestCommand(table: ManifestV2Table,
   }
 }
 
-/** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
-  * WHEN NOT MATCHED THEN INSERT *` → [[ManifestTable.upsert]] — the
-  * keyed full-row upsert (matched keys replaced by the source image,
-  * unseen keys inserted, serializable-writer conflict rules, at most
-  * one source row per key enforced like Delta's "multiple source rows
-  * matched" error). Conditional actions, partial-column SET, DELETE
-  * actions, and NOT MATCHED BY SOURCE have no upsert equivalent and
-  * fail loudly toward the programmatic API.
+/** GENERAL-shape SQL `MERGE INTO` (round 11 — the r10-VERDICT top
+  * task; round 10 supported only the keyed full-row upsert): every
+  * WHEN combination maps onto [[ManifestTable.mergeRewrite]]'s
+  * copy-on-write core —
+  *
+  *  - `WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, …` (partial
+  *    SET, arbitrary expressions over both sides, first-true-wins
+  *    clause order, no-clause-matches keeps the row — SQL semantics
+  *    including NULL-condition-is-false)
+  *  - `WHEN MATCHED [AND cond] THEN DELETE`
+  *  - `WHEN NOT MATCHED [AND cond] THEN INSERT (…) VALUES (…)` / `*`
+  *    (unassigned columns NULL-fill)
+  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE`
+  *    (a full-table clause by definition — the touched set widens to
+  *    every live file, exactly as in Delta)
+  *
+  * The row algebra is ONE full-outer join of the touched files'
+  * rows against the (positionally `__s_i`-renamed, so target/source
+  * name collisions cannot happen) source, followed by a single
+  * codegen-friendly projection: per-branch action indexes computed by
+  * first-true-wins `when` chains, a keep predicate dropping DELETE
+  * rows and non-inserted source-only rows, and per-column images.
+  * Matched rows exist only in files whose key band intersects the
+  * source keys (the band admit is a superset), so the band-scoped
+  * touched set loses no matches; target-side duplicate keys each get
+  * their own row action (Delta's per-row semantics — the shape the
+  * one-image-per-key [[ManifestTable.upsert]] must reject). Source
+  * duplicate keys fail like Delta's "multiple source rows matched".
   */
 case class MergeManifestCommand(table: ManifestV2Table,
     source: LogicalPlan, mergeCondition: Expression,
     matched: Seq[MergeAction], notMatched: Seq[MergeAction],
-    notMatchedBySource: Seq[MergeAction]) extends LeafRunnableCommand {
+    notMatchedBySource: Seq[MergeAction], schemaEvolution: Boolean)
+    extends LeafRunnableCommand {
 
   private def unsupported(got: String): Nothing =
     throw new UnsupportedOperationException(
-      "graft-manifest SQL MERGE supports the keyed upsert shape — " +
-      "ON t.key = s.key WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
-      s"MATCHED THEN INSERT * — got $got; use ManifestTable.upsert / " +
-      "mergeCoW for other shapes")
+      "graft-manifest SQL MERGE supports keyed merges — ON t.key = " +
+      "s.key (one BIGINT equality) with UPDATE/DELETE/INSERT actions " +
+      s"— got $got")
+
+  /** Normalized row-level action: condition + per-target-column
+    * value expressions (None values = DELETE; `set` misses = keep the
+    * target value for UPDATE, NULL-fill for INSERT).
+    */
+  private sealed trait RowAction {
+    def cond: Option[Expression]
+    def isDelete: Boolean = this.isInstanceOf[Del]
+  }
+  private case class Upd(cond: Option[Expression],
+      set: Map[String, Expression]) extends RowAction
+  private case class Del(cond: Option[Expression]) extends RowAction
+  private case class Ins(cond: Option[Expression],
+      values: Map[String, Expression]) extends RowAction
 
   override def run(spark: SparkSession): Seq[Row] = {
-    if (notMatchedBySource.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE")
+    require(!schemaEvolution,
+      "graft-manifest MERGE … WITH SCHEMA EVOLUTION: evolve the " +
+      "table first (ALTER TABLE … ADD COLUMN is metadata-only) or " +
+      "write with the mergeSchema option")
     val root = table.root
     val latest = ManifestTable.latestVersion(root)
     val cmap = ManifestTable.columnMap(root, latest)
     def phys(n: String): String = cmap.getOrElse(n, n)
     val logical = ManifestV2.resolveSchema(spark, root, latest)
-    val srcIds = source.output.map(_.exprId).toSet
+    val physSchema = StructType(logical.fields.map(f =>
+      f.copy(name = phys(f.name))))
+    val srcOut = source.output
+    val srcIds = srcOut.map(_.exprId).toSet
+    // positional source names: immune to target/source collisions AND
+    // to duplicate names inside a self-joined source
+    val srcName: Map[Long, String] = srcOut.zipWithIndex.map {
+      case (a, i) => a.exprId.id -> s"__s_$i" }.toMap
+    val srcByName = srcOut.map(a => a.name -> a).toMap
+
+    /** Rebind a resolved statement expression onto the joined frame:
+      * source attrs (by exprId) to their positional `__s_i` columns,
+      * target attrs (by name) to their physical columns.
+      */
+    def rebind(e: Expression): Column = bridge.column(e.transform {
+      case a: AttributeReference if srcIds(a.exprId) =>
+        UnresolvedAttribute.quoted(srcName(a.exprId.id))
+      case a: AttributeReference =>
+        UnresolvedAttribute.quoted(phys(a.name))
+    })
 
     // ON t.k = s.k — classify the sides by the source plan's attr ids
-    val key = mergeCondition match {
+    val (key, sKeyAttr) = mergeCondition match {
       case EqualTo(l: AttributeReference, r: AttributeReference)
-          if srcIds(r.exprId) && !srcIds(l.exprId) => l.name
+          if srcIds(r.exprId) && !srcIds(l.exprId) => (l.name, r)
       case EqualTo(l: AttributeReference, r: AttributeReference)
-          if srcIds(l.exprId) && !srcIds(r.exprId) => r.name
+          if srcIds(l.exprId) && !srcIds(r.exprId) => (r.name, l)
       case c => unsupported(s"ON ${c.sql}")
     }
     require(logical.fields.exists(f => f.name == key &&
         f.dataType == LongType),
       s"graft-manifest MERGE keys on a BIGINT target column, got '$key'")
 
-    // full-row source image per target column: SET * / INSERT * (both
-    // the analyzer-expanded assignment lists and the raw star forms)
-    def starAssigns(assigns: Seq[Assignment], action: String)
-        : Map[String, Expression] = {
-      val m = assigns.map { a =>
-        val name = a.key match {
-          case ar: AttributeReference => ar.name
-          case k => unsupported(s"$action SET ${k.sql}")
-        }
-        a.value match {
-          case v: AttributeReference if srcIds(v.exprId) => name -> v
-          case v => unsupported(
-            s"$action assigning ${v.sql} (not a source column)")
+    def assignMap(assigns: Seq[Assignment], action: String)
+        : Map[String, Expression] =
+      assigns.map { a =>
+        a.key match {
+          case ar: AttributeReference => ar.name -> a.value
+          case k => unsupported(s"$action SET ${k.sql} (top-level " +
+            "columns only)")
         }
       }.toMap
-      require(logical.fieldNames.forall(m.contains),
-        s"graft-manifest MERGE needs every target column assigned " +
-        s"($action covers ${m.keys.mkString(",")})")
-      m
-    }
-    val srcByName = source.output.map(a => a.name -> a).toMap
-    def starByName(action: String): Map[String, Expression] =
+    def starMap(action: String): Map[String, Expression] =
       logical.fieldNames.map { n =>
         n -> srcByName.getOrElse(n, unsupported(
           s"$action * with no source column '$n'")).asInstanceOf[Expression]
       }.toMap
-    val updateImage = matched match {
-      case Seq(UpdateAction(None, assigns, _)) =>
-        starAssigns(assigns, "WHEN MATCHED UPDATE")
-      case Seq(_: UpdateStarAction) => starByName("WHEN MATCHED UPDATE")
-      case a => unsupported(s"matched actions $a")
+    def normalize(a: MergeAction, where: String): RowAction = a match {
+      case UpdateAction(c, assigns, _) =>
+        Upd(c, assignMap(assigns, s"$where UPDATE"))
+      case u: UpdateStarAction => Upd(u.condition, starMap(s"$where UPDATE"))
+      case DeleteAction(c) => Del(c)
+      case InsertAction(c, assigns) =>
+        Ins(c, assignMap(assigns, s"$where INSERT"))
+      case i: InsertStarAction => Ins(i.condition, starMap(s"$where INSERT"))
+      case other => unsupported(s"$where action $other")
     }
-    val insertImage = notMatched match {
-      case Seq(InsertAction(None, assigns)) =>
-        starAssigns(assigns, "WHEN NOT MATCHED INSERT")
-      case Seq(_: InsertStarAction) =>
-        starByName("WHEN NOT MATCHED INSERT")
-      case a => unsupported(s"not-matched actions $a")
-    }
-    // one updates frame serves both halves, so the images must agree
-    logical.fieldNames.foreach { n =>
-      require(updateImage(n).semanticEquals(insertImage(n)),
-        s"graft-manifest MERGE writes ONE source image per key — " +
-        s"UPDATE and INSERT assign different values for '$n'")
-    }
+    val mActs = matched.map(normalize(_, "WHEN MATCHED"))
+    val nActs = notMatchedBySource.map(normalize(_, "WHEN NOT MATCHED BY SOURCE"))
+    val iActs = notMatched.map(normalize(_, "WHEN NOT MATCHED"))
+    mActs.foreach(a => if (a.isInstanceOf[Ins])
+      unsupported("WHEN MATCHED INSERT"))
+    nActs.foreach(a => if (a.isInstanceOf[Ins])
+      unsupported("WHEN NOT MATCHED BY SOURCE INSERT"))
+    iActs.foreach(a => if (!a.isInstanceOf[Ins])
+      unsupported("WHEN NOT MATCHED with a non-INSERT action"))
 
-    // project the source to the target's PHYSICAL column names; the
-    // resolved source attrs live in this exact plan, so they bind by id
     val srcDF = bridge.ofRows(spark, source)
-    val updates = srcDF.select(logical.fieldNames.toSeq.map(n =>
-      bridge.column(updateImage(n)).as(phys(n))): _*)
-    val physSchema = StructType(logical.fields.map(f =>
-      f.copy(name = phys(f.name))))
-    ManifestTable.upsert(spark, root, latest, physSchema, phys(key),
-      updates)
+      .toDF(srcOut.indices.map(i => s"__s_$i"): _*)
+      .withColumn("__s_present", lit(true))
+    val sKey = col(srcName(sKeyAttr.exprId.id))
+    // Delta's "multiple source rows matched" rule, checked up front:
+    // NULL source keys match nothing and are allowed (insert-path)
+    val kb = srcDF.agg(
+      org.apache.spark.sql.functions.count(sKey),
+      org.apache.spark.sql.functions.count_distinct(sKey)).head()
+    require(kb.getLong(0) == kb.getLong(1),
+      s"MERGE source carries duplicate ${key} values " +
+      s"(${kb.getLong(0)} non-null keys, ${kb.getLong(1)} distinct) — " +
+      "a target row may match at most one source row")
+
+    val touchAll = nActs.nonEmpty
+    ManifestTable.mergeRewrite(spark, root, latest, physSchema,
+      phys(key), srcDF.select(sKey.as(phys(key))), touchAll) { touched =>
+      val joined = touched.withColumn("__t_present", lit(true))
+        .join(srcDF, col(phys(key)) === sKey, "full_outer")
+      val isMatched = col("__t_present").isNotNull &&
+        col("__s_present").isNotNull
+      val tOnly = col("__t_present").isNotNull && col("__s_present").isNull
+      // first-true-wins action index per branch; -1 = no clause fired
+      def actIdx(acts: Seq[RowAction]): Column =
+        acts.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
+          when(a.cond.map(rebind).getOrElse(lit(true)), lit(i))
+            .otherwise(els)
+        }
+      val (mAct, nAct, iAct) = (actIdx(mActs), actIdx(nActs), actIdx(iActs))
+      def keepOf(acts: Seq[RowAction], idx: Column): Column = {
+        val dels = acts.zipWithIndex.collect { case (a, i) if a.isDelete => i }
+        if (dels.isEmpty) lit(true) else !idx.isin(dels: _*)
+      }
+      val keep = when(isMatched, keepOf(mActs, mAct))
+        .when(tOnly, keepOf(nActs, nAct))
+        .otherwise(iAct =!= -1) // source-only rows live only via INSERT
+      val outCols = logical.fields.toSeq.map { f =>
+        val base: Column = col(phys(f.name))
+        val branches: Seq[(Column, Column)] =
+          mActs.zipWithIndex.collect { case (Upd(_, set), i)
+              if set.contains(f.name) =>
+            (isMatched && mAct === i, rebind(set(f.name))) } ++
+          nActs.zipWithIndex.collect { case (Upd(_, set), i)
+              if set.contains(f.name) =>
+            (tOnly && nAct === i, rebind(set(f.name))) } ++
+          iActs.zipWithIndex.collect { case (Ins(_, values), i) =>
+            (col("__t_present").isNull && iAct === i,
+              values.get(f.name).map(rebind)
+                .getOrElse(lit(null))) }
+        branches.foldRight(base) { case ((c, v), els) =>
+          when(c, v).otherwise(els)
+        }.cast(f.dataType).as(phys(f.name))
+      }
+      joined.filter(keep).select(outCols: _*)
+    }
     Seq.empty
   }
 }

@@ -19,10 +19,11 @@ import org.apache.spark.sql.graft.bridge
   *    form is row-identical to the programmatic upsert on the same
   *    inputs, and duplicate source keys fail like Delta's "multiple
   *    source rows matched"
-  *  - unsupported MERGE shapes (DELETE action, NOT MATCHED BY SOURCE,
-  *    non-source assignment) fail loudly toward the programmatic API,
-  *    and foreign (non-manifest) targets are left to Spark's built-in
-  *    planning (the strategy returns Nil, not an error)
+  *  - still-unsupported MERGE shapes (a non-keyed ON condition; the
+  *    clause shapes themselves became legal in round 11's general
+  *    merge, Wave153Spec) fail loudly, and foreign (non-manifest)
+  *    targets are left to Spark's built-in planning (the strategy
+  *    returns Nil, not an error)
   */
 class Wave143Spec extends SparkSpec {
 
@@ -165,14 +166,17 @@ class Wave143Spec extends SparkSpec {
       s"expected the duplicate-key error, got: ${dup.getMessage}")
     spark.range(3).selectExpr("id AS k", "id AS v")
       .createOrReplaceTempView("w143_err_src")
+    // WHEN MATCHED DELETE became legal in round 11 (general merge);
+    // the still-illegal shape is a non-keyed ON condition
     val del = intercept[UnsupportedOperationException] {
       spark.sql(
-        s"""MERGE INTO $cat.t t USING w143_err_src s ON t.k = s.k
+        s"""MERGE INTO $cat.t t USING w143_err_src s
+           |ON t.k = s.k AND t.v > 0
            |WHEN MATCHED THEN DELETE
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(del.getMessage.contains("ManifestTable.upsert"),
-      s"unsupported-shape error must point at the API: ${del.getMessage}")
+    assert(del.getMessage.contains("ON"),
+      s"non-keyed ON must fail loudly: ${del.getMessage}")
   }
 
   test("UPDATE on a foreign (non-manifest) table is left to Spark's " +
