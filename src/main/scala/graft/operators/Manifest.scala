@@ -678,7 +678,17 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
     * offset log).
     */
   def commitBatch(df: DataFrame, root: Path, batchId: Long,
-      statsKey: Option[String] = None): Int = {
+      statsKey: Option[String] = None): Int =
+    commitBatchTyped(df, root, batchId, statsKey.toSeq, Nil)
+
+  /** [[commitBatch]] with full typed stats coverage (round 11, for the
+    * registered streaming sink): the staged files carry exact per-file
+    * min/max for every long AND string column named, so a streamed
+    * table composes with every stats consumer exactly like a
+    * batch-written one.
+    */
+  def commitBatchTyped(df: DataFrame, root: Path, batchId: Long,
+      longCols: Seq[String], strCols: Seq[String]): Int = {
     if (committedBatchesCached(root).contains(batchId))
       return latestVersion(root)
     // batch prefix carries a writer nonce: two RACING replays of the
@@ -686,14 +696,13 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
     // stage into one path and clobber each other mid-write — each gets
     // private file names, the ledger picks one commit, and the loser's
     // orphans stay invisible (vacuum fodder), the uuid-named-files
-    // discipline of the real formats. statsKey makes the sink write
-    // stats-carrying lines, so a streamed table composes with the
-    // stats consumers (readPruned / mergeCoW / optimizeSmall).
+    // discipline of the real formats. Stats columns make the sink
+    // write stats-carrying lines, so a streamed table composes with
+    // the stats consumers (readPruned / mergeCoW / optimizeSmall).
     val batch = s"b$batchId${nonce()}"
-    val added = statsKey match {
-      case Some(k) => stageWithStats(df, root, batch, k)
-      case None => stage(df, root, batch)
-    }
+    val added =
+      if (longCols.isEmpty && strCols.isEmpty) stage(df, root, batch)
+      else stageWithTypedStats(df, root, batch, longCols, strCols)
     commitOpsF(root, _ => s"batch=$batchId") { parent =>
       if (committedBatchesCached(root).contains(batchId)) None
       else Some((added, Nil)) // O(|batch|) delta commit

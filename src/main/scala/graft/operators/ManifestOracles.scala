@@ -422,6 +422,12 @@ private[operators] object ManifestOracles {
       // equality proves no batch lost, none double-committed
       """SELECT event_id, user_id, event_type, value,
         |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_manifest_sink_registered" ->
+      // same contract through the registered sink path
+      """SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -42,9 +42,38 @@ import org.apache.spark.sql.types.StructType
   */
 class ManifestSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** `df.writeStream.format("graft-manifest")` — each micro-batch is
+    * one ledger-idempotent commit ([[ManifestStreamSink]]); Append
+    * appends O(delta), Complete replaces the live set, Update is
+    * rejected (no manifest equivalent).
+    */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(partitionColumns.isEmpty,
+      "graft-manifest lays files out by stats/transforms, not " +
+      "partitionBy — declare PARTITIONED BY transforms at CREATE")
+    require(outputMode != OutputMode.Update(),
+      "graft-manifest sink supports Append (ledger-idempotent " +
+      "delta commits) and Complete (live-set replacement); Update " +
+      "has no manifest equivalent")
+    val root = Paths.get(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest sink needs .option(\"path\", <table root>)")))
+    Files.createDirectories(root)
+    def colsOf(key: String) = parameters.get(key)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    new ManifestStreamSink(ctx, root, colsOf("statsColumns"),
+      colsOf("statsStringColumns"),
+      complete = outputMode == OutputMode.Complete())
+  }
 
   /** `spark.readStream.format("graft-manifest")` — offsets are commit
     * versions, each micro-batch one readIncremental file delta

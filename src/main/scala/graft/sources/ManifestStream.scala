@@ -145,6 +145,60 @@ private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
   override def toString: String = s"ManifestStreamSource[$root]"
 }
 
+/** Structured Streaming INTO a manifest table through the REGISTERED
+  * sink (round 11 — r10-VERDICT task 3; until now the declared sink
+  * query drove [[graft.operators.ManifestTable.commitBatch]] through a
+  * foreachBatch harness):
+  *
+  * {{{
+  * df.writeStream.format("graft-manifest")
+  *   .option("path", "/tables/events")
+  *   .option("statsColumns", "event_id")        // typed per-file stats
+  *   .option("checkpointLocation", …)
+  *   .start()
+  * }}}
+  *
+  * `addBatch` IS the commit-ledger protocol: each micro-batch is one
+  * atomic O(delta) snapshot commit carrying its batch id in the
+  * manifest header, and a REPLAYED batch (the engine's at-least-once
+  * re-delivery after a failure) finds its id in the ledger and no-ops
+  * before staging — the transactional-sink half of exactly-once (the
+  * source half is the engine's checkpointed offset WAL). Append mode
+  * appends; Complete mode (aggregate queries) replaces the live set
+  * with the batch under the same ledger; Update has no manifest
+  * equivalent and is rejected. The streaming frame is re-rooted as a
+  * batch one over its compiled RDD (`bridge.asBatch` — the
+  * ForeachBatchSink shape) because V1 sinks receive streaming-planned
+  * frames no batch writer may re-plan.
+  */
+private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
+    longCols: Seq[String], strCols: Seq[String], complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val df = bridge.asBatch(data)
+    if (!complete) {
+      ManifestTable.commitBatchTyped(df, root, batchId, longCols,
+        strCols): Unit
+    } else {
+      // Complete mode: the batch is the WHOLE result — a full
+      // checkpoint commit replacing the live set, under the same
+      // replay ledger (an already-committed id no-ops before staging)
+      if (!ManifestTable.committedBatches(root).contains(batchId)) {
+        val batch = s"b$batchId-c${java.util.UUID.randomUUID().toString.take(8)}"
+        val staged =
+          if (longCols.isEmpty && strCols.isEmpty)
+            ManifestTable.stage(df, root, batch)
+          else ManifestTable.stageWithTypedStats(df, root, batch,
+            longCols, strCols)
+        ManifestTable.commit(root, staged, s"batch=$batchId"): Unit
+      }
+    }
+  }
+
+  override def toString: String = s"ManifestStreamSink[$root]"
+}
+
 private[graft] object ManifestStreamSource {
 
   def resolve(ctx: SQLContext, userSchema: Option[StructType],

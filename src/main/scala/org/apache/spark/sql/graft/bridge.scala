@@ -45,6 +45,19 @@ object bridge {
       isStreaming = true)
   }
 
+  /** Re-root a STREAMING micro-batch DataFrame as a plain batch one
+    * over its compiled physical RDD — the V1 `Sink.addBatch` contract
+    * hands a streaming-planned frame whose logical plan cannot be
+    * re-executed through batch writers; this is the
+    * ForeachBatchSink/LogicalRDD shape (the exact frame foreachBatch
+    * callers already receive).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Install a planner strategy on a live session (idempotent). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
