@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO over graft-manifest tables → the
     // format's copy-on-write primitives (round 10, r9-VERDICT task 2)
     ext.injectPlannerStrategy(_ => graft.plans.ManifestDmlStrategy)
+    // SQL maintenance statements (round 11, r10-VERDICT task 5):
+    // OPTIMIZE [ZORDER BY] / VACUUM / DESCRIBE HISTORY on manifest
+    // tables; everything else delegates to the stock parser verbatim
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
     // optimizer-rule extension: exact self-similarity constant fold
     ext.injectOptimizerRule(_ => graft.plans.SelfSimilarityFold)
   }

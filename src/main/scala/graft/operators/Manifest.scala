@@ -16,10 +16,19 @@ import org.apache.spark.sql.types.StructType
   * so pruning composes across predicates on different columns.
   */
 case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
-    strStats: Seq[(String, (String, String))] = Nil) {
+    strStats: Seq[(String, (String, String))] = Nil,
+    dblStats: Seq[(String, (Double, Double))] = Nil) {
   /** Recorded bounds of `c`, None when this file carries none. */
   def band(c: String): Option[(Long, Long)] =
     stats.collectFirst { case (`c`, b) => b }
+  /** Recorded DOUBLE bounds of `c` (round 11 — r10-VERDICT task 4:
+    * until now only long and string columns pruned, so a predicate on
+    * o_totalprice/events.value admitted every file). NaN handling
+    * follows Spark's min/max ordering (NaN largest): a file whose max
+    * is NaN is admitted by any upper bound, the superset-admit rule.
+    */
+  def bandDbl(c: String): Option[(Double, Double)] =
+    dblStats.collectFirst { case (`c`, b) => b }
   /** Recorded STRING bounds of `c` (round-9 wave 132: the r8/r9
     * format carried long bounds only — "no string/binary bounds"
     * was a named representational gap). Admission compares in
@@ -42,6 +51,14 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
   def mayContainStr(c: String, lo: String, hi: String): Boolean =
     bandStr(c).forall { case (mn, mx) =>
       FileEntry.u8cmp(mn, hi) <= 0 && FileEntry.u8cmp(mx, lo) >= 0 }
+  /** Double-band admission under java.lang.Double.compare total order
+    * (the order Spark's min/max recorded the bounds in: -0.0 < 0.0,
+    * NaN greatest) — same only-skip-provably-empty rule.
+    */
+  def mayContainDbl(c: String, lo: Double, hi: Double): Boolean =
+    bandDbl(c).forall { case (mn, mx) =>
+      java.lang.Double.compare(mn, hi) <= 0 &&
+      java.lang.Double.compare(mx, lo) >= 0 }
   /** Open-interval form (None = unbounded side) — strings have no
     * finite top element, so an unbounded `col > v` predicate cannot
     * be expressed with closed bounds without a fabricated sentinel
@@ -56,11 +73,15 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
     * — base64 because a string bound may contain the line format's
     * own separators (colon, comma, tab, newline); the `~` marker
     * disambiguates from long bounds (a long never starts with `~`),
-    * so pre-wave-132 lines parse unchanged.
+    * so pre-wave-132 lines parse unchanged. Double bounds (round 11)
+    * are `c:#repr:#repr` tokens — `#` marks the type the same way,
+    * and `java.lang.Double.toString` round-trips every value
+    * (NaN/Infinity included) with no reserved separator characters.
     */
   def line: String = {
     val toks = stats.map { case (c, (mn, mx)) => s"$c:$mn:$mx" } ++
-      strStats.map { case (c, (mn, mx)) => s"$c:~${FileEntry.b64(mn)}:~${FileEntry.b64(mx)}" }
+      strStats.map { case (c, (mn, mx)) => s"$c:~${FileEntry.b64(mn)}:~${FileEntry.b64(mx)}" } ++
+      dblStats.map { case (c, (mn, mx)) => s"$c:#$mn:#$mx" }
     if (toks.isEmpty) path else path + "\t" + toks.mkString(",")
   }
 }
@@ -95,6 +116,30 @@ object FileEntry {
   private[graft] def u8max(a: String, b: String): String =
     if (u8cmp(a, b) >= 0) a else b
 
+  /** Epoch-MICROSECONDS of any temporal value Spark surfaces — the
+    * µs-timestamp stats convention (round 11): timestamp columns
+    * record LONG micros bounds, and pushed timestamp literals
+    * translate through the same function, so stage-time and plan-time
+    * agree bit-for-bit. NTZ values convert under UTC (both sides use
+    * the same convention, so pruning is consistent regardless of the
+    * session zone's display semantics). None for non-temporal values.
+    */
+  private[graft] def microsOf(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case d: java.time.LocalDateTime =>
+      val i = d.toInstant(java.time.ZoneOffset.UTC)
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case _ => None
+  }
+
   private[graft] def parse(l: String): FileEntry = l.split('\t') match {
     case Array(p) => FileEntry(p, Nil)
     case Array(p, s) =>
@@ -103,11 +148,15 @@ object FileEntry {
         (c, mn, mx)
       }
       FileEntry(p,
-        toks.collect { case (c, mn, mx) if !mn.startsWith("~") =>
+        toks.collect { case (c, mn, mx)
+            if !mn.startsWith("~") && !mn.startsWith("#") =>
           c -> (mn.toLong, mx.toLong) },
         toks.collect { case (c, mn, mx) if mn.startsWith("~") =>
           require(mx.startsWith("~"), s"corrupt string-stat token in: $l")
-          c -> (unb64(mn.drop(1)), unb64(mx.drop(1))) })
+          c -> (unb64(mn.drop(1)), unb64(mx.drop(1))) },
+        toks.collect { case (c, mn, mx) if mn.startsWith("#") =>
+          require(mx.startsWith("#"), s"corrupt double-stat token in: $l")
+          c -> (mn.drop(1).toDouble, mx.drop(1).toDouble) })
     case _ => throw new IllegalArgumentException(s"corrupt manifest line: $l")
   }
 }
@@ -688,7 +737,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
     * batch-written one.
     */
   def commitBatchTyped(df: DataFrame, root: Path, batchId: Long,
-      longCols: Seq[String], strCols: Seq[String]): Int = {
+      longCols: Seq[String], strCols: Seq[String],
+      dblCols: Seq[String] = Nil): Int = {
     if (committedBatchesCached(root).contains(batchId))
       return latestVersion(root)
     // batch prefix carries a writer nonce: two RACING replays of the
@@ -701,8 +751,9 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
     // the stats consumers (readPruned / mergeCoW / optimizeSmall).
     val batch = s"b$batchId${nonce()}"
     val added =
-      if (longCols.isEmpty && strCols.isEmpty) stage(df, root, batch)
-      else stageWithTypedStats(df, root, batch, longCols, strCols)
+      if (longCols.isEmpty && strCols.isEmpty && dblCols.isEmpty)
+        stage(df, root, batch)
+      else stageWithTypedStats(df, root, batch, longCols, strCols, dblCols)
     commitOpsF(root, _ => s"batch=$batchId") { parent =>
       if (committedBatchesCached(root).contains(batchId)) None
       else Some((added, Nil)) // O(|batch|) delta commit
@@ -741,6 +792,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
         |    required int64 lmin; required int64 lmax; }
         |  repeated group sstats { required binary col (UTF8);
         |    required binary smin (UTF8); required binary smax (UTF8); }
+        |  repeated group dstats { required binary col (UTF8);
+        |    required double dmin; required double dmax; }
         |}""".stripMargin)
 
     def write(file: Path, entries: Seq[FileEntry]): Unit = {
@@ -763,6 +816,11 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
           val sg = g.addGroup("sstats")
           sg.append("col", c); sg.append("smin", mn)
           sg.append("smax", mx); ()
+        }
+        e.dblStats.foreach { case (c, (mn, mx)) =>
+          val sg = g.addGroup("dstats")
+          sg.append("col", c); sg.append("dmin", mn)
+          sg.append("dmax", mx); ()
         }
         w.write(g)
       } finally w.close()
@@ -798,6 +856,11 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
         while (g != null) {
           val nl = g.getFieldRepetitionCount("lstats")
           val ns = g.getFieldRepetitionCount("sstats")
+          // pre-round-11 segment files carry no dstats group at all —
+          // the reader materializes groups under the FILE schema, so
+          // probe for the field before counting repetitions
+          val nd = if (g.getType.containsField("dstats"))
+            g.getFieldRepetitionCount("dstats") else 0
           out += FileEntry(g.getString("path", 0),
             (0 until nl).map { i =>
               val sg = g.getGroup("lstats", i)
@@ -808,6 +871,11 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
               val sg = g.getGroup("sstats", i)
               sg.getString("col", 0) ->
                 (sg.getString("smin", 0), sg.getString("smax", 0))
+            },
+            (0 until nd).map { i =>
+              val sg = g.getGroup("dstats", i)
+              sg.getString("col", 0) ->
+                (sg.getDouble("dmin", 0), sg.getDouble("dmax", 0))
             })
           g = r.read()
         }
@@ -843,6 +911,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
       .filter(c => entries.forall(_.band(c).isDefined))
     val scols = entries.head.strStats.map(_._1)
       .filter(c => entries.forall(_.bandStr(c).isDefined))
+    val dcols = entries.head.dblStats.map(_._1)
+      .filter(c => entries.forall(_.bandDbl(c).isDefined))
     FileEntry("",
       lcols.map { c =>
         val bs = entries.map(_.band(c).get)
@@ -850,7 +920,14 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
       scols.map { c =>
         val bs = entries.map(_.bandStr(c).get)
         // UTF-8 order, matching the entry-level bounds' collation
-        c -> (bs.map(_._1).reduce(u8min), bs.map(_._2).reduce(u8max)) })
+        c -> (bs.map(_._1).reduce(u8min), bs.map(_._2).reduce(u8max)) },
+      dcols.map { c =>
+        val bs = entries.map(_.bandDbl(c).get)
+        // Double.compare total order, matching the entry-level bounds
+        c -> (bs.map(_._1).reduce((a, b) =>
+                if (java.lang.Double.compare(a, b) <= 0) a else b),
+              bs.map(_._2).reduce((a, b) =>
+                if (java.lang.Double.compare(a, b) >= 0) a else b)) })
   }
 
   /** Manifest-LIST descriptor line for one checkpoint segment:
@@ -859,7 +936,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
     * entry level's typed-bounds encoding verbatim.
     */
   private[graft] def descLine(seg: String, n: Int, b: FileEntry): String = {
-    val toks = FileEntry("x", b.stats, b.strStats).line.split('\t')
+    val toks = FileEntry("x", b.stats, b.strStats, b.dblStats).line.split('\t')
     if (toks.length == 1) s"@$seg\t$n" else s"@$seg\t$n\t${toks(1)}"
   }
 

@@ -67,8 +67,21 @@ trait ManifestData { self: ManifestLog with ManifestMutations =>
     * predicates the way real formats' per-column stats do.
     */
   def stageWithTypedStats(df: DataFrame, root: Path, batch: String,
-      longCols: Seq[String], strCols: Seq[String]): Seq[String] = {
-    require(longCols.nonEmpty || strCols.nonEmpty,
+      longCols: Seq[String], strCols: Seq[String]): Seq[String] =
+    stageWithTypedStats(df, root, batch, longCols, strCols, Nil)
+
+  /** Full typed form (round 11 — r10-VERDICT task 4 adds DOUBLE
+    * bounds): `longCols` may also name TIMESTAMP/TIMESTAMP_NTZ
+    * columns, whose bounds record as epoch-micros LONGs (the
+    * µs-timestamp convention [[FileEntry.microsOf]] — pushed
+    * timestamp literals translate through the same function at plan
+    * time, so the prune is bit-consistent); `dblCols` record
+    * double bounds under Double.compare total order.
+    */
+  def stageWithTypedStats(df: DataFrame, root: Path, batch: String,
+      longCols: Seq[String], strCols: Seq[String], dblCols: Seq[String])
+      : Seq[String] = {
+    require(longCols.nonEmpty || strCols.nonEmpty || dblCols.nonEmpty,
       "stageWithTypedStats needs at least one stats column")
     val spark = df.sparkSession
     stage(df, root, batch).flatMap { rel =>
@@ -78,22 +91,31 @@ trait ManifestData { self: ManifestLog with ManifestMutations =>
       // not recorded — the file is then admitted unconditionally for
       // that column, the only-skip-provably-empty rule
       val aggs = count(lit(1)) +:
-        (longCols ++ strCols).flatMap(c => Seq(min(c), max(c)))
+        (longCols ++ strCols ++ dblCols).flatMap(c => Seq(min(c), max(c)))
       val mm = spark.read.schema(df.schema)
         .parquet(root.resolve("data").resolve(rel).toString)
         .agg(aggs.head, aggs.tail: _*).head()
       if (mm.getLong(0) == 0L) { // empty partition's file: not live
         Files.delete(root.resolve("data").resolve(rel)); None
       } else {
+        def longAt(i: Int): Long = FileEntry.microsOf(mm.get(i)).getOrElse(
+          throw new IllegalArgumentException(
+            s"stats column is neither BIGINT nor a timestamp: ${mm.get(i)}"))
         val off = 1 + 2 * longCols.size
+        val doff = off + 2 * strCols.size
         Some(FileEntry(rel,
           longCols.zipWithIndex.flatMap { case (c, i) =>
             if (mm.isNullAt(1 + 2 * i)) None
-            else Some(c -> (mm.getLong(1 + 2 * i), mm.getLong(2 + 2 * i))) },
+            else Some(c -> (longAt(1 + 2 * i), longAt(2 + 2 * i))) },
           strCols.zipWithIndex.flatMap { case (c, i) =>
             if (mm.isNullAt(off + 2 * i)) None
             else Some(c ->
               (mm.getString(off + 2 * i), mm.getString(off + 2 * i + 1)))
+          },
+          dblCols.zipWithIndex.flatMap { case (c, i) =>
+            if (mm.isNullAt(doff + 2 * i)) None
+            else Some(c ->
+              (mm.getDouble(doff + 2 * i), mm.getDouble(doff + 2 * i + 1)))
           }).line)
       }
     }
@@ -343,11 +365,13 @@ trait ManifestData { self: ManifestLog with ManifestMutations =>
     */
   private[graft] def prunedEntries(root: Path, version: Int,
       longPreds: Seq[(String, Long, Long)],
-      strPreds: Seq[(String, Option[String], Option[String])])
+      strPreds: Seq[(String, Option[String], Option[String])],
+      dblPreds: Seq[(String, Double, Double)] = Nil)
       : (Seq[FileEntry], Int, Int) = {
     def admit(e: FileEntry): Boolean =
       longPreds.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
-      strPreds.forall { case (c, lo, hi) => e.mayContainStrOpt(c, lo, hi) }
+      strPreds.forall { case (c, lo, hi) => e.mayContainStrOpt(c, lo, hi) } &&
+      dblPreds.forall { case (c, lo, hi) => e.mayContainDbl(c, lo, hi) }
     val (parent, kv, body) = manifestOf(root, version)
     if (kv.get("body").contains("seg")) {
       var segsRead = 0
@@ -363,7 +387,8 @@ trait ManifestData { self: ManifestLog with ManifestMutations =>
     } else if (!kv.contains("kind"))
       (body.map(parseEntry).filter(admit), 0, 0)
     else {
-      val (base, r0, t0) = prunedEntries(root, parent, longPreds, strPreds)
+      val (base, r0, t0) =
+        prunedEntries(root, parent, longPreds, strPreds, dblPreds)
       val removes = body.filter(_.startsWith("-")).map(_.drop(1)).toSet
       val adds = body.filter(_.startsWith("+")).map(_.drop(1)).map(parseEntry)
       // columnar-delta adds prune at the DESCRIPTOR level too: a
@@ -435,6 +460,27 @@ trait ManifestData { self: ManifestLog with ManifestMutations =>
     requirePrunableSnapshot(root, version, "readPrunedStr")
     val (hit, _, _) = prunedEntries(root, version, Nil,
       Seq((keyCol, Some(lo), Some(hi))))
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** DOUBLE-band stats prune (round 11): admit only the files whose
+    * recorded double bounds for `keyCol` intersect [lo, hi] — closing
+    * the "predicates on o_totalprice / events.value admit every file"
+    * gap. Same exactness contract as [[readPrunedMulti]]: stats admit
+    * at file granularity, the row filter re-applies, statless files
+    * are admitted (never skipped).
+    */
+  def readPrunedDbl(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, keyCol: String, lo: Double, hi: Double)
+      : DataFrame = {
+    requirePrunableSnapshot(root, version, "readPrunedDbl")
+    val (hit, _, _) = prunedEntries(root, version, Nil, Nil,
+      Seq((keyCol, lo, hi)))
     if (hit.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

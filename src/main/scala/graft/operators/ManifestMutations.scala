@@ -39,10 +39,11 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // silently narrow the column set later prunes rely on
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
+    val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, transform(affected))
         .repartitionByRange(math.max(1, hit.size), col(keyCol)),
-      root, s"merge$from${nonce()}", statCols, strCols)
+      root, s"merge$from${nonce()}", statCols, strCols, dblCols)
     // SERIALIZABLE-WRITER commit: recompute the conflict checks against
     // whatever parent WINS the publish race, aborting on BOTH conflict
     // directions. (1) A concurrent commit removed a file this merge
@@ -194,10 +195,11 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // the columns later prunes rely on
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strColsU = hit.flatMap(_.strStats.map(_._1)).distinct
+    val dblColsU = hit.flatMap(_.dblStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, replacement)
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
-      root, s"upsert$from${nonce()}", statCols, strColsU)
+      root, s"upsert$from${nonce()}", statCols, strColsU, dblColsU)
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"upsert=v$from") { parent =>
       val cur = entriesFor(root, parent)
@@ -264,10 +266,11 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // stat coverage, string bounds included
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
+    val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, replacement)
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
-      root, s"mrg$from${nonce()}", statCols, strCols)
+      root, s"mrg$from${nonce()}", statCols, strCols, dblCols)
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"merge=v$from") { parent =>
       val cur = entriesFor(root, parent)
@@ -300,6 +303,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
       batchTag: String): Int = {
     val statCols = hit.flatMap(_.stats.map(_._1)).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
+    val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
     // restore hidden-partitioning virtual columns FIRST: the leading
     // stat column (the clustering key below) may itself be a __pt*
     // transform the logical-schema frame lacks (wave-150 review fix)
@@ -315,10 +319,10 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // a stats-less table (no statsColumns property) still rewrites —
     // there is just no coverage to preserve
     val rewritten =
-      if (statCols.isEmpty && strCols.isEmpty)
+      if (statCols.isEmpty && strCols.isEmpty && dblCols.isEmpty)
         stage(laid, root, s"$batchTag$from${nonce()}")
       else stageWithTypedStats(laid,
-        root, s"$batchTag$from${nonce()}", statCols, strCols)
+        root, s"$batchTag$from${nonce()}", statCols, strCols, dblCols)
     commitOpsF(root, _ => opMeta) { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!hit.forall(e => curPaths.contains(e.path)))
@@ -341,7 +345,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
   def deleteWhereCoW(spark: SparkSession, root: Path,
       schema: StructType, cond: Column,
       longBands: Seq[(String, Long, Long)] = Nil,
-      strBands: Seq[(String, Option[String], Option[String])] = Nil)
+      strBands: Seq[(String, Option[String], Option[String])] = Nil,
+      dblBands: Seq[(String, Double, Double)] = Nil)
       : Int = {
     val from = latestVersion(root)
     require(from > 0, "deleteWhere on an empty table")
@@ -349,7 +354,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // hidden partitioning composes: derive virtual transform bands
     // from the caller's plain bands (superset admit either way)
     val (hit, _, _) = prunedEntries(root, from,
-      longBands ++ hiddenBands(root, from, longBands), strBands)
+      longBands ++ hiddenBands(root, from, longBands), strBands, dblBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val kept = spark.read.schema(schema)
@@ -367,7 +372,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
   def updateWhereCoW(spark: SparkSession, root: Path,
       schema: StructType, cond: Column, set: Map[String, Column],
       longBands: Seq[(String, Long, Long)] = Nil,
-      strBands: Seq[(String, Option[String], Option[String])] = Nil)
+      strBands: Seq[(String, Option[String], Option[String])] = Nil,
+      dblBands: Seq[(String, Double, Double)] = Nil)
       : Int = {
     require(set.nonEmpty, "UPDATE with no assignments")
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -378,7 +384,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // hidden partitioning composes: derive virtual transform bands
     // from the caller's plain bands (superset admit either way)
     val (hit, _, _) = prunedEntries(root, from,
-      longBands ++ hiddenBands(root, from, longBands), strBands)
+      longBands ++ hiddenBands(root, from, longBands), strBands, dblBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val c = coalesce(cond, lit(false))
@@ -414,13 +420,14 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // included), like mergeCoW
     val statCols = (keyCol +: small.flatMap(_.stats.map(_._1))).distinct
     val strCols = small.flatMap(_.strStats.map(_._1)).distinct
+    val dblCols = small.flatMap(_.dblStats.map(_._1)).distinct
     val packed = stageWithTypedStats(
       restoreTransformCols(root, from, spark.read.schema(schema)
           .parquet(small.map(e => data.resolve(e.path).toString): _*))
         .repartitionByRange(math.max(1,
           (small.map(e => Files.size(data.resolve(e.path))).sum
             / smallBytes).toInt), col(keyCol)),
-      root, s"opt$from${nonce()}", statCols, strCols)
+      root, s"opt$from${nonce()}", statCols, strCols, dblCols)
     commitOpsF(root, _ => s"optimize=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!small.forall(e => curPaths.contains(e.path)))
@@ -508,11 +515,12 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
     // of BOTH kinds (the non-narrowing rule, wave-139 review fix)
     val statCols = (cols ++ live.flatMap(_.stats.map(_._1))).distinct
     val strCols = live.flatMap(_.strStats.map(_._1)).distinct
+    val dblCols = live.flatMap(_.dblStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, df.withColumn("__z", z)
         .repartitionByRange(math.max(1, targetFiles), col("__z"))
         .sortWithinPartitions("__z").drop("__z")),
-      root, s"zorder$from${nonce()}", statCols, strCols)
+      root, s"zorder$from${nonce()}", statCols, strCols, dblCols)
     commitOpsF(root, _ => s"zorder=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!live.forall(e => curPaths.contains(e.path)))
@@ -691,14 +699,15 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
   def deleteWhereMORPositional(spark: SparkSession, root: Path,
       schema: StructType, cond: Column,
       longBands: Seq[(String, Long, Long)] = Nil,
-      strBands: Seq[(String, Option[String], Option[String])] = Nil)
+      strBands: Seq[(String, Option[String], Option[String])] = Nil,
+      dblBands: Seq[(String, Double, Double)] = Nil)
       : Int = {
     val from = latestVersion(root)
     require(from > 0, "positional delete on an empty table")
     // hidden partitioning composes: derive virtual transform bands
     // from the caller's plain bands (superset admit either way)
     val (hit, _, _) = prunedEntries(root, from,
-      longBands ++ hiddenBands(root, from, longBands), strBands)
+      longBands ++ hiddenBands(root, from, longBands), strBands, dblBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val positions = spark.read.schema(schema)
@@ -750,7 +759,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
       root, s"cmorp$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
-      live.flatMap(_.strStats.map(_._1)).distinct), meta = "dvr=")
+      live.flatMap(_.strStats.map(_._1)).distinct,
+      live.flatMap(_.dblStats.map(_._1)).distinct), meta = "dvr=")
   }
 
   /** Materialize the scoped-MOR view into plain stats-carrying files
@@ -769,7 +779,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
       root, s"cmors$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
-      live.flatMap(_.strStats.map(_._1)).distinct), meta = "dvp=")
+      live.flatMap(_.strStats.map(_._1)).distinct,
+      live.flatMap(_.dblStats.map(_._1)).distinct), meta = "dvp=")
   }
 
   /** Fail-loud guard for the rewrite paths: positional vectors do not
@@ -820,7 +831,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData =>
         .repartitionByRange(math.max(1, targetFiles), col(keyCol)),
       root, s"cmor$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
-      live.flatMap(_.strStats.map(_._1)).distinct), meta = "dv=")
+      live.flatMap(_.strStats.map(_._1)).distinct,
+      live.flatMap(_.dblStats.map(_._1)).distinct), meta = "dv=")
   }
 
   /** Retention: delete data files referenced by NO version ≥

@@ -96,6 +96,41 @@ private[operators] object ManifestOracles {
         |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_sql_maintenance" ->
+      // optimize/zorder/vacuum move rows between files, never change
+      // them — the read-back IS the source table
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_runtime_filter" ->
+      // the runtime prune is a superset admit; the join re-applies
+      // exactly, so the result is the plain star join
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_acctbal
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal >= 9000.0
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "source_manifest_pruned_double" ->
+      // the double-band stats prune is a superset admit; the exact
+      // filter re-applies, so the result is the plain band filter
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 80000.0
+        |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "source_manifest_pruned_ts" ->
+      // the µs-timestamp band restated zone-free on epoch micros
+      """WITH b AS (SELECT ((min(epoch_us(ts)) // 86400000000) + 3)
+        |    * 86400000000 AS lo FROM events)
+        |SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts) AS ts_us
+        |FROM events CROSS JOIN b
+        |WHERE epoch_us(ts) >= lo
+        |  AND epoch_us(ts) <= lo + 86400000000 - 1
+        |ORDER BY event_id""".stripMargin,
+
     "manifest_sql_merge_mixed" ->
       // the mixed-clause row algebra restated: matched %13 bottom-half
       // keys take the conditional-update image (source price = orig+10,

@@ -199,6 +199,124 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** DOUBLE-stats lifecycle (round 11 — r10-VERDICT task 4): orders
+    * range-laid BY PRICE into 8 files whose per-file o_totalprice
+    * bounds ride the manifest as double stats (plus o_orderkey long
+    * stats). A price-band predicate then admits ~1/8 of the files —
+    * the prune real formats get from their typed per-column min/max,
+    * closing the "predicates on o_totalprice admit every file" gap
+    * (Wave155Spec asserts the admitted-file count; the declared query
+    * asserts exactness through the registered source).
+    */
+  private[graft] def dblStatsRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_dblstats",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithTypedStats(
+        orders.repartitionByRange(8, col("o_totalprice")),
+        root, "base", Seq("o_orderkey"), Nil, Seq("o_totalprice")),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      require(v1 == 1, s"double-stats lifecycle built v$v1, expected 1")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** µs-TIMESTAMP stats lifecycle (round 11): events carried under a
+    * REAL timestamp column (timestamp_micros of the fixture's micros),
+    * range-laid by time into 8 files whose per-file `ts` bounds record
+    * as epoch-micros LONG stats ([[FileEntry.microsOf]] — the same
+    * function the plan-time literal translation uses, so the prune is
+    * bit-consistent). A pushed timestamp-literal band then admits the
+    * intersecting files only — the canonical time-series layout.
+    */
+  private[graft] def tsStatsRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_events_tsstats",
+      Seq(s"$dir/events.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val events = Tables.table(spark, dir, "events")
+      val df = events.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"),
+        timestamp_micros(Tables.tsUsCol(events)).as("ts"))
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithTypedStats(
+        df.repartitionByRange(8, col("ts")),
+        root, "base", Seq("event_id", "ts"), Nil, Nil),
+        s"schema=${ManifestTable.schemaMeta(df.schema)}")
+      require(v1 == 1, s"ts-stats lifecycle built v$v1, expected 1")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** SQL MAINTENANCE lifecycle (round 11 — r10-VERDICT task 5): the
+    * whole small-file story in plain SQL — v1 = orders as 16
+    * deliberately-small files; `OPTIMIZE` bin-packs them (CoW, the
+    * big-file survivors verbatim); `OPTIMIZE … ZORDER BY (o_orderkey,
+    * o_custkey)` re-clusters on the Morton interleave; `VACUUM …
+    * RETAIN 0 HOURS` sweeps the replaced files (0 h is safe here: a
+    * single-process cache build, the documented test-only retention).
+    * All three run through [[graft.plans.GraftSql]] — the same parser
+    * an `injectParser` session gets. The declared result reads the
+    * table back; equality with the plain orders oracle proves the
+    * maintenance cycle lost and duplicated nothing.
+    */
+  private[graft] def maintenanceRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_orders_maint",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(16, col("o_orderkey")),
+        root, "base", "o_orderkey"),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      graft.sources.ManifestV2Table.writeProps(root,
+        Map("statsColumns" -> "o_orderkey"))
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      val v2 = graft.plans.GraftSql.sql(spark, s"OPTIMIZE $ident")
+        .head().getLong(0)
+      val v3 = graft.plans.GraftSql.sql(spark,
+        s"OPTIMIZE $ident ZORDER BY (o_orderkey, o_custkey)")
+        .head().getLong(0)
+      val swept = graft.plans.GraftSql.sql(spark,
+        s"VACUUM $ident RETAIN 0 HOURS").count()
+      require(v1 == 1 && v2 == 2 && v3 == 3 && swept > 0,
+        s"maintenance lifecycle built ($v1,$v2,$v3), swept $swept")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** Runtime-filter (DPP) fact lifecycle (round 11 — r10-VERDICT task
+    * 2): orders range-laid BY CUSTOMER into 16 files with o_custkey
+    * bands, so a dim-side filter's surviving join keys can re-prune
+    * the fact's admitted files at RUNTIME through
+    * [[graft.sources.ManifestRuntimeScan.filter]] — the 100 TB
+    * star-join feature (Wave156Spec asserts the post-runtime admitted
+    * set shrinks below the static admit).
+    */
+  private[graft] def runtimeFactRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_orders_rtfact",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(16, col("o_custkey")),
+        root, "base", Seq("o_custkey", "o_orderkey")),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      require(v1 == 1, s"runtime-fact lifecycle built v$v1, expected 1")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** GENERAL-shape SQL MERGE lifecycle (round 11 — r10-VERDICT task
     * 1): v1 = orders range-laid into 8 stats-carrying files; v2 = ONE
     * `MERGE INTO` statement mixing every clause kind the round-10
@@ -1302,6 +1420,78 @@ object ManifestOps extends QueryGroup {
            |  o_orderdate, o_orderpriority
            |FROM $cat.${sqlIdent(root)}
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_maintenance" -> { (spark, dir) =>
+      // OPTIMIZE → OPTIMIZE ZORDER BY → VACUUM RETAIN 0 HOURS, all in
+      // SQL through the GraftSqlParser wrapper (round 11 — r10-VERDICT
+      // task 5); the read-back equals the source table, proving the
+      // maintenance cycle preserved every row (Wave157Spec asserts the
+      // file-count/layout/sweep mechanics).
+      val root = maintenanceRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "source_manifest_runtime_filter" -> { (spark, dir) =>
+      // the 100 TB star join: a manifest-backed fact (16 custkey-laid
+      // files) joined to a dim filtered on a NON-join column — no
+      // static constraint can reach the fact side, so only the
+      // RUNTIME filter (dynamic partition pruning through
+      // SupportsRuntimeFiltering) prunes its files by the dim's
+      // surviving join keys. The result equals the plain join (the
+      // prune is a superset admit); Wave156Spec asserts the admitted
+      // set physically shrank.
+      val root = runtimeFactRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      Tables.table(spark, dir, "customer")
+        .createOrReplaceTempView("customer_rtf")
+      spark.sql(
+        s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           |  c.c_acctbal
+           |FROM $cat.${sqlIdent(root)} o
+           |JOIN customer_rtf c ON o.o_custkey = c.c_custkey
+           |WHERE c.c_acctbal >= 9000.0
+           |ORDER BY o.o_orderkey""".stripMargin)
+    },
+
+    "source_manifest_pruned_double" -> { (spark, dir) =>
+      // a PRICE-band predicate prunes through the per-file DOUBLE
+      // bounds (round 11 — r10-VERDICT task 4): the price-laid table
+      // admits ~1/8 of its files for a one-band filter, and the exact
+      // predicate re-applies row-exactly, so the result is the plain
+      // band filter (Wave155Spec asserts the file skip physically
+      // happened).
+      val root = dblStatsRoot(spark, dir)
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+        .filter(col("o_totalprice") >= 50000.0 &&
+          col("o_totalprice") <= 80000.0)
+        .orderBy("o_orderkey", "o_totalprice")
+    },
+
+    "source_manifest_pruned_ts" -> { (spark, dir) =>
+      // a TIMESTAMP-literal band prunes through µs-long bounds: the
+      // time-laid events table admits only the files whose recorded
+      // micros band intersects day 3..4 of the fixture; output
+      // converts back to epoch micros so the oracle compares
+      // zone-free.
+      val events = Tables.table(spark, dir, "events")
+      val root = tsStatsRoot(spark, dir)
+      val day = 86400000000L
+      val t0 = events.agg(min(Tables.tsUsCol(events))).head().getLong(0)
+      val lo = (t0 / day + 3) * day
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+        .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+          col("ts") <= timestamp_micros(lit(lo + day - 1)))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
     },
 
     "manifest_sql_merge_mixed" -> { (spark, dir) =>

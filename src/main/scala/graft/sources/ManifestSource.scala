@@ -71,7 +71,7 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
     new ManifestStreamSink(ctx, root, colsOf("statsColumns"),
-      colsOf("statsStringColumns"),
+      colsOf("statsStringColumns"), colsOf("statsDoubleColumns"),
       complete = outputMode == OutputMode.Complete())
   }
 
@@ -119,6 +119,10 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
     // "brand,region") records per-file string min/max so the read
     // path's string-filter file skipping composes with written tables
     val statsStrCols = colsOf("statsStringColumns")
+    // double-typed bounds (round 11): .option("statsDoubleColumns",
+    // "o_totalprice") records per-file double min/max so price/metric
+    // predicates prune written tables
+    val statsDblCols = colsOf("statsDoubleColumns")
     // batch prefixes must be write-unique (the writeNonce discipline:
     // a repeated prefix REPLACE_EXISTINGs an earlier write's committed
     // data files) — uuid-named files, like the real formats
@@ -174,10 +178,10 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         if (mapped) cs.map(physName) else cs
       val allStats = (names(statsCols) ++ transforms.map(_.statName))
         .distinct
-      if (allStats.isEmpty && statsStrCols.isEmpty)
+      if (allStats.isEmpty && statsStrCols.isEmpty && statsDblCols.isEmpty)
         ManifestTable.stage(base, root, batch)
       else ManifestTable.stageWithTypedStats(base, root, batch,
-        allStats, names(statsStrCols))
+        allStats, names(statsStrCols), names(statsDblCols))
     }
     val schemaMeta = s"schema=${ManifestTable.schemaMeta(df.schema)}"
     // keep only mapping entries for columns this write still carries
@@ -200,7 +204,8 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         ManifestTable.appendCommit(root, staged("ap", mapped = true),
           appendMeta): Unit
     }
-    createRelation(ctx, parameters - "statsColumns" - "statsStringColumns")
+    createRelation(ctx,
+      parameters - "statsColumns" - "statsStringColumns" - "statsDoubleColumns")
   }
 
   override def createRelation(ctx: SQLContext,
@@ -299,7 +304,8 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
     // knowledge of it
     ManifestTable.prunedEntries(root, version,
       lb ++ ManifestTable.hiddenBands(root, version, lb),
-      strBands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
+      strBands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      FilterBands.dbl(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
   }
 
   /** The stats-pruned, DV-subtracted, mapping-aliased snapshot scan as
@@ -349,6 +355,17 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
   */
 private[graft] object FilterBands {
 
+  /** Temporal literal → epoch micros (the µs-timestamp stats
+    * convention, round 11): pushed timestamp predicates prune through
+    * LONG micros bounds recorded by the stage-time twin
+    * ([[graft.operators.FileEntry.microsOf]]).
+    */
+  private def us(v: Any): Option[Long] =
+    graft.operators.FileEntry.microsOf(v) match {
+      case s @ Some(_) if !v.isInstanceOf[java.lang.Long] => s
+      case _ => None // plain longs are handled by the long cases
+    }
+
   def long(filters: Array[Filter]): Seq[(String, Long, Long)] =
     filters.toSeq.flatMap {
       case EqualTo(a, v: Long) => Seq((a, v, v))
@@ -361,7 +378,43 @@ private[graft] object FilterBands {
       case LessThan(a, v: Int) => Seq((a, Long.MinValue, v.toLong - 1))
       case LessThanOrEqual(a, v: Long) => Seq((a, Long.MinValue, v))
       case LessThanOrEqual(a, v: Int) => Seq((a, Long.MinValue, v.toLong))
+      // temporal literals (Timestamp / Instant / LocalDateTime) prune
+      // through the recorded micros bounds; a strict bound keeps the
+      // inclusive endpoint when sub-micro precision could exist — the
+      // superset admit is always safe, and micros ARE the storage
+      // precision, so ±1 is exact here
+      case EqualTo(a, v) if us(v).isDefined =>
+        us(v).toSeq.map(m => (a, m, m))
+      case GreaterThan(a, v) if us(v).isDefined =>
+        us(v).toSeq.map(m => (a, m + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, v) if us(v).isDefined =>
+        us(v).toSeq.map(m => (a, m, Long.MaxValue))
+      case LessThan(a, v) if us(v).isDefined =>
+        us(v).toSeq.map(m => (a, Long.MinValue, m - 1))
+      case LessThanOrEqual(a, v) if us(v).isDefined =>
+        us(v).toSeq.map(m => (a, Long.MinValue, m))
       case And(l, r) => long(Array(l, r))
+      case _ => Nil
+    }
+
+  /** DOUBLE comparison bands (round 11). Strict comparisons keep the
+    * inclusive endpoint (doubles have no cheap predecessor/successor;
+    * a superset admit is always safe); the row-level filter re-applies
+    * exactly.
+    */
+  def dbl(filters: Array[Filter]): Seq[(String, Double, Double)] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v: Double) => Seq((a, v, v))
+      case EqualTo(a, v: Float) => Seq((a, v.toDouble, v.toDouble))
+      case GreaterThan(a, v: Double) =>
+        Seq((a, v, Double.PositiveInfinity))
+      case GreaterThanOrEqual(a, v: Double) =>
+        Seq((a, v, Double.PositiveInfinity))
+      case LessThan(a, v: Double) =>
+        Seq((a, Double.NegativeInfinity, v))
+      case LessThanOrEqual(a, v: Double) =>
+        Seq((a, Double.NegativeInfinity, v))
+      case And(l, r) => dbl(Array(l, r))
       case _ => Nil
     }
 

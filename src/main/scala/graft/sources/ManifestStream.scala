@@ -172,14 +172,15 @@ private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
   * frames no batch writer may re-plan.
   */
 private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
-    longCols: Seq[String], strCols: Seq[String], complete: Boolean)
+    longCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
+    complete: Boolean)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val df = bridge.asBatch(data)
     if (!complete) {
       ManifestTable.commitBatchTyped(df, root, batchId, longCols,
-        strCols): Unit
+        strCols, dblCols): Unit
     } else {
       // Complete mode: the batch is the WHOLE result — a full
       // checkpoint commit replacing the live set, under the same
@@ -187,10 +188,10 @@ private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
       if (!ManifestTable.committedBatches(root).contains(batchId)) {
         val batch = s"b$batchId-c${java.util.UUID.randomUUID().toString.take(8)}"
         val staged =
-          if (longCols.isEmpty && strCols.isEmpty)
+          if (longCols.isEmpty && strCols.isEmpty && dblCols.isEmpty)
             ManifestTable.stage(df, root, batch)
           else ManifestTable.stageWithTypedStats(df, root, batch,
-            longCols, strCols)
+            longCols, strCols, dblCols)
         ManifestTable.commit(root, staged, s"batch=$batchId"): Unit
       }
     }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not => fnot}
+import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -198,7 +199,8 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
       f.copy(name = p(f.name))))
     ManifestTable.deleteWhereCoW(s, root, physSchema, cond,
       FilterBands.long(filters).map { case (c, lo, hi) => (p(c), lo, hi) },
-      FilterBands.str(filters).map { case (c, lo, hi) => (p(c), lo, hi) })
+      FilterBands.str(filters).map { case (c, lo, hi) => (p(c), lo, hi) },
+      FilterBands.dbl(filters).map { case (c, lo, hi) => (p(c), lo, hi) })
     : Unit
   }
 }
@@ -245,8 +247,126 @@ class ManifestScanBuilder(ctx: SQLContext, root: Path, version: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new ManifestV2Scan(ctx, root, version, fullSchema, required, pushed)
+  /** Clean snapshots (no deletion vectors, no column mapping) build
+    * the runtime-filterable NATIVE batch scan (round 11 — r10-VERDICT
+    * task 2): Spark's own vectorized ParquetScan over the
+    * stats-admitted file list, which (a) keeps execution columnar
+    * with row-group pruning from the pushed filters — the V1 bridge
+    * paid a Row conversion per row — and (b) accepts RUNTIME join
+    * filters (dynamic partition pruning): a filtered dim's join keys
+    * re-prune the fact side's admitted files before execution, the
+    * 100 TB star-join feature. Lifecycle states the native scan
+    * cannot express (DV subtraction, logical→physical aliasing) keep
+    * the V1 bridge.
+    */
+  override def build(): Scan = {
+    val clean = ManifestTable.dvsFor(root, version).isEmpty &&
+      ManifestTable.scopedDvsFor(root, version).isEmpty &&
+      ManifestTable.rowDvsFor(root, version).isEmpty &&
+      ManifestTable.columnMap(root, version).isEmpty
+    if (clean)
+      new ManifestRuntimeScan(ctx.sparkSession, root, version,
+        fullSchema, required, pushed)
+    else new ManifestV2Scan(ctx, root, version, fullSchema, required,
+      pushed)
+  }
+}
+
+/** The runtime-filterable native scan: V2 metadata + Spark's
+  * vectorized parquet Batch over the manifest's admitted file set.
+  * `filter(…)` (called by BatchScanExec when a DPP subquery resolves)
+  * re-prunes the admitted set with the dim side's join keys — IN sets
+  * check per-value against each file's recorded band (sorted-array
+  * binary search, O(log n) per file) and derive hidden-partition
+  * bands per value, so a 16-bucket layout skips by bucket even under
+  * a runtime IN. The delegate ParquetScan is rebuilt per
+  * planInputPartitions call, which is exactly BatchScanExec's
+  * post-filter re-plan contract.
+  */
+class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
+    fullSchema: StructType, required: StructType, pushed: Array[Filter])
+    extends Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-manifest-native v$version ${pushed.mkString("[", ", ", "]")}"
+
+  /** Only the scan's OUTPUT columns: the optimizer resolves these
+    * against the pruned relation output, so naming a projected-away
+    * column is an AnalysisException, not a no-op. Join keys are by
+    * construction in the output, which is all DPP needs.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters
+
+  /** Long IN sets from the (pushed ++ runtime) filters — the shape
+    * DPP subqueries arrive in — as sorted arrays for per-file
+    * binary-search admission.
+    */
+  private def inSets(fs: Array[Filter]): Seq[(String, Array[Long])] =
+    fs.toSeq.collect {
+      case In(a, vs) if vs.nonEmpty && vs.forall(v =>
+          v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]) =>
+        a -> vs.map {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }.sorted
+    }
+
+  private def anyInBand(vs: Array[Long], lo: Long, hi: Long): Boolean = {
+    var i = java.util.Arrays.binarySearch(vs, lo)
+    if (i < 0) i = -i - 1
+    i < vs.length && vs(i) <= hi
+  }
+
+  private[graft] def admittedEntries: Seq[ManifestTable.FileEntry] = {
+    val all = pushed ++ runtime
+    val lb = FilterBands.long(all)
+    val ins = inSets(all)
+    // coarse range bands (IN sets contribute their min..max) drive the
+    // two-level manifest-list prune; per-value refinement runs on the
+    // surviving entries below
+    val coarse = lb ++ ins.map { case (c, vs) => (c, vs.head, vs.last) }
+    val transforms = ManifestTable.partTransforms(root, version)
+    val hiddenIn = ins.flatMap { case (c, vs) =>
+      transforms.filter(_.srcCol == c).map(t =>
+        (t.statName, vs.map(t.ofLiteral).distinct.sorted))
+    }
+    val (hit, _, _) = ManifestTable.prunedEntries(root, version,
+      coarse ++ ManifestTable.hiddenBands(root, version, coarse),
+      FilterBands.str(all), FilterBands.dbl(all))
+    hit.filter { e =>
+      (ins ++ hiddenIn).forall { case (c, vs) =>
+        e.band(c).forall { case (lo, hi) => anyInBand(vs, lo, hi) }
+      }
+    }
+  }
+
+  private def delegate: Scan = {
+    val files = admittedEntries.map(e =>
+      root.resolve("data").resolve(e.path).toString)
+    bridge.parquetScan(spark, files, fullSchema, required, pushed)
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    delegate.toBatch.planInputPartitions()
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    delegate.toBatch.createReaderFactory()
 }
 
 /** The built scan: V2 metadata (readSchema = the pruned projection),
@@ -322,6 +442,8 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String])
             .foreach(v => w = w.option("statsColumns", v))
           props.get("statsStringColumns")
             .foreach(v => w = w.option("statsStringColumns", v))
+          props.get("statsDoubleColumns")
+            .foreach(v => w = w.option("statsDoubleColumns", v))
           w.mode(if (replace || overwrite) SaveMode.Overwrite
                  else SaveMode.Append).save()
         }

@@ -58,6 +58,46 @@ object bridge {
       isStreaming = false)
   }
 
+  /** Spark's own vectorized parquet V2 scan over an EXPLICIT file
+    * list (round 11 — the runtime-filterable manifest scan): an
+    * InMemoryFileIndex of exactly `files` under ParquetScan, so the
+    * manifest's stats-admitted set executes on the native
+    * FileScan/Batch path — columnar batches, row-group pruning from
+    * the pushed filters, whole-stage codegen — instead of the V1
+    * bridge's Row conversion. Constructed here because ParquetScan /
+    * InMemoryFileIndex / FileStatusCache are `private[sql]`.
+    */
+  def parquetScan(spark: SparkSession, files: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      readDataSchema: org.apache.spark.sql.types.StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.read.Scan = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      cs, files.map(f => new org.apache.hadoop.fs.Path(f)),
+      Map.empty[String, String], Some(dataSchema),
+      org.apache.spark.sql.execution.datasources.FileStatusCache.getOrCreate(cs))
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      cs, cs.sessionState.newHadoopConfWithOptions(Map.empty), index,
+      dataSchema, readDataSchema,
+      org.apache.spark.sql.types.StructType(Nil), pushed,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+  }
+
+  /** The session's SQL parser (for wrapping — a parser cannot be
+    * installed on a LIVE session the way planner strategies can).
+    */
+  def parser(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.parser.ParserInterface =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+
+  /** A registered V2 catalog plugin by name. */
+  def catalog(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+      .catalog(name)
+
   /** Install a planner strategy on a live session (idempotent). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

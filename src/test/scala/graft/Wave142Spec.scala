@@ -92,7 +92,9 @@ class Wave142Spec extends SparkSpec {
       Array(GreaterThanOrEqual("k", 100L), LessThanOrEqual("k", 150L))
     assert(b.pushFilters(fs).toSeq == fs.toSeq,
       "every filter must come back residual (superset admit)")
-    val scan = b.build().asInstanceOf[ManifestV2Scan]
+    // clean snapshots build the runtime-filterable NATIVE scan since
+    // round 11 (wave 156); the V1 bridge remains for DV/colmap states
+    val scan = b.build().asInstanceOf[graft.sources.ManifestRuntimeScan]
     val admitted = scan.admittedEntries.map(_.path).toSet
     val viaApi = ManifestTable.readPrunedMulti(spark, root, v, schema,
       Seq(("k", 100L, 150L))).inputFiles
