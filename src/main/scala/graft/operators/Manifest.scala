@@ -214,7 +214,7 @@ object FileEntry {
   * Spark's own file-index scan on the listed subset.
   */
 object ManifestTable extends ManifestLog with ManifestData
-    with ManifestMutations {
+    with ManifestMutations with ManifestTxn {
   /** [[graft.operators.FileEntry]], re-exported under its historical
     * `ManifestTable.FileEntry` address (round-10 file split).
     */
@@ -229,7 +229,8 @@ object ManifestTable extends ManifestLog with ManifestData
   * evolution meta, the batch ledger, history/time-travel lookup.
   * Internal — every consumer addresses [[ManifestTable]].
   */
-trait ManifestLog { self: ManifestData with ManifestMutations =>
+trait ManifestLog { self: ManifestData with ManifestMutations
+    with ManifestTxn =>
 
   // FileEntry's collation/encoding helpers under their historical
   // ManifestTable.* addresses
@@ -370,6 +371,10 @@ trait ManifestLog { self: ManifestData with ManifestMutations =>
       case Array(k, v) => Some(k -> v)
       case _ => None
     }).toMap
+    // multi-table txn visibility (round 11): a txn= manifest whose
+    // committed marker is absent is a crash residue — the reader
+    // completes it (roll-forward) before the resolution proceeds
+    kv.get("txn").foreach(id => ensureTxnVisible(id, kv.get("txnlog")))
     (kv.getOrElse("parent", "0").toInt, kv,
       lines.drop(1).filter(_.nonEmpty).toSeq)
   }

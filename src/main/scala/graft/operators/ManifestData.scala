@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.StructType
   * change feed, and hidden partitioning (transforms + derivation).
   * Internal — every consumer addresses [[ManifestTable]].
   */
-trait ManifestData { self: ManifestLog with ManifestMutations =>
+trait ManifestData { self: ManifestLog with ManifestMutations
+    with ManifestTxn =>
 
   /** Stage a DataFrame as immutable data files under data/ with a
     * caller-chosen batch prefix; returns the relative paths (NOT yet

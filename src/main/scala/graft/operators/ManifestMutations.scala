@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.StructType
   * (vacuum / orphan sweep / log expiry), and full compaction.
   * Internal — every consumer addresses [[ManifestTable]].
   */
-trait ManifestMutations { self: ManifestLog with ManifestData =>
+trait ManifestMutations { self: ManifestLog with ManifestData
+    with ManifestTxn =>
 
   /** Copy-on-write MERGE: apply `transform` to the rows of ONLY the
     * files whose [min,max] key band intersects [loKey, hiKey] — the

@@ -96,6 +96,20 @@ private[operators] object ManifestOracles {
         |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_multi_table_txn" ->
+      // table A = whole orders (even base + odd txn half); table B =
+      // the top-half audit copy — both landed by ONE commitTxn
+      """WITH b AS (SELECT max(o_orderkey) // 2 AS h FROM orders),
+        |u AS (
+        |  SELECT 'orders' AS src, o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'audit' AS src, o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b WHERE o_orderkey > h)
+        |SELECT * FROM u ORDER BY src, o_orderkey""".stripMargin,
+
     "manifest_sql_maintenance" ->
       // optimize/zorder/vacuum move rows between files, never change
       // them — the read-back IS the source table

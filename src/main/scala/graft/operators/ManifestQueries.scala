@@ -251,6 +251,48 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** MULTI-TABLE transaction lifecycle (round 11 — r10-VERDICT task
+    * 6): two tables — "orders" (even keys at v1) and an initially
+    * empty "audit" — receive ONE atomic [[ManifestTable.commitTxn]]:
+    * the odd keys append to the first, the top-half rows to the
+    * second. The intent-log + roll-forward protocol guarantees both
+    * or neither are ever visible (Wave158Spec crashes between the two
+    * publishes and proves it); the declared result composes the two
+    * post-txn tables, so oracle equality proves the transaction
+    * landed whole.
+    */
+  private[graft] def multiTxnRoot(spark: SparkSession, dir: String)
+      : (Path, Path) = {
+    val out = ArtifactCache.path("manifest_orders_mtxn",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val base = Paths.get(staging)
+      val (a, b) = (base.resolve("a"), base.resolve("b"))
+      Files.createDirectories(a); Files.createDirectories(b)
+      val orders = Tables.table(spark, dir, "orders")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      ManifestTable.commit(a, ManifestTable.stageWithStats(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")),
+        a, "base", "o_orderkey"),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      ManifestTable.commit(b, Nil,
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      val addsA = ManifestTable.stageWithStats(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(2, col("o_orderkey")),
+        a, "odd", "o_orderkey")
+      val addsB = ManifestTable.stageWithStats(
+        orders.filter(col("o_orderkey") > mx / 2)
+          .repartitionByRange(2, col("o_orderkey")),
+        b, "audit", "o_orderkey")
+      val vs = ManifestTable.commitTxn(Seq(
+        (a, addsA, ""), (b, addsB, "")))
+      require(vs == Seq(2, 2), s"txn landed at $vs, expected (2,2)")
+      Files.createFile(base.resolve("_SUCCESS")): Unit
+    }
+    (Paths.get(out).resolve("a"), Paths.get(out).resolve("b"))
+  }
+
   /** SQL MAINTENANCE lifecycle (round 11 — r10-VERDICT task 5): the
     * whole small-file story in plain SQL — v1 = orders as 16
     * deliberately-small files; `OPTIMIZE` bin-packs them (CoW, the
@@ -1420,6 +1462,25 @@ object ManifestOps extends QueryGroup {
            |  o_orderdate, o_orderpriority
            |FROM $cat.${sqlIdent(root)}
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_multi_table_txn" -> { (spark, dir) =>
+      // ONE atomic commit spanning two tables (round 11 — r10-VERDICT
+      // task 6): the declared result is the post-txn composition —
+      // the full orders table from table A plus the top-half audit
+      // copy from table B. Equality with the oracle proves the
+      // transaction landed whole on both participants; Wave158Spec
+      // proves the all-or-nothing half by crashing mid-publish.
+      val (a, b) = multiTxnRoot(spark, dir)
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.read(spark, a, 2, orders.schema)
+        .withColumn("src", lit("orders"))
+        .unionByName(ManifestTable.read(spark, b, 2, orders.schema)
+          .withColumn("src", lit("audit")))
+        .select(col("src"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("src", "o_orderkey")
     },
 
     "manifest_sql_maintenance" -> { (spark, dir) =>
