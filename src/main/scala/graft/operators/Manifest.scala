@@ -374,7 +374,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     // multi-table txn visibility (round 11): a txn= manifest whose
     // committed marker is absent is a crash residue — the reader
     // completes it (roll-forward) before the resolution proceeds
-    kv.get("txn").foreach(id => ensureTxnVisible(id, kv.get("txnlog")))
+    kv.get("txn").foreach(id => ensureTxnVisible(root, id, kv.get("txnlog")))
     (kv.getOrElse("parent", "0").toInt, kv,
       lines.drop(1).filter(_.nonEmpty).toSeq)
   }

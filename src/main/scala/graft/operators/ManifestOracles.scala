@@ -96,6 +96,14 @@ private[operators] object ManifestOracles {
         |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
+    "sink_manifest_evolve_insert" ->
+      // pre-evolution rows null-fill the added column; post-evolution
+      // rows carry it
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 10
+        |       ELSE NULL END AS o_bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "manifest_multi_table_txn" ->
       // table A = whole orders (even base + odd txn half); table B =
       // the top-half audit copy — both landed by ONE commitTxn

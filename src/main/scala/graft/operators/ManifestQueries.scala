@@ -263,7 +263,10 @@ object ManifestOps extends QueryGroup {
     */
   private[graft] def multiTxnRoot(spark: SparkSession, dir: String)
       : (Path, Path) = {
-    val out = ArtifactCache.path("manifest_orders_mtxn",
+    // "mtxn2": the first build recorded ABSOLUTE txnlog= paths,
+    // which went stale when the cache moved staging → final (the
+    // round-11 relocation lesson; paths are root-relative now)
+    val out = ArtifactCache.path("manifest_orders_mtxn2",
       Seq(s"$dir/orders.parquet")) { staging =>
       val base = Paths.get(staging)
       val (a, b) = (base.resolve("a"), base.resolve("b"))
@@ -1462,6 +1465,32 @@ object ManifestOps extends QueryGroup {
            |  o_orderdate, o_orderpriority
            |FROM $cat.${sqlIdent(root)}
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "sink_manifest_evolve_insert" -> { (spark, dir) =>
+      // mergeSchema INSERT evolution (round 11 — r10-VERDICT task 7):
+      // v1 writes even keys under 3 columns, v2 appends odd keys
+      // carrying a NEW o_bucket column with mergeSchema=true — the
+      // append commit itself widens the logical schema, old files
+      // null-fill under the evolved read, zero bytes rewritten
+      // (Wave159Spec proves the loud no-option failure and the
+      // no-narrowing rule).
+      val orders = Tables.table(spark, dir, "orders")
+      val base = freshSinkRoot(dir, tag = "evo_")
+      val root = base.resolve("t")
+      Files.createDirectories(root)
+      val slim = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      slim.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graft-manifest").option("path", root.toString)
+        .option("statsColumns", "o_orderkey").mode("append").save()
+      slim.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_bucket", col("o_orderkey") % 10)
+        .write.format("graft-manifest").option("path", root.toString)
+        .option("statsColumns", "o_orderkey")
+        .option("mergeSchema", "true").mode("append").save()
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+        .orderBy("o_orderkey")
     },
 
     "manifest_multi_table_txn" -> { (spark, dir) =>

@@ -134,8 +134,14 @@ trait ManifestTxn { self: ManifestLog with ManifestData
   private def applyIntent(parts: Seq[(Path, Seq[String], String)],
       id: String, intent: Path): Seq[Int] =
     parts.map { case (root, adds, extra) =>
-      val meta = (s"txn=$id txnlog=${intent.toAbsolutePath} " +
-        extra).trim
+      // the recorded intent path is RELATIVE to this participant's
+      // root: a table tree relocated wholesale (test caches, storage
+      // migration) keeps resolving its COMPLETED txns' markers; only
+      // a PENDING txn pins the participants' absolute locations (the
+      // intent body), which is the same contract real formats have
+      // for in-flight state
+      val rel = root.toAbsolutePath.relativize(intent.toAbsolutePath)
+      val meta = (s"txn=$id txnlog=$rel " + extra).trim
       commitOpsF(root, _ => meta) { parent =>
         if (parent > 0 && txnApplied(root, id, parent)) None
         else Some((adds, Nil))
@@ -147,12 +153,15 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     * transaction before the read proceeds — all-or-nothing by
     * roll-forward.
     */
-  private[operators] def ensureTxnVisible(id: String,
+  private[operators] def ensureTxnVisible(root: Path, id: String,
       logPath: Option[String]): Unit = {
     if (txnDone.contains(id) || activeTxns.get().contains(id)) return
-    val intent = Paths.get(logPath.getOrElse(throw new IllegalStateException(
-      s"manifest carries txn=$id without txnlog — cannot prove " +
-      "all-or-nothing visibility")))
+    // txnlog= is root-relative (relocation-safe); absolute forms from
+    // hand-written logs resolve unchanged
+    val intent = root.toAbsolutePath.resolve(
+      Paths.get(logPath.getOrElse(throw new IllegalStateException(
+        s"manifest carries txn=$id without txnlog — cannot prove " +
+        "all-or-nothing visibility")))).normalize()
     if (Files.exists(committedMarker(intent))) {
       if (txnDone.size > 4096) txnDone.clear()
       txnDone.add(id); return

@@ -215,15 +215,30 @@ case class MergeManifestCommand(table: ManifestV2Table,
       values: Map[String, Expression]) extends RowAction
 
   override def run(spark: SparkSession): Seq[Row] = {
-    require(!schemaEvolution,
-      "graft-manifest MERGE … WITH SCHEMA EVOLUTION: evolve the " +
-      "table first (ALTER TABLE … ADD COLUMN is metadata-only) or " +
-      "write with the mergeSchema option")
     val root = table.root
+    // MERGE … WITH SCHEMA EVOLUTION (round 11 — r10-VERDICT task 7):
+    // source-only columns auto-ADD via the metadata-only evolution
+    // commits (zero bytes rewritten; existing files null-fill), so
+    // SQL pipelines don't hand-run ALTER TABLE. Runs BEFORE schema
+    // resolution, so the rest of the command sees the widened table.
+    if (schemaEvolution) {
+      val recorded = ManifestV2.resolveSchema(spark, root,
+        ManifestTable.latestVersion(root))
+      source.output.filterNot(a => recorded.fieldNames.contains(a.name))
+        .foreach(a => ManifestTable.addColumn(root, a.name, a.dataType))
+    }
     val latest = ManifestTable.latestVersion(root)
     val cmap = ManifestTable.columnMap(root, latest)
     def phys(n: String): String = cmap.getOrElse(n, n)
     val logical = ManifestV2.resolveSchema(spark, root, latest)
+    // under WITH SCHEMA EVOLUTION, newly-added columns propagate from
+    // the source even through analyzer-expanded assignment lists
+    // (which were aligned against the PRE-evolution schema) — the
+    // Delta semantics for SET * / INSERT * pipelines
+    val evolvedCols: Set[String] =
+      if (!schemaEvolution) Set.empty
+      else logical.fieldNames.toSet --
+        table.schema.fieldNames.toSet
     val physSchema = StructType(logical.fields.map(f =>
       f.copy(name = phys(f.name))))
     val srcOut = source.output
@@ -281,9 +296,22 @@ case class MergeManifestCommand(table: ManifestV2Table,
       case i: InsertStarAction => Ins(i.condition, starMap(s"$where INSERT"))
       case other => unsupported(s"$where action $other")
     }
-    val mActs = matched.map(normalize(_, "WHEN MATCHED"))
+    // evolved columns ride matched UPDATEs and INSERTs from the
+    // source by name (NOT the not-matched-by-source branch — no
+    // source row exists there)
+    def withEvolved(m: Map[String, Expression]): Map[String, Expression] =
+      m ++ evolvedCols.toSeq.flatMap(n =>
+        if (m.contains(n)) None
+        else srcByName.get(n).map(a => n -> (a: Expression)))
+    val mActs = matched.map(normalize(_, "WHEN MATCHED")).map {
+      case Upd(c, set) => Upd(c, withEvolved(set))
+      case a => a
+    }
     val nActs = notMatchedBySource.map(normalize(_, "WHEN NOT MATCHED BY SOURCE"))
-    val iActs = notMatched.map(normalize(_, "WHEN NOT MATCHED"))
+    val iActs = notMatched.map(normalize(_, "WHEN NOT MATCHED")).map {
+      case Ins(c, values) => Ins(c, withEvolved(values))
+      case a => a
+    }
     mActs.foreach(a => if (a.isInstanceOf[Ins])
       unsupported("WHEN MATCHED INSERT"))
     nActs.foreach(a => if (a.isInstanceOf[Ins])
@@ -326,7 +354,9 @@ case class MergeManifestCommand(table: ManifestV2Table,
       }
       val keep = when(isMatched, keepOf(mActs, mAct))
         .when(tOnly, keepOf(nActs, nAct))
-        .otherwise(iAct =!= -1) // source-only rows live only via INSERT
+        // source-only rows live only via INSERT (constant false when
+        // no insert clause exists — avoids a literal==literal compare)
+        .otherwise(if (iActs.isEmpty) lit(false) else iAct =!= -1)
       val outCols = logical.fields.toSeq.map { f =>
         val base: Column = col(phys(f.name))
         val branches: Seq[(Column, Column)] =

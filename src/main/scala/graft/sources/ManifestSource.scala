@@ -184,9 +184,38 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         allStats, names(statsStrCols), names(statsDblCols))
     }
     val schemaMeta = s"schema=${ManifestTable.schemaMeta(df.schema)}"
+    // MERGE-SCHEMA widening (round 11 — r10-VERDICT task 7): an
+    // Append carrying columns the table's recorded schema lacks, with
+    // .option("mergeSchema", "true"), widens the logical schema in
+    // the SAME commit (recorded columns first, new ones appended) —
+    // existing files null-fill the additions under the evolved read,
+    // zero bytes rewritten; without the option the extra columns are
+    // rejected loudly instead of silently projected away forever.
+    val appendSchema: StructType =
+      if (!exists) df.schema
+      else ManifestTable.headerMeta(root,
+          ManifestTable.latestVersion(root)).get("schema") match {
+        case None => df.schema // schema-less legacy table: as before
+        case Some(m) =>
+          val recorded = ManifestTable.parseSchemaMeta(m)
+          val extra = df.schema.fields.filterNot(f =>
+            recorded.fieldNames.contains(f.name))
+          // a narrower append must not NARROW the recorded schema —
+          // keep the full recorded set (missing columns null-fill)
+          if (extra.isEmpty) recorded
+          else {
+            require(parameters.get("mergeSchema").exists(_.toBoolean),
+              s"append carries new column(s) ${extra.map(_.name).toSeq
+                .mkString(",")} — set .option(\"mergeSchema\", " +
+              "\"true\") to widen the table schema, or drop them")
+            StructType(recorded.fields ++ extra)
+          }
+      }
+    val appendSchemaMeta =
+      s"schema=${ManifestTable.schemaMeta(appendSchema)}"
     // keep only mapping entries for columns this write still carries
     val liveMap = cmap.filter { case (l, _) => df.columns.contains(l) }
-    val appendMeta = schemaMeta + (if (liveMap.isEmpty) "" else
+    val appendMeta = appendSchemaMeta + (if (liveMap.isEmpty) "" else
       " colmap=" + liveMap.toSeq.sorted
         .map { case (l, p) => s"$l:$p" }.mkString(","))
     mode match {

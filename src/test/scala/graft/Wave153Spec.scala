@@ -22,7 +22,7 @@ import org.apache.spark.sql.graft.bridge
   *  - TARGET-side duplicate keys get per-row actions (the shape the
   *    one-image-per-key upsert rejects by design)
   *  - an empty source with band-scoped clauses is a no-op (no commit)
-  *  - MERGE WITH SCHEMA EVOLUTION fails loudly (round-11 scope)
+  *  - MERGE WITH SCHEMA EVOLUTION plans (semantics in Wave159Spec)
   */
 class Wave153Spec extends SparkSpec {
 
@@ -172,7 +172,7 @@ class Wave153Spec extends SparkSpec {
   }
 
   test("empty source with band-scoped clauses is a no-op; " +
-    "WITH SCHEMA EVOLUTION fails loudly") {
+    "WITH SCHEMA EVOLUTION adds the source-only column") {
     val cat = freshCatalog("edge")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
       "USING `graft-manifest`")
@@ -187,18 +187,15 @@ class Wave153Spec extends SparkSpec {
         .stripMargin)
     assert(ManifestTable.latestVersion(rootOf(cat, "t")) == before,
       "an empty band-scoped MERGE must not commit a version")
+    // WITH SCHEMA EVOLUTION became legal in wave 159 — Wave159Spec
+    // proves the semantics; here just the smoke that it plans
     spark.range(3).selectExpr("id AS k", "id AS sv", "id AS extra")
       .createOrReplaceTempView("w153_evo_src")
-    val e = intercept[Exception] {
-      spark.sql(
-        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
-           |USING w153_evo_src s ON t.k = s.k
-           |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
-    }
-    def msgs(t: Throwable): String =
-      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
-    assert(msgs(e).contains("SCHEMA EVOLUTION") ||
-      msgs(e).contains("mergeSchema"),
-      s"schema evolution must fail loudly for now: ${msgs(e)}")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+         |USING w153_evo_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $cat.t").columns.contains("extra"),
+      "WITH SCHEMA EVOLUTION must add the source-only column")
   }
 }

@@ -51,10 +51,15 @@ class Wave158Spec extends SparkSpec {
     // the marker landed; headers carry the txn id
     val id = ManifestTable.headerMeta(a, 2)("txn")
     assert(ManifestTable.headerMeta(b, 2)("txn") == id)
-    val log = java.nio.file.Paths.get(
-      ManifestTable.headerMeta(a, 2)("txnlog"))
-    assert(Files.exists(log) && Files.exists(
-      log.resolveSibling(log.getFileName.toString + ".committed")))
+    // txnlog is ROOT-RELATIVE (relocation-safe — the ArtifactCache
+    // staging-then-move lesson): resolve against each root
+    val logA = a.toAbsolutePath.resolve(
+      ManifestTable.headerMeta(a, 2)("txnlog")).normalize()
+    val logB = b.toAbsolutePath.resolve(
+      ManifestTable.headerMeta(b, 2)("txnlog")).normalize()
+    assert(logA == logB.normalize() && Files.exists(logA) &&
+      Files.exists(logA.resolveSibling(
+        logA.getFileName.toString + ".committed")))
     // single-table txns are rejected toward appendCommit
     val e = intercept[IllegalArgumentException] {
       ManifestTable.commitTxn(Seq((a, Nil, "")))
@@ -77,7 +82,7 @@ class Wave158Spec extends SparkSpec {
        (s"table=${b.toAbsolutePath}" +: addsB.map("add=" + _)))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     ManifestTable.commitOps(a, addsA, Nil,
-      s"txn=$id txnlog=${intent.toAbsolutePath}")
+      s"txn=$id txnlog=${a.toAbsolutePath.relativize(intent.toAbsolutePath)}")
     // a concurrent writer appends to B inside the crash window
     ManifestTable.appendCommit(b, stageAdds(b, 200, 202, "conc"))
     // B shows NO txn rows yet (nothing touched A)
