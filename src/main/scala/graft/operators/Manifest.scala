@@ -214,7 +214,7 @@ object FileEntry {
   * Spark's own file-index scan on the listed subset.
   */
 object ManifestTable extends ManifestLog with ManifestData
-    with ManifestMutations with ManifestTxn {
+    with ManifestMutations with ManifestTxn with ManifestBloom {
   /** [[graft.operators.FileEntry]], re-exported under its historical
     * `ManifestTable.FileEntry` address (round-10 file split).
     */
@@ -230,7 +230,7 @@ object ManifestTable extends ManifestLog with ManifestData
   * Internal — every consumer addresses [[ManifestTable]].
   */
 trait ManifestLog { self: ManifestData with ManifestMutations
-    with ManifestTxn =>
+    with ManifestTxn with ManifestBloom =>
 
   // FileEntry's collation/encoding helpers under their historical
   // ManifestTable.* addresses
@@ -678,7 +678,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations
   private val batchLedger = new java.util.concurrent.ConcurrentHashMap[
     String, (Int, Set[Long])]()
 
-  private def committedBatchesCached(root: Path): Set[Long] = {
+  private[graft] def committedBatchesCached(root: Path): Set[Long] = {
     val latest = latestVersion(root)
     // cache key carries TABLE IDENTITY, not just the path: the first
     // live manifest's ts= header (unique per creation, and per expiry
@@ -1041,7 +1041,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations
       // explicitly — even when empty — to CLEAR an inherited mapping.
       val inheritedEvo = {
         lazy val pm = manifestOf(root, parent)._2
-        Seq("schema", "colmap", "ptrans").flatMap { k =>
+        Seq("schema", "colmap", "ptrans", "bloom").flatMap { k =>
           if (parent == 0 || meta0.split(' ').exists(_.startsWith(k + "=")))
             None
           else pm.get(k).filter(_.nonEmpty).map(v => s"$k=$v")
@@ -1170,7 +1170,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     // colmap is evolution plumbing like schema — without it rename/
     // drop commits surface the raw logical:physical blob as their
     // "operation" (round-10 ADVICE fix)
-    val infra = Set("ts", "depth", "schema", "body", "colmap")
+    val infra = Set("ts", "depth", "schema", "body", "colmap", "bloom")
     val rows = (math.max(1, firstVersion(root)) to latestVersion(root))
       .map { v =>
       val m = headerMeta(root, v)

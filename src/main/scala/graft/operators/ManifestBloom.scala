@@ -1,0 +1,210 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** BLOOM-FILTER file skipping (round 11, wave 160 — the equality-prune
+  * gap min/max stats cannot close): on a HIGH-CARDINALITY column whose
+  * values scatter across every file (a user id over a time-laid table,
+  * a device id over a key-laid one), each file's recorded band spans
+  * the whole domain and a point predicate admits everything. Real
+  * formats ship per-file bloom indexes for exactly this (Delta's bloom
+  * filter index, Parquet's column bloom filters); this is that idea on
+  * the manifest's own terms:
+  *
+  *  - [[ManifestBloom.buildBloomIndex]] writes ONE parquet sidecar
+  *    under `_manifests/` holding an 8 KiB bitset per (live file,
+  *    column) — k=5 positions per value by double hashing
+  *    (xxhash64 composed with itself, the standard Kirsch–Mitzenmacher
+  *    construction) — and commits a zero-op delta whose header
+  *    accumulates the sidecar name under `bloom=` (inherited by later
+  *    commits exactly like the schema/colmap state).
+  *  - [[ManifestBloom.readPrunedBloomEq]] admits a file for `c = v`
+  *    only when the file's bitset holds ALL k positions of v — or when
+  *    the file has NO bitset, because blooms are SAFE BY CONSTRUCTION
+  *    here: bitsets key on immutable FILE NAMES, a rewritten file gets
+  *    a new name with no bitset and is admitted unconditionally, and
+  *    entries for dead files are inert. False positives cost a file
+  *    read; false negatives cannot happen.
+  *
+  * Scale shape: the index build is one column scan per file (the same
+  * order of work as the stats pass), the sidecar is 8 KiB per
+  * (file, column) — 80 MB per million files, plan-side cached — and a
+  * point read on a 100 TB scattered column touches ~fpp·files instead
+  * of all of them. At 10k values/file, m=65536/k=5 gives ~2.7% fpp.
+  */
+trait ManifestBloom { self: ManifestLog with ManifestData
+    with ManifestMutations with ManifestTxn =>
+
+  /** Bits per (file, column) bitset: 2^16 = 8 KiB. */
+  private val BloomBits = 1 << 16
+  private val BloomK = 5
+
+  /** The k bit positions of one value, COLUMN-side (codegen xxhash64;
+    * h2 = hash of the hash — Kirsch–Mitzenmacher double hashing).
+    */
+  private def posCols(c: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    // both hashes reduce mod m BEFORE combining: i·h2 on raw 64-bit
+    // hashes overflows ANSI long arithmetic; the reduced form is the
+    // same double-hash family and h2∈[1, m-1] keeps the k positions
+    // from collapsing
+    val h1 = pmod(xxhash64(c), lit(BloomBits.toLong))
+    val h2 = pmod(xxhash64(xxhash64(c)), lit((BloomBits - 1).toLong)) +
+      lit(1L)
+    (0 until BloomK).map(i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(BloomBits.toLong)))
+  }
+
+  /** The k bit positions of one LITERAL, driver-side — evaluates the
+    * SAME Catalyst expressions the build used, so plan and build are
+    * bit-identical (the hidden-partitioning ofLiteral discipline).
+    */
+  private[graft] def bloomPositions(v: Any): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h1r = new XxHash64(Seq(Literal(v)), 42L).eval(null)
+      .asInstanceOf[Long]
+    val h2r = new XxHash64(Seq(Literal(h1r)), 42L).eval(null)
+      .asInstanceOf[Long]
+    val h1 = java.lang.Math.floorMod(h1r, BloomBits.toLong)
+    val h2 = java.lang.Math.floorMod(h2r, (BloomBits - 1).toLong) + 1L
+    (0 until BloomK).map(i =>
+      java.lang.Math.floorMod(h1 + i.toLong * h2, BloomBits.toLong).toInt)
+  }
+
+  /** Sidecar names of a version (`bloom=` header meta, accumulated and
+    * inherited like the evolution state).
+    */
+  def bloomsFor(root: Path, version: Int): Seq[String] =
+    headerMeta(root, version).get("bloom")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Build bitsets for every LIVE file of the latest version that
+    * lacks one for `col`, write them as one parquet sidecar under
+    * `_manifests/`, and commit a zero-op delta referencing it.
+    * Idempotent per (file, col): already-covered files are skipped;
+    * returns the new version (or the current one when nothing was
+    * missing). One column scan per covered file — the stats-pass cost.
+    */
+  def buildBloomIndex(spark: SparkSession, root: Path,
+      schema: StructType, col0: String): Int = {
+    val from = latestVersion(root)
+    require(from > 0, "bloom index on an empty table")
+    val have = loadBlooms(root, from).keySet
+    val missing = filesFor(root, from)
+      .filterNot(f => have.contains((f, col0)))
+    if (missing.isEmpty) return from
+    val data = root.resolve("data")
+    // one pass per file: the DISTINCT bit positions of its values
+    // (≤ min(k·distinct, 65536) ints collected — bounded by m)
+    val rows = missing.map { f =>
+      val pos = spark.read.schema(schema)
+        .parquet(data.resolve(f).toString)
+        .select(explode(array(posCols(col(col0)): _*)).as("p"))
+        .filter(col("p").isNotNull).distinct()
+        .collect().map(_.getLong(0).toInt)
+      val bits = new java.util.BitSet(BloomBits)
+      pos.foreach(bits.set)
+      org.apache.spark.sql.Row(f, col0,
+        java.util.Arrays.copyOf(bits.toByteArray, BloomBits / 8))
+    }
+    val side = s"bfidx${nonce()}.parquet"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("col",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bits",
+            org.apache.spark.sql.types.BinaryType))))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(root.resolve(s".bf_stage_$side").toString)
+    // relocate the single part file under _manifests/ (the SegIO
+    // placement: metadata beside the log, nonce-named, immutable)
+    val staged = Files.list(root.resolve(s".bf_stage_$side"))
+    val part = try scala.jdk.CollectionConverters
+      .IteratorHasAsScala(staged.iterator()).asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally staged.close()
+    Files.move(part, manifestDir(root).resolve(side))
+    val rest = Files.list(root.resolve(s".bf_stage_$side"))
+    try rest.forEach(p => Files.delete(p)) finally rest.close()
+    Files.delete(root.resolve(s".bf_stage_$side"))
+    commitOpsF(root, parent => "bloom=" +
+      ((if (parent == 0) Nil else bloomsFor(root, parent)) :+ side)
+        .mkString(","))(_ => Some((Nil, Nil))).get
+  }
+
+  /** JVM-wide sidecar cache (immutable once referenced, like SegIO). */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[(String, String), Array[Byte]]]()
+
+  private[operators] def loadBlooms(root: Path, version: Int)
+      : Map[(String, String), Array[Byte]] =
+    bloomsFor(root, version).map { side =>
+      val key = manifestDir(root).resolve(side).toAbsolutePath.toString
+      val hit = bloomCache.get(key)
+      if (hit != null) hit
+      else {
+        // driver-side parquet Group read — no SparkSession at plan time
+        import org.apache.parquet.hadoop.ParquetReader
+        import org.apache.parquet.hadoop.example.GroupReadSupport
+        @annotation.nowarn("cat=deprecation")
+        val r = ParquetReader.builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(key))
+          .withConf(new org.apache.hadoop.conf.Configuration()).build()
+        val out = Map.newBuilder[(String, String), Array[Byte]]
+        try {
+          var g = r.read()
+          while (g != null) {
+            out += ((g.getString("file", 0), g.getString("col", 0)) ->
+              g.getBinary("bits", 0).getBytes)
+            g = r.read()
+          }
+        } finally r.close()
+        val m = out.result()
+        if (bloomCache.size > 256) bloomCache.clear()
+        bloomCache.put(key, m)
+        m
+      }
+    }.foldLeft(Map.empty[(String, String), Array[Byte]])(_ ++ _)
+
+  private def bloomMayContain(bits: Array[Byte], v: Any): Boolean =
+    bloomPositions(v).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+
+  /** Point read through the bloom index: `col0 = v` admits a file only
+    * when its bitset holds every position of v (no bitset = admitted —
+    * only-skip-provably-absent). Composes with the ordinary stats
+    * prune first; the exact predicate re-applies on the admitted rows,
+    * so results equal a full scan + filter.
+    */
+  def readPrunedBloomEq(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, col0: String, v: Long): DataFrame = {
+    val blooms = loadBlooms(root, version)
+    val (statHit, _, _) = prunedEntries(root, version,
+      Seq((col0, v, v)) ++ hiddenBands(root, version, Seq((col0, v, v))),
+      Nil)
+    val hit = statHit.filter(e => blooms.get((e.path, col0))
+      .forall(bloomMayContain(_, v)))
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .filter(col(col0) === v)
+  }
+
+  /** The bloom-admitted file names for `col0 = v` — the spec hook
+    * proving the skip physically happened.
+    */
+  private[graft] def bloomAdmitted(root: Path, version: Int,
+      col0: String, v: Any): Seq[String] = {
+    val blooms = loadBlooms(root, version)
+    filesFor(root, version).filter(f => blooms.get((f, col0))
+      .forall(bloomMayContain(_, v)))
+  }
+}

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.StructType
   * Internal — every consumer addresses [[ManifestTable]].
   */
 trait ManifestData { self: ManifestLog with ManifestMutations
-    with ManifestTxn =>
+    with ManifestTxn with ManifestBloom =>
 
   /** Stage a DataFrame as immutable data files under data/ with a
     * caller-chosen batch prefix; returns the relative paths (NOT yet

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
   * Internal — every consumer addresses [[ManifestTable]].
   */
 trait ManifestMutations { self: ManifestLog with ManifestData
-    with ManifestTxn =>
+    with ManifestTxn with ManifestBloom =>
 
   /** Copy-on-write MERGE: apply `transform` to the rows of ONLY the
     * files whose [min,max] key band intersects [loKey, hiKey] — the

@@ -96,6 +96,24 @@ private[operators] object ManifestOracles {
         |  WHERE o_orderkey % 23 = 0 AND o_orderkey > 0)
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
+    "source_manifest_bloom" ->
+      // the same 5 deterministic probe keys, restated: the i-th of 5
+      // evenly-spaced distinct custkeys (floor(i*n/5) into the sorted
+      // distinct list); bloom admission is a superset, the equality
+      // re-filters exactly
+      """WITH d AS (
+        |  SELECT o_custkey AS ck,
+        |    row_number() OVER (ORDER BY o_custkey) - 1 AS r,
+        |    count(*) OVER () AS n
+        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+        |probes AS (
+        |  SELECT ck FROM d, (SELECT unnest([0,1,2,3,4]) AS i)
+        |  WHERE r = (i * n) // 5)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders JOIN probes ON o_custkey = ck
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "sink_manifest_evolve_insert" ->
       // pre-evolution rows null-fill the added column; post-evolution
       // rows carry it

@@ -251,6 +251,34 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** BLOOM-index lifecycle (round 11, wave 160): orders laid by
+    * ORDER KEY into 8 files — so every file's o_custkey band spans
+    * ~the whole customer domain and a custkey point predicate admits
+    * ALL files through min/max stats — then a bloom index built on
+    * o_custkey. The index is what makes the point read prunable at
+    * all on this layout (the high-cardinality scattered-column case
+    * min/max cannot serve; Wave160Spec asserts the physical skip and
+    * zero false negatives over sampled keys).
+    */
+  private[graft] def bloomRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_bloom",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", Seq("o_orderkey", "o_custkey")),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      val v2 = ManifestTable.buildBloomIndex(spark, root, orders.schema,
+        "o_custkey")
+      require(v1 == 1 && v2 == 2,
+        s"bloom lifecycle built versions ($v1,$v2), expected (1,2)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** MULTI-TABLE transaction lifecycle (round 11 — r10-VERDICT task
     * 6): two tables — "orders" (even keys at v1) and an initially
     * empty "audit" — receive ONE atomic [[ManifestTable.commitTxn]]:
@@ -1465,6 +1493,25 @@ object ManifestOps extends QueryGroup {
            |  o_orderdate, o_orderpriority
            |FROM $cat.${sqlIdent(root)}
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "source_manifest_bloom" -> { (spark, dir) =>
+      // point reads through the BLOOM index (round 11, wave 160): the
+      // key-laid table's custkey bands admit every file, so the skip
+      // is entirely the bloom's; results over a fixed probe set equal
+      // the plain equality filters (no false negatives by
+      // construction — a bitset only ever says "definitely absent").
+      // Probes: 5 deterministic customer keys spread over the domain.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = bloomRoot(spark, dir)
+      val cks = orders.select("o_custkey").distinct()
+        .orderBy("o_custkey").collect().map(_.getLong(0))
+      val probes = (0 until 5).map(i => cks((i * cks.length) / 5))
+      probes.map(ck =>
+          ManifestTable.readPrunedBloomEq(spark, root, 2, orders.schema,
+            "o_custkey", ck))
+        .reduce(_ unionByName _)
+        .orderBy("o_custkey", "o_orderkey")
     },
 
     "sink_manifest_evolve_insert" -> { (spark, dir) =>

@@ -38,7 +38,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * marker-existence check per txn id (JVM-cached after the first).
   */
 trait ManifestTxn { self: ManifestLog with ManifestData
-    with ManifestMutations =>
+    with ManifestMutations with ManifestBloom =>
 
   /** Txn ids proven committed (marker seen/linked) — a pure perf
     * cache over immutable facts; crude size bound like SegIO's.

@@ -184,8 +184,10 @@ private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
     } else {
       // Complete mode: the batch is the WHOLE result — a full
       // checkpoint commit replacing the live set, under the same
-      // replay ledger (an already-committed id no-ops before staging)
-      if (!ManifestTable.committedBatches(root).contains(batchId)) {
+      // replay ledger (an already-committed id no-ops before
+      // staging; the INCREMENTAL ledger — a long-lived sink must not
+      // pay O(versions) header reads per batch, the wave-137 rule)
+      if (!ManifestTable.committedBatchesCached(root).contains(batchId)) {
         val batch = s"b$batchId-c${java.util.UUID.randomUUID().toString.take(8)}"
         val staged =
           if (longCols.isEmpty && strCols.isEmpty && dblCols.isEmpty)
