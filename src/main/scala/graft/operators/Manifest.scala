@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.StructType
   */
 case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
     strStats: Seq[(String, (String, String))] = Nil,
-    dblStats: Seq[(String, (Double, Double))] = Nil) {
+    dblStats: Seq[(String, (Double, Double))] = Nil,
+    decStats: Seq[(String, (BigDecimal, BigDecimal))] = Nil) {
   /** Recorded bounds of `c`, None when this file carries none. */
   def band(c: String): Option[(Long, Long)] =
     stats.collectFirst { case (`c`, b) => b }
@@ -29,6 +30,12 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
     */
   def bandDbl(c: String): Option[(Double, Double)] =
     dblStats.collectFirst { case (`c`, b) => b }
+  /** Recorded DECIMAL bounds of `c` (round 11, wave 161 — the last
+    * numeric type without bounds; money columns in real schemas are
+    * decimal, not double).
+    */
+  def bandDec(c: String): Option[(BigDecimal, BigDecimal)] =
+    decStats.collectFirst { case (`c`, b) => b }
   /** Recorded STRING bounds of `c` (round-9 wave 132: the r8/r9
     * format carried long bounds only — "no string/binary bounds"
     * was a named representational gap). Admission compares in
@@ -59,6 +66,9 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
     bandDbl(c).forall { case (mn, mx) =>
       java.lang.Double.compare(mn, hi) <= 0 &&
       java.lang.Double.compare(mx, lo) >= 0 }
+  /** Decimal-band admission (numeric compare is scale-independent). */
+  def mayContainDec(c: String, lo: BigDecimal, hi: BigDecimal): Boolean =
+    bandDec(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
   /** Open-interval form (None = unbounded side) — strings have no
     * finite top element, so an unbounded `col > v` predicate cannot
     * be expressed with closed bounds without a fabricated sentinel
@@ -81,7 +91,11 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
   def line: String = {
     val toks = stats.map { case (c, (mn, mx)) => s"$c:$mn:$mx" } ++
       strStats.map { case (c, (mn, mx)) => s"$c:~${FileEntry.b64(mn)}:~${FileEntry.b64(mx)}" } ++
-      dblStats.map { case (c, (mn, mx)) => s"$c:#$mn:#$mx" }
+      dblStats.map { case (c, (mn, mx)) => s"$c:#$mn:#$mx" } ++
+      // decimal bounds (wave 161): `&` marker + toPlainString — no
+      // exponent, scale preserved, no reserved separator characters
+      decStats.map { case (c, (mn, mx)) =>
+        s"$c:&${mn.underlying.toPlainString}:&${mx.underlying.toPlainString}" }
     if (toks.isEmpty) path else path + "\t" + toks.mkString(",")
   }
 }
@@ -149,14 +163,18 @@ object FileEntry {
       }
       FileEntry(p,
         toks.collect { case (c, mn, mx)
-            if !mn.startsWith("~") && !mn.startsWith("#") =>
+            if !mn.startsWith("~") && !mn.startsWith("#") &&
+               !mn.startsWith("&") =>
           c -> (mn.toLong, mx.toLong) },
         toks.collect { case (c, mn, mx) if mn.startsWith("~") =>
           require(mx.startsWith("~"), s"corrupt string-stat token in: $l")
           c -> (unb64(mn.drop(1)), unb64(mx.drop(1))) },
         toks.collect { case (c, mn, mx) if mn.startsWith("#") =>
           require(mx.startsWith("#"), s"corrupt double-stat token in: $l")
-          c -> (mn.drop(1).toDouble, mx.drop(1).toDouble) })
+          c -> (mn.drop(1).toDouble, mx.drop(1).toDouble) },
+        toks.collect { case (c, mn, mx) if mn.startsWith("&") =>
+          require(mx.startsWith("&"), s"corrupt decimal-stat token in: $l")
+          c -> (BigDecimal(mn.drop(1)), BigDecimal(mx.drop(1))) })
     case _ => throw new IllegalArgumentException(s"corrupt manifest line: $l")
   }
 }
@@ -799,6 +817,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations
         |    required binary smin (UTF8); required binary smax (UTF8); }
         |  repeated group dstats { required binary col (UTF8);
         |    required double dmin; required double dmax; }
+        |  repeated group decstats { required binary col (UTF8);
+        |    required binary cmin (UTF8); required binary cmax (UTF8); }
         |}""".stripMargin)
 
     def write(file: Path, entries: Seq[FileEntry]): Unit = {
@@ -826,6 +846,12 @@ trait ManifestLog { self: ManifestData with ManifestMutations
           val sg = g.addGroup("dstats")
           sg.append("col", c); sg.append("dmin", mn)
           sg.append("dmax", mx); ()
+        }
+        e.decStats.foreach { case (c, (mn, mx)) =>
+          val sg = g.addGroup("decstats")
+          sg.append("col", c)
+          sg.append("cmin", mn.underlying.toPlainString)
+          sg.append("cmax", mx.underlying.toPlainString); ()
         }
         w.write(g)
       } finally w.close()
@@ -866,6 +892,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations
           // probe for the field before counting repetitions
           val nd = if (g.getType.containsField("dstats"))
             g.getFieldRepetitionCount("dstats") else 0
+          val nc = if (g.getType.containsField("decstats"))
+            g.getFieldRepetitionCount("decstats") else 0
           out += FileEntry(g.getString("path", 0),
             (0 until nl).map { i =>
               val sg = g.getGroup("lstats", i)
@@ -881,6 +909,12 @@ trait ManifestLog { self: ManifestData with ManifestMutations
               val sg = g.getGroup("dstats", i)
               sg.getString("col", 0) ->
                 (sg.getDouble("dmin", 0), sg.getDouble("dmax", 0))
+            },
+            (0 until nc).map { i =>
+              val sg = g.getGroup("decstats", i)
+              sg.getString("col", 0) ->
+                (BigDecimal(sg.getString("cmin", 0)),
+                 BigDecimal(sg.getString("cmax", 0)))
             })
           g = r.read()
         }
@@ -918,6 +952,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations
       .filter(c => entries.forall(_.bandStr(c).isDefined))
     val dcols = entries.head.dblStats.map(_._1)
       .filter(c => entries.forall(_.bandDbl(c).isDefined))
+    val ccols = entries.head.decStats.map(_._1)
+      .filter(c => entries.forall(_.bandDec(c).isDefined))
     FileEntry("",
       lcols.map { c =>
         val bs = entries.map(_.band(c).get)
@@ -932,7 +968,10 @@ trait ManifestLog { self: ManifestData with ManifestMutations
         c -> (bs.map(_._1).reduce((a, b) =>
                 if (java.lang.Double.compare(a, b) <= 0) a else b),
               bs.map(_._2).reduce((a, b) =>
-                if (java.lang.Double.compare(a, b) >= 0) a else b)) })
+                if (java.lang.Double.compare(a, b) >= 0) a else b)) },
+      ccols.map { c =>
+        val bs = entries.map(_.bandDec(c).get)
+        c -> (bs.map(_._1).min, bs.map(_._2).max) })
   }
 
   /** Manifest-LIST descriptor line for one checkpoint segment:
@@ -941,7 +980,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     * entry level's typed-bounds encoding verbatim.
     */
   private[graft] def descLine(seg: String, n: Int, b: FileEntry): String = {
-    val toks = FileEntry("x", b.stats, b.strStats, b.dblStats).line.split('\t')
+    val toks = FileEntry("x", b.stats, b.strStats, b.dblStats,
+      b.decStats).line.split('\t')
     if (toks.length == 1) s"@$seg\t$n" else s"@$seg\t$n\t${toks(1)}"
   }
 

@@ -81,8 +81,18 @@ trait ManifestData { self: ManifestLog with ManifestMutations
     */
   def stageWithTypedStats(df: DataFrame, root: Path, batch: String,
       longCols: Seq[String], strCols: Seq[String], dblCols: Seq[String])
-      : Seq[String] = {
-    require(longCols.nonEmpty || strCols.nonEmpty || dblCols.nonEmpty,
+      : Seq[String] =
+    stageWithTypedStats(df, root, batch, longCols, strCols, dblCols, Nil)
+
+  /** Four-type form (round 11, wave 161 adds DECIMAL bounds — money
+    * columns in real schemas are decimal, not double; bounds record
+    * scale-exact via toPlainString and compare numerically).
+    */
+  def stageWithTypedStats(df: DataFrame, root: Path, batch: String,
+      longCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
+      decCols: Seq[String]): Seq[String] = {
+    require(longCols.nonEmpty || strCols.nonEmpty || dblCols.nonEmpty ||
+      decCols.nonEmpty,
       "stageWithTypedStats needs at least one stats column")
     val spark = df.sparkSession
     stage(df, root, batch).flatMap { rel =>
@@ -92,7 +102,8 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       // not recorded — the file is then admitted unconditionally for
       // that column, the only-skip-provably-empty rule
       val aggs = count(lit(1)) +:
-        (longCols ++ strCols ++ dblCols).flatMap(c => Seq(min(c), max(c)))
+        (longCols ++ strCols ++ dblCols ++ decCols)
+          .flatMap(c => Seq(min(c), max(c)))
       val mm = spark.read.schema(df.schema)
         .parquet(root.resolve("data").resolve(rel).toString)
         .agg(aggs.head, aggs.tail: _*).head()
@@ -117,6 +128,15 @@ trait ManifestData { self: ManifestLog with ManifestMutations
             if (mm.isNullAt(doff + 2 * i)) None
             else Some(c ->
               (mm.getDouble(doff + 2 * i), mm.getDouble(doff + 2 * i + 1)))
+          },
+          {
+            val coff = doff + 2 * dblCols.size
+            decCols.zipWithIndex.flatMap { case (c, i) =>
+              if (mm.isNullAt(coff + 2 * i)) None
+              else Some(c ->
+                (BigDecimal(mm.getDecimal(coff + 2 * i)),
+                 BigDecimal(mm.getDecimal(coff + 2 * i + 1))))
+            }
           }).line)
       }
     }
@@ -367,12 +387,14 @@ trait ManifestData { self: ManifestLog with ManifestMutations
   private[graft] def prunedEntries(root: Path, version: Int,
       longPreds: Seq[(String, Long, Long)],
       strPreds: Seq[(String, Option[String], Option[String])],
-      dblPreds: Seq[(String, Double, Double)] = Nil)
+      dblPreds: Seq[(String, Double, Double)] = Nil,
+      decPreds: Seq[(String, BigDecimal, BigDecimal)] = Nil)
       : (Seq[FileEntry], Int, Int) = {
     def admit(e: FileEntry): Boolean =
       longPreds.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
       strPreds.forall { case (c, lo, hi) => e.mayContainStrOpt(c, lo, hi) } &&
-      dblPreds.forall { case (c, lo, hi) => e.mayContainDbl(c, lo, hi) }
+      dblPreds.forall { case (c, lo, hi) => e.mayContainDbl(c, lo, hi) } &&
+      decPreds.forall { case (c, lo, hi) => e.mayContainDec(c, lo, hi) }
     val (parent, kv, body) = manifestOf(root, version)
     if (kv.get("body").contains("seg")) {
       var segsRead = 0
@@ -389,7 +411,8 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       (body.map(parseEntry).filter(admit), 0, 0)
     else {
       val (base, r0, t0) =
-        prunedEntries(root, parent, longPreds, strPreds, dblPreds)
+        prunedEntries(root, parent, longPreds, strPreds, dblPreds,
+          decPreds)
       val removes = body.filter(_.startsWith("-")).map(_.drop(1)).toSet
       val adds = body.filter(_.startsWith("+")).map(_.drop(1)).map(parseEntry)
       // columnar-delta adds prune at the DESCRIPTOR level too: a
@@ -481,6 +504,25 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       : DataFrame = {
     requirePrunableSnapshot(root, version, "readPrunedDbl")
     val (hit, _, _) = prunedEntries(root, version, Nil, Nil,
+      Seq((keyCol, lo, hi)))
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** DECIMAL-band stats prune (round 11, wave 161): same exactness
+    * contract as [[readPrunedMulti]] — stats admit at file
+    * granularity, the row filter re-applies, statless files are
+    * admitted.
+    */
+  def readPrunedDec(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, keyCol: String, lo: BigDecimal, hi: BigDecimal)
+      : DataFrame = {
+    requirePrunableSnapshot(root, version, "readPrunedDec")
+    val (hit, _, _) = prunedEntries(root, version, Nil, Nil, Nil,
       Seq((keyCol, lo, hi)))
     if (hit.isEmpty)
       return spark.createDataFrame(

@@ -41,10 +41,11 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
+    val decCols = hit.flatMap(_.decStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, transform(affected))
         .repartitionByRange(math.max(1, hit.size), col(keyCol)),
-      root, s"merge$from${nonce()}", statCols, strCols, dblCols)
+      root, s"merge$from${nonce()}", statCols, strCols, dblCols, decCols)
     // SERIALIZABLE-WRITER commit: recompute the conflict checks against
     // whatever parent WINS the publish race, aborting on BOTH conflict
     // directions. (1) A concurrent commit removed a file this merge
@@ -197,10 +198,12 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strColsU = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblColsU = hit.flatMap(_.dblStats.map(_._1)).distinct
+    val decColsU = hit.flatMap(_.decStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, replacement)
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
-      root, s"upsert$from${nonce()}", statCols, strColsU, dblColsU)
+      root, s"upsert$from${nonce()}", statCols, strColsU, dblColsU,
+      decColsU)
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"upsert=v$from") { parent =>
       val cur = entriesFor(root, parent)
@@ -268,10 +271,11 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val statCols = (keyCol +: hit.flatMap(_.stats.map(_._1))).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
+    val decCols = hit.flatMap(_.decStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, replacement)
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
-      root, s"mrg$from${nonce()}", statCols, strCols, dblCols)
+      root, s"mrg$from${nonce()}", statCols, strCols, dblCols, decCols)
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"merge=v$from") { parent =>
       val cur = entriesFor(root, parent)
@@ -305,6 +309,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val statCols = hit.flatMap(_.stats.map(_._1)).distinct
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
+    val decCols = hit.flatMap(_.decStats.map(_._1)).distinct
     // restore hidden-partitioning virtual columns FIRST: the leading
     // stat column (the clustering key below) may itself be a __pt*
     // transform the logical-schema frame lacks (wave-150 review fix)
@@ -320,10 +325,12 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     // a stats-less table (no statsColumns property) still rewrites —
     // there is just no coverage to preserve
     val rewritten =
-      if (statCols.isEmpty && strCols.isEmpty && dblCols.isEmpty)
+      if (statCols.isEmpty && strCols.isEmpty && dblCols.isEmpty &&
+          decCols.isEmpty)
         stage(laid, root, s"$batchTag$from${nonce()}")
       else stageWithTypedStats(laid,
-        root, s"$batchTag$from${nonce()}", statCols, strCols, dblCols)
+        root, s"$batchTag$from${nonce()}", statCols, strCols, dblCols,
+        decCols)
     commitOpsF(root, _ => opMeta) { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!hit.forall(e => curPaths.contains(e.path)))
@@ -347,7 +354,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       schema: StructType, cond: Column,
       longBands: Seq[(String, Long, Long)] = Nil,
       strBands: Seq[(String, Option[String], Option[String])] = Nil,
-      dblBands: Seq[(String, Double, Double)] = Nil)
+      dblBands: Seq[(String, Double, Double)] = Nil,
+      decBands: Seq[(String, BigDecimal, BigDecimal)] = Nil)
       : Int = {
     val from = latestVersion(root)
     require(from > 0, "deleteWhere on an empty table")
@@ -355,7 +363,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     // hidden partitioning composes: derive virtual transform bands
     // from the caller's plain bands (superset admit either way)
     val (hit, _, _) = prunedEntries(root, from,
-      longBands ++ hiddenBands(root, from, longBands), strBands, dblBands)
+      longBands ++ hiddenBands(root, from, longBands), strBands,
+      dblBands, decBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val kept = spark.read.schema(schema)
@@ -374,7 +383,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       schema: StructType, cond: Column, set: Map[String, Column],
       longBands: Seq[(String, Long, Long)] = Nil,
       strBands: Seq[(String, Option[String], Option[String])] = Nil,
-      dblBands: Seq[(String, Double, Double)] = Nil)
+      dblBands: Seq[(String, Double, Double)] = Nil,
+      decBands: Seq[(String, BigDecimal, BigDecimal)] = Nil)
       : Int = {
     require(set.nonEmpty, "UPDATE with no assignments")
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -385,7 +395,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     // hidden partitioning composes: derive virtual transform bands
     // from the caller's plain bands (superset admit either way)
     val (hit, _, _) = prunedEntries(root, from,
-      longBands ++ hiddenBands(root, from, longBands), strBands, dblBands)
+      longBands ++ hiddenBands(root, from, longBands), strBands,
+      dblBands, decBands)
     if (hit.isEmpty) return from
     val data = root.resolve("data")
     val c = coalesce(cond, lit(false))
@@ -422,13 +433,14 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val statCols = (keyCol +: small.flatMap(_.stats.map(_._1))).distinct
     val strCols = small.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = small.flatMap(_.dblStats.map(_._1)).distinct
+    val decCols = small.flatMap(_.decStats.map(_._1)).distinct
     val packed = stageWithTypedStats(
       restoreTransformCols(root, from, spark.read.schema(schema)
           .parquet(small.map(e => data.resolve(e.path).toString): _*))
         .repartitionByRange(math.max(1,
           (small.map(e => Files.size(data.resolve(e.path))).sum
             / smallBytes).toInt), col(keyCol)),
-      root, s"opt$from${nonce()}", statCols, strCols, dblCols)
+      root, s"opt$from${nonce()}", statCols, strCols, dblCols, decCols)
     commitOpsF(root, _ => s"optimize=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!small.forall(e => curPaths.contains(e.path)))
@@ -517,11 +529,13 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val statCols = (cols ++ live.flatMap(_.stats.map(_._1))).distinct
     val strCols = live.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = live.flatMap(_.dblStats.map(_._1)).distinct
+    val decCols = live.flatMap(_.decStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, df.withColumn("__z", z)
         .repartitionByRange(math.max(1, targetFiles), col("__z"))
         .sortWithinPartitions("__z").drop("__z")),
-      root, s"zorder$from${nonce()}", statCols, strCols, dblCols)
+      root, s"zorder$from${nonce()}", statCols, strCols, dblCols,
+      decCols)
     commitOpsF(root, _ => s"zorder=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!live.forall(e => curPaths.contains(e.path)))
@@ -761,7 +775,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       root, s"cmorp$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
       live.flatMap(_.strStats.map(_._1)).distinct,
-      live.flatMap(_.dblStats.map(_._1)).distinct), meta = "dvr=")
+      live.flatMap(_.dblStats.map(_._1)).distinct,
+      live.flatMap(_.decStats.map(_._1)).distinct), meta = "dvr=")
   }
 
   /** Materialize the scoped-MOR view into plain stats-carrying files
@@ -781,7 +796,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       root, s"cmors$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
       live.flatMap(_.strStats.map(_._1)).distinct,
-      live.flatMap(_.dblStats.map(_._1)).distinct), meta = "dvp=")
+      live.flatMap(_.dblStats.map(_._1)).distinct,
+      live.flatMap(_.decStats.map(_._1)).distinct), meta = "dvp=")
   }
 
   /** Fail-loud guard for the rewrite paths: positional vectors do not
@@ -833,7 +849,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       root, s"cmor$from${nonce()}",
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
       live.flatMap(_.strStats.map(_._1)).distinct,
-      live.flatMap(_.dblStats.map(_._1)).distinct), meta = "dv=")
+      live.flatMap(_.dblStats.map(_._1)).distinct,
+      live.flatMap(_.decStats.map(_._1)).distinct), meta = "dv=")
   }
 
   /** Retention: delete data files referenced by NO version ≥

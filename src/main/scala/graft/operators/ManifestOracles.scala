@@ -160,6 +160,18 @@ private[operators] object ManifestOracles {
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 80000.0
         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
 
+    "source_manifest_pruned_decimal" ->
+      // the decimal band restated; the cast to DECIMAL(12,2) rounds
+      // identically in both engines (binary doubles never land on
+      // exact .xx5 ties)
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |    AS o_price
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 50000.00
+        |  AND CAST(o_totalprice AS DECIMAL(12,2)) <= 80000.00
+        |ORDER BY o_orderkey""".stripMargin,
+
     "source_manifest_pruned_ts" ->
       // the µs-timestamp band restated zone-free on epoch micros
       """WITH b AS (SELECT ((min(epoch_us(ts)) // 86400000000) + 3)

@@ -224,6 +224,32 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** DECIMAL-stats lifecycle (round 11, wave 161): orders carried
+    * under a DECIMAL(12,2) price column (the type real money schemas
+    * use), range-laid by price into 8 files whose per-file decimal
+    * bounds ride the manifest scale-exact. A decimal-literal band
+    * then admits ~1/8 of the files (Wave161Spec asserts the physical
+    * skip; the declared query asserts exactness through the
+    * registered source).
+    */
+  private[graft] def decStatsRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_decstats",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val df = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price_dec"))
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithTypedStats(
+        df.repartitionByRange(8, col("o_price_dec")),
+        root, "base", Seq("o_orderkey"), Nil, Nil, Seq("o_price_dec")),
+        s"schema=${ManifestTable.schemaMeta(df.schema)}")
+      require(v1 == 1, s"decimal-stats lifecycle built v$v1, expected 1")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** µs-TIMESTAMP stats lifecycle (round 11): events carried under a
     * REAL timestamp column (timestamp_micros of the fixture's micros),
     * range-laid by time into 8 files whose per-file `ts` bounds record
@@ -1609,6 +1635,26 @@ object ManifestOps extends QueryGroup {
         .filter(col("o_totalprice") >= 50000.0 &&
           col("o_totalprice") <= 80000.0)
         .orderBy("o_orderkey", "o_totalprice")
+    },
+
+    "source_manifest_pruned_decimal" -> { (spark, dir) =>
+      // a DECIMAL-literal band prunes through scale-exact decimal
+      // bounds (round 11, wave 161 — the last numeric type without
+      // stats): the price-laid table admits ~1/8 of its files, the
+      // exact predicate re-applies row-exactly.
+      val root = decStatsRoot(spark, dir)
+      val lo = new java.math.BigDecimal("50000.00")
+      val hi = new java.math.BigDecimal("80000.00")
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+        .filter(col("o_price_dec") >= lit(lo) &&
+          col("o_price_dec") <= lit(hi))
+        // output converts to DOUBLE (the Canon compare convention —
+        // DuckDB's client surfaces DECIMAL as float64); the decimal
+        // type lives in the filter, the stats, and the pushdown
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_price_dec").cast("double").as("o_price"))
+        .orderBy("o_orderkey")
     },
 
     "source_manifest_pruned_ts" -> { (spark, dir) =>

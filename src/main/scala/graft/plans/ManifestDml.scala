@@ -103,12 +103,14 @@ private[plans] object ManifestDml {
   def bands(conjuncts: Seq[Expression], phys: String => String)
       : (Seq[(String, Long, Long)],
          Seq[(String, Option[String], Option[String])],
-         Seq[(String, Double, Double)]) = {
+         Seq[(String, Double, Double)],
+         Seq[(String, BigDecimal, BigDecimal)]) = {
     val fs = conjuncts.map(foldLiterals)
       .flatMap(bridge.translateFilter(_)).toArray
     (FilterBands.long(fs).map { case (c, lo, hi) => (phys(c), lo, hi) },
      FilterBands.str(fs).map { case (c, lo, hi) => (phys(c), lo, hi) },
-     FilterBands.dbl(fs).map { case (c, lo, hi) => (phys(c), lo, hi) })
+     FilterBands.dbl(fs).map { case (c, lo, hi) => (phys(c), lo, hi) },
+     FilterBands.dec(fs).map { case (c, lo, hi) => (phys(c), lo, hi) })
   }
 
   /** Rebind a resolved expression onto a fresh scan by NAME (the
@@ -151,10 +153,10 @@ case class UpdateManifestCommand(table: ManifestV2Table,
     }.toMap
     val cond = condition.map(ManifestDml.rebind(_, phys))
       .getOrElse(lit(true))
-    val (lb, sb, db) = ManifestDml.bands(
+    val (lb, sb, db, cb) = ManifestDml.bands(
       condition.toSeq.flatMap(splitConjunctivePredicates), phys)
     ManifestTable.updateWhereCoW(spark, root, physSchema, cond, set,
-      lb, sb, db)
+      lb, sb, db, cb)
     Seq.empty
   }
 }

@@ -123,6 +123,7 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
     // "o_totalprice") records per-file double min/max so price/metric
     // predicates prune written tables
     val statsDblCols = colsOf("statsDoubleColumns")
+    val statsDecCols = colsOf("statsDecimalColumns")
     // batch prefixes must be write-unique (the writeNonce discipline:
     // a repeated prefix REPLACE_EXISTINGs an earlier write's committed
     // data files) — uuid-named files, like the real formats
@@ -178,10 +179,12 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         if (mapped) cs.map(physName) else cs
       val allStats = (names(statsCols) ++ transforms.map(_.statName))
         .distinct
-      if (allStats.isEmpty && statsStrCols.isEmpty && statsDblCols.isEmpty)
+      if (allStats.isEmpty && statsStrCols.isEmpty &&
+          statsDblCols.isEmpty && statsDecCols.isEmpty)
         ManifestTable.stage(base, root, batch)
       else ManifestTable.stageWithTypedStats(base, root, batch,
-        allStats, names(statsStrCols), names(statsDblCols))
+        allStats, names(statsStrCols), names(statsDblCols),
+        names(statsDecCols))
     }
     val schemaMeta = s"schema=${ManifestTable.schemaMeta(df.schema)}"
     // MERGE-SCHEMA widening (round 11 — r10-VERDICT task 7): an
@@ -233,8 +236,8 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         ManifestTable.appendCommit(root, staged("ap", mapped = true),
           appendMeta): Unit
     }
-    createRelation(ctx,
-      parameters - "statsColumns" - "statsStringColumns" - "statsDoubleColumns")
+    createRelation(ctx, parameters - "statsColumns" -
+      "statsStringColumns" - "statsDoubleColumns" - "statsDecimalColumns")
   }
 
   override def createRelation(ctx: SQLContext,
@@ -334,7 +337,8 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
     ManifestTable.prunedEntries(root, version,
       lb ++ ManifestTable.hiddenBands(root, version, lb),
       strBands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
-      FilterBands.dbl(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
+      FilterBands.dbl(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      FilterBands.dec(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
   }
 
   /** The stats-pruned, DV-subtracted, mapping-aliased snapshot scan as
@@ -431,6 +435,33 @@ private[graft] object FilterBands {
     * a superset admit is always safe); the row-level filter re-applies
     * exactly.
     */
+  /** DECIMAL comparison bands (round 11, wave 161): pushed values
+    * arrive as java.math.BigDecimal. Strict comparisons keep the
+    * inclusive endpoint — the superset admit is always safe.
+    */
+  def dec(filters: Array[Filter]): Seq[(String, BigDecimal, BigDecimal)] = {
+    val top = BigDecimal("9" * 40)
+    def of(v: Any): Option[BigDecimal] = v match {
+      case d: java.math.BigDecimal => Some(BigDecimal(d))
+      case d: BigDecimal => Some(d)
+      case _ => None
+    }
+    filters.toSeq.flatMap {
+      case EqualTo(a, v) if of(v).isDefined =>
+        of(v).toSeq.map(d => (a, d, d))
+      case GreaterThan(a, v) if of(v).isDefined =>
+        of(v).toSeq.map(d => (a, d, top))
+      case GreaterThanOrEqual(a, v) if of(v).isDefined =>
+        of(v).toSeq.map(d => (a, d, top))
+      case LessThan(a, v) if of(v).isDefined =>
+        of(v).toSeq.map(d => (a, -top, d))
+      case LessThanOrEqual(a, v) if of(v).isDefined =>
+        of(v).toSeq.map(d => (a, -top, d))
+      case And(l, r) => dec(Array(l, r))
+      case _ => Nil
+    }
+  }
+
   def dbl(filters: Array[Filter]): Seq[(String, Double, Double)] =
     filters.toSeq.flatMap {
       case EqualTo(a, v: Double) => Seq((a, v, v))

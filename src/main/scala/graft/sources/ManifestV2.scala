@@ -200,7 +200,8 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
     ManifestTable.deleteWhereCoW(s, root, physSchema, cond,
       FilterBands.long(filters).map { case (c, lo, hi) => (p(c), lo, hi) },
       FilterBands.str(filters).map { case (c, lo, hi) => (p(c), lo, hi) },
-      FilterBands.dbl(filters).map { case (c, lo, hi) => (p(c), lo, hi) })
+      FilterBands.dbl(filters).map { case (c, lo, hi) => (p(c), lo, hi) },
+      FilterBands.dec(filters).map { case (c, lo, hi) => (p(c), lo, hi) })
     : Unit
   }
 }
@@ -344,7 +345,7 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     }
     val (hit, _, _) = ManifestTable.prunedEntries(root, version,
       coarse ++ ManifestTable.hiddenBands(root, version, coarse),
-      FilterBands.str(all), FilterBands.dbl(all))
+      FilterBands.str(all), FilterBands.dbl(all), FilterBands.dec(all))
     hit.filter { e =>
       (ins ++ hiddenIn).forall { case (c, vs) =>
         e.band(c).forall { case (lo, hi) => anyInBand(vs, lo, hi) }
@@ -444,6 +445,8 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String])
             .foreach(v => w = w.option("statsStringColumns", v))
           props.get("statsDoubleColumns")
             .foreach(v => w = w.option("statsDoubleColumns", v))
+          props.get("statsDecimalColumns")
+            .foreach(v => w = w.option("statsDecimalColumns", v))
           w.mode(if (replace || overwrite) SaveMode.Overwrite
                  else SaveMode.Append).save()
         }
