@@ -58,14 +58,20 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
   def mayContainStr(c: String, lo: String, hi: String): Boolean =
     bandStr(c).forall { case (mn, mx) =>
       FileEntry.u8cmp(mn, hi) <= 0 && FileEntry.u8cmp(mx, lo) >= 0 }
-  /** Double-band admission under java.lang.Double.compare total order
-    * (the order Spark's min/max recorded the bounds in: -0.0 < 0.0,
-    * NaN greatest) — same only-skip-provably-empty rule.
+  /** Double-band admission: Double.compare total order EXCEPT that
+    * ±0.0 normalize to one zero first (review fix) — Spark's min/max
+    * and the row filter compare under SQL ordering where -0.0 == 0.0,
+    * so a file recording (-0.0, -0.0) must be admitted for a [0.0,
+    * 0.0] band (raw Double.compare would falsely prove disjointness
+    * and SKIP matching rows). NaN stays greatest — a NaN max admits
+    * any upper bound, the superset rule.
     */
-  def mayContainDbl(c: String, lo: Double, hi: Double): Boolean =
+  def mayContainDbl(c: String, lo: Double, hi: Double): Boolean = {
+    def n(d: Double) = if (d == 0.0d) 0.0d else d
     bandDbl(c).forall { case (mn, mx) =>
-      java.lang.Double.compare(mn, hi) <= 0 &&
-      java.lang.Double.compare(mx, lo) >= 0 }
+      java.lang.Double.compare(n(mn), n(hi)) <= 0 &&
+      java.lang.Double.compare(n(mx), n(lo)) >= 0 }
+  }
   /** Decimal-band admission (numeric compare is scale-independent). */
   def mayContainDec(c: String, lo: BigDecimal, hi: BigDecimal): Boolean =
     bandDec(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
@@ -761,7 +767,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     */
   def commitBatchTyped(df: DataFrame, root: Path, batchId: Long,
       longCols: Seq[String], strCols: Seq[String],
-      dblCols: Seq[String] = Nil): Int = {
+      dblCols: Seq[String] = Nil, decCols: Seq[String] = Nil): Int = {
     if (committedBatchesCached(root).contains(batchId))
       return latestVersion(root)
     // batch prefix carries a writer nonce: two RACING replays of the
@@ -774,9 +780,11 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     // the stats consumers (readPruned / mergeCoW / optimizeSmall).
     val batch = s"b$batchId${nonce()}"
     val added =
-      if (longCols.isEmpty && strCols.isEmpty && dblCols.isEmpty)
+      if (longCols.isEmpty && strCols.isEmpty && dblCols.isEmpty &&
+          decCols.isEmpty)
         stage(df, root, batch)
-      else stageWithTypedStats(df, root, batch, longCols, strCols, dblCols)
+      else stageWithTypedStats(df, root, batch, longCols, strCols,
+        dblCols, decCols)
     commitOpsF(root, _ => s"batch=$batchId") { parent =>
       if (committedBatchesCached(root).contains(batchId)) None
       else Some((added, Nil)) // O(|batch|) delta commit

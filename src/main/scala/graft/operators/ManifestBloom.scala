@@ -93,6 +93,16 @@ trait ManifestBloom { self: ManifestLog with ManifestData
       schema: StructType, col0: String): Int = {
     val from = latestVersion(root)
     require(from > 0, "bloom index on an empty table")
+    // the plan-side probe hashes a LONG literal; building over a
+    // narrower type would hash differently (xxhash64 of int != of the
+    // widened long) and every probe would FALSELY miss — the one way
+    // a bloom could lose rows, rejected up front (review fix; the
+    // same guard hidden-partition transforms carry)
+    require(schema.fields.exists(f => f.name == col0 &&
+        f.dataType == org.apache.spark.sql.types.LongType),
+      s"buildBloomIndex covers BIGINT columns; '$col0' is " +
+      schema.fields.find(_.name == col0)
+        .map(_.dataType.simpleString).getOrElse("absent"))
     val have = loadBlooms(root, from).keySet
     val missing = filesFor(root, from)
       .filterNot(f => have.contains((f, col0)))
@@ -184,6 +194,9 @@ trait ManifestBloom { self: ManifestLog with ManifestData
     */
   def readPrunedBloomEq(spark: SparkSession, root: Path, version: Int,
       schema: StructType, col0: String, v: Long): DataFrame = {
+    // same DV guard as every pruned reader (review fix): a raw file
+    // scan on a vector-carrying snapshot would resurrect deleted rows
+    requirePrunableSnapshot(root, version, "readPrunedBloomEq")
     val blooms = loadBlooms(root, version)
     val (statHit, _, _) = prunedEntries(root, version,
       Seq((col0, v, v)) ++ hiddenBands(root, version, Seq((col0, v, v))),

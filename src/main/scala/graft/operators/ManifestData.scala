@@ -447,7 +447,7 @@ trait ManifestData { self: ManifestLog with ManifestMutations
     * pruning (wave-139 review fix). Use [[readMOR]] /
     * [[readMORScoped]] (or compact first) on such snapshots.
     */
-  private def requirePrunableSnapshot(root: Path, version: Int,
+  private[operators] def requirePrunableSnapshot(root: Path, version: Int,
       op: String): Unit =
     require(dvsFor(root, version).isEmpty &&
         scopedDvsFor(root, version).isEmpty &&

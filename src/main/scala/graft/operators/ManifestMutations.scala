@@ -249,12 +249,18 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     */
   def mergeRewrite(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, sourceKeys: DataFrame,
-      touchAll: Boolean)(rewrite: DataFrame => DataFrame): Int = {
+      touchAll: Boolean, extraMeta: String = "")(
+      rewrite: DataFrame => DataFrame): Int = {
     requireNoScopedDvs(root, from, "mergeRewrite")
-    val kb = sourceKeys.agg(min(keyCol), max(keyCol)).head()
+    val kb = sourceKeys.agg(min(keyCol), max(keyCol), count(lit(1))).head()
     val bounds =
       if (kb.isNullAt(0)) None else Some((kb.getLong(0), kb.getLong(1)))
-    if (bounds.isEmpty && !touchAll) return from
+    // only a ROWLESS source no-ops (nothing can match, nothing can
+    // insert); an all-NULL-key source has no bounds but its rows are
+    // still legitimate NOT MATCHED inserts (review fix — the old
+    // bounds-only test silently dropped them), so it proceeds with an
+    // empty touched set
+    if (kb.getLong(2) == 0L && !touchAll) return from
     val fromEntries = entriesFor(root, from)
     val hit =
       if (touchAll) fromEntries
@@ -277,7 +283,11 @@ trait ManifestMutations { self: ManifestLog with ManifestData
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
       root, s"mrg$from${nonce()}", statCols, strCols, dblCols, decCols)
     val fromPaths = fromEntries.map(_.path).toSet
-    commitOpsF(root, _ => s"merge=v$from") { parent =>
+    // extraMeta rides THE merge commit itself — schema evolution on
+    // MERGE widens atomically with the data change (review fix: a
+    // separate pre-commit ADD would survive a failed or conflicted
+    // merge as a half-applied DDL)
+    commitOpsF(root, _ => (s"merge=v$from " + extraMeta).trim) { parent =>
       val cur = entriesFor(root, parent)
       val curPaths = cur.map(_.path).toSet
       if (!hit.forall(e => curPaths.contains(e.path)))

@@ -74,8 +74,13 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     val txnDir = participants.head._1.resolve("_txns")
     Files.createDirectories(txnDir)
     val intent = txnDir.resolve(s"$id.txt")
+    // base= bounds the per-attempt idempotence scan to the commits
+    // made SINCE the transaction began — without it every publish
+    // attempt re-reads O(versions) headers, the wave-137 hazard the
+    // incremental ledger exists to avoid (review fix)
     val body = participants.flatMap { case (root, adds, meta) =>
-      (s"table=${root.toAbsolutePath}" +:
+      (Seq(s"table=${root.toAbsolutePath}",
+        s"base=${latestVersion(root)}") ++
         (if (meta.nonEmpty) Seq(s"meta=$meta") else Nil)) ++
         adds.map("add=" + _)
     }.mkString("", "\n", "\n")
@@ -104,36 +109,43 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
 
   private[operators] def parseIntent(intent: Path)
-      : Seq[(Path, Seq[String], String)] = {
+      : Seq[(Path, Seq[String], String, Int)] = {
     val lines = scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(intent)).asScala.filter(_.nonEmpty)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Path, scala.collection.mutable.ArrayBuffer[String], String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Path, scala.collection.mutable.ArrayBuffer[String], String, Int)]
     lines.foreach { l =>
       if (l.startsWith("table="))
         out += ((Paths.get(l.drop(6)),
-          scala.collection.mutable.ArrayBuffer.empty[String], ""))
-      else if (l.startsWith("meta=")) {
-        val (r, a, _) = out.last
-        out(out.size - 1) = (r, a, l.drop(5))
+          scala.collection.mutable.ArrayBuffer.empty[String], "", 0))
+      else if (l.startsWith("base=")) {
+        val (r, a, m, _) = out.last
+        out(out.size - 1) = (r, a, m, l.drop(5).toInt)
+      } else if (l.startsWith("meta=")) {
+        val (r, a, _, b) = out.last
+        out(out.size - 1) = (r, a, l.drop(5), b)
       } else if (l.startsWith("add=")) out.last._2 += l.drop(4)
       else throw new IllegalStateException(
         s"corrupt txn intent line in $intent: $l")
     }
-    out.toSeq.map { case (r, a, m) => (r, a.toSeq, m) }
+    out.toSeq.map { case (r, a, m, b) => (r, a.toSeq, m, b) }
   }
 
-  /** Has table `root` already published txn `id` at or below version
-    * `upTo`? The idempotence check each publish attempt (and each
-    * roll-forward) recomputes against the winning parent.
+  /** Has table `root` already published txn `id` in (base, upTo]?
+    * The idempotence check each publish attempt (and each
+    * roll-forward) recomputes against the winning parent; `base` (the
+    * table's version when the intent was prepared) bounds the header
+    * scan to the commits the transaction could possibly have made —
+    * O(new commits), never O(versions).
     */
-  private def txnApplied(root: Path, id: String, upTo: Int): Boolean =
-    (math.max(1, firstVersion(root)) to upTo).exists(v =>
-      headerMeta(root, v).get("txn").contains(id))
+  private def txnApplied(root: Path, id: String, upTo: Int,
+      base: Int): Boolean =
+    (math.max(base + 1, math.max(1, firstVersion(root))) to upTo)
+      .exists(v => headerMeta(root, v).get("txn").contains(id))
 
-  private def applyIntent(parts: Seq[(Path, Seq[String], String)],
+  private def applyIntent(parts: Seq[(Path, Seq[String], String, Int)],
       id: String, intent: Path): Seq[Int] =
-    parts.map { case (root, adds, extra) =>
+    parts.map { case (root, adds, extra, base) =>
       // the recorded intent path is RELATIVE to this participant's
       // root: a table tree relocated wholesale (test caches, storage
       // migration) keeps resolving its COMPLETED txns' markers; only
@@ -143,7 +155,7 @@ trait ManifestTxn { self: ManifestLog with ManifestData
       val rel = root.toAbsolutePath.relativize(intent.toAbsolutePath)
       val meta = (s"txn=$id txnlog=$rel " + extra).trim
       commitOpsF(root, _ => meta) { parent =>
-        if (parent > 0 && txnApplied(root, id, parent)) None
+        if (parent > 0 && txnApplied(root, id, parent, base)) None
         else Some((adds, Nil))
       }.getOrElse(latestVersion(root))
     }

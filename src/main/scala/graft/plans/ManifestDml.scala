@@ -218,29 +218,35 @@ case class MergeManifestCommand(table: ManifestV2Table,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = table.root
-    // MERGE … WITH SCHEMA EVOLUTION (round 11 — r10-VERDICT task 7):
-    // source-only columns auto-ADD via the metadata-only evolution
-    // commits (zero bytes rewritten; existing files null-fill), so
-    // SQL pipelines don't hand-run ALTER TABLE. Runs BEFORE schema
-    // resolution, so the rest of the command sees the widened table.
-    if (schemaEvolution) {
-      val recorded = ManifestV2.resolveSchema(spark, root,
-        ManifestTable.latestVersion(root))
-      source.output.filterNot(a => recorded.fieldNames.contains(a.name))
-        .foreach(a => ManifestTable.addColumn(root, a.name, a.dataType))
-    }
     val latest = ManifestTable.latestVersion(root)
     val cmap = ManifestTable.columnMap(root, latest)
     def phys(n: String): String = cmap.getOrElse(n, n)
-    val logical = ManifestV2.resolveSchema(spark, root, latest)
-    // under WITH SCHEMA EVOLUTION, newly-added columns propagate from
-    // the source even through analyzer-expanded assignment lists
-    // (which were aligned against the PRE-evolution schema) — the
-    // Delta semantics for SET * / INSERT * pipelines
-    val evolvedCols: Set[String] =
-      if (!schemaEvolution) Set.empty
-      else logical.fieldNames.toSet --
-        table.schema.fieldNames.toSet
+    // MERGE … WITH SCHEMA EVOLUTION (round 11 — r10-VERDICT task 7):
+    // source-only columns widen the logical schema ATOMICALLY with
+    // the merge commit (the widened schema= meta rides mergeRewrite's
+    // own commit — review fix: a separate pre-commit ADD would
+    // survive a failed or conflicted merge as half-applied DDL);
+    // existing files null-fill, zero bytes rewritten.
+    val recorded = ManifestV2.resolveSchema(spark, root, latest)
+    val newFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (!schemaEvolution) Nil
+      else source.output.filterNot(a =>
+          recorded.fieldNames.contains(a.name))
+        .map { a =>
+          require(!a.name.exists(ch => ch == ':' || ch == ',' ||
+              ch == ' ' || ch == '\t'),
+            s"evolved column name not header-token-safe: '${a.name}'")
+          org.apache.spark.sql.types.StructField(a.name, a.dataType)
+        }
+    val logical = StructType(recorded.fields ++ newFields)
+    val evolveMeta =
+      if (newFields.isEmpty) ""
+      else s"schema=${ManifestTable.schemaMeta(logical)}"
+    // newly-added columns propagate from the source even through
+    // analyzer-expanded assignment lists (which were aligned against
+    // the PRE-evolution schema) — the Delta semantics for SET * /
+    // INSERT * pipelines
+    val evolvedCols: Set[String] = newFields.map(_.name).toSet
     val physSchema = StructType(logical.fields.map(f =>
       f.copy(name = phys(f.name))))
     val srcOut = source.output
@@ -337,7 +343,8 @@ case class MergeManifestCommand(table: ManifestV2Table,
 
     val touchAll = nActs.nonEmpty
     ManifestTable.mergeRewrite(spark, root, latest, physSchema,
-      phys(key), srcDF.select(sKey.as(phys(key))), touchAll) { touched =>
+      phys(key), srcDF.select(sKey.as(phys(key))), touchAll,
+      evolveMeta) { touched =>
       val joined = touched.withColumn("__t_present", lit(true))
         .join(srcDF, col(phys(key)) === sKey, "full_outer")
       val isMatched = col("__t_present").isNotNull &&

@@ -72,6 +72,7 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       .getOrElse(Nil)
     new ManifestStreamSink(ctx, root, colsOf("statsColumns"),
       colsOf("statsStringColumns"), colsOf("statsDoubleColumns"),
+      colsOf("statsDecimalColumns"),
       complete = outputMode == OutputMode.Complete())
   }
 

@@ -173,14 +173,14 @@ private[graft] class ManifestStreamSource(ctx: SQLContext, root: Path,
   */
 private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
     longCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
-    complete: Boolean)
+    decCols: Seq[String], complete: Boolean)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val df = bridge.asBatch(data)
     if (!complete) {
       ManifestTable.commitBatchTyped(df, root, batchId, longCols,
-        strCols, dblCols): Unit
+        strCols, dblCols, decCols): Unit
     } else {
       // Complete mode: the batch is the WHOLE result — a full
       // checkpoint commit replacing the live set, under the same
@@ -190,10 +190,11 @@ private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
       if (!ManifestTable.committedBatchesCached(root).contains(batchId)) {
         val batch = s"b$batchId-c${java.util.UUID.randomUUID().toString.take(8)}"
         val staged =
-          if (longCols.isEmpty && strCols.isEmpty && dblCols.isEmpty)
+          if (longCols.isEmpty && strCols.isEmpty && dblCols.isEmpty &&
+              decCols.isEmpty)
             ManifestTable.stage(df, root, batch)
           else ManifestTable.stageWithTypedStats(df, root, batch,
-            longCols, strCols, dblCols)
+            longCols, strCols, dblCols, decCols)
         ManifestTable.commit(root, staged, s"batch=$batchId"): Unit
       }
     }

@@ -291,6 +291,12 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   @volatile private var runtime: Array[Filter] = Array.empty
+  // one delegate per runtime-filter state (review fix):
+  // planInputPartitions and createReaderFactory both need it, and
+  // rebuilding twice doubles the manifest resolution + file-status
+  // listing per scan — filter() invalidates, worst case under a race
+  // is one extra rebuild
+  @volatile private var delegateCache: Scan = null
 
   override def readSchema(): StructType = required
 
@@ -307,8 +313,10 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  override def filter(filters: Array[Filter]): Unit =
+  override def filter(filters: Array[Filter]): Unit = {
     runtime = filters
+    delegateCache = null
+  }
 
   /** Long IN sets from the (pushed ++ runtime) filters — the shape
     * DPP subqueries arrive in — as sorted arrays for per-file
@@ -354,9 +362,16 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
   }
 
   private def delegate: Scan = {
-    val files = admittedEntries.map(e =>
-      root.resolve("data").resolve(e.path).toString)
-    bridge.parquetScan(spark, files, fullSchema, required, pushed)
+    val cached = delegateCache
+    if (cached != null) cached
+    else {
+      val files = admittedEntries.map(e =>
+        root.resolve("data").resolve(e.path).toString)
+      val d = bridge.parquetScan(spark, files, fullSchema, required,
+        pushed)
+      delegateCache = d
+      d
+    }
   }
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
