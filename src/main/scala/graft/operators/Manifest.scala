@@ -75,6 +75,16 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
   /** Decimal-band admission (numeric compare is scale-independent). */
   def mayContainDec(c: String, lo: BigDecimal, hi: BigDecimal): Boolean =
     bandDec(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
+  /** Open-interval decimal admission (round 12 — r11-ADVICE fix: the
+    * closed form needed a ±"9"*40 sentinel for one-sided predicates,
+    * safe at Spark's 38-digit precision cap but a FALSE PRUNE — not a
+    * superset admit — for any wider recorded bound; None makes
+    * one-sidedness representable, like the string form).
+    */
+  def mayContainDecOpt(c: String, lo: Option[BigDecimal],
+      hi: Option[BigDecimal]): Boolean =
+    bandDec(c).forall { case (mn, mx) =>
+      lo.forall(mx >= _) && hi.forall(mn <= _) }
   /** Open-interval form (None = unbounded side) — strings have no
     * finite top element, so an unbounded `col > v` predicate cannot
     * be expressed with closed bounds without a fabricated sentinel
@@ -473,6 +483,17 @@ trait ManifestLog { self: ManifestData with ManifestMutations
   def appendCommit(root: Path, added: Seq[String], meta: String = ""): Int =
     commitOpsF(root, _ => meta)(_ => Some((added, Nil))).get
 
+  /** [[appendCommit]] whose meta is recomputed PER PUBLISH ATTEMPT
+    * against the winning parent (round 12 — r11-ADVICE fix): header
+    * state derived from a pre-read snapshot (a mergeSchema widening)
+    * would otherwise last-writer-win over a concurrent commit's
+    * widening, silently projecting that column away; metaOf(parent)
+    * folds against what is actually there when the link lands.
+    */
+  def appendCommitF(root: Path, added: Seq[String],
+      metaOf: Int => String): Int =
+    commitOpsF(root, metaOf)(_ => Some((added, Nil))).get
+
   /** Compact `name:type,...` encoding of a snapshot's logical schema
     * for the manifest header (`schema=` meta) — the minimal schema
     * log behind ADD COLUMN evolution. Any type whose simpleString is
@@ -790,6 +811,22 @@ trait ManifestLog { self: ManifestData with ManifestMutations
       else Some((added, Nil)) // O(|batch|) delta commit
     }.getOrElse(latestVersion(root))
   }
+
+  /** Complete-mode streaming commit (round 12 — r11-ADVICE fix): a
+    * full checkpoint replacing the live set with `files`, under the
+    * same replay ledger as [[commitBatchTyped]] — and with the ledger
+    * RE-CHECK inside the publish retry, so two racing replays of one
+    * batch id cannot both commit (the old sink checked once outside
+    * the loop: check-then-act). An already-committed id no-ops and
+    * returns the current version; the loser's staged files stay
+    * invisible (vacuum fodder).
+    */
+  def commitCheckpointBatch(root: Path, files: Seq[String],
+      batchId: Long): Int =
+    commitOpsF(root, _ => s"batch=$batchId", checkpoint = true) { parent =>
+      if (committedBatchesCached(root).contains(batchId)) None
+      else Some((files, if (parent == 0) Nil else filesFor(root, parent)))
+    }.getOrElse(latestVersion(root))
 
   /** Columnar (parquet) encoding of checkpoint manifest SEGMENTS —
     * wave 133, closing the "text manifests vs avro/parquet" encoding

@@ -388,13 +388,13 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       longPreds: Seq[(String, Long, Long)],
       strPreds: Seq[(String, Option[String], Option[String])],
       dblPreds: Seq[(String, Double, Double)] = Nil,
-      decPreds: Seq[(String, BigDecimal, BigDecimal)] = Nil)
+      decPreds: Seq[(String, Option[BigDecimal], Option[BigDecimal])] = Nil)
       : (Seq[FileEntry], Int, Int) = {
     def admit(e: FileEntry): Boolean =
       longPreds.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
       strPreds.forall { case (c, lo, hi) => e.mayContainStrOpt(c, lo, hi) } &&
       dblPreds.forall { case (c, lo, hi) => e.mayContainDbl(c, lo, hi) } &&
-      decPreds.forall { case (c, lo, hi) => e.mayContainDec(c, lo, hi) }
+      decPreds.forall { case (c, lo, hi) => e.mayContainDecOpt(c, lo, hi) }
     val (parent, kv, body) = manifestOf(root, version)
     if (kv.get("body").contains("seg")) {
       var segsRead = 0
@@ -523,7 +523,7 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       : DataFrame = {
     requirePrunableSnapshot(root, version, "readPrunedDec")
     val (hit, _, _) = prunedEntries(root, version, Nil, Nil, Nil,
-      Seq((keyCol, lo, hi)))
+      Seq((keyCol, Some(lo), Some(hi))))
     if (hit.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

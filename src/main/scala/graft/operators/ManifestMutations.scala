@@ -249,7 +249,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     */
   def mergeRewrite(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, sourceKeys: DataFrame,
-      touchAll: Boolean, extraMeta: String = "")(
+      touchAll: Boolean, extraMetaOf: Int => String = _ => "")(
       rewrite: DataFrame => DataFrame): Int = {
     requireNoScopedDvs(root, from, "mergeRewrite")
     val kb = sourceKeys.agg(min(keyCol), max(keyCol), count(lit(1))).head()
@@ -283,11 +283,15 @@ trait ManifestMutations { self: ManifestLog with ManifestData
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
       root, s"mrg$from${nonce()}", statCols, strCols, dblCols, decCols)
     val fromPaths = fromEntries.map(_.path).toSet
-    // extraMeta rides THE merge commit itself — schema evolution on
+    // extraMetaOf rides THE merge commit itself — schema evolution on
     // MERGE widens atomically with the data change (review fix: a
     // separate pre-commit ADD would survive a failed or conflicted
-    // merge as a half-applied DDL)
-    commitOpsF(root, _ => (s"merge=v$from " + extraMeta).trim) { parent =>
+    // merge as a half-applied DDL) — and is recomputed PER ATTEMPT
+    // against the winning parent (round 12 — r11-ADVICE fix: an
+    // evolved schema= built from a pre-read snapshot would overwrite
+    // a concurrent non-intersecting commit's own widening, dropping
+    // that column from the logical view)
+    commitOpsF(root, p => (s"merge=v$from " + extraMetaOf(p)).trim) { parent =>
       val cur = entriesFor(root, parent)
       val curPaths = cur.map(_.path).toSet
       if (!hit.forall(e => curPaths.contains(e.path)))
@@ -365,7 +369,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       longBands: Seq[(String, Long, Long)] = Nil,
       strBands: Seq[(String, Option[String], Option[String])] = Nil,
       dblBands: Seq[(String, Double, Double)] = Nil,
-      decBands: Seq[(String, BigDecimal, BigDecimal)] = Nil)
+      decBands: Seq[(String, Option[BigDecimal], Option[BigDecimal])] = Nil)
       : Int = {
     val from = latestVersion(root)
     require(from > 0, "deleteWhere on an empty table")
@@ -394,7 +398,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       longBands: Seq[(String, Long, Long)] = Nil,
       strBands: Seq[(String, Option[String], Option[String])] = Nil,
       dblBands: Seq[(String, Double, Double)] = Nil,
-      decBands: Seq[(String, BigDecimal, BigDecimal)] = Nil)
+      decBands: Seq[(String, Option[BigDecimal], Option[BigDecimal])] = Nil)
       : Int = {
     require(set.nonEmpty, "UPDATE with no assignments")
     set.keys.foreach(k => require(schema.fieldNames.contains(k),

@@ -104,7 +104,7 @@ private[plans] object ManifestDml {
       : (Seq[(String, Long, Long)],
          Seq[(String, Option[String], Option[String])],
          Seq[(String, Double, Double)],
-         Seq[(String, BigDecimal, BigDecimal)]) = {
+         Seq[(String, Option[BigDecimal], Option[BigDecimal])]) = {
     val fs = conjuncts.map(foldLiterals)
       .flatMap(bridge.translateFilter(_)).toArray
     (FilterBands.long(fs).map { case (c, lo, hi) => (phys(c), lo, hi) },
@@ -239,13 +239,26 @@ case class MergeManifestCommand(table: ManifestV2Table,
           org.apache.spark.sql.types.StructField(a.name, a.dataType)
         }
     val logical = StructType(recorded.fields ++ newFields)
-    val evolveMeta =
-      if (newFields.isEmpty) ""
-      else s"schema=${ManifestTable.schemaMeta(logical)}"
-    // newly-added columns propagate from the source even through
-    // analyzer-expanded assignment lists (which were aligned against
-    // the PRE-evolution schema) — the Delta semantics for SET * /
-    // INSERT * pipelines
+    // the evolved schema= meta is recomputed PER PUBLISH ATTEMPT
+    // against the winning parent's recorded schema (round 12 —
+    // r11-ADVICE fix: mergeRewrite only aborts on touched-set/key-band
+    // conflicts, so a concurrent NON-intersecting commit that widened
+    // the schema would have its column overwritten by a stale
+    // pre-read evolveMeta). The merged form = parent's recorded
+    // fields ++ this merge's new fields not already present.
+    val evolveMetaOf: Int => String =
+      if (newFields.isEmpty) _ => ""
+      else parent => {
+        val parentRecorded =
+          ManifestV2.resolveSchema(spark, root, math.max(parent, 1))
+        StructType(parentRecorded.fields ++ newFields.filterNot(f =>
+          parentRecorded.fieldNames.contains(f.name))) match {
+          case merged => s"schema=${ManifestTable.schemaMeta(merged)}"
+        }
+      }
+    // newly-added columns propagate from the source through SET * /
+    // INSERT * ONLY (the Delta semantics; round 12 — r11-ADVICE fix:
+    // explicit assignment lists keep NULL for the new column)
     val evolvedCols: Set[String] = newFields.map(_.name).toSet
     val physSchema = StructType(logical.fields.map(f =>
       f.copy(name = phys(f.name))))
@@ -306,18 +319,31 @@ case class MergeManifestCommand(table: ManifestV2Table,
     }
     // evolved columns ride matched UPDATEs and INSERTs from the
     // source by name (NOT the not-matched-by-source branch — no
-    // source row exists there)
+    // source row exists there) — for STAR actions only (Delta's
+    // rule: SET * / INSERT * auto-propagate new columns, explicit
+    // assignment lists keep NULL). The analyzer expands stars against
+    // the PRE-evolution target schema, erasing the syntax, but the
+    // expansion is exactly recoverable: every recorded column
+    // assigned its same-named source attribute, nothing else. (A
+    // hand-written list of that exact shape is semantically THE star
+    // expansion, so treating it as one diverges nowhere observable.)
     def withEvolved(m: Map[String, Expression]): Map[String, Expression] =
       m ++ evolvedCols.toSeq.flatMap(n =>
         if (m.contains(n)) None
         else srcByName.get(n).map(a => n -> (a: Expression)))
+    def starShaped(m: Map[String, Expression]): Boolean =
+      m.size == recorded.fields.length &&
+      recorded.fieldNames.forall(n => m.get(n).exists {
+        case a: AttributeReference => srcIds(a.exprId) && a.name == n
+        case _ => false
+      })
     val mActs = matched.map(normalize(_, "WHEN MATCHED")).map {
-      case Upd(c, set) => Upd(c, withEvolved(set))
+      case Upd(c, set) if starShaped(set) => Upd(c, withEvolved(set))
       case a => a
     }
     val nActs = notMatchedBySource.map(normalize(_, "WHEN NOT MATCHED BY SOURCE"))
     val iActs = notMatched.map(normalize(_, "WHEN NOT MATCHED")).map {
-      case Ins(c, values) => Ins(c, withEvolved(values))
+      case Ins(c, values) if starShaped(values) => Ins(c, withEvolved(values))
       case a => a
     }
     mActs.foreach(a => if (a.isInstanceOf[Ins])
@@ -344,7 +370,7 @@ case class MergeManifestCommand(table: ManifestV2Table,
     val touchAll = nActs.nonEmpty
     ManifestTable.mergeRewrite(spark, root, latest, physSchema,
       phys(key), srcDF.select(sKey.as(phys(key))), touchAll,
-      evolveMeta) { touched =>
+      evolveMetaOf) { touched =>
       val joined = touched.withColumn("__t_present", lit(true))
         .join(srcDF, col(phys(key)) === sKey, "full_outer")
       val isMatched = col("__t_present").isNotNull &&

@@ -195,10 +195,14 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
     // existing files null-fill the additions under the evolved read,
     // zero bytes rewritten; without the option the extra columns are
     // rejected loudly instead of silently projected away forever.
-    val appendSchema: StructType =
-      if (!exists) df.schema
-      else ManifestTable.headerMeta(root,
-          ManifestTable.latestVersion(root)).get("schema") match {
+    // Recomputed PER PUBLISH ATTEMPT against the winning parent
+    // (round 12 — r11-ADVICE fix): the old pre-read snapshot meant a
+    // concurrent widening commit that won first had its new column
+    // silently dropped from the logical schema by this append's stale
+    // last-writer-wins schema= header.
+    def appendSchemaAt(parent: Int): StructType =
+      if (parent == 0) df.schema
+      else ManifestTable.headerMeta(root, parent).get("schema") match {
         case None => df.schema // schema-less legacy table: as before
         case Some(m) =>
           val recorded = ManifestTable.parseSchemaMeta(m)
@@ -215,13 +219,15 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
             StructType(recorded.fields ++ extra)
           }
       }
-    val appendSchemaMeta =
-      s"schema=${ManifestTable.schemaMeta(appendSchema)}"
     // keep only mapping entries for columns this write still carries
+    // (the mapping itself is the staging-time snapshot: the staged
+    // files were written under ITS physical names)
     val liveMap = cmap.filter { case (l, _) => df.columns.contains(l) }
-    val appendMeta = appendSchemaMeta + (if (liveMap.isEmpty) "" else
-      " colmap=" + liveMap.toSeq.sorted
-        .map { case (l, p) => s"$l:$p" }.mkString(","))
+    def appendMetaAt(parent: Int): String =
+      s"schema=${ManifestTable.schemaMeta(appendSchemaAt(parent))}" +
+        (if (liveMap.isEmpty) "" else
+          " colmap=" + liveMap.toSeq.sorted
+            .map { case (l, p) => s"$l:$p" }.mkString(","))
     mode match {
       case ErrorIfExists if exists =>
         throw new IllegalStateException(
@@ -234,8 +240,8 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         ManifestTable.commit(root, staged("ow", mapped = false),
           schemaMeta + (if (cmap.isEmpty) "" else " colmap=")): Unit
       case _ => // Append, or a first write under any mode
-        ManifestTable.appendCommit(root, staged("ap", mapped = true),
-          appendMeta): Unit
+        ManifestTable.appendCommitF(root, staged("ap", mapped = true),
+          appendMetaAt): Unit
     }
     createRelation(ctx, parameters - "statsColumns" -
       "statsStringColumns" - "statsDoubleColumns" - "statsDecimalColumns")
@@ -438,10 +444,14 @@ private[graft] object FilterBands {
     */
   /** DECIMAL comparison bands (round 11, wave 161): pushed values
     * arrive as java.math.BigDecimal. Strict comparisons keep the
-    * inclusive endpoint — the superset admit is always safe.
+    * inclusive endpoint — the superset admit is always safe. Bounds
+    * are OPEN intervals like the string bands (round 12 — r11-ADVICE
+    * fix: the old ±"9"*40 sentinel was safe at Spark's 38-digit
+    * precision cap, but a wider recorded bound would falsely prove
+    * disjointness — a false prune, not a superset admit).
     */
-  def dec(filters: Array[Filter]): Seq[(String, BigDecimal, BigDecimal)] = {
-    val top = BigDecimal("9" * 40)
+  def dec(filters: Array[Filter])
+      : Seq[(String, Option[BigDecimal], Option[BigDecimal])] = {
     def of(v: Any): Option[BigDecimal] = v match {
       case d: java.math.BigDecimal => Some(BigDecimal(d))
       case d: BigDecimal => Some(d)
@@ -449,15 +459,15 @@ private[graft] object FilterBands {
     }
     filters.toSeq.flatMap {
       case EqualTo(a, v) if of(v).isDefined =>
-        of(v).toSeq.map(d => (a, d, d))
+        of(v).toSeq.map(d => (a, Some(d), Some(d)))
       case GreaterThan(a, v) if of(v).isDefined =>
-        of(v).toSeq.map(d => (a, d, top))
+        of(v).toSeq.map(d => (a, Some(d), None))
       case GreaterThanOrEqual(a, v) if of(v).isDefined =>
-        of(v).toSeq.map(d => (a, d, top))
+        of(v).toSeq.map(d => (a, Some(d), None))
       case LessThan(a, v) if of(v).isDefined =>
-        of(v).toSeq.map(d => (a, -top, d))
+        of(v).toSeq.map(d => (a, None, Some(d)))
       case LessThanOrEqual(a, v) if of(v).isDefined =>
-        of(v).toSeq.map(d => (a, -top, d))
+        of(v).toSeq.map(d => (a, None, Some(d)))
       case And(l, r) => dec(Array(l, r))
       case _ => Nil
     }

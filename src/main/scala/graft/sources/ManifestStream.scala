@@ -186,7 +186,12 @@ private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
       // checkpoint commit replacing the live set, under the same
       // replay ledger (an already-committed id no-ops before
       // staging; the INCREMENTAL ledger — a long-lived sink must not
-      // pay O(versions) header reads per batch, the wave-137 rule)
+      // pay O(versions) header reads per batch, the wave-137 rule).
+      // The outer check only SAVES the staging work; the binding
+      // check re-runs inside the publish retry (round 12 —
+      // r11-ADVICE fix: two racing replays of one batch id both
+      // passed the old outside-the-loop check and both published,
+      // breaking the one-commit-per-batch-id ledger invariant).
       if (!ManifestTable.committedBatchesCached(root).contains(batchId)) {
         val batch = s"b$batchId-c${java.util.UUID.randomUUID().toString.take(8)}"
         val staged =
@@ -195,7 +200,7 @@ private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
             ManifestTable.stage(df, root, batch)
           else ManifestTable.stageWithTypedStats(df, root, batch,
             longCols, strCols, dblCols, decCols)
-        ManifestTable.commit(root, staged, s"batch=$batchId"): Unit
+        ManifestTable.commitCheckpointBatch(root, staged, batchId): Unit
       }
     }
   }

@@ -93,7 +93,7 @@ class Wave159Spec extends SparkSpec {
   }
 
   test("MERGE WITH SCHEMA EVOLUTION with explicit assignments keeps " +
-    "evolved columns flowing on matched rows only where sourced") {
+    "the evolved column NULL (only SET * / INSERT * auto-propagate)") {
     val wh = Files.createTempDirectory("graft_w159_part")
     val cat = "w159part"
     spark.conf.set(s"spark.sql.catalog.$cat",
@@ -113,9 +113,14 @@ class Wave159Spec extends SparkSpec {
       .collect()
     got.foreach { r =>
       val k = r.getLong(0)
+      // Delta's evolution rule (round 12 — r11-ADVICE fix): ONLY
+      // SET * / INSERT * auto-propagate new columns; an explicit
+      // assignment list leaves the evolved column NULL even on
+      // matched rows — the column exists (schema widened) but no
+      // clause assigned it
       if (k < 3)
-        assert(r.getLong(1) == k + 100 && r.getLong(2) == k * 2,
-          s"matched rows carry the evolved column from source: $r")
+        assert(r.getLong(1) == k + 100 && r.isNullAt(2),
+          s"explicit SET must leave the evolved column NULL: $r")
       else assert(r.getLong(1) == k && r.isNullAt(2), s"row $r")
     }
   }

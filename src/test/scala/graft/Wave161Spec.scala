@@ -42,20 +42,25 @@ class Wave161Spec extends SparkSpec {
     val live = ManifestTable.entriesFor(root, 1)
     assert(live.size == 8 && live.forall(_.bandDec("o_price_dec").isDefined))
     val (hit, _, _) = ManifestTable.prunedEntries(root, 1, Nil, Nil, Nil,
-      Seq(("o_price_dec", BigDecimal("50000.00"), BigDecimal("80000.00"))))
+      Seq(("o_price_dec", Some(BigDecimal("50000.00")),
+        Some(BigDecimal("80000.00")))))
     assert(hit.nonEmpty && hit.size < live.size,
       s"decimal band must skip files: ${hit.size} of ${live.size}")
     // a disjoint band reads ZERO manifest-list segments
     val (none, segsRead, _) = ManifestTable.prunedEntries(root, 1,
       Nil, Nil, Nil,
-      Seq(("o_price_dec", BigDecimal("-2e9"), BigDecimal("-1e9"))))
+      Seq(("o_price_dec", Some(BigDecimal("-2e9")),
+        Some(BigDecimal("-1e9")))))
     assert(none.isEmpty && segsRead == 0,
       s"disjoint decimal band must skip the segment read: $segsRead")
     // pushed decimal filters reach the V1 admission (plan level)
     import org.apache.spark.sql.sources.GreaterThanOrEqual
     val viaFilter = graft.sources.FilterBands.dec(Array(
       GreaterThanOrEqual("o_price_dec", new java.math.BigDecimal("50000.00"))))
-    assert(viaFilter.nonEmpty && viaFilter.head._2 == BigDecimal("50000.00"))
+    assert(viaFilter.nonEmpty &&
+      viaFilter.head._2 == Some(BigDecimal("50000.00")) &&
+      viaFilter.head._3.isEmpty,
+      "one-sided predicates are open intervals now (no sentinel)")
     // exactness: pruned reader == plain filter
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "o_orderkey BIGINT, o_custkey BIGINT, o_price_dec DECIMAL(12,2)")
@@ -85,7 +90,7 @@ class Wave161Spec extends SparkSpec {
     // and the dec-banded DELETE path prunes + deletes exactly
     val v3 = ManifestTable.deleteWhereCoW(spark, root, df.schema,
       col("p") > lit(new java.math.BigDecimal("15.00")),
-      decBands = Seq(("p", BigDecimal("15.00"), BigDecimal("1e9"))))
+      decBands = Seq(("p", Some(BigDecimal("15.00")), None)))
     val kept = ManifestTable.read(spark, root, v3, df.schema)
     assert(kept.filter(col("p") >
       lit(new java.math.BigDecimal("15.00"))).count() == 0)

@@ -118,9 +118,11 @@ class Wave162Spec extends SparkSpec {
       "evolution must ride the merge commit, not a separate ADD")
     val got = spark.sql(s"SELECT k, v, extra FROM $cat.t ORDER BY k")
       .collect()
-    assert(got.count(r => !r.isNullAt(2)) == 1 &&
-      got.find(_.getLong(0) == 1L).exists(r =>
-        r.getLong(1) == 100L && r.getLong(2) == 7L))
+    // the schema widened, the assigned column updated — and the
+    // evolved column stays NULL under an EXPLICIT assignment list
+    // (round 12 — r11-ADVICE fix: only SET * / INSERT * propagate)
+    assert(got.forall(_.isNullAt(2)) &&
+      got.find(_.getLong(0) == 1L).exists(_.getLong(1) == 100L))
   }
 
   test("the streaming sink honors statsDecimalColumns; txn intents " +
