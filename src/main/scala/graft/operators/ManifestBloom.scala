@@ -220,4 +220,45 @@ trait ManifestBloom { self: ManifestLog with ManifestData
     filesFor(root, version).filter(f => blooms.get((f, col0))
       .forall(bloomMayContain(_, v)))
   }
+
+  /** Per-probe-list plan-time cost bound for [[bloomAdmitEntries]]:
+    * an IN list beyond this many values skips the bloom refinement
+    * for that column (the band admit already applied; a superset
+    * admit is always safe, and a 100k-key runtime DPP set would cost
+    * O(keys·files) bit probes at plan time for a prune the per-value
+    * band binary search largely already made).
+    */
+  private[graft] val BloomProbeCap = 4096
+
+  /** Bloom admission wired into the READ PLANNERS (round 12 —
+    * r11-VERDICT task 1: the index existed but only the dedicated
+    * reader consulted it): filter `entries` through the version's
+    * bitsets for conjunctive point predicates. `probes` are
+    * (PHYSICAL column, candidate values) — an equality contributes
+    * one value, a static or runtime (DPP) IN set its values; a file
+    * survives a probe when its bitset may contain ANY of the values,
+    * and survives overall when every probe admits it. A file with no
+    * bitset for a column is admitted unconditionally (rewritten files
+    * get fresh names with no bitset — the safe-by-construction rule),
+    * so this composes with appends/compactions with zero bookkeeping.
+    * Positions are computed once per value, not per (file, value).
+    */
+  private[graft] def bloomAdmitEntries(root: Path, version: Int,
+      probes: Seq[(String, Array[Long])], entries: Seq[FileEntry])
+      : Seq[FileEntry] = {
+    val live = probes.filter(p =>
+      p._2.nonEmpty && p._2.length <= BloomProbeCap)
+    if (live.isEmpty || entries.isEmpty) return entries
+    val blooms = loadBlooms(root, version)
+    if (blooms.isEmpty) return entries
+    val posOf: Seq[(String, Array[Array[Int]])] = live.map {
+      case (c, vs) => (c, vs.map(v => bloomPositions(v).toArray))
+    }
+    entries.filter { e =>
+      posOf.forall { case (c, pss) =>
+        blooms.get((e.path, c)).forall(bits =>
+          pss.exists(_.forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)))
+      }
+    }
+  }
 }

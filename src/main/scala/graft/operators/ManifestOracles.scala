@@ -114,6 +114,23 @@ private[operators] object ManifestOracles {
         |FROM orders JOIN probes ON o_custkey = ck
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "source_manifest_bloom_sql" ->
+      // identical algebra to source_manifest_bloom: the registered
+      // source's bloom-refined admission is a superset admit, the
+      // pushed equality re-filters exactly
+      """WITH d AS (
+        |  SELECT o_custkey AS ck,
+        |    row_number() OVER (ORDER BY o_custkey) - 1 AS r,
+        |    count(*) OVER () AS n
+        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+        |probes AS (
+        |  SELECT ck FROM d, (SELECT unnest([0,1,2,3,4]) AS i)
+        |  WHERE r = (i * n) // 5)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders JOIN probes ON o_custkey = ck
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "sink_manifest_evolve_insert" ->
       // pre-evolution rows null-fill the added column; post-evolution
       // rows carry it

@@ -1540,6 +1540,28 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    "source_manifest_bloom_sql" -> { (spark, dir) =>
+      // the bloom skip through the REGISTERED read path (round 12 —
+      // r11-VERDICT task 1; round 11 had the index but only the
+      // dedicated reader consulted it): the same 5 probes as
+      // source_manifest_bloom, each a plain spark.read equality
+      // filter — the V1 relation's admission now composes bands AND
+      // bitsets, so a point predicate on the scattered custkey column
+      // physically skips files no min/max band could (Wave164Spec
+      // asserts the admitted set shrinks below the band admit on both
+      // the V1 and the native V2 path).
+      val orders = Tables.table(spark, dir, "orders")
+      val root = bloomRoot(spark, dir)
+      val cks = orders.select("o_custkey").distinct()
+        .orderBy("o_custkey").collect().map(_.getLong(0))
+      val probes = (0 until 5).map(i => cks((i * cks.length) / 5))
+      val t = spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+      probes.map(ck => t.filter(col("o_custkey") === ck))
+        .reduce(_ unionByName _)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     "sink_manifest_evolve_insert" -> { (spark, dir) =>
       // mergeSchema INSERT evolution (round 11 — r10-VERDICT task 7):
       // v1 writes even keys under 3 columns, v2 appends odd keys

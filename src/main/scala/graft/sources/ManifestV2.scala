@@ -354,11 +354,19 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     val (hit, _, _) = ManifestTable.prunedEntries(root, version,
       coarse ++ ManifestTable.hiddenBands(root, version, coarse),
       FilterBands.str(all), FilterBands.dbl(all), FilterBands.dec(all))
-    hit.filter { e =>
+    val banded = hit.filter { e =>
       (ins ++ hiddenIn).forall { case (c, vs) =>
         e.band(c).forall { case (lo, hi) => anyInBand(vs, lo, hi) }
       }
     }
+    // bloom refinement (round 12 — r11-VERDICT task 1): a bloom is
+    // exactly an IN-probe structure, so static equalities AND the
+    // runtime DPP IN sets drop files whose bitset proves every
+    // candidate key absent — the star-join point prune bands cannot
+    // make when the fact's dim-key scatters across every file. No
+    // colmap here (clean snapshots only), so names pass through.
+    ManifestTable.bloomAdmitEntries(root, version,
+      FilterBands.bloomProbes(all), banded)
   }
 
   private def delegate: Scan = {
