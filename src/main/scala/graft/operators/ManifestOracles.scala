@@ -75,6 +75,18 @@ private[operators] object ManifestOracles {
         |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
         |ORDER BY o_orderkey""".stripMargin,
 
+    "source_manifest_mor_positional_native" ->
+      // source_manifest_mor_positional's oracle verbatim: the native
+      // per-file row counting must subtract the exact listed rows
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_merge" ->
       // manifest_upsert's oracle verbatim — the SQL MERGE must land
       // the exact state the programmatic upsert lands
@@ -419,6 +431,23 @@ private[operators] object ManifestOracles {
         |WHERE o_orderkey % 5 = 0 AND o_orderkey > 0
         |ORDER BY o_orderkey""".stripMargin,
 
+    "source_manifest_colmap_native" ->
+      // source_manifest_colmap's oracle verbatim: the native scan's
+      // schema aliasing must land the exact evolved view
+      """WITH b AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderkey, o_totalprice AS o_price,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice AS o_price, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey + m AS o_orderkey,
+        |  o_totalprice + 1000.0 AS o_price, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey > 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     "ivm_manifest_delta" ->
       // the refreshed view == the full aggregate over the source (v2's
       // content is the whole table); sums staged in exact decimal
@@ -437,6 +466,14 @@ private[operators] object ManifestOracles {
 
     "source_manifest_mor" ->
       // the DV subtraction restated from the source table
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_manifest_mor_native" ->
+      // source_manifest_mor's oracle verbatim: the native reader
+      // wrapper must land the exact anti-join state
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 13 <> 0

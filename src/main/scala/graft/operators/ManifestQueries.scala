@@ -1502,6 +1502,54 @@ object ManifestOps extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    "source_manifest_mor_native" -> { (spark, dir) =>
+      // the key-DV snapshot through the NATIVE V2 scan (round 12 —
+      // r11-VERDICT task 3; until now DV states fell back to the V1
+      // bridge): the subtraction runs in a row-level reader wrapper
+      // under BatchScanExec — Wave166Spec plan-asserts the scan class
+      // and the DPP composition — while file-level stats/bloom
+      // admission stays on (readMOR could not prune at all). The
+      // oracle is source_manifest_mor's verbatim: equality proves the
+      // wrapper IS the anti-join.
+      val root = morRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)} VERSION AS OF 2
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "source_manifest_mor_positional_native" -> { (spark, dir) =>
+      // row-position vectors through the NATIVE scan: one partition
+      // per file (offset-ordered splits) gives the reader exact
+      // per-file row indexes, and the wrapper subtracts the listed
+      // (file, pos) pairs — the same one-of-two-identical-copies
+      // state no key predicate can express, now on BatchScanExec.
+      val root = morPositionalRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "source_manifest_colmap_native" -> { (spark, dir) =>
+      // column mapping through the NATIVE scan: the delegate parquet
+      // scan reads PHYSICAL names (schema aliasing — rows are
+      // positional, so there is no rename step at execution time at
+      // all), pushed filters translate logical→physical, and columnar
+      // execution + DPP survive the rename — the states that round 11
+      // paid the V1 bridge's per-row conversion for.
+      val root = evo2Root(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_price, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
     "manifest_sql_merge" -> { (spark, dir) =>
       // the manifest_upsert lifecycle driven by a plain-SQL
       // `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED

@@ -248,24 +248,34 @@ class ManifestScanBuilder(ctx: SQLContext, root: Path, version: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Clean snapshots (no deletion vectors, no column mapping) build
-    * the runtime-filterable NATIVE batch scan (round 11 — r10-VERDICT
-    * task 2): Spark's own vectorized ParquetScan over the
+  /** Every lifecycle state now builds the runtime-filterable NATIVE
+    * batch scan (round 11 built it for clean snapshots — r10-VERDICT
+    * task 2; round 12 extends it to deletion-vector and column-mapped
+    * ones — r11-VERDICT task 3): Spark's own ParquetScan over the
     * stats-admitted file list, which (a) keeps execution columnar
     * with row-group pruning from the pushed filters — the V1 bridge
     * paid a Row conversion per row — and (b) accepts RUNTIME join
     * filters (dynamic partition pruning): a filtered dim's join keys
     * re-prune the fact side's admitted files before execution, the
-    * 100 TB star-join feature. Lifecycle states the native scan
-    * cannot express (DV subtraction, logical→physical aliasing) keep
-    * the V1 bridge.
+    * 100 TB star-join feature. DV snapshots subtract in a row-level
+    * reader wrapper ([[MorFilteredReaderFactory]] — row-mode until
+    * compaction, still ahead of the bridge, which paid the same row
+    * path plus a Row conversion and could not runtime-filter at all);
+    * column mapping is schema aliasing of the delegate. The V1 bridge
+    * remains only for a key-based vector whose sidecar key is not
+    * BIGINT (outside the format's DML key contract).
     */
   override def build(): Scan = {
-    val clean = ManifestTable.dvsFor(root, version).isEmpty &&
-      ManifestTable.scopedDvsFor(root, version).isEmpty &&
-      ManifestTable.rowDvsFor(root, version).isEmpty &&
-      ManifestTable.columnMap(root, version).isEmpty
-    if (clean)
+    val dvs = ManifestTable.dvsFor(root, version)
+    val dvps = ManifestTable.scopedDvsFor(root, version)
+    val nativeOk = (dvs.isEmpty && dvps.isEmpty) || {
+      val side = (dvs ++ dvps).head
+      ctx.sparkSession.read.parquet(
+          root.resolve("data").resolve(side).toString)
+        .schema.fields.find(_.name != "src")
+        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    }
+    if (nativeOk)
       new ManifestRuntimeScan(ctx.sparkSession, root, version,
         fullSchema, required, pushed)
     else new ManifestV2Scan(ctx, root, version, fullSchema, required,
@@ -283,6 +293,27 @@ class ManifestScanBuilder(ctx: SQLContext, root: Path, version: Int,
   * a runtime IN. The delegate ParquetScan is rebuilt per
   * planInputPartitions call, which is exactly BatchScanExec's
   * post-filter re-plan contract.
+  *
+  * Round 12 (r11-VERDICT task 3) extends the native path to the
+  * lifecycle states that kept the V1 bridge:
+  *
+  *  - COLUMN MAPPING: the delegate reads under PHYSICAL names
+  *    (schema aliasing — `readSchema()` stays logical; rows are
+  *    positional, so no conversion exists anywhere), pushed filters
+  *    and stats bands translate logical→physical. Columnar execution
+  *    and DPP are preserved.
+  *  - DELETION VECTORS: subtraction runs in a row-level reader
+  *    wrapper ([[MorFilteredReaderFactory]]), with the vector state
+  *    loaded once driver-side (sidecars are O(|deleted|)). Key
+  *    vectors filter by a sorted key set; scoped/positional vectors
+  *    plan ONE PARTITION PER FILE ([[bridge.onePartitionPerFile]])
+  *    for per-row file attribution, and positional vectors
+  *    additionally push NO parquet filters (a skipped row group
+  *    would shift every later row index). File-level stats/bloom
+  *    admission stays ON in every DV state — a skipped file only
+  *    loses rows the residual predicate re-applied above the scan
+  *    would drop anyway, while the subtraction handles the rows that
+  *    are actually read; the V1 readMOR path could not prune at all.
   */
 class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     fullSchema: StructType, required: StructType, pushed: Array[Filter])
@@ -298,10 +329,100 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
   // is one extra rebuild
   @volatile private var delegateCache: Scan = null
 
+  private val cmap: Map[String, String] =
+    ManifestTable.columnMap(root, version)
+  private def phys(c: String): String = cmap.getOrElse(c, c)
+  private val physFull: StructType =
+    StructType(fullSchema.fields.map(f => f.copy(name = phys(f.name))))
+  private val dvs = ManifestTable.dvsFor(root, version)
+  private val dvps = ManifestTable.scopedDvsFor(root, version)
+  private val dvrs = ManifestTable.rowDvsFor(root, version)
+  private def sidecarPaths(fs: Seq[String]): Seq[String] =
+    fs.map(f => root.resolve("data").resolve(f).toString)
+
+  /** The DV key column (PHYSICAL — the sidecar carries it by
+    * construction); None when no key-based vectors are outstanding.
+    */
+  private lazy val morKeyCol: Option[String] =
+    if (dvs.isEmpty && dvps.isEmpty) None
+    else Some(spark.read.parquet(sidecarPaths((dvs ++ dvps).take(1)): _*)
+      .schema.fieldNames.filterNot(_ == "src").head)
+
+  /** The delegate's read schema: the pruned projection under physical
+    * names, widened by the DV key when the query projected it away
+    * (the filter needs it; downstream operators bind the first
+    * |required| ordinals, so a wider row is invisible to them).
+    */
+  private lazy val delegateRequired: StructType = {
+    val pr = StructType(required.fields.map(f => f.copy(name = phys(f.name))))
+    morKeyCol match {
+      case Some(k) if !pr.fieldNames.contains(k) =>
+        StructType(pr.fields :+ physFull.fields.find(_.name == k)
+          .getOrElse(throw new IllegalStateException(
+            s"DV key column '$k' absent from the physical schema of $root")))
+      case _ => pr
+    }
+  }
+
+  /** The vector state as a serializable row filter, loaded once.
+    * NULL sidecar keys are dropped (the anti-join rule: NULL matches
+    * nothing).
+    */
+  private lazy val morFilter: Option[MorFilter] =
+    if (dvs.nonEmpty) {
+      val k = morKeyCol.get
+      val keys = spark.read.parquet(sidecarPaths(dvs): _*)
+        .select(col(k)).filter(col(k).isNotNull).distinct()
+        .collect().map(_.getLong(0)).sorted
+      Some(MorKeyFilter(delegateRequired.fieldIndex(k), keys))
+    } else if (dvps.nonEmpty) {
+      val k = morKeyCol.get
+      val rows = spark.read.parquet(sidecarPaths(dvps): _*)
+        .select(col(k), col("src"))
+        .filter(col(k).isNotNull).distinct().collect()
+      Some(MorScopedFilter(delegateRequired.fieldIndex(k),
+        rows.groupBy(_.getString(1)).map { case (f, rs) =>
+          f -> rs.map(_.getLong(0)).distinct.sorted }))
+    } else if (dvrs.nonEmpty) {
+      val rows = spark.read.parquet(sidecarPaths(dvrs): _*)
+        .select(col("src"), col("pos")).distinct().collect()
+      Some(MorPositionalFilter(rows.groupBy(_.getString(0)).map {
+        case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }))
+    } else None
+
+  /** sources.Filter under the logical→physical rename, for the
+    * delegate's parquet row-group pruning; None drops the filter from
+    * the delegate only (Spark still re-applies it, under logical
+    * names, above the scan).
+    */
+  private def renameFilter(f: Filter): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(phys(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(phys(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
+    case LessThan(a, v) => Some(LessThan(phys(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
+    case In(a, vs) => Some(In(phys(a), vs))
+    case IsNull(a) => Some(IsNull(phys(a)))
+    case IsNotNull(a) => Some(IsNotNull(phys(a)))
+    case StringStartsWith(a, p) => Some(StringStartsWith(phys(a), p))
+    case StringEndsWith(a, p) => Some(StringEndsWith(phys(a), p))
+    case StringContains(a, p) => Some(StringContains(phys(a), p))
+    case And(l, r) => for { x <- renameFilter(l); y <- renameFilter(r) }
+      yield And(x, y)
+    case Or(l, r) => for { x <- renameFilter(l); y <- renameFilter(r) }
+      yield Or(x, y)
+    case Not(g) => renameFilter(g).map(Not)
+    case t: AlwaysTrue => Some(t)
+    case t: AlwaysFalse => Some(t)
+    case _ => None
+  }
+
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-manifest-native v$version ${pushed.mkString("[", ", ", "]")}"
+    s"graft-manifest-native v$version ${pushed.mkString("[", ", ", "]")}" +
+      (if (morFilter.isEmpty) "" else " +mor")
 
   /** Only the scan's OUTPUT columns: the optimizer resolves these
     * against the pruned relation output, so naming a projected-away
@@ -320,13 +441,13 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
 
   /** Long IN sets from the (pushed ++ runtime) filters — the shape
     * DPP subqueries arrive in — as sorted arrays for per-file
-    * binary-search admission.
+    * binary-search admission. Names come back PHYSICAL.
     */
   private def inSets(fs: Array[Filter]): Seq[(String, Array[Long])] =
     fs.toSeq.collect {
       case In(a, vs) if vs.nonEmpty && vs.forall(v =>
           v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]) =>
-        a -> vs.map {
+        phys(a) -> vs.map {
           case l: java.lang.Long => l.longValue
           case i: java.lang.Integer => i.longValue
         }.sorted
@@ -340,7 +461,8 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
 
   private[graft] def admittedEntries: Seq[ManifestTable.FileEntry] = {
     val all = pushed ++ runtime
-    val lb = FilterBands.long(all)
+    val lb = FilterBands.long(all).map { case (c, lo, hi) =>
+      (phys(c), lo, hi) }
     val ins = inSets(all)
     // coarse range bands (IN sets contribute their min..max) drive the
     // two-level manifest-list prune; per-value refinement runs on the
@@ -353,7 +475,9 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     }
     val (hit, _, _) = ManifestTable.prunedEntries(root, version,
       coarse ++ ManifestTable.hiddenBands(root, version, coarse),
-      FilterBands.str(all), FilterBands.dbl(all), FilterBands.dec(all))
+      FilterBands.str(all).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      FilterBands.dbl(all).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      FilterBands.dec(all).map { case (c, lo, hi) => (phys(c), lo, hi) })
     val banded = hit.filter { e =>
       (ins ++ hiddenIn).forall { case (c, vs) =>
         e.band(c).forall { case (lo, hi) => anyInBand(vs, lo, hi) }
@@ -363,10 +487,10 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     // exactly an IN-probe structure, so static equalities AND the
     // runtime DPP IN sets drop files whose bitset proves every
     // candidate key absent — the star-join point prune bands cannot
-    // make when the fact's dim-key scatters across every file. No
-    // colmap here (clean snapshots only), so names pass through.
+    // make when the fact's dim-key scatters across every file.
     ManifestTable.bloomAdmitEntries(root, version,
-      FilterBands.bloomProbes(all), banded)
+      FilterBands.bloomProbes(all).map { case (c, vs) => (phys(c), vs) },
+      banded)
   }
 
   private def delegate: Scan = {
@@ -375,8 +499,14 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     else {
       val files = admittedEntries.map(e =>
         root.resolve("data").resolve(e.path).toString)
-      val d = bridge.parquetScan(spark, files, fullSchema, required,
-        pushed)
+      // positional vectors forbid parquet-side filtering: a pruned
+      // row group would shift every later row's counted index
+      val pushedPhys: Array[Filter] =
+        if (dvrs.nonEmpty) Array.empty
+        else if (cmap.isEmpty) pushed
+        else pushed.flatMap(renameFilter(_).toSeq)
+      val d = bridge.parquetScan(spark, files, physFull,
+        delegateRequired, pushedPhys)
       delegateCache = d
       d
     }
@@ -386,11 +516,16 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
 
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    delegate.toBatch.planInputPartitions()
+    // scoped/positional vectors need per-row FILE attribution: one
+    // partition per file, splits in offset order
+    if (dvps.nonEmpty || dvrs.nonEmpty) bridge.onePartitionPerFile(delegate)
+    else delegate.toBatch.planInputPartitions()
 
   override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    delegate.toBatch.createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val f = delegate.toBatch.createReaderFactory()
+    morFilter.fold(f)(m => MorFilteredReaderFactory(f, m))
+  }
 }
 
 /** The built scan: V2 metadata (readSchema = the pruned projection),

@@ -85,6 +85,42 @@ object bridge {
         java.util.Collections.emptyMap()))
   }
 
+  /** Re-group a FileScan's planned input partitions so each partition
+    * holds exactly ONE file's splits, in offset order (round 12 — the
+    * native merge-on-read scan): a reader that counts rows within
+    * such a partition counts rows within the FILE, which is the
+    * row-position deletion-vector contract; and per-partition file
+    * attribution makes file-scoped vectors a plain per-reader lookup.
+    * The price is split-level parallelism within one large file —
+    * paid only on DV-carrying snapshots, until their compaction.
+    */
+  def onePartitionPerFile(scan: org.apache.spark.sql.connector.read.Scan)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val splits = scan.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"expected FilePartition from a parquet scan, got $other")
+    }
+    splits.groupBy(_.filePath.toPath.getName).toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((_, fs), i) =>
+        FilePartition(i, fs.sortBy(_.start)): org.apache.spark.sql
+          .connector.read.InputPartition
+      }.toArray
+  }
+
+  /** Data-file NAME (last path segment) of a one-file partition built
+    * by [[onePartitionPerFile]] — what deletion-vector sidecars key on.
+    */
+  def partitionFileName(
+      p: org.apache.spark.sql.connector.read.InputPartition): String =
+    p match {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.head.filePath.toPath.getName
+      case other => throw new IllegalStateException(
+        s"expected FilePartition, got $other")
+    }
+
   /** The session's SQL parser (for wrapping — a parser cannot be
     * installed on a LIVE session the way planner strategies can).
     */
