@@ -165,6 +165,31 @@ private[operators] object ManifestOracles {
         |  FROM orders CROSS JOIN b WHERE o_orderkey > h)
         |SELECT * FROM u ORDER BY src, o_orderkey""".stripMargin,
 
+    "manifest_txn_cow" ->
+      // table A = orders with the bottom-quarter band re-priced +2.0
+      // (the CoW half); table B = the band's pre-image audit copy —
+      // both landed by ONE commitTxnCow
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        |u AS (
+        |  SELECT 'orders' AS src, o_orderkey, o_custkey,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey < q THEN o_totalprice + 2.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b
+        |  UNION ALL
+        |  SELECT 'audit' AS src, o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders CROSS JOIN b WHERE o_orderkey < q)
+        |SELECT * FROM u ORDER BY src, o_orderkey""".stripMargin,
+
+    "manifest_sql_call" ->
+      // snapshot replication copies the source's latest logical view
+      // verbatim — the replica read-back IS the source table
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_maintenance" ->
       // optimize/zorder/vacuum move rows between files, never change
       // them — the read-back IS the source table

@@ -350,6 +350,58 @@ object ManifestOps extends QueryGroup {
     (Paths.get(out).resolve("a"), Paths.get(out).resolve("b"))
   }
 
+  /** COPY-ON-WRITE transaction lifecycle (round 12 — r11-VERDICT task
+    * 4; round 11's txns were append-only): table A = orders range-laid
+    * into 8 stats-carrying files; table B = an empty audit table. ONE
+    * [[ManifestTable.commitTxnCow]] then (a) rewrites A's
+    * bottom-quarter band files with a +2.0 re-price — replacement
+    * files as adds, the touched files as REMOVES — and (b) appends
+    * the band's pre-image rows to B. Both land in one intent, so a
+    * crash shows either the old world or both changes (Wave167Spec
+    * crashes between the publishes and proves it, plus the loud
+    * conflict when a concurrent commit rewrites a removed file).
+    */
+  private[graft] def cowTxnRoot(spark: SparkSession, dir: String)
+      : (Path, Path) = {
+    val out = ArtifactCache.path("manifest_orders_cowtxn",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val base = Paths.get(staging)
+      val (a, b) = (base.resolve("a"), base.resolve("b"))
+      Files.createDirectories(a); Files.createDirectories(b)
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.commit(a, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        a, "base", "o_orderkey"),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      ManifestTable.commit(b, Nil,
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      val q = orders.agg(max("o_orderkey")).head().getLong(0) / 4
+      // the CoW half: stats-admitted touched set, re-priced in band
+      val (hit, _, _) = ManifestTable.prunedEntries(a, 1,
+        Seq(("o_orderkey", 0L, q - 1)), Nil)
+      require(hit.nonEmpty && hit.size < 8,
+        s"band must touch a strict subset: ${hit.size}")
+      val touched = spark.read.schema(orders.schema).parquet(
+        hit.map(e => a.resolve("data").resolve(e.path).toString): _*)
+      val replacement = touched.withColumn("o_totalprice",
+        when(col("o_orderkey") < q, col("o_totalprice") + lit(2.0d))
+          .otherwise(col("o_totalprice")))
+      val addsA = ManifestTable.stageWithStats(
+        replacement.repartitionByRange(math.max(1, hit.size),
+          col("o_orderkey")), a, "cow", "o_orderkey")
+      // the append half: the band's PRE-image as the audit trail
+      val addsB = ManifestTable.stageWithStats(
+        orders.filter(col("o_orderkey") < q)
+          .repartitionByRange(2, col("o_orderkey")),
+        b, "audit", "o_orderkey")
+      val vs = ManifestTable.commitTxnCow(Seq(
+        (a, addsA, hit.map(_.path), ""), (b, addsB, Nil, "")))
+      require(vs == Seq(2, 2), s"cow txn landed at $vs, expected (2,2)")
+      Files.createFile(base.resolve("_SUCCESS")): Unit
+    }
+    (Paths.get(out).resolve("a"), Paths.get(out).resolve("b"))
+  }
+
   /** SQL MAINTENANCE lifecycle (round 11 — r10-VERDICT task 5): the
     * whole small-file story in plain SQL — v1 = orders as 16
     * deliberately-small files; `OPTIMIZE` bin-packs them (CoW, the
@@ -387,6 +439,52 @@ object ManifestOps extends QueryGroup {
       require(v1 == 1 && v2 == 2 && v3 == 3 && swept > 0,
         s"maintenance lifecycle built ($v1,$v2,$v3), swept $swept")
       Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
+  /** CALL-procedure lifecycle (round 12 — r11-VERDICT task 5): the
+    * whole maintenance story driven by `CALL <cat>.system.<proc>(…)`
+    * statements through [[graft.plans.GraftSql]] — src gets two full
+    * checkpoints (evens, then the whole table), a CALL-built bloom
+    * index, and a CALL expiry truncating its log below the index
+    * commit; dst is CALL-replicated from src's latest logical view.
+    * The declared result reads the REPLICA — equality with the plain
+    * orders oracle proves all three procedures composed losslessly
+    * (Wave168Spec asserts the per-procedure mechanics and the loud
+    * unknown-procedure contract).
+    */
+  private[graft] def callRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_call",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val base = Paths.get(staging)
+      val (src, dst) = (base.resolve("src"), base.resolve("dst"))
+      Files.createDirectories(src); Files.createDirectories(dst)
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.commit(src, ManifestTable.stageWithStats(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")),
+        src, "evens", "o_orderkey"),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      ManifestTable.commit(src, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        src, "full", "o_orderkey"),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      ManifestTable.commit(dst, Nil,
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      val cat = sqlCatalog(spark)
+      val (si, di) = (s"$cat.${sqlIdent(src)}", s"$cat.${sqlIdent(dst)}")
+      val v3 = graft.plans.GraftSql.sql(spark,
+        s"CALL $cat.system.build_bloom_index($si, 'o_custkey')")
+        .head().getString(0).toInt
+      val dv = graft.plans.GraftSql.sql(spark,
+        s"CALL $cat.system.replicate($si, $di)")
+        .head().getString(0).toInt
+      val expired = graft.plans.GraftSql.sql(spark,
+        s"CALL $cat.system.expire_manifests($si, 3)").count()
+      require(v3 == 3 && dv == 2 && expired >= 1,
+        s"CALL lifecycle built (v3=$v3, dv=$dv, expired=$expired)")
+      Files.createFile(base.resolve("_SUCCESS")): Unit
     }
     Paths.get(out)
   }
@@ -1655,6 +1753,25 @@ object ManifestOps extends QueryGroup {
         .orderBy("src", "o_orderkey")
     },
 
+    "manifest_txn_cow" -> { (spark, dir) =>
+      // one atomic transaction mixing a COPY-ON-WRITE rewrite (table
+      // A's bottom-quarter band re-priced, touched files removed +
+      // replacements added) with an append (table B's audit copy) —
+      // round 12, r11-VERDICT task 4. The declared result composes
+      // both post-txn tables; oracle equality proves the rewrite and
+      // the audit landed as one unit.
+      val (a, b) = cowTxnRoot(spark, dir)
+      val orders = Tables.table(spark, dir, "orders")
+      ManifestTable.read(spark, a, 2, orders.schema)
+        .withColumn("src", lit("orders"))
+        .unionByName(ManifestTable.read(spark, b, 2, orders.schema)
+          .withColumn("src", lit("audit")))
+        .select(col("src"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("src", "o_orderkey")
+    },
+
     "manifest_sql_maintenance" -> { (spark, dir) =>
       // OPTIMIZE → OPTIMIZE ZORDER BY → VACUUM RETAIN 0 HOURS, all in
       // SQL through the GraftSqlParser wrapper (round 11 — r10-VERDICT
@@ -1668,6 +1785,19 @@ object ManifestOps extends QueryGroup {
            |  o_orderdate, o_orderpriority
            |FROM $cat.${sqlIdent(root)}
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_call" -> { (spark, dir) =>
+      // CALL gm.system.{build_bloom_index, replicate, expire_manifests}
+      // composed into one lifecycle (round 12 — r11-VERDICT task 5):
+      // the declared result reads the CALL-replicated table back —
+      // equality with the plain orders oracle proves snapshot
+      // replication (and the index/expiry maintenance around it) lost
+      // and duplicated nothing.
+      val base = callRoot(spark, dir)
+      spark.read.format("graft-manifest")
+        .option("path", base.resolve("dst").toString).load()
+        .orderBy("o_orderkey")
     },
 
     "source_manifest_runtime_filter" -> { (spark, dir) =>

@@ -3,10 +3,11 @@ package graft.operators
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** MULTI-TABLE transactions (round 11 — r10-VERDICT task 6, closing
-  * FORMAT.md's named gap): one atomic APPEND commit spanning several
-  * manifest tables, built from an intent log + roll-forward under the
-  * existing OCC loop — the two-phase shape coordinated commit
-  * protocols reduce to when participants are append-only:
+  * FORMAT.md's named gap; round 12 adds COPY-ON-WRITE participants —
+  * r11-VERDICT task 4): one atomic commit spanning several manifest
+  * tables, built from an intent log + roll-forward under the existing
+  * OCC loop — the two-phase shape coordinated commit protocols reduce
+  * to when conflicts abort loudly instead of blocking:
   *
   *  1. PREPARE: the caller stages every table's data files, then
   *     [[ManifestTxn.commitTxn]] writes ONE intent file
@@ -62,7 +63,30 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     * anywhere after the intent lands is rolled FORWARD by the next
     * reader of any participant.
     */
-  def commitTxn(participants: Seq[(Path, Seq[String], String)]): Seq[Int] = {
+  def commitTxn(participants: Seq[(Path, Seq[String], String)]): Seq[Int] =
+    commitTxnCow(participants.map { case (r, adds, meta) =>
+      (r, adds, Nil, meta) })
+
+  /** COPY-ON-WRITE participants (round 12 — r11-VERDICT task 4; until
+    * now txns were append-only): each participant is (root, added
+    * entry lines, REMOVED paths, meta) — a CoW rewrite contributes its
+    * replacement files as adds and its touched files as removes, so
+    * "re-price a band in table A and append its audit trail to table
+    * B" is one atomic commit. Two liveness defenses guard the removes:
+    * a fail-fast pre-check BEFORE the intent lands (a conflict there
+    * aborts cleanly — no intent, nothing published), and the upsert
+    * conflict rule re-checked against the winning parent INSIDE each
+    * publish retry. A concurrent rewrite that lands in the window
+    * between intent and publish poisons the transaction LOUDLY — the
+    * publisher and every reader-side completion raise the same
+    * ConcurrentModificationException instead of resurrecting or
+    * losing rows (the r11-VERDICT's abort→loud contract); if no
+    * participant published yet, the intent is deleted and the abort
+    * is clean.
+    */
+  def commitTxnCow(
+      participants: Seq[(Path, Seq[String], Seq[String], String)])
+      : Seq[Int] = {
     require(participants.size >= 2,
       "commitTxn coordinates MULTIPLE tables — use appendCommit for one")
     val roots = participants.map(_._1.toAbsolutePath)
@@ -70,6 +94,17 @@ trait ManifestTxn { self: ManifestLog with ManifestData
       s"duplicate participant roots: $roots")
     roots.foreach(r => require(!r.toString.contains(' '),
       s"participant path not header-token-safe (space): $r"))
+    // fail-fast liveness pre-check: every removed path must be live
+    // NOW — a stale touched set never even writes an intent
+    participants.foreach { case (root, _, dels, _) =>
+      if (dels.nonEmpty) {
+        val live = filesFor(root, latestVersion(root)).toSet
+        val gone = dels.filterNot(live)
+        require(gone.isEmpty,
+          s"commitTxn: removed files not live on $root: " +
+          gone.mkString(","))
+      }
+    }
     val id = s"t${nonce()}"
     val txnDir = participants.head._1.resolve("_txns")
     Files.createDirectories(txnDir)
@@ -78,19 +113,31 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     // made SINCE the transaction began — without it every publish
     // attempt re-reads O(versions) headers, the wave-137 hazard the
     // incremental ledger exists to avoid (review fix)
-    val body = participants.flatMap { case (root, adds, meta) =>
+    val body = participants.flatMap { case (root, adds, dels, meta) =>
       (Seq(s"table=${root.toAbsolutePath}",
         s"base=${latestVersion(root)}") ++
         (if (meta.nonEmpty) Seq(s"meta=$meta") else Nil)) ++
-        adds.map("add=" + _)
+        adds.map("add=" + _) ++ dels.map("del=" + _)
     }.mkString("", "\n", "\n")
     val tmp = txnDir.resolve(s".$id.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     // the intent IS the transaction: durable (atomic move) before any
     // participant publishes, so recovery can always roll forward
     Files.move(tmp, intent, StandardCopyOption.ATOMIC_MOVE)
-    val versions = withActive(id)(applyIntent(parseIntent(intent), id,
-      intent))
+    val versions =
+      try withActive(id)(applyIntent(parseIntent(intent), id, intent))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // clean abort iff nothing published yet — then the intent
+          // can vanish as if the txn never happened; otherwise it
+          // stays for (loud) completion attempts
+          val published = parseIntent(intent).exists { p =>
+            val latest = latestVersion(p.root)
+            latest > 0 && txnApplied(p.root, id, latest, p.base)
+          }
+          if (!published) Files.delete(intent)
+          throw e
+      }
     markCommitted(intent)
     txnDone.add(id)
     versions
@@ -108,27 +155,32 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     try Files.createFile(committedMarker(intent)): Unit
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
 
-  private[operators] def parseIntent(intent: Path)
-      : Seq[(Path, Seq[String], String, Int)] = {
+  /** One participant of a parsed intent: adds are entry LINES,
+    * dels are removed PATHS (round 12 — CoW participants), base is
+    * the table version at prepare time (the idempotence-scan bound).
+    */
+  private[operators] case class TxnPart(root: Path, adds: Seq[String],
+      dels: Seq[String], meta: String, base: Int)
+
+  private[operators] def parseIntent(intent: Path): Seq[TxnPart] = {
     val lines = scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(intent)).asScala.filter(_.nonEmpty)
-    val out = scala.collection.mutable.ArrayBuffer.empty[
-      (Path, scala.collection.mutable.ArrayBuffer[String], String, Int)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[TxnPart]
     lines.foreach { l =>
       if (l.startsWith("table="))
-        out += ((Paths.get(l.drop(6)),
-          scala.collection.mutable.ArrayBuffer.empty[String], "", 0))
-      else if (l.startsWith("base=")) {
-        val (r, a, m, _) = out.last
-        out(out.size - 1) = (r, a, m, l.drop(5).toInt)
-      } else if (l.startsWith("meta=")) {
-        val (r, a, _, b) = out.last
-        out(out.size - 1) = (r, a, l.drop(5), b)
-      } else if (l.startsWith("add=")) out.last._2 += l.drop(4)
+        out += TxnPart(Paths.get(l.drop(6)), Nil, Nil, "", 0)
+      else if (l.startsWith("base="))
+        out(out.size - 1) = out.last.copy(base = l.drop(5).toInt)
+      else if (l.startsWith("meta="))
+        out(out.size - 1) = out.last.copy(meta = l.drop(5))
+      else if (l.startsWith("add="))
+        out(out.size - 1) = out.last.copy(adds = out.last.adds :+ l.drop(4))
+      else if (l.startsWith("del="))
+        out(out.size - 1) = out.last.copy(dels = out.last.dels :+ l.drop(4))
       else throw new IllegalStateException(
         s"corrupt txn intent line in $intent: $l")
     }
-    out.toSeq.map { case (r, a, m, b) => (r, a.toSeq, m, b) }
+    out.toSeq
   }
 
   /** Has table `root` already published txn `id` in (base, upTo]?
@@ -143,21 +195,39 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     (math.max(base + 1, math.max(1, firstVersion(root))) to upTo)
       .exists(v => headerMeta(root, v).get("txn").contains(id))
 
-  private def applyIntent(parts: Seq[(Path, Seq[String], String, Int)],
-      id: String, intent: Path): Seq[Int] =
-    parts.map { case (root, adds, extra, base) =>
+  private def applyIntent(parts: Seq[TxnPart], id: String,
+      intent: Path): Seq[Int] =
+    parts.map { p =>
       // the recorded intent path is RELATIVE to this participant's
       // root: a table tree relocated wholesale (test caches, storage
       // migration) keeps resolving its COMPLETED txns' markers; only
       // a PENDING txn pins the participants' absolute locations (the
       // intent body), which is the same contract real formats have
       // for in-flight state
-      val rel = root.toAbsolutePath.relativize(intent.toAbsolutePath)
-      val meta = (s"txn=$id txnlog=$rel " + extra).trim
-      commitOpsF(root, _ => meta) { parent =>
-        if (parent > 0 && txnApplied(root, id, parent, base)) None
-        else Some((adds, Nil))
-      }.getOrElse(latestVersion(root))
+      val rel = p.root.toAbsolutePath.relativize(intent.toAbsolutePath)
+      val meta = (s"txn=$id txnlog=$rel " + p.meta).trim
+      commitOpsF(p.root, _ => meta) { parent =>
+        if (parent > 0 && txnApplied(p.root, id, parent, p.base)) None
+        else {
+          // CoW liveness, re-checked against the WINNING parent (the
+          // upsert conflict rule): a concurrent rewrite of a removed
+          // file means this transaction saw state that no longer
+          // exists — fail LOUDLY (publisher and reader-completion
+          // alike) instead of resurrecting or losing rows
+          if (p.dels.nonEmpty) {
+            val live = if (parent == 0) Set.empty[String]
+              else filesFor(p.root, parent).toSet
+            val gone = p.dels.filterNot(live)
+            if (gone.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"txn $id conflicts on ${p.root}: removed file(s) " +
+                s"${gone.mkString(",")} were rewritten by a concurrent " +
+                "commit — the transaction cannot be completed; " +
+                "re-stage and re-run it")
+          }
+          Some((p.adds, p.dels))
+        }
+      }.getOrElse(latestVersion(p.root))
     }
 
   /** The reader-side hook ([[ManifestLog.manifestOf]]): observing a

@@ -361,18 +361,48 @@ case class MergeManifestCommand(table: ManifestV2Table,
     // NULL source keys match nothing and are allowed (insert-path)
     val kb = srcDF.agg(
       org.apache.spark.sql.functions.count(sKey),
-      org.apache.spark.sql.functions.count_distinct(sKey)).head()
+      org.apache.spark.sql.functions.count_distinct(sKey),
+      org.apache.spark.sql.functions.count(lit(1))).head()
     require(kb.getLong(0) == kb.getLong(1),
       s"MERGE source carries duplicate ${key} values " +
       s"(${kb.getLong(0)} non-null keys, ${kb.getLong(1)} distinct) — " +
       "a target row may match at most one source row")
+    // broadcast-eligibility (round 12 — r11-VERDICT task 6): the row
+    // count is already in hand from the duplicate check; a small
+    // source hints broadcast on the no-NMBS join shape below
+    val smallSource = kb.getLong(2) <= 500000L
 
     val touchAll = nActs.nonEmpty
     ManifestTable.mergeRewrite(spark, root, latest, physSchema,
       phys(key), srcDF.select(sKey.as(phys(key))), touchAll,
       evolveMetaOf) { touched =>
-      val joined = touched.withColumn("__t_present", lit(true))
-        .join(srcDF, col(phys(key)) === sKey, "full_outer")
+      val tgt = touched.withColumn("__t_present", lit(true))
+      // JOIN SHAPE (round 12 — r11-VERDICT task 6): a full-outer join
+      // can never broadcast in Spark (both sides stream), so every
+      // merge paid a sort-merge join even for a 100-row source. When
+      // no NOT MATCHED BY SOURCE clause exists, the same row algebra
+      // decomposes into (a) target LEFT OUTER source — matched +
+      // target-only rows, build side = the source, broadcastable when
+      // small — union (b) the source-only rows from an anti-join,
+      // with NULL target columns. NMBS merges keep the full outer
+      // (they are definitionally full-table, and the join's left side
+      // is the whole table anyway).
+      val joined =
+        if (nActs.nonEmpty)
+          tgt.join(srcDF, col(phys(key)) === sKey, "full_outer")
+        else {
+          val srcSide =
+            if (smallSource) org.apache.spark.sql.functions.broadcast(srcDF)
+            else srcDF
+          val left = tgt.join(srcSide, col(phys(key)) === sKey,
+            "left_outer")
+          val srcOnly = physSchema.fields.foldLeft(
+              srcDF.join(tgt.select(col(phys(key))),
+                col(phys(key)) === sKey, "left_anti"))((d, f) =>
+              d.withColumn(f.name, lit(null).cast(f.dataType)))
+            .withColumn("__t_present", lit(null).cast("boolean"))
+          left.unionByName(srcOnly)
+        }
       val isMatched = col("__t_present").isNotNull &&
         col("__s_present").isNotNull
       val tOnly = col("__t_present").isNotNull && col("__s_present").isNull

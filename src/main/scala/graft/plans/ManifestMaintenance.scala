@@ -75,6 +75,12 @@ object GraftSqlParser {
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  // CALL <cat>.system.<proc>(args…) — the Iceberg-shaped procedure
+  // surface (round 12 — r11-VERDICT task 5); the catalog segment is
+  // part of the statement shape, table arguments carry their own
+  // catalog-qualified identifiers
+  private val CallRe =
+    """(?is)^\s*CALL\s+[\w`]+\.system\.(\w+)\s*\((.*)\)\s*;?\s*$""".r
 
   private[plans] def maintenancePlan(sql: String,
       delegate: ParserInterface): Option[LogicalPlan] = sql match {
@@ -89,7 +95,30 @@ object GraftSqlParser {
         Option(zorder).map(_.split(',').toSeq
           .map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)).getOrElse(Nil)))
+    case CallRe(proc, argStr) =>
+      Some(CallProcedureCommand(proc.toLowerCase, splitArgs(argStr)))
     case _ => None
+  }
+
+  /** Top-level comma split of a CALL argument list, respecting
+    * single-quoted string literals and backquoted identifier segments
+    * (an identifier like gm.`a,b`.t must not split inside the quote).
+    */
+  private[plans] def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inStr = false
+    var inTick = false
+    var start = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      if (c == '\'' && !inTick) inStr = !inStr
+      else if (c == '`' && !inStr) inTick = !inTick
+      else if (c == ',' && !inStr && !inTick) {
+        out += s.substring(start, i); start = i + 1
+      }
+    }
+    require(!inStr && !inTick, s"unterminated quote in CALL args: $s")
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Resolve a catalog-qualified identifier to its table root through
@@ -201,6 +230,101 @@ case class DescribeHistoryCommand(parts: Seq[String])
     val root = GraftSqlParser.rootOf(spark, parts)
     ManifestTable.history(spark, root).collect().toSeq
       .sortBy(-_.getLong(0))
+  }
+}
+
+/** `CALL <cat>.system.<proc>(args…)` — the stored-procedure surface
+  * real lakehouses expose for operations DDL/DML cannot spell
+  * (round 12 — r11-VERDICT task 5), each a thin mapping onto an
+  * existing primitive:
+  *
+  * {{{
+  * CALL gm.system.build_bloom_index(gm.ns.t, 'o_custkey')  -- → version
+  * CALL gm.system.expire_manifests(gm.ns.t, 4)   -- → deleted manifests
+  * CALL gm.system.replicate(gm.ns.src, gm.ns.dst)          -- → version
+  * }}}
+  *
+  * `replicate` is SNAPSHOT replication: the source's latest LOGICAL
+  * view (deletion vectors subtracted, column mapping aliased — the
+  * registered source's read semantics) lands as the destination's
+  * next full-checkpoint commit, per-file stats recomputed under the
+  * logical names; the CDC pipeline (change feed → scoped-vector
+  * apply) remains the programmatic composition for incremental
+  * mirrors. Unknown procedures and malformed argument lists fail
+  * loudly — a maintenance surface must never guess.
+  */
+case class CallProcedureCommand(proc: String, args: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    require(t.length >= 2 && t.head == '\'' && t.last == '\'',
+      s"expected a 'string' literal argument, got: $t")
+    t.substring(1, t.length - 1)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def rootAt(i: Int): Path = GraftSqlParser.rootOf(spark,
+      bridge.parser(spark).parseMultipartIdentifier(args(i)))
+    def arity(n: Int, usage: String): Unit = require(args.length == n,
+      s"$proc takes $usage — got ${args.length} argument(s)")
+    proc match {
+      case "build_bloom_index" =>
+        arity(2, "(table_identifier, 'column')")
+        val root = rootAt(0)
+        val latest = ManifestTable.latestVersion(root)
+        val cmap = ManifestTable.columnMap(root, latest)
+        def phys(n: String): String = cmap.getOrElse(n, n)
+        val logical = graft.sources.ManifestV2.resolveSchema(spark, root, latest)
+        val physSchema = StructType(logical.fields.map(f =>
+          f.copy(name = phys(f.name))))
+        val v = ManifestTable.buildBloomIndex(spark, root, physSchema,
+          phys(unquote(args(1))))
+        Seq(Row(v.toString))
+      case "expire_manifests" =>
+        arity(2, "(table_identifier, keep_from_version)")
+        val root = rootAt(0)
+        ManifestTable.expireManifests(root, args(1).trim.toInt).map(Row(_))
+      case "replicate" =>
+        arity(2, "(source_identifier, destination_identifier)")
+        val (src, dst) = (rootAt(0), rootAt(1))
+        require(src.toAbsolutePath != dst.toAbsolutePath,
+          "replicate onto itself")
+        val latest = ManifestTable.latestVersion(src)
+        val logical = graft.sources.ManifestV2.resolveSchema(spark, src, latest)
+        // physical→logical reverse map: stat coverage recorded on the
+        // source translates to the destination's logical-name files
+        // (reserved __pt* layout stats drop away — the destination
+        // declares its own layout)
+        val toLogical = ManifestTable.columnMap(src, latest)
+          .map { case (l, p) => p -> l }
+        def statCols(names: Seq[String]): Seq[String] = names
+          .map(n => toLogical.getOrElse(n, n)).distinct
+          .filter(logical.fieldNames.contains)
+        val entries = ManifestTable.entriesFor(src, latest)
+        val df = spark.read.format("graft-manifest")
+          .option("path", src.toString).load()
+        val batch = "repl" + java.util.UUID.randomUUID().toString.take(8)
+        val (lc, sc, dc, cc) = (
+          statCols(entries.flatMap(_.stats.map(_._1))),
+          statCols(entries.flatMap(_.strStats.map(_._1))),
+          statCols(entries.flatMap(_.dblStats.map(_._1))),
+          statCols(entries.flatMap(_.decStats.map(_._1))))
+        val staged =
+          if (lc.isEmpty && sc.isEmpty && dc.isEmpty && cc.isEmpty)
+            ManifestTable.stage(df, dst, batch)
+          else ManifestTable.stageWithTypedStats(df, dst, batch,
+            lc, sc, dc, cc)
+        val v = ManifestTable.commit(dst, staged,
+          s"schema=${ManifestTable.schemaMeta(logical)}")
+        Seq(Row(v.toString))
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure 'system.$other' — known: " +
+        "build_bloom_index, expire_manifests, replicate")
+    }
   }
 }
 
