@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.operators.ManifestTable
+import graft.operators.{ManifestSqlOps, ManifestTable}
 import graft.plans.ManifestDmlStrategy
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
@@ -66,7 +66,7 @@ class Wave153Spec extends SparkSpec {
       s"vs ${want.diff(got).take(3)}")
     // CoW: v1 files whose key band sits wholly ABOVE the matched band
     // (and below the inserts) must survive into v2 by path
-    val root = ManifestOps.sqlMergeMixedRoot(spark, sfDir)
+    val root = ManifestSqlOps.sqlMergeMixedRoot(spark, sfDir)
     val v1 = ManifestTable.entriesFor(root, 1)
     val v2 = ManifestTable.filesFor(root, 2).toSet
     val outOfBand = v1.filter(_.band("o_orderkey").exists(_._1 >= mx / 2))
