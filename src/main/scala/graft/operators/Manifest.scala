@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.StructType
 case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
     strStats: Seq[(String, (String, String))] = Nil,
     dblStats: Seq[(String, (Double, Double))] = Nil,
-    decStats: Seq[(String, (BigDecimal, BigDecimal))] = Nil) {
+    decStats: Seq[(String, (BigDecimal, BigDecimal))] = Nil,
+    binStats: Seq[(String, (Seq[Byte], Option[Seq[Byte]]))] = Nil) {
   /** Recorded bounds of `c`, None when this file carries none. */
   def band(c: String): Option[(Long, Long)] =
     stats.collectFirst { case (`c`, b) => b }
@@ -36,6 +37,17 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
     */
   def bandDec(c: String): Option[(BigDecimal, BigDecimal)] =
     decStats.collectFirst { case (`c`, b) => b }
+  /** Recorded BINARY bounds of `c` (round 12 — the last boundless
+    * leaf type; media-blob/digest columns): TRUNCATED prefixes in the
+    * Iceberg truncate(16) shape — the lower is the true min's first
+    * 16 bytes (truncation only decreases, so it stays a valid lower
+    * bound), the upper is the true max's truncation with its last
+    * non-0xFF byte incremented and the tail dropped (strictly above
+    * every value sharing the prefix), or None when all 16 bytes are
+    * 0xFF (no finite bound exists at that width).
+    */
+  def bandBin(c: String): Option[(Seq[Byte], Option[Seq[Byte]])] =
+    binStats.collectFirst { case (`c`, b) => b }
   /** Recorded STRING bounds of `c` (round-9 wave 132: the r8/r9
     * format carried long bounds only — "no string/binary bounds"
     * was a named representational gap). Admission compares in
@@ -94,6 +106,17 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
       hi: Option[String]): Boolean =
     bandStr(c).forall { case (mn, mx) =>
       lo.forall(FileEntry.u8cmp(mx, _) >= 0) && hi.forall(FileEntry.u8cmp(mn, _) <= 0) }
+  /** Binary admission, open intervals both sides (unsigned bytewise
+    * order — the collation Spark's min/max on BinaryType and parquet
+    * both use). The recorded bounds are already conservative
+    * (truncated lower ≤ true min, incremented upper ≥ true max, None
+    * = unbounded), so plain interval logic keeps the superset admit.
+    */
+  def mayContainBin(c: String, lo: Option[Seq[Byte]],
+      hi: Option[Seq[Byte]]): Boolean =
+    bandBin(c).forall { case (mn, mx) =>
+      lo.forall(l => mx.forall(FileEntry.binCmp(_, l) >= 0)) &&
+      hi.forall(h => FileEntry.binCmp(mn, h) <= 0) }
   /** The manifest line: `path` or `path\tc:min:max[,c2:min:max…]`.
     * String bounds ride the same comma list as `c:~b64:~b64` tokens
     * — base64 because a string bound may contain the line format's
@@ -111,7 +134,11 @@ case class FileEntry(path: String, stats: Seq[(String, (Long, Long))],
       // decimal bounds (wave 161): `&` marker + toPlainString — no
       // exponent, scale preserved, no reserved separator characters
       decStats.map { case (c, (mn, mx)) =>
-        s"$c:&${mn.underlying.toPlainString}:&${mx.underlying.toPlainString}" }
+        s"$c:&${mn.underlying.toPlainString}:&${mx.underlying.toPlainString}" } ++
+      // binary bounds (round 12): `!` marker + base64 of the prefix
+      // bytes; a bare `!` upper = unbounded (all-0xFF truncation)
+      binStats.map { case (c, (mn, mx)) =>
+        s"$c:!${FileEntry.b64b(mn)}:!${mx.map(FileEntry.b64b).getOrElse("")}" }
     if (toks.isEmpty) path else path + "\t" + toks.mkString(",")
   }
 }
@@ -122,6 +149,53 @@ object FileEntry {
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private[operators] def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+  private[operators] def b64b(b: Seq[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b.toArray)
+  private[operators] def unb64b(s: String): Seq[Byte] =
+    java.util.Base64.getDecoder.decode(s).toSeq
+
+  /** Unsigned bytewise comparison — the one order Spark's BinaryType
+    * min/max, parquet stats, and this format's binary bounds all use.
+    */
+  private[graft] def binCmp(a: Seq[Byte], b: Seq[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Binary-bound prefix width (Iceberg's truncate(16) shape): full
+    * blobs never land in manifests — 16 bytes bound a media column at
+    * ~32 B per (file, column) regardless of blob size.
+    */
+  private[operators] val BinPrefixLen = 16
+
+  /** Truncated LOWER bound: the first 16 bytes of the true min —
+    * truncation only ever decreases in bytewise order, so the prefix
+    * is a valid (conservative) lower bound.
+    */
+  private[graft] def binLower(min: Array[Byte]): Seq[Byte] =
+    min.take(BinPrefixLen).toSeq
+
+  /** Truncated UPPER bound: exact when the max fits the width; else
+    * the truncation with its last non-0xFF byte incremented and the
+    * tail dropped — strictly above every value sharing the original
+    * prefix; None when every byte is 0xFF (no finite bound at this
+    * width — the admit is then unconditional on that side).
+    */
+  private[graft] def binUpper(max: Array[Byte]): Option[Seq[Byte]] =
+    if (max.length <= BinPrefixLen) Some(max.toSeq)
+    else {
+      val p = max.take(BinPrefixLen)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == -1) i -= 1
+      if (i < 0) None
+      else Some((p.take(i) :+ ((p(i) + 1).toByte)).toSeq)
+    }
 
   /** Unsigned UTF-8 byte comparison — the collation Spark's UTF8String
     * min/max recorded the string bounds in. Java String.compareTo
@@ -180,7 +254,7 @@ object FileEntry {
       FileEntry(p,
         toks.collect { case (c, mn, mx)
             if !mn.startsWith("~") && !mn.startsWith("#") &&
-               !mn.startsWith("&") =>
+               !mn.startsWith("&") && !mn.startsWith("!") =>
           c -> (mn.toLong, mx.toLong) },
         toks.collect { case (c, mn, mx) if mn.startsWith("~") =>
           require(mx.startsWith("~"), s"corrupt string-stat token in: $l")
@@ -190,7 +264,11 @@ object FileEntry {
           c -> (mn.drop(1).toDouble, mx.drop(1).toDouble) },
         toks.collect { case (c, mn, mx) if mn.startsWith("&") =>
           require(mx.startsWith("&"), s"corrupt decimal-stat token in: $l")
-          c -> (BigDecimal(mn.drop(1)), BigDecimal(mx.drop(1))) })
+          c -> (BigDecimal(mn.drop(1)), BigDecimal(mx.drop(1))) },
+        toks.collect { case (c, mn, mx) if mn.startsWith("!") =>
+          require(mx.startsWith("!"), s"corrupt binary-stat token in: $l")
+          c -> ((unb64b(mn.drop(1)),
+            if (mx == "!") None else Some(unb64b(mx.drop(1))))) })
     case _ => throw new IllegalArgumentException(s"corrupt manifest line: $l")
   }
 }
@@ -864,6 +942,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations
         |    required double dmin; required double dmax; }
         |  repeated group decstats { required binary col (UTF8);
         |    required binary cmin (UTF8); required binary cmax (UTF8); }
+        |  repeated group bstats { required binary col (UTF8);
+        |    required binary bmin; optional binary bmax; }
         |}""".stripMargin)
 
     def write(file: Path, entries: Seq[FileEntry]): Unit = {
@@ -897,6 +977,16 @@ trait ManifestLog { self: ManifestData with ManifestMutations
           sg.append("col", c)
           sg.append("cmin", mn.underlying.toPlainString)
           sg.append("cmax", mx.underlying.toPlainString); ()
+        }
+        e.binStats.foreach { case (c, (mn, mx)) =>
+          val sg = g.addGroup("bstats")
+          sg.append("col", c)
+          sg.append("bmin", org.apache.parquet.io.api.Binary
+            .fromConstantByteArray(mn.toArray))
+          // optional bmax: absent = unbounded (all-0xFF truncation)
+          mx.foreach(m => sg.append("bmax", org.apache.parquet.io.api
+            .Binary.fromConstantByteArray(m.toArray)): Unit)
+          ()
         }
         w.write(g)
       } finally w.close()
@@ -939,6 +1029,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations
             g.getFieldRepetitionCount("dstats") else 0
           val nc = if (g.getType.containsField("decstats"))
             g.getFieldRepetitionCount("decstats") else 0
+          val nb = if (g.getType.containsField("bstats"))
+            g.getFieldRepetitionCount("bstats") else 0
           out += FileEntry(g.getString("path", 0),
             (0 until nl).map { i =>
               val sg = g.getGroup("lstats", i)
@@ -960,6 +1052,13 @@ trait ManifestLog { self: ManifestData with ManifestMutations
               sg.getString("col", 0) ->
                 (BigDecimal(sg.getString("cmin", 0)),
                  BigDecimal(sg.getString("cmax", 0)))
+            },
+            (0 until nb).map { i =>
+              val sg = g.getGroup("bstats", i)
+              sg.getString("col", 0) ->
+                ((sg.getBinary("bmin", 0).getBytes.toSeq,
+                  if (sg.getFieldRepetitionCount("bmax") == 0) None
+                  else Some(sg.getBinary("bmax", 0).getBytes.toSeq)))
             })
           g = r.read()
         }
@@ -999,6 +1098,8 @@ trait ManifestLog { self: ManifestData with ManifestMutations
       .filter(c => entries.forall(_.bandDbl(c).isDefined))
     val ccols = entries.head.decStats.map(_._1)
       .filter(c => entries.forall(_.bandDec(c).isDefined))
+    val bcols = entries.head.binStats.map(_._1)
+      .filter(c => entries.forall(_.bandBin(c).isDefined))
     FileEntry("",
       lcols.map { c =>
         val bs = entries.map(_.band(c).get)
@@ -1016,7 +1117,17 @@ trait ManifestLog { self: ManifestData with ManifestMutations
                 if (java.lang.Double.compare(a, b) >= 0) a else b)) },
       ccols.map { c =>
         val bs = entries.map(_.bandDec(c).get)
-        c -> (bs.map(_._1).min, bs.map(_._2).max) })
+        c -> (bs.map(_._1).min, bs.map(_._2).max) },
+      bcols.map { c =>
+        val bs = entries.map(_.bandBin(c).get)
+        // lower = bytewise min of lowers; upper = bytewise max of
+        // uppers, or None when ANY member is unbounded
+        val lo = bs.map(_._1).reduce((a, b) =>
+          if (FileEntry.binCmp(a, b) <= 0) a else b)
+        val hi = if (bs.exists(_._2.isEmpty)) None
+          else Some(bs.map(_._2.get).reduce((a, b) =>
+            if (FileEntry.binCmp(a, b) >= 0) a else b))
+        c -> ((lo, hi)) })
   }
 
   /** Manifest-LIST descriptor line for one checkpoint segment:
@@ -1026,7 +1137,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     */
   private[graft] def descLine(seg: String, n: Int, b: FileEntry): String = {
     val toks = FileEntry("x", b.stats, b.strStats, b.dblStats,
-      b.decStats).line.split('\t')
+      b.decStats, b.binStats).line.split('\t')
     if (toks.length == 1) s"@$seg\t$n" else s"@$seg\t$n\t${toks(1)}"
   }
 

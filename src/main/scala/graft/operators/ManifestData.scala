@@ -90,9 +90,21 @@ trait ManifestData { self: ManifestLog with ManifestMutations
     */
   def stageWithTypedStats(df: DataFrame, root: Path, batch: String,
       longCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
-      decCols: Seq[String]): Seq[String] = {
+      decCols: Seq[String]): Seq[String] =
+    stageWithTypedStats(df, root, batch, longCols, strCols, dblCols,
+      decCols, Nil)
+
+  /** Five-type form (round 12 adds BINARY bounds — the last boundless
+    * leaf type; media-blob/digest columns record TRUNCATED 16-byte
+    * prefixes in the Iceberg truncate(16) shape, so a 10 MB blob
+    * costs ~32 B of manifest regardless of size —
+    * [[FileEntry.binLower]]/[[FileEntry.binUpper]]).
+    */
+  def stageWithTypedStats(df: DataFrame, root: Path, batch: String,
+      longCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
+      decCols: Seq[String], binCols: Seq[String]): Seq[String] = {
     require(longCols.nonEmpty || strCols.nonEmpty || dblCols.nonEmpty ||
-      decCols.nonEmpty,
+      decCols.nonEmpty || binCols.nonEmpty,
       "stageWithTypedStats needs at least one stats column")
     val spark = df.sparkSession
     stage(df, root, batch).flatMap { rel =>
@@ -102,7 +114,7 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       // not recorded — the file is then admitted unconditionally for
       // that column, the only-skip-provably-empty rule
       val aggs = count(lit(1)) +:
-        (longCols ++ strCols ++ dblCols ++ decCols)
+        (longCols ++ strCols ++ dblCols ++ decCols ++ binCols)
           .flatMap(c => Seq(min(c), max(c)))
       val mm = spark.read.schema(df.schema)
         .parquet(root.resolve("data").resolve(rel).toString)
@@ -136,6 +148,15 @@ trait ManifestData { self: ManifestLog with ManifestMutations
               else Some(c ->
                 (BigDecimal(mm.getDecimal(coff + 2 * i)),
                  BigDecimal(mm.getDecimal(coff + 2 * i + 1))))
+            }
+          },
+          {
+            val boff = doff + 2 * dblCols.size + 2 * decCols.size
+            binCols.zipWithIndex.flatMap { case (c, i) =>
+              if (mm.isNullAt(boff + 2 * i)) None
+              else Some(c ->
+                ((FileEntry.binLower(mm.getAs[Array[Byte]](boff + 2 * i)),
+                  FileEntry.binUpper(mm.getAs[Array[Byte]](boff + 2 * i + 1)))))
             }
           }).line)
       }
@@ -388,13 +409,15 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       longPreds: Seq[(String, Long, Long)],
       strPreds: Seq[(String, Option[String], Option[String])],
       dblPreds: Seq[(String, Double, Double)] = Nil,
-      decPreds: Seq[(String, Option[BigDecimal], Option[BigDecimal])] = Nil)
+      decPreds: Seq[(String, Option[BigDecimal], Option[BigDecimal])] = Nil,
+      binPreds: Seq[(String, Option[Seq[Byte]], Option[Seq[Byte]])] = Nil)
       : (Seq[FileEntry], Int, Int) = {
     def admit(e: FileEntry): Boolean =
       longPreds.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
       strPreds.forall { case (c, lo, hi) => e.mayContainStrOpt(c, lo, hi) } &&
       dblPreds.forall { case (c, lo, hi) => e.mayContainDbl(c, lo, hi) } &&
-      decPreds.forall { case (c, lo, hi) => e.mayContainDecOpt(c, lo, hi) }
+      decPreds.forall { case (c, lo, hi) => e.mayContainDecOpt(c, lo, hi) } &&
+      binPreds.forall { case (c, lo, hi) => e.mayContainBin(c, lo, hi) }
     val (parent, kv, body) = manifestOf(root, version)
     if (kv.get("body").contains("seg")) {
       var segsRead = 0
@@ -412,7 +435,7 @@ trait ManifestData { self: ManifestLog with ManifestMutations
     else {
       val (base, r0, t0) =
         prunedEntries(root, parent, longPreds, strPreds, dblPreds,
-          decPreds)
+          decPreds, binPreds)
       val removes = body.filter(_.startsWith("-")).map(_.drop(1)).toSet
       val adds = body.filter(_.startsWith("+")).map(_.drop(1)).map(parseEntry)
       // columnar-delta adds prune at the DESCRIPTOR level too: a
@@ -530,6 +553,32 @@ trait ManifestData { self: ManifestLog with ManifestMutations
     spark.read.schema(schema).parquet(
         hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** BINARY-band stats prune (round 12 — the last boundless leaf
+    * type): admit only the files whose recorded truncated-prefix
+    * bounds for `keyCol` intersect the byte range — "a digest/blob
+    * range predicate on 100 TB touches the handful of files whose
+    * prefix band contains it". Same exactness contract as
+    * [[readPrunedMulti]]: stats admit at file granularity, the row
+    * filter re-applies, statless files are admitted.
+    */
+  def readPrunedBin(spark: SparkSession, root: Path, version: Int,
+      schema: StructType, keyCol: String, lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]]): DataFrame = {
+    require(lo.isDefined || hi.isDefined,
+      "readPrunedBin needs at least one bound")
+    requirePrunableSnapshot(root, version, "readPrunedBin")
+    val (hit, _, _) = prunedEntries(root, version, Nil, Nil, Nil, Nil,
+      Seq((keyCol, lo.map(_.toSeq), hi.map(_.toSeq))))
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val cond = (lo.map(b => col(keyCol) >= lit(b)) ++
+      hi.map(b => col(keyCol) <= lit(b))).reduce(_ && _)
+    spark.read.schema(schema).parquet(
+        hit.map(e => root.resolve("data").resolve(e.path).toString): _*)
+      .filter(cond)
   }
 
   /** Incremental consumption: the rows added between two snapshots =

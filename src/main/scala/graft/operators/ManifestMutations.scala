@@ -42,10 +42,12 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
     val decCols = hit.flatMap(_.decStats.map(_._1)).distinct
+    val binCols = hit.flatMap(_.binStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, transform(affected))
         .repartitionByRange(math.max(1, hit.size), col(keyCol)),
-      root, s"merge$from${nonce()}", statCols, strCols, dblCols, decCols)
+      root, s"merge$from${nonce()}", statCols, strCols, dblCols, decCols,
+      binCols)
     // SERIALIZABLE-WRITER commit: recompute the conflict checks against
     // whatever parent WINS the publish race, aborting on BOTH conflict
     // directions. (1) A concurrent commit removed a file this merge
@@ -199,11 +201,12 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val strColsU = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblColsU = hit.flatMap(_.dblStats.map(_._1)).distinct
     val decColsU = hit.flatMap(_.decStats.map(_._1)).distinct
+    val binColsU = hit.flatMap(_.binStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, replacement)
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
       root, s"upsert$from${nonce()}", statCols, strColsU, dblColsU,
-      decColsU)
+      decColsU, binColsU)
     val fromPaths = fromEntries.map(_.path).toSet
     commitOpsF(root, _ => s"upsert=v$from") { parent =>
       val cur = entriesFor(root, parent)
@@ -278,10 +281,12 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
     val decCols = hit.flatMap(_.decStats.map(_._1)).distinct
+    val binCols = hit.flatMap(_.binStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, replacement)
         .repartitionByRange(math.max(1, hit.size + 1), col(keyCol)),
-      root, s"mrg$from${nonce()}", statCols, strCols, dblCols, decCols)
+      root, s"mrg$from${nonce()}", statCols, strCols, dblCols, decCols,
+      binCols)
     val fromPaths = fromEntries.map(_.path).toSet
     // extraMetaOf rides THE merge commit itself — schema evolution on
     // MERGE widens atomically with the data change (review fix: a
@@ -324,6 +329,7 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val strCols = hit.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = hit.flatMap(_.dblStats.map(_._1)).distinct
     val decCols = hit.flatMap(_.decStats.map(_._1)).distinct
+    val binCols = hit.flatMap(_.binStats.map(_._1)).distinct
     // restore hidden-partitioning virtual columns FIRST: the leading
     // stat column (the clustering key below) may itself be a __pt*
     // transform the logical-schema frame lacks (wave-150 review fix)
@@ -340,11 +346,11 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     // there is just no coverage to preserve
     val rewritten =
       if (statCols.isEmpty && strCols.isEmpty && dblCols.isEmpty &&
-          decCols.isEmpty)
+          decCols.isEmpty && binCols.isEmpty)
         stage(laid, root, s"$batchTag$from${nonce()}")
       else stageWithTypedStats(laid,
         root, s"$batchTag$from${nonce()}", statCols, strCols, dblCols,
-        decCols)
+        decCols, binCols)
     commitOpsF(root, _ => opMeta) { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!hit.forall(e => curPaths.contains(e.path)))
@@ -448,13 +454,15 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val strCols = small.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = small.flatMap(_.dblStats.map(_._1)).distinct
     val decCols = small.flatMap(_.decStats.map(_._1)).distinct
+    val binCols = small.flatMap(_.binStats.map(_._1)).distinct
     val packed = stageWithTypedStats(
       restoreTransformCols(root, from, spark.read.schema(schema)
           .parquet(small.map(e => data.resolve(e.path).toString): _*))
         .repartitionByRange(math.max(1,
           (small.map(e => Files.size(data.resolve(e.path))).sum
             / smallBytes).toInt), col(keyCol)),
-      root, s"opt$from${nonce()}", statCols, strCols, dblCols, decCols)
+      root, s"opt$from${nonce()}", statCols, strCols, dblCols, decCols,
+      binCols)
     commitOpsF(root, _ => s"optimize=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!small.forall(e => curPaths.contains(e.path)))
@@ -544,12 +552,13 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val strCols = live.flatMap(_.strStats.map(_._1)).distinct
     val dblCols = live.flatMap(_.dblStats.map(_._1)).distinct
     val decCols = live.flatMap(_.decStats.map(_._1)).distinct
+    val binCols = live.flatMap(_.binStats.map(_._1)).distinct
     val rewritten = stageWithTypedStats(
       restoreTransformCols(root, from, df.withColumn("__z", z)
         .repartitionByRange(math.max(1, targetFiles), col("__z"))
         .sortWithinPartitions("__z").drop("__z")),
       root, s"zorder$from${nonce()}", statCols, strCols, dblCols,
-      decCols)
+      decCols, binCols)
     commitOpsF(root, _ => s"zorder=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!live.forall(e => curPaths.contains(e.path)))
@@ -790,7 +799,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
       live.flatMap(_.strStats.map(_._1)).distinct,
       live.flatMap(_.dblStats.map(_._1)).distinct,
-      live.flatMap(_.decStats.map(_._1)).distinct), meta = "dvr=")
+      live.flatMap(_.decStats.map(_._1)).distinct,
+      live.flatMap(_.binStats.map(_._1)).distinct), meta = "dvr=")
   }
 
   /** Materialize the scoped-MOR view into plain stats-carrying files
@@ -811,7 +821,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
       live.flatMap(_.strStats.map(_._1)).distinct,
       live.flatMap(_.dblStats.map(_._1)).distinct,
-      live.flatMap(_.decStats.map(_._1)).distinct), meta = "dvp=")
+      live.flatMap(_.decStats.map(_._1)).distinct,
+      live.flatMap(_.binStats.map(_._1)).distinct), meta = "dvp=")
   }
 
   /** Fail-loud guard for the rewrite paths: positional vectors do not
@@ -864,7 +875,8 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       (keyCol +: live.flatMap(_.stats.map(_._1))).distinct,
       live.flatMap(_.strStats.map(_._1)).distinct,
       live.flatMap(_.dblStats.map(_._1)).distinct,
-      live.flatMap(_.decStats.map(_._1)).distinct), meta = "dv=")
+      live.flatMap(_.decStats.map(_._1)).distinct,
+      live.flatMap(_.binStats.map(_._1)).distinct), meta = "dv=")
   }
 
   /** Retention: delete data files referenced by NO version ≥

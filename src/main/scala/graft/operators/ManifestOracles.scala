@@ -183,6 +183,15 @@ private[operators] object ManifestOracles {
         |  FROM orders CROSS JOIN b WHERE o_orderkey < q)
         |SELECT * FROM u ORDER BY src, o_orderkey""".stripMargin,
 
+    "source_manifest_pruned_binary" ->
+      // the digest restated: DuckDB's md5 is lowercase hex (upper for
+      // the output compare), unhex → BLOB compares bytewise — the
+      // same order Spark's BinaryType and the recorded bounds use
+      """SELECT doc_id, n_chars, upper(md5(text)) AS blob_hex
+        |FROM documents
+        |WHERE unhex(md5(text)) < '\x28'::BLOB
+        |ORDER BY doc_id""".stripMargin,
+
     "manifest_sql_call" ->
       // snapshot replication copies the source's latest logical view
       // verbatim — the replica read-back IS the source table

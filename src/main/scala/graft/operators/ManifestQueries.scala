@@ -173,6 +173,34 @@ object ManifestOps extends QueryGroup {
     Paths.get(out)
   }
 
+  /** BINARY-stats lifecycle (round 12 — r11-VERDICT task 8, the last
+    * boundless leaf type): documents carried with a 16-byte digest
+    * column (unhex(md5(text)) — a deterministic stand-in for a
+    * media-blob content-hash column), range-laid by digest into 8
+    * files whose per-file truncated-prefix bounds ride the manifest
+    * in the Iceberg truncate(16) shape. A digest-range predicate then
+    * admits ~1/8 of the files, and the exact predicate re-applies
+    * row-exactly (Wave171Spec asserts the physical skip AND the
+    * truncation's no-false-prune contract on >16-byte values).
+    */
+  private[graft] def binStatsRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_docs_binstats",
+      Seq(s"$dir/documents.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val docs = Tables.table(spark, dir, "documents")
+      val df = docs.select(col("doc_id"), col("n_chars"),
+        unhex(md5(col("text"))).as("blob"))
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithTypedStats(
+        df.repartitionByRange(8, col("blob")),
+        root, "base", Seq("doc_id"), Nil, Nil, Nil, Seq("blob")),
+        s"schema=${ManifestTable.schemaMeta(df.schema)}")
+      require(v1 == 1, s"binary-stats lifecycle built v$v1, expected 1")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   /** µs-TIMESTAMP stats lifecycle (round 11): events carried under a
     * REAL timestamp column (timestamp_micros of the fixture's micros),
     * range-laid by time into 8 files whose per-file `ts` bounds record
@@ -1430,6 +1458,22 @@ object ManifestOps extends QueryGroup {
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_price_dec").cast("double").as("o_price"))
         .orderBy("o_orderkey")
+    },
+
+    "source_manifest_pruned_binary" -> { (spark, dir) =>
+      // a BINARY range predicate prunes through truncated-prefix
+      // bounds (round 12 — the digest/media-blob column case): the
+      // digest-laid table admits ~1/8 of its files for a one-sided
+      // byte band, the exact predicate re-applies row-exactly. Output
+      // carries the digest as hex (the comparable cross-engine form);
+      // the binary type lives in the filter, the stats, the pushdown.
+      val root = binStatsRoot(spark, dir)
+      spark.read.format("graft-manifest")
+        .option("path", root.toString).load()
+        .filter(col("blob") < lit(Array[Byte](0x28.toByte)))
+        .select(col("doc_id"), col("n_chars"),
+          hex(col("blob")).as("blob_hex"))
+        .orderBy("doc_id")
     },
 
     "source_manifest_pruned_ts" -> { (spark, dir) =>

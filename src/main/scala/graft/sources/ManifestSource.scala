@@ -345,7 +345,8 @@ private[graft] class ManifestRelation(ctx: SQLContext, root: Path,
       lb ++ ManifestTable.hiddenBands(root, version, lb),
       strBands(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
       FilterBands.dbl(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
-      FilterBands.dec(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
+      FilterBands.dec(filters).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      FilterBands.bin(filters).map { case (c, lo, hi) => (phys(c), lo, hi) })._1
     // bloom refinement (round 12 — r11-VERDICT task 1): point/IN
     // predicates on an indexed column drop the files whose bitset
     // proves every candidate absent — the skip min/max bands cannot
@@ -512,6 +513,26 @@ private[graft] object FilterBands {
       case LessThanOrEqual(a, v: String) => Seq((a, None, Some(v)))
       case StringStartsWith(a, p) => Seq((a, Some(p), prefixUpper(p)))
       case And(l, r) => str(Array(l, r))
+      case _ => Nil
+    }
+
+  /** BINARY comparison bands (round 12): pushed values arrive as
+    * Array[Byte]. Open intervals both sides (bytes have no finite top
+    * element at unbounded length); strict comparisons keep the
+    * inclusive endpoint — the superset admit is always safe.
+    */
+  def bin(filters: Array[Filter])
+      : Seq[(String, Option[Seq[Byte]], Option[Seq[Byte]])] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v: Array[Byte]) =>
+        Seq((a, Some(v.toSeq), Some(v.toSeq)))
+      case GreaterThan(a, v: Array[Byte]) => Seq((a, Some(v.toSeq), None))
+      case GreaterThanOrEqual(a, v: Array[Byte]) =>
+        Seq((a, Some(v.toSeq), None))
+      case LessThan(a, v: Array[Byte]) => Seq((a, None, Some(v.toSeq)))
+      case LessThanOrEqual(a, v: Array[Byte]) =>
+        Seq((a, None, Some(v.toSeq)))
+      case And(l, r) => bin(Array(l, r))
       case _ => Nil
     }
 

@@ -477,7 +477,8 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
       coarse ++ ManifestTable.hiddenBands(root, version, coarse),
       FilterBands.str(all).map { case (c, lo, hi) => (phys(c), lo, hi) },
       FilterBands.dbl(all).map { case (c, lo, hi) => (phys(c), lo, hi) },
-      FilterBands.dec(all).map { case (c, lo, hi) => (phys(c), lo, hi) })
+      FilterBands.dec(all).map { case (c, lo, hi) => (phys(c), lo, hi) },
+      FilterBands.bin(all).map { case (c, lo, hi) => (phys(c), lo, hi) })
     val banded = hit.filter { e =>
       (ins ++ hiddenIn).forall { case (c, vs) =>
         e.band(c).forall { case (lo, hi) => anyInBand(vs, lo, hi) }
