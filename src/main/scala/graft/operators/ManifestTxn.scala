@@ -98,7 +98,9 @@ trait ManifestTxn { self: ManifestLog with ManifestData
     // NOW — a stale touched set never even writes an intent
     participants.foreach { case (root, _, dels, _) =>
       if (dels.nonEmpty) {
-        val live = filesFor(root, latestVersion(root)).toSet
+        val latest = latestVersion(root)
+        val live = if (latest == 0) Set.empty[String]
+          else filesFor(root, latest).toSet
         val gone = dels.filterNot(live)
         require(gone.isEmpty,
           s"commitTxn: removed files not live on $root: " +

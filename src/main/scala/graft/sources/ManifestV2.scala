@@ -422,7 +422,9 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
 
   override def description(): String =
     s"graft-manifest-native v$version ${pushed.mkString("[", ", ", "]")}" +
-      (if (morFilter.isEmpty) "" else " +mor")
+      // flag-based, NOT morFilter: description() renders in EXPLAIN
+      // output and must never force sidecar IO
+      (if (dvs.isEmpty && dvps.isEmpty && dvrs.isEmpty) "" else " +mor")
 
   /** Only the scan's OUTPUT columns: the optimizer resolves these
     * against the pruned relation output, so naming a projected-away
