@@ -979,6 +979,52 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     * checkpoints' parquet segments become unreferenced and fall to
     * [[vacuumOrphanSegments]]. Returns the deleted manifest names.
     */
+  /** RESTORE the table to snapshot `to` (round 12 — Delta's `RESTORE
+    * TABLE … VERSION AS OF`, Iceberg's rollback_to_snapshot): ONE new
+    * checkpoint commit whose live set, deletion-vector lists, and
+    * evolution state (schema= / colmap= / ptrans=) are exactly
+    * version `to`'s. History is preserved — a rollback is a new
+    * commit, never a log rewrite, so time travel still reaches the
+    * undone versions and concurrent writers order serializably
+    * through the normal OCC publish. Fails loudly when any of `to`'s
+    * referenced files (data OR vector sidecars) were vacuumed — a
+    * snapshot below the retention horizon cannot be restored. The
+    * bloom index list inherits ACCUMULATED from the current head
+    * (bitsets key on immutable file names: re-lived files keep valid
+    * bitsets, dead entries stay inert). The one caveat: a `to` that
+    * predates the table's first schema= meta keeps inheriting the
+    * current head's (an empty schema token is unrepresentable;
+    * modern lifecycles carry schema= from v1, so this arises only on
+    * legacy roots).
+    */
+  def restore(root: Path, to: Int): Int = {
+    val latest = latestVersion(root)
+    val first = math.max(1, firstVersion(root))
+    require(to >= first && to <= latest,
+      s"restore target v$to outside committed $first..$latest")
+    if (to == latest) return latest
+    val entries = entriesFor(root, to)
+    val data = root.resolve("data")
+    val dvs = dvsFor(root, to)
+    val dvps = scopedDvsFor(root, to)
+    val dvrs = rowDvsFor(root, to)
+    val missing = (entries.map(_.path) ++ dvs ++ dvps ++ dvrs)
+      .filterNot(p => Files.exists(data.resolve(p)))
+    require(missing.isEmpty,
+      s"cannot restore to v$to: ${missing.size} referenced file(s) " +
+      s"were vacuumed (${missing.take(3).mkString(",")}) — the " +
+      "snapshot is below the retention horizon")
+    val m = headerMeta(root, to)
+    val meta = (Seq(s"restore=v$to") ++
+      m.get("schema").map(s => s"schema=$s") ++
+      Seq(s"colmap=${m.getOrElse("colmap", "")}",
+        s"ptrans=${m.getOrElse("ptrans", "")}",
+        s"dv=${dvs.mkString(",")}",
+        s"dvp=${dvps.mkString(",")}",
+        s"dvr=${dvrs.mkString(",")}")).mkString(" ")
+    commit(root, entries.map(_.line), meta)
+  }
+
   def expireManifests(root: Path, keepFrom: Int): Seq[String] = {
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,

@@ -192,6 +192,13 @@ private[operators] object ManifestOracles {
         |WHERE unhex(md5(text)) < '\x28'::BLOB
         |ORDER BY doc_id""".stripMargin,
 
+    "manifest_sql_restore" ->
+      // the restore undoes the DELETE completely — the read-back IS
+      // the source table
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_call" ->
       // snapshot replication copies the source's latest logical view
       // verbatim — the replica read-back IS the source table

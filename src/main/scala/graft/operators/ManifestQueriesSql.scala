@@ -302,7 +302,54 @@ private[graft] object ManifestSqlOps {
     Paths.get(out)
   }
 
+  /** RESTORE lifecycle (round 12): v1 = orders range-laid into 8
+    * stats-carrying files; v2 = a SQL DELETE CoW-removing the bottom
+    * quarter; v3 = `RESTORE TABLE … TO VERSION AS OF 1` undoing it as
+    * ONE new checkpoint commit — history preserved (v2 still
+    * time-travels to the deleted state; Wave172Spec asserts that, the
+    * DV/colmap state restoration, and the vacuumed-target loud
+    * failure). The read-back equals the source table.
+    */
+  private[graft] def restoreRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_orders_restore",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(8, col("o_orderkey")),
+        root, "base", "o_orderkey"),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"DELETE FROM $ident WHERE o_orderkey < ${mx / 4}")
+      val v3 = graft.plans.GraftSql.sql(spark,
+        s"RESTORE TABLE $ident TO VERSION AS OF 1")
+        .head().getString(0).toInt
+      require(v1 == 1 && v3 == 3,
+        s"restore lifecycle built (v1=$v1, v3=$v3), expected (1, 3)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "manifest_sql_restore" -> { (spark, dir) =>
+      // `RESTORE TABLE … TO VERSION AS OF 1` (round 12 — Delta's
+      // statement, Iceberg's rollback) undoes a CoW DELETE as one new
+      // checkpoint: the read-back IS the source table, and the undone
+      // version stays time-travelable (a rollback is a commit, never
+      // a log rewrite).
+      val root = restoreRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
 
     "sink_manifest_hidden_sql" -> { (spark, dir) =>
       // the FULL SQL hidden-partitioning lifecycle (wave 151,

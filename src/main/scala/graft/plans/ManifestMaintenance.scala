@@ -81,6 +81,10 @@ object GraftSqlParser {
   // catalog-qualified identifiers
   private val CallRe =
     """(?is)^\s*CALL\s+[\w`]+\.system\.(\w+)\s*\((.*)\)\s*;?\s*$""".r
+  // RESTORE TABLE t TO VERSION AS OF n — Delta's statement shape,
+  // mapped onto the same procedure as CALL …restore(t, n)
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   private[plans] def maintenancePlan(sql: String,
       delegate: ParserInterface): Option[LogicalPlan] = sql match {
@@ -97,6 +101,8 @@ object GraftSqlParser {
           .filter(_.nonEmpty)).getOrElse(Nil)))
     case CallRe(proc, argStr) =>
       Some(CallProcedureCommand(proc.toLowerCase, splitArgs(argStr)))
+    case RestoreRe(ident, v) =>
+      Some(CallProcedureCommand("restore", Seq(ident, v)))
     case _ => None
   }
 
@@ -321,9 +327,14 @@ case class CallProcedureCommand(proc: String, args: Seq[String])
         val v = ManifestTable.commit(dst, staged,
           s"schema=${ManifestTable.schemaMeta(logical)}")
         Seq(Row(v.toString))
+      case "restore" =>
+        arity(2, "(table_identifier, version)")
+        val root = rootAt(0)
+        val v = ManifestTable.restore(root, args(1).trim.toInt)
+        Seq(Row(v.toString))
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' — known: " +
-        "build_bloom_index, expire_manifests, replicate")
+        "build_bloom_index, expire_manifests, replicate, restore")
     }
   }
 }
