@@ -192,6 +192,19 @@ private[operators] object ManifestOracles {
         |WHERE unhex(md5(text)) < '\x28'::BLOB
         |ORDER BY doc_id""".stripMargin,
 
+    "sink_manifest_ctas" ->
+      // the RTAS contents replaced the CTAS half entirely
+      """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "manifest_sql_alter" ->
+      // evens predate the evolution (flag null-fills), odds carry it;
+      // the rename is metadata-only so both halves read as o_price
+      """SELECT o_orderkey, o_custkey, o_totalprice AS o_price,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 10
+        |       ELSE NULL END AS o_flag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_restore" ->
       // the restore undoes the DELETE completely — the read-back IS
       // the source table

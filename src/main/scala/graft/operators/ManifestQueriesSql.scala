@@ -428,6 +428,59 @@ private[graft] object ManifestSqlOps {
            |ORDER BY o_orderkey""".stripMargin)
     },
 
+    "sink_manifest_ctas" -> { (spark, dir) =>
+      // CREATE TABLE … AS SELECT through the catalog (round 12:
+      // Spark's CreateTableAsSelect path onto createTable + the V1
+      // write bridge — no new code, now DECLARED and oracle-proven),
+      // then REPLACE TABLE … AS SELECT swapping contents AND schema
+      // (the re-created table carries the new column set). The
+      // read-back proves both landed exactly.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = ManifestOps.freshSinkRoot(dir, tag = "ctas_")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      ManifestOps.deleteTree(root)
+      orders.createOrReplaceTempView("orders_ctas_src")
+      spark.sql(s"CREATE TABLE $ident USING `graft-manifest` AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice " +
+        "FROM orders_ctas_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"REPLACE TABLE $ident USING `graft-manifest` AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_total " +
+        "FROM orders_ctas_src")
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_total
+           |FROM $ident ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_alter" -> { (spark, dir) =>
+      // the SQL DDL evolution lifecycle (round 12): ALTER TABLE
+      // RENAME COLUMN (metadata-only colmap commit) + ADD COLUMN
+      // (metadata-only widening) through the catalog's alterTable,
+      // with an INSERT before and after — pre-evolution files read
+      // under the renamed logical name and null-fill the added
+      // column, zero bytes rewritten.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = ManifestOps.freshSinkRoot(dir, tag = "alter_")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      ManifestOps.deleteTree(root)
+      spark.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING `graft-manifest` " +
+        "TBLPROPERTIES ('statsColumns' = 'o_orderkey')")
+      orders.createOrReplaceTempView("orders_alter_src")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT o_orderkey, o_custkey, o_totalprice " +
+        "FROM orders_alter_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"ALTER TABLE $ident RENAME COLUMN o_totalprice TO o_price")
+      spark.sql(s"ALTER TABLE $ident ADD COLUMN o_flag BIGINT")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderkey % 10 " +
+        "FROM orders_alter_src WHERE o_orderkey % 2 = 1")
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_price, o_flag
+           |FROM $ident ORDER BY o_orderkey""".stripMargin)
+    },
+
     "manifest_sql_merge" -> { (spark, dir) =>
       // the manifest_upsert lifecycle driven by a plain-SQL
       // `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
