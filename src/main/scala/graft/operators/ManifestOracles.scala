@@ -205,6 +205,13 @@ private[operators] object ManifestOracles {
         |       ELSE NULL END AS o_flag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_sql_compact_mor" ->
+      // the compaction materializes the subtracted view exactly
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_restore" ->
       // the restore undoes the DELETE completely — the read-back IS
       // the source table

@@ -334,6 +334,38 @@ private[graft] object ManifestSqlOps {
     Paths.get(out)
   }
 
+  /** compact_mor CALL lifecycle (round 12): v1 = orders range-laid
+    * into 4 stats-carrying files; v2 = a key-vector MOR delete of the
+    * %13 keys (zero files rewritten); v3 = `CALL
+    * gm.system.compact_mor(t, 'o_orderkey', 4)` materializing the
+    * subtracted view and clearing the vectors (Wave175Spec asserts
+    * the vector lists empty and the positional/scoped dispatch).
+    */
+  private[graft] def compactMorRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_orders_cmor",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging)
+      Files.createDirectories(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val v1 = ManifestTable.commit(root, ManifestTable.stageWithStats(
+        orders.repartitionByRange(4, col("o_orderkey")),
+        root, "base", "o_orderkey"),
+        s"schema=${ManifestTable.schemaMeta(orders.schema)}")
+      val v2 = ManifestTable.deleteMOR(root,
+        orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"))
+      val cat = sqlCatalog(spark)
+      val v3 = graft.plans.GraftSql.sql(spark,
+        s"CALL $cat.system.compact_mor($cat.${sqlIdent(root)}, " +
+        "'o_orderkey', 4)").head().getString(0).toInt
+      require(v1 == 1 && v2 == 2 && v3 == 3 &&
+        ManifestTable.dvsFor(root, 3).isEmpty,
+        s"compact_mor lifecycle built ($v1,$v2,$v3)")
+      Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "manifest_sql_restore" -> { (spark, dir) =>
@@ -479,6 +511,23 @@ private[graft] object ManifestSqlOps {
       spark.sql(
         s"""SELECT o_orderkey, o_custkey, o_price, o_flag
            |FROM $ident ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "manifest_sql_compact_mor" -> { (spark, dir) =>
+      // `CALL gm.system.compact_mor(t, 'key', n)` (round 12):
+      // materialize the MOR view and clear the vectors — the
+      // SQL-reachable form of the mandatory pre-rewrite step (every
+      // CoW path fails loudly while vectors are outstanding). The
+      // lifecycle: orders committed, a key-vector MOR delete of the
+      // %13 keys, then the CALL; the read-back equals the subtracted
+      // view from plain files (vectors gone, same rows).
+      val root = compactMorRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
     },
 
     "manifest_sql_merge" -> { (spark, dir) =>

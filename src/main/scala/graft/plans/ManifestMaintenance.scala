@@ -332,9 +332,40 @@ case class CallProcedureCommand(proc: String, args: Seq[String])
         val root = rootAt(0)
         val v = ManifestTable.restore(root, args(1).trim.toInt)
         Seq(Row(v.toString))
+      case "compact_mor" =>
+        // the mandatory pre-rewrite step for DV-carrying tables
+        // (every rewrite path fails loudly while vectors are
+        // outstanding; until now the compaction was API-only, so a
+        // SQL user whose table took MOR deletes was stuck): resolve
+        // the outstanding vector KIND and materialize it
+        arity(3, "(table_identifier, 'key_column', target_files)")
+        val root = rootAt(0)
+        val latest = ManifestTable.latestVersion(root)
+        val cmap = ManifestTable.columnMap(root, latest)
+        def phys(n: String): String = cmap.getOrElse(n, n)
+        val logical = graft.sources.ManifestV2.resolveSchema(spark, root, latest)
+        val physSchema = StructType(logical.fields.map(f =>
+          f.copy(name = phys(f.name))))
+        val key = phys(unquote(args(1)))
+        val n = args(2).trim.toInt
+        val v =
+          if (ManifestTable.rowDvsFor(root, latest).nonEmpty)
+            ManifestTable.compactMORPositional(spark, root, latest,
+              physSchema, key, n)
+          else if (ManifestTable.scopedDvsFor(root, latest).nonEmpty)
+            ManifestTable.compactMORScoped(spark, root, latest,
+              physSchema, key, n)
+          else if (ManifestTable.dvsFor(root, latest).nonEmpty)
+            ManifestTable.compactMOR(spark, root, latest, physSchema,
+              key, n)
+          else throw new IllegalArgumentException(
+            s"compact_mor: no outstanding deletion vectors on $root — " +
+            "use OPTIMIZE for plain small-file compaction")
+        Seq(Row(v.toString))
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' — known: " +
-        "build_bloom_index, expire_manifests, replicate, restore")
+        "build_bloom_index, expire_manifests, replicate, restore, " +
+        "compact_mor")
     }
   }
 }
