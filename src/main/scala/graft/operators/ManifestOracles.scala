@@ -205,6 +205,16 @@ private[operators] object ManifestOracles {
         |       ELSE NULL END AS o_flag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "join_manifest_spj" ->
+      // the co-located join restated as a plain join+aggregate
+      """SELECT c_mktsegment,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "manifest_sql_compact_mor" ->
       // the compaction materializes the subtracted view exactly
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

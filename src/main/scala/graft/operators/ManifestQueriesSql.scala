@@ -366,7 +366,64 @@ private[graft] object ManifestSqlOps {
     Paths.get(out)
   }
 
+  /** STORAGE-PARTITIONED-JOIN lifecycle (round 12 — the shuffle
+    * eliminator real formats ship): orders bucketed by o_custkey(16)
+    * and customer by c_custkey(16), both laid via the SQL
+    * PARTITIONED BY path — every file bucket-exact, so the scans
+    * report KeyGroupedPartitioning and the fact⋈dim join plans ZERO
+    * exchanges (Wave176Spec asserts the shuffle-free plan; the
+    * declared query proves result exactness through it).
+    */
+  private[graft] def spjRoot(spark: SparkSession, dir: String)
+      : (Path, Path) = {
+    val out = ArtifactCache.path("manifest_spj",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val base = Paths.get(staging)
+      val (a, b) = (base.resolve("a"), base.resolve("b"))
+      Files.createDirectories(a); Files.createDirectories(b)
+      val orders = Tables.table(spark, dir, "orders")
+      val customer = Tables.table(spark, dir, "customer")
+      val cat = sqlCatalog(spark)
+      ManifestOps.deleteTree(a); ManifestOps.deleteTree(b)
+      spark.sql(s"CREATE TABLE $cat.${sqlIdent(a)} " +
+        s"(${orders.schema.toDDL}) USING `graft-manifest` " +
+        "PARTITIONED BY (bucket(16, o_custkey))")
+      spark.sql(s"CREATE TABLE $cat.${sqlIdent(b)} " +
+        s"(${customer.schema.toDDL}) USING `graft-manifest` " +
+        "PARTITIONED BY (bucket(16, c_custkey))")
+      orders.createOrReplaceTempView("spj_orders_src")
+      customer.createOrReplaceTempView("spj_customer_src")
+      spark.sql(s"INSERT INTO $cat.${sqlIdent(a)} " +
+        "SELECT * FROM spj_orders_src")
+      spark.sql(s"INSERT INTO $cat.${sqlIdent(b)} " +
+        "SELECT * FROM spj_customer_src")
+      Files.createFile(base.resolve("_SUCCESS")): Unit
+    }
+    (Paths.get(out).resolve("a"), Paths.get(out).resolve("b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "join_manifest_spj" -> { (spark, dir) =>
+      // the STORAGE-PARTITIONED join (round 12): two tables bucketed
+      // on their join key by the SAME catalog transform co-locate at
+      // plan time — the join itself plans zero exchanges (Wave176Spec
+      // asserts the plan; this query proves the rows). Money sums in
+      // exact decimal (the Canon convention), so the shuffle-free
+      // execution order cannot perturb the result.
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val (a, b) = spjRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT c.c_mktsegment,
+           |  count(*) AS n,
+           |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 4)
+           |    AS DOUBLE) AS rev
+           |FROM $cat.${sqlIdent(a)} o
+           |JOIN $cat.${sqlIdent(b)} c ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_mktsegment
+           |ORDER BY c.c_mktsegment""".stripMargin)
+    },
 
     "manifest_sql_restore" -> { (spark, dir) =>
       // `RESTORE TABLE … TO VERSION AS OF 1` (round 12 — Delta's

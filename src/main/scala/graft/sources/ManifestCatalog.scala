@@ -11,6 +11,45 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+/** The manifest layout's bucket transform as a V2 catalog function
+  * (round 12 — the storage-partitioned-join contract): bucket(n, col)
+  * = floorMod(xxhash64(col), n), BIT-IDENTICAL to the stage-time
+  * layout expression and the plan-time literal derivation
+  * ([[graft.operators.ManifestTable.BucketTransform]] — the one
+  * discipline every hidden-partitioning consumer shares). The stable
+  * `canonicalName` is what two scans' partitionings compare by.
+  */
+private[graft] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): floorMod(xxhash64(col), n) — the manifest layout transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == LongType,
+      s"graft bucket binds (INT numBuckets, BIGINT col), got $inputType")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, LongType)
+      override def resultType(): DataType = LongType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(row: org.apache.spark.sql.catalyst
+          .InternalRow): java.lang.Long =
+        java.lang.Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(row.getLong(1), 42L),
+          row.getInt(0).toLong)
+    }
+  }
+}
+
 /** The SQL catalog for manifest tables (round 10 — the r9-VERDICT top
   * task's second half): a `TableCatalog` + `SupportsNamespaces` plugin
   * mapping identifiers onto a warehouse directory tree, so the whole
@@ -41,10 +80,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * onto the log's version pinning ([[ManifestTable.versionAt]] for
   * `TIMESTAMP AS OF`, which Spark passes in MICROseconds).
   */
-class ManifestCatalog extends TableCatalog with SupportsNamespaces {
+class ManifestCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
+
+  // ---- functions (round 12 — storage-partitioned joins) ----
+  // The ONE catalog function: the layout's own bucket transform. Its
+  // existence is what lets Spark resolve a scan-reported
+  // KeyGroupedPartitioning over bucket(n, col) into a bound
+  // TransformExpression — two co-bucketed manifest tables then join
+  // WITHOUT a shuffle (EnsureRequirements recognizes the matching
+  // canonical function + numBuckets on both sides).
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

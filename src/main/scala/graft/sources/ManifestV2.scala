@@ -154,6 +154,19 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
     (ManifestV2Table.props(root) +
       (TableCatalog.PROP_PROVIDER -> "graft-manifest")).asJava
 
+  /** The recorded hidden-partitioning transforms as V2 expressions
+    * (round 12 — storage-partitioned joins): only bucket is reported
+    * (it is the one transform the catalog exposes a resolvable
+    * function for; truncate/days layouts still prune, they just don't
+    * claim a join-compatible partitioning).
+    */
+  override def partitioning(): Array[Transform] =
+    ManifestTable.partTransforms(root, snapshot).collect {
+      case b: ManifestTable.BucketTransform =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(b.n, b.srcCol)
+    }.toArray
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -320,7 +333,8 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     extends Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private var runtime: Array[Filter] = Array.empty
   // one delegate per runtime-filter state (review fix):
@@ -543,12 +557,59 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
+  /** STORAGE-PARTITIONED-JOIN state (round 12): when the table's one
+    * transform is a bucket and EVERY admitted file is bucket-exact
+    * (recorded band lo == hi — the range layout's normal case), the
+    * scan can group its files BY BUCKET VALUE and report a
+    * KeyGroupedPartitioning — two co-bucketed manifest tables then
+    * join with ZERO shuffle (Spark matches the catalog function's
+    * canonicalName + numBuckets on both sides). A straddling file,
+    * any DV state, a rename, or a multi-transform layout degrades to
+    * UnknownPartitioning — the plan falls back to ordinary exchanges,
+    * never to wrong co-location.
+    */
+  private def spjGroups: Option[(Int, String, Seq[(Long, Seq[String])])] =
+    ManifestTable.partTransforms(root, version) match {
+      case Seq(b: ManifestTable.BucketTransform)
+          if dvs.isEmpty && dvps.isEmpty && dvrs.isEmpty && cmap.isEmpty =>
+        val entries = admittedEntries
+        val keyed = entries.map(e => e.band(b.statName) -> e.path)
+        if (entries.nonEmpty && keyed.forall {
+            case (band, _) => band.exists(bb => bb._1 == bb._2) })
+          Some((b.n, b.srcCol,
+            keyed.groupBy(_._1.get._1).toSeq.sortBy(_._1)
+              .map { case (k, es) => (k, es.map(_._2)) }))
+        else None
+      case _ => None
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some((n, col, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, col)), groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
     // scoped/positional vectors need per-row FILE attribution: one
     // partition per file, splits in offset order
     if (dvps.nonEmpty || dvrs.nonEmpty) bridge.onePartitionPerFile(delegate)
-    else delegate.toBatch.planInputPartitions()
+    else spjGroups match {
+      case Some((_, _, groups)) =>
+        // one HasPartitionKey partition per bucket value — the
+        // exec-side grouping storage-partitioned joins consume
+        val keyOf: Map[String, Long] = groups.flatMap {
+          case (k, fs) => fs.map(_ -> k) }.toMap
+        bridge.keyedPartitions(delegate, keyOf)
+      case None => delegate.toBatch.planInputPartitions()
+    }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
