@@ -568,7 +568,17 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     * UnknownPartitioning — the plan falls back to ordinary exchanges,
     * never to wrong co-location.
     */
-  private def spjGroups: Option[(Int, String, Seq[(Long, Seq[String])])] =
+  private def spjGroups: Option[(Int, String, Seq[(Long, Seq[String])])] = {
+    // gate on the SPJ opt-in conf: grouping a bucket's files into ONE
+    // partition is what key-grouped execution requires, but it also
+    // CAPS a plain scan's parallelism at numBuckets — a regression
+    // for single-table reads that gain nothing from co-location.
+    // With the conf off (the default) scans keep split-granular
+    // parallelism; turning it on accepts the group-granularity trade
+    // everywhere bucket layouts exist (the same trade Iceberg's SPJ
+    // documents).
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+        .toBoolean) return None
     ManifestTable.partTransforms(root, version) match {
       case Seq(b: ManifestTable.BucketTransform)
           if dvs.isEmpty && dvps.isEmpty && dvrs.isEmpty && cmap.isEmpty =>
@@ -582,6 +592,7 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
         else None
       case _ => None
     }
+  }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
