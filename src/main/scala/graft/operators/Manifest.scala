@@ -890,6 +890,23 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     }.getOrElse(latestVersion(root))
   }
 
+  /** Ledger-idempotent batch commit over CALLER-STAGED entry lines
+    * (round 12 — the transform-laid streaming sink): the outer check
+    * skips the staging work on an already-committed id, the binding
+    * check re-runs inside the publish retry. `adds` is by-name so a
+    * replay stages nothing.
+    */
+  def commitBatchLines(root: Path, batchId: Long)(
+      adds: => Seq[String]): Int = {
+    if (committedBatchesCached(root).contains(batchId))
+      return latestVersion(root)
+    val staged = adds
+    commitOpsF(root, _ => s"batch=$batchId") { parent =>
+      if (committedBatchesCached(root).contains(batchId)) None
+      else Some((staged, Nil))
+    }.getOrElse(latestVersion(root))
+  }
+
   /** Complete-mode streaming commit (round 12 — r11-ADVICE fix): a
     * full checkpoint replacing the live set with `files`, under the
     * same replay ledger as [[commitBatchTyped]] — and with the ledger

@@ -179,7 +179,32 @@ private[graft] class ManifestStreamSink(ctx: SQLContext, root: Path,
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val df = bridge.asBatch(data)
     if (!complete) {
-      ManifestTable.commitBatchTyped(df, root, batchId, longCols,
+      // HIDDEN PARTITIONING composes with the stream (round 12): a
+      // table created PARTITIONED BY bucket/truncate/days gets its
+      // micro-batches laid out BY THE TRANSFORMS with virtual
+      // per-file stats — exactly like a batch INSERT — so hidden
+      // pruning skips streamed files too (until now streamed files
+      // carried no __pt* stats and every derived band admitted them:
+      // correct, but unprunable). Same ledger-idempotent commit.
+      val latest = ManifestTable.latestVersion(root)
+      val transforms =
+        if (latest == 0) Nil
+        else ManifestTable.partTransforms(root, latest)
+      if (transforms.nonEmpty) {
+        val targetFiles = ManifestV2Table.props(root).get("writeFiles")
+          .map(_.toInt).getOrElse(16)
+        ManifestTable.commitBatchLines(root, batchId) {
+          val laid = transforms.foldLeft(df)((d, t) =>
+              d.withColumn(t.statName, t.exprCol))
+            .repartitionByRange(math.max(1, targetFiles),
+              transforms.map(t => org.apache.spark.sql.functions
+                .col(t.statName)): _*)
+          ManifestTable.stageWithTypedStats(laid, root,
+            s"b$batchId${java.util.UUID.randomUUID().toString.take(8)}",
+            (longCols ++ transforms.map(_.statName)).distinct,
+            strCols, dblCols, decCols)
+        }: Unit
+      } else ManifestTable.commitBatchTyped(df, root, batchId, longCols,
         strCols, dblCols, decCols): Unit
     } else {
       // Complete mode: the batch is the WHOLE result — a full
