@@ -640,7 +640,10 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       .join(broadcast(deletedKeys.select(keyCol).distinct()),
         Seq(keyCol), "left_semi")
       .select(col(keyCol), col("__src").as("src"))
-    val rel = stage(sidecar.coalesce(1), root, s"dvp${nonce()}")
+    // sorted by src so the native scan's executor-side per-file slice
+    // reads prune pages via the parquet column index (round 13)
+    val rel = stage(sidecar.coalesce(1).sortWithinPartitions("src"),
+      root, s"dvp${nonce()}")
     commitOpsF(root, parent => "dvp=" +
         ((if (parent == 0) Nil else scopedDvsFor(root, parent)) ++ rel)
           .mkString(",")) { parent =>

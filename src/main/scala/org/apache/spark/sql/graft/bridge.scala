@@ -162,6 +162,18 @@ object bridge {
         Array[Any](key))
   }
 
+  /** The session's Hadoop configuration in Spark's serializable
+    * wrapper (round 13 — executor-side deletion-vector loading): a
+    * PartitionReader that opens sidecar files on the executor needs
+    * the driver's filesystem conf shipped with the task, exactly the
+    * way Spark's own file sources broadcast theirs.
+    * `SerializableConfiguration` is `private[spark]`, hence bridged.
+    */
+  def serializableHadoopConf(spark: SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf())
+
   /** The session's SQL parser (for wrapping — a parser cannot be
     * installed on a LIVE session the way planner strategies can).
     */
