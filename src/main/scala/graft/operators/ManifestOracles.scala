@@ -109,18 +109,15 @@ private[operators] object ManifestOracles {
         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
     "source_manifest_bloom" ->
-      // the same 5 deterministic probe keys, restated: the i-th of 5
-      // evenly-spaced distinct custkeys (floor(i*n/5) into the sorted
-      // distinct list); bloom admission is a superset, the equality
-      // re-filters exactly
-      """WITH d AS (
-        |  SELECT o_custkey AS ck,
-        |    row_number() OVER (ORDER BY o_custkey) - 1 AS r,
-        |    count(*) OVER () AS n
-        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+      // the same 5 deterministic probe keys, restated: the
+      // agg(min,max) ladder lo + floor(i*(hi-lo)/5) (round 13 — the
+      // old shape ranked every distinct custkey); bloom admission is
+      // a superset, the equality re-filters exactly
+      """WITH b AS (
+        |  SELECT min(o_custkey) AS lo, max(o_custkey) AS hi FROM orders),
         |probes AS (
-        |  SELECT ck FROM d, (SELECT unnest([0,1,2,3,4]) AS i)
-        |  WHERE r = (i * n) // 5)
+        |  SELECT DISTINCT lo + (i * (hi - lo)) // 5 AS ck
+        |  FROM b, (SELECT unnest([0,1,2,3,4]) AS i))
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders JOIN probes ON o_custkey = ck
@@ -130,14 +127,11 @@ private[operators] object ManifestOracles {
       // identical algebra to source_manifest_bloom: the registered
       // source's bloom-refined admission is a superset admit, the
       // pushed equality re-filters exactly
-      """WITH d AS (
-        |  SELECT o_custkey AS ck,
-        |    row_number() OVER (ORDER BY o_custkey) - 1 AS r,
-        |    count(*) OVER () AS n
-        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+      """WITH b AS (
+        |  SELECT min(o_custkey) AS lo, max(o_custkey) AS hi FROM orders),
         |probes AS (
-        |  SELECT ck FROM d, (SELECT unnest([0,1,2,3,4]) AS i)
-        |  WHERE r = (i * n) // 5)
+        |  SELECT DISTINCT lo + (i * (hi - lo)) // 5 AS ck
+        |  FROM b, (SELECT unnest([0,1,2,3,4]) AS i))
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders JOIN probes ON o_custkey = ck

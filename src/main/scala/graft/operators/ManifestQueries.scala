@@ -1325,12 +1325,17 @@ object ManifestOps extends QueryGroup {
       // is entirely the bloom's; results over a fixed probe set equal
       // the plain equality filters (no false negatives by
       // construction — a bitset only ever says "definitely absent").
-      // Probes: 5 deterministic customer keys spread over the domain.
+      // Probes: 5 deterministic keys from an agg(min,max) ladder —
+      // lo + floor(i*(hi-lo)/5) — O(1) driver state (round 13,
+      // r12-VERDICT task 3; the old shape collected EVERY distinct
+      // custkey to pick 5). A probe that misses the domain's holes
+      // returns zero rows on both sides — still exact, and an absent
+      // key is the bloom's best case (every file skipped).
       val orders = Tables.table(spark, dir, "orders")
       val root = bloomRoot(spark, dir)
-      val cks = orders.select("o_custkey").distinct()
-        .orderBy("o_custkey").collect().map(_.getLong(0))
-      val probes = (0 until 5).map(i => cks((i * cks.length) / 5))
+      val b = orders.agg(min("o_custkey"), max("o_custkey")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val probes = (0L until 5L).map(i => lo + (i * (hi - lo)) / 5).distinct
       probes.map(ck =>
           ManifestTable.readPrunedBloomEq(spark, root, 2, orders.schema,
             "o_custkey", ck))
@@ -1350,9 +1355,11 @@ object ManifestOps extends QueryGroup {
       // the V1 and the native V2 path).
       val orders = Tables.table(spark, dir, "orders")
       val root = bloomRoot(spark, dir)
-      val cks = orders.select("o_custkey").distinct()
-        .orderBy("o_custkey").collect().map(_.getLong(0))
-      val probes = (0 until 5).map(i => cks((i * cks.length) / 5))
+      // the same agg(min,max) probe ladder as source_manifest_bloom —
+      // O(1) driver state, zero collects (round 13)
+      val b = orders.agg(min("o_custkey"), max("o_custkey")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val probes = (0L until 5L).map(i => lo + (i * (hi - lo)) / 5).distinct
       val t = spark.read.format("graft-manifest")
         .option("path", root.toString).load()
       probes.map(ck => t.filter(col("o_custkey") === ck))

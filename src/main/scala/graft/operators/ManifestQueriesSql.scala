@@ -410,19 +410,38 @@ private[graft] object ManifestSqlOps {
       // plan time — the join itself plans zero exchanges (Wave176Spec
       // asserts the plan; this query proves the rows). Money sums in
       // exact decimal (the Canon convention), so the shuffle-free
-      // execution order cannot perturb the result.
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // execution order cannot perturb the result. The SPJ conf is
+      // opt-in because key-grouped planning CAPS a plain scan's
+      // parallelism at numBuckets (wave 177) — so it is scoped to
+      // THIS query's execution with the try/finally restore and the
+      // result materialized inside the scope (round 13 — r12-VERDICT
+      // task 2; the old leak re-enabled group-granular planning for
+      // every later bucket-table query in the session).
       val (a, b) = spjRoot(spark, dir)
       val cat = sqlCatalog(spark)
-      spark.sql(
-        s"""SELECT c.c_mktsegment,
-           |  count(*) AS n,
-           |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 4)
-           |    AS DOUBLE) AS rev
-           |FROM $cat.${sqlIdent(a)} o
-           |JOIN $cat.${sqlIdent(b)} c ON o.o_custkey = c.c_custkey
-           |GROUP BY c.c_mktsegment
-           |ORDER BY c.c_mktsegment""".stripMargin)
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val df = spark.sql(
+          s"""SELECT c.c_mktsegment,
+             |  count(*) AS n,
+             |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 4)
+             |    AS DOUBLE) AS rev
+             |FROM $cat.${sqlIdent(a)} o
+             |JOIN $cat.${sqlIdent(b)} c ON o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment
+             |ORDER BY c.c_mktsegment""".stripMargin)
+        // eager: the grouped result is O(|segments|) rows; the lazy
+        // frame would otherwise execute AFTER the finally restored
+        // the conf, losing the co-located plan this query declares
+        spark.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+          .orderBy("c_mktsegment")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     },
 
     "manifest_sql_restore" -> { (spark, dir) =>
