@@ -741,6 +741,70 @@ trait ManifestLog { self: ManifestData with ManifestMutations
     })(_ => Some((Nil, Nil))).get
   }
 
+  /** Is `from` → `to` a SAFE type promotion — every value representable
+    * in `from` is exactly representable in `to`, and Spark's parquet
+    * readers (vectorized included, Spark 4's widening support) read a
+    * `from`-encoded file under a `to` read schema losslessly. The
+    * lattice is Delta type-widening / Iceberg primitive promotion:
+    * integral up-chain, integral/float → double, decimal growth that
+    * shrinks neither the scale nor the integer digits.
+    */
+  def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) =>
+        true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale
+      case _ => false
+    }
+  }
+
+  /** Metadata-only ALTER COLUMN TYPE widening (round 13 — r12-VERDICT
+    * task 4): one zero-body commit whose header carries the widened
+    * logical schema; existing files keep their narrow encoding and
+    * every evolved read upcasts them losslessly (parquet's widening
+    * read under an explicit schema — probed on this Spark: int32
+    * files read as BIGINT/DOUBLE, float as DOUBLE, decimals regrow).
+    * Zero bytes rewritten at any table size. Unsafe changes (any
+    * narrowing, any cross-family cast) fail loudly with the allowed
+    * lattice named. Per-file stats are unaffected: narrow types were
+    * never stats-eligible (bands are BIGINT/DOUBLE/DECIMAL-typed), and
+    * decimal bands compare numerically, scale-independent.
+    */
+  def widenColumnType(root: Path, name: String,
+      to: org.apache.spark.sql.types.DataType): Int =
+    commitOpsF(root, { parent =>
+      require(parent > 0, "widenColumnType on an empty table")
+      val m = headerMeta(root, parent)
+      require(m.contains("schema"),
+        s"v$parent carries no schema meta — the table is not evolvable")
+      val logical = parseSchemaMeta(m("schema"))
+      val f = logical.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenColumnType: no column '$name' in " +
+          logical.fieldNames.toSeq.toString))
+      require(widensTo(f.dataType, to),
+        s"ALTER COLUMN $name TYPE ${to.simpleString}: not a safe " +
+        s"widening of ${f.dataType.simpleString} — supported: " +
+        "byte/short/int -> long, byte/short/int/float -> double, " +
+        "decimal(p,s) -> decimal(p',s') with s' >= s and " +
+        "p'-s' >= p-s")
+      // a partition-transform source stays BIGINT by the create-time
+      // contract, so it can never be a widening source; guard anyway
+      // so a future transform type never silently detaches the layout
+      require(!partTransforms(root, parent).exists(_.srcCol == name),
+        s"cannot widen '$name': it is a partition-transform source " +
+        "column (ptrans=)")
+      s"schema=${schemaMeta(StructType(logical.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x)))}"
+    })(_ => Some((Nil, Nil))).get
+
   /** The `schema=`/`colmap=` meta tokens of a committed version — what
     * an appending writer passes so its commit PRESERVES the evolution
     * state (commit meta is per-commit, not inherited; a schema-less

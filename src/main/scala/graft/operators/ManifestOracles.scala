@@ -199,6 +199,15 @@ private[operators] object ManifestOracles {
         |       ELSE NULL END AS o_flag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_sql_widen" ->
+      // evens predate the widening (written as INT, upcast at read);
+      // odds carry post-widening values beyond the INT range
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0
+        |       THEN CAST(o_orderkey % 100000 AS BIGINT)
+        |       ELSE o_orderkey + 3000000000 END AS o_qty
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "join_manifest_spj" ->
       // the co-located join restated as a plain join+aggregate
       """SELECT c_mktsegment,

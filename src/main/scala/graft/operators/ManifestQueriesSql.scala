@@ -589,6 +589,35 @@ private[graft] object ManifestSqlOps {
            |FROM $ident ORDER BY o_orderkey""".stripMargin)
     },
 
+    "manifest_sql_widen" -> { (spark, dir) =>
+      // ALTER COLUMN TYPE widening (round 13 — r12-VERDICT task 4;
+      // Delta's type widening / Iceberg's primitive promotion): evens
+      // land as INT, one metadata-only commit widens o_qty to BIGINT
+      // (zero bytes rewritten — the narrow files upcast at read via
+      // parquet's widening support), odds then append values beyond
+      // the INT range. Wave181Spec proves the loud narrowing refusal
+      // and the zero-rewrite claim.
+      val orders = Tables.table(spark, dir, "orders")
+      val root = ManifestOps.freshSinkRoot(dir, tag = "widen_")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      ManifestOps.deleteTree(root)
+      spark.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_qty INT) " +
+        "USING `graft-manifest` " +
+        "TBLPROPERTIES ('statsColumns' = 'o_orderkey')")
+      orders.createOrReplaceTempView("orders_widen_src")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT o_orderkey, CAST(o_orderkey % 100000 AS INT) " +
+        "FROM orders_widen_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"ALTER TABLE $ident ALTER COLUMN o_qty TYPE BIGINT")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT o_orderkey, o_orderkey + 3000000000 " + // > Int.MaxValue
+        "FROM orders_widen_src WHERE o_orderkey % 2 = 1")
+      spark.sql(
+        s"""SELECT o_orderkey, o_qty
+           |FROM $ident ORDER BY o_orderkey""".stripMargin)
+    },
+
     "manifest_sql_compact_mor" -> { (spark, dir) =>
       // `CALL gm.system.compact_mor(t, 'key', n)` (round 12):
       // materialize the MOR view and clear the vectors — the

@@ -280,6 +280,13 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
         require(c.fieldNames.length == 1,
           "graft-manifest columns are top-level")
         ManifestTable.addColumn(dir, c.fieldNames()(0), c.dataType()): Unit
+      case c: TableChange.UpdateColumnType =>
+        // ALTER COLUMN … TYPE — metadata-only SAFE widening (round 13);
+        // narrowing/cross-family casts fail loudly inside
+        require(c.fieldNames.length == 1,
+          "graft-manifest columns are top-level")
+        ManifestTable.widenColumnType(dir, c.fieldNames()(0),
+          c.newDataType()): Unit
       case c: TableChange.SetProperty =>
         ManifestV2Table.writeProps(dir,
           ManifestV2Table.props(dir) + (c.property() -> c.value()))
@@ -288,7 +295,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           ManifestV2Table.props(dir) - c.property())
       case c => throw new UnsupportedOperationException(
         s"graft-manifest ALTER TABLE does not support $c — supported: " +
-        "RENAME COLUMN, DROP COLUMN, ADD COLUMN, SET/UNSET TBLPROPERTIES")
+        "RENAME COLUMN, DROP COLUMN, ADD COLUMN, ALTER COLUMN TYPE " +
+        "(safe widening), SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }
