@@ -1318,7 +1318,7 @@ trait ManifestLog { self: ManifestData with ManifestMutations
       // explicitly — even when empty — to CLEAR an inherited mapping.
       val inheritedEvo = {
         lazy val pm = manifestOf(root, parent)._2
-        Seq("schema", "colmap", "ptrans", "bloom").flatMap { k =>
+        Seq("schema", "colmap", "ptrans", "ptransprev", "bloom").flatMap { k =>
           if (parent == 0 || meta0.split(' ').exists(_.startsWith(k + "=")))
             None
           else pm.get(k).filter(_.nonEmpty).map(v => s"$k=$v")

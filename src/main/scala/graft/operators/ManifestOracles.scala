@@ -199,6 +199,15 @@ private[operators] object ManifestOracles {
         |       ELSE NULL END AS o_flag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_evolve_partition" ->
+      // both layout generations hold the same logical rows; the
+      // equality re-filters the pruned superset exactly
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_widen" ->
       // evens predate the widening (written as INT, upcast at read);
       // odds carry post-widening values beyond the INT range

@@ -589,6 +589,37 @@ private[graft] object ManifestSqlOps {
            |FROM $ident ORDER BY o_orderkey""".stripMargin)
     },
 
+    "manifest_evolve_partition" -> { (spark, dir) =>
+      // PARTITION EVOLUTION (round 13 — r12-VERDICT task 5, Iceberg's
+      // signature capability): evens land under bucket(4, o_custkey),
+      // one metadata-only CALL moves the layout to bucket(16), odds
+      // land under it — and a plain equality prunes through BOTH
+      // generations (old files via their ptransprev-derived bands,
+      // new via the current transform; Wave182Spec asserts the
+      // admitted-file counts and the SPJ fail-closed degradation).
+      val orders = Tables.table(spark, dir, "orders")
+      val root = ManifestOps.freshSinkRoot(dir, tag = "pevo_")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      ManifestOps.deleteTree(root)
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` PARTITIONED BY (bucket(4, o_custkey))")
+      orders.createOrReplaceTempView("orders_pevo_src")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM orders_pevo_src WHERE o_orderkey % 2 = 0")
+      graft.plans.GraftSql.sql(spark,
+        s"CALL $cat.system.evolve_partitioning($ident, " +
+        "'bucket(16,o_custkey)')").collect()
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM orders_pevo_src WHERE o_orderkey % 2 = 1")
+      val ck = orders.agg(min("o_custkey")).head().getLong(0)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $ident WHERE o_custkey = $ck
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
     "manifest_sql_widen" -> { (spark, dir) =>
       // ALTER COLUMN TYPE widening (round 13 — r12-VERDICT task 4;
       // Delta's type widening / Iceberg's primitive promotion): evens

@@ -362,10 +362,27 @@ case class CallProcedureCommand(proc: String, args: Seq[String])
             s"compact_mor: no outstanding deletion vectors on $root — " +
             "use OPTIMIZE for plain small-file compaction")
         Seq(Row(v.toString))
+      case "evolve_partitioning" =>
+        // PARTITION EVOLUTION (round 13): swap the write layout in one
+        // metadata-only commit; old files keep pruning via ptransprev=
+        // derivation. Spec format is the ptrans= encoding, e.g.
+        // 'bucket(16,o_custkey),days(o_odate_us)'; '' un-partitions.
+        arity(2, "(table_identifier, 'transform_spec')")
+        val root = rootAt(0)
+        // strict parse: the findAllIn scan skips garbage tokens, and a
+        // silently-dropped transform here would UN-partition the table
+        val spec = unquote(args(1)).replaceAll("\\s+", "")
+        val ts = ManifestTable.parseTransforms(spec)
+        require(ts.map(_.meta).mkString(",") == spec,
+          s"evolve_partitioning: unparseable transform spec '$spec' — " +
+          "expected bucket(n,col) / truncate(w,col) / days(col), " +
+          "comma-separated ('' un-partitions)")
+        val v = ManifestTable.evolvePartitioning(root, ts)
+        Seq(Row(v.toString))
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' — known: " +
         "build_bloom_index, expire_manifests, replicate, restore, " +
-        "compact_mor")
+        "compact_mor, evolve_partitioning")
     }
   }
 }

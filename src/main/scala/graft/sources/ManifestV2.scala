@@ -505,7 +505,9 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     // two-level manifest-list prune; per-value refinement runs on the
     // surviving entries below
     val coarse = lb ++ ins.map { case (c, vs) => (c, vs.head, vs.last) }
-    val transforms = ManifestTable.partTransforms(root, version)
+    // historical transforms included: evolved tables' old files prune
+    // via their old virtual bands (round 13)
+    val transforms = ManifestTable.allPartTransforms(root, version)
     val hiddenIn = ins.flatMap { case (c, vs) =>
       transforms.filter(_.srcCol == c).map(t =>
         (t.statName, vs.map(t.ofLiteral).distinct.sorted))
