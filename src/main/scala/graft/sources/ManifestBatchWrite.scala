@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.{FileEntry, ManifestTable}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** The NATIVE V2 batch write for transform-laid tables (round 13 —
+  * r12-VERDICT task 6). Two reasons it exists instead of the V1
+  * bridge:
+  *
+  *  1. `RequiresDistributionAndOrdering` is only honored on the true
+  *     V2 write path — Spark's V1 fallback executes the ANALYZED
+  *     query (an InsertableRelation needs a re-plannable Row frame)
+  *     and silently drops the prepared repartition+sort, so the
+  *     write-side clustering request was unenforceable through the
+  *     bridge (verified against this Spark: the optimized plan
+  *     carried the exchange, the executed V1 write did not).
+  *  2. Per-file stats are computed IN THE WRITER TASK while the rows
+  *     stream through — the staging path re-reads every staged file
+  *     with a driver-looped min/max job, an O(files) planning tax the
+  *     real formats don't pay.
+  *
+  * Each task writes at most one parquet file (Spark's own
+  * ParquetOutputWriter via [[bridge.parquetWriteKit]] — InternalRow
+  * in, no Row conversion), materializing the layout transforms as the
+  * reserved `__pt*` columns and tracking min/max for every stats
+  * column on the fly. Commit messages carry the manifest ENTRY LINES;
+  * the driver commits them through the ordinary OCC protocol
+  * (append = O(delta) delta manifest, overwrite = checkpoint). Task
+  * retries write distinct uuid-suffixed files — only the committed
+  * attempt's line becomes live, losers are vacuum fodder, exactly the
+  * staging rule.
+  */
+private[graft] case class ManifestWriteMsg(line: String)
+    extends WriterCommitMessage
+
+private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
+    logical: StructType, writeSchema: StructType,
+    transforms: Seq[ManifestTable.PartTransform],
+    statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
+    decCols: Seq[String], kit: bridge.ParquetWriteKit, nonce: String)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    // transforms ship as their meta STRINGS: PartTransform instances
+    // are inner classes of the (non-serializable) ManifestTable
+    // object, so tasks re-parse locally instead of serializing them
+    ManifestWriterFactory(rootStr, kit, writeSchema,
+      transforms.map(_.meta), statsCols, strCols, dblCols, decCols,
+      nonce)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = Paths.get(rootStr)
+    val lines = messages.toSeq.collect {
+      case ManifestWriteMsg(l) if l != null => l
+    }
+    if (replace)
+      // the V1 Overwrite contract: full checkpoint commit under the
+      // query's schema; ptrans/bloom ride the meta inheritance
+      ManifestTable.commit(root, lines,
+        s"schema=${ManifestTable.schemaMeta(logical)}"): Unit
+    else
+      // append: empty meta inherits schema/colmap/ptrans/DV state
+      // from the winning parent inside the OCC retry
+      ManifestTable.appendCommit(root, lines): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val data = Paths.get(rootStr).resolve("data")
+    messages.foreach {
+      case ManifestWriteMsg(l) if l != null =>
+        try Files.deleteIfExists(data.resolve(l.split('\t').head)): Unit
+        catch { case _: Exception => () } // orphan = vacuum fodder
+      case _ => ()
+    }
+  }
+}
+
+private[graft] case class ManifestWriterFactory(rootStr: String,
+    kit: bridge.ParquetWriteKit, writeSchema: StructType,
+    transformMetas: Seq[String],
+    statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
+    decCols: Seq[String], nonce: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new ManifestDataWriter(rootStr, kit, writeSchema,
+      transformMetas.map(ManifestTable.parseTransform),
+      statsCols, strCols, dblCols, decCols,
+      s"$nonce-p$partitionId-$taskId.parquet", partitionId, taskId)
+}
+
+/** One task's writer: lazily opens its file on the first row (empty
+  * partitions commit nothing), appends the transform columns per row,
+  * and folds min/max for the stats columns as rows stream through.
+  */
+private[graft] class ManifestDataWriter(rootStr: String,
+    kit: bridge.ParquetWriteKit, writeSchema: StructType,
+    transforms: Seq[ManifestTable.PartTransform],
+    statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
+    decCols: Seq[String], fileName: String, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  // per-row transform evaluation, bit-identical to the stage-time
+  // Column expressions (bucket of NULL = pmod(xxhash64-of-nothing) =
+  // floorMod(seed, n); monotone transforms of NULL stay NULL)
+  private val tSrcOrds = transforms.map(t => writeSchema.fieldIndex(t.srcCol))
+  private val tFns: Seq[Long => Long] = transforms.map {
+    case b: ManifestTable.BucketTransform =>
+      (v: Long) => java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L),
+        b.n.toLong)
+    case t => (v: Long) => t.ofLiteral(v)
+  }
+  private val tNull: Seq[Any] = transforms.map {
+    case b: ManifestTable.BucketTransform =>
+      java.lang.Long.valueOf(java.lang.Math.floorMod(42L, b.n.toLong))
+    case _ => null
+  }
+
+  private abstract class Tracker(val col: String, val ord: Int) {
+    def observe(row: InternalRow): Unit
+  }
+  private def ordOf(c: String, want: DataType => Boolean, label: String)
+      : Int = {
+    val i = writeSchema.fieldIndex(c)
+    require(want(writeSchema.fields(i).dataType),
+      s"stats column '$c' is not $label-typed in the write schema " +
+      s"(${writeSchema.fields(i).dataType.simpleString})")
+    i
+  }
+  private class LongTracker(c: String, o: Int) extends Tracker(c, o) {
+    var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
+    def observe(r: InternalRow): Unit = if (!r.isNullAt(ord)) {
+      val v = r.getLong(ord)
+      if (v < lo) lo = v
+      if (v > hi) hi = v
+      seen = true
+    }
+  }
+  private class StrTracker(c: String, o: Int) extends Tracker(c, o) {
+    var lo: org.apache.spark.unsafe.types.UTF8String = _
+    var hi: org.apache.spark.unsafe.types.UTF8String = _
+    def observe(r: InternalRow): Unit = if (!r.isNullAt(ord)) {
+      val v = r.getUTF8String(ord)
+      // clone: the source buffer is reused across rows
+      if (lo == null || v.binaryCompare(lo) < 0) lo = v.clone()
+      if (hi == null || v.binaryCompare(hi) > 0) hi = v.clone()
+    }
+  }
+  private class DblTracker(c: String, o: Int) extends Tracker(c, o) {
+    var lo = Double.NaN; var hi = Double.NaN; var seen = false
+    def observe(r: InternalRow): Unit = if (!r.isNullAt(ord)) {
+      val v = r.getDouble(ord)
+      // Double.compare total order — Spark's min/max rank NaN greatest
+      if (!seen || java.lang.Double.compare(v, lo) < 0) lo = v
+      if (!seen || java.lang.Double.compare(v, hi) > 0) hi = v
+      seen = true
+    }
+  }
+  private class DecTracker(c: String, o: Int, p: Int, s: Int)
+      extends Tracker(c, o) {
+    var lo: java.math.BigDecimal = _
+    var hi: java.math.BigDecimal = _
+    def observe(r: InternalRow): Unit = if (!r.isNullAt(ord)) {
+      val v = r.getDecimal(ord, p, s).toJavaBigDecimal
+      if (lo == null || v.compareTo(lo) < 0) lo = v
+      if (hi == null || v.compareTo(hi) > 0) hi = v
+    }
+  }
+
+  private val longTrackers = statsCols.map(c => new LongTracker(c,
+    ordOf(c, dt => dt == LongType || dt == TimestampType ||
+      dt == TimestampNTZType, "BIGINT/timestamp")))
+  private val strTrackers = strCols.map(c => new StrTracker(c,
+    ordOf(c, _ == StringType, "STRING")))
+  private val dblTrackers = dblCols.map(c => new DblTracker(c,
+    ordOf(c, _ == DoubleType, "DOUBLE")))
+  private val decTrackers = decCols.map { c =>
+    val i = writeSchema.fieldIndex(c)
+    writeSchema.fields(i).dataType match {
+      case d: DecimalType => new DecTracker(c, i, d.precision, d.scale)
+      case other => throw new IllegalArgumentException(
+        s"stats column '$c' is not DECIMAL-typed (${other.simpleString})")
+    }
+  }
+  private val trackers: Seq[Tracker] =
+    longTrackers ++ strTrackers ++ dblTrackers ++ decTrackers
+
+  private var writer: bridge.RowFileWriter = null
+  private var rows = 0L
+  private val tRow = new GenericInternalRow(transforms.size)
+  private val joined = new JoinedRow()
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null)
+      writer = kit.open(
+        Paths.get(rootStr).resolve("data").resolve(fileName).toString,
+        partitionId, taskId)
+    var i = 0
+    while (i < transforms.size) {
+      if (record.isNullAt(tSrcOrds(i))) tRow.update(i, tNull(i))
+      else tRow.update(i,
+        java.lang.Long.valueOf(tFns(i)(record.getLong(tSrcOrds(i)))))
+      i += 1
+    }
+    val out: InternalRow =
+      if (transforms.isEmpty) record else joined(record, tRow)
+    trackers.foreach(_.observe(out))
+    writer.write(out)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    if (rows == 0L) ManifestWriteMsg(null)
+    else ManifestWriteMsg(FileEntry(fileName,
+      longTrackers.filter(_.seen).map(t => t.col -> (t.lo, t.hi)),
+      strTrackers.filter(_.lo != null)
+        .map(t => t.col -> (t.lo.toString, t.hi.toString)),
+      dblTrackers.filter(_.seen).map(t => t.col -> (t.lo, t.hi)),
+      decTrackers.filter(_.lo != null)
+        .map(t => t.col -> (BigDecimal(t.lo), BigDecimal(t.hi)))).line)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Exception => () }
+      try Files.deleteIfExists(
+        Paths.get(rootStr).resolve("data").resolve(fileName)): Unit
+      catch { case _: Exception => () }
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -167,13 +167,23 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
           .bucket(b.n, b.srcCol)
     }.toArray
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+    // V1_BATCH_WRITE forces EVERY write through the V1 fallback, which
+    // executes the analyzed query and drops a prepared distribution —
+    // transform-laid tables therefore declare only BATCH_WRITE and
+    // take the native [[ManifestBatchWrite]] (round 13); plain tables
+    // keep the V1 bridge (SaveMode mapping, mergeSchema, colmap).
+    // Writes target the LATEST version, so the capability checks it.
+    val latest = ManifestTable.latestVersion(root)
+    if (latest == 0 || ManifestTable.partTransforms(root, latest).isEmpty)
+      caps.add(TableCapability.V1_BATCH_WRITE): Unit
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -182,7 +192,7 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
       s"cannot write to a time-travel view of $root (VERSION AS OF)")
-    new ManifestWriteBuilder(root, ManifestV2Table.props(root))
+    new ManifestWriteBuilder(root, ManifestV2Table.props(root), info)
   }
 
   private def cmap: Map[String, String] =
@@ -220,6 +230,28 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
 }
 
 private[graft] object ManifestV2Table {
+
+  /** A recorded layout transform as the connector expression the
+    * catalog's FunctionCatalog resolves (round 13): what the write
+    * path's required distribution and the scan's reported partitioning
+    * both speak. Truncate widths are Int-ranged by construction
+    * (Spark's own Expressions.bucket takes int too).
+    */
+  def toV2Transform(t: ManifestTable.PartTransform)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    t match {
+      case b: ManifestTable.BucketTransform =>
+        Expressions.bucket(b.n, b.srcCol)
+      case d: ManifestTable.DaysTransform => Expressions.days(d.srcCol)
+      case tr: ManifestTable.TruncateTransform =>
+        require(tr.w <= Int.MaxValue,
+          s"truncate width ${tr.w} exceeds the V2 expression range")
+        Expressions.apply("truncate",
+          Expressions.literal(java.lang.Integer.valueOf(tr.w.toInt)),
+          Expressions.column(tr.srcCol))
+    }
+  }
   /** Durable table properties (`_props.txt`, `k=v` lines) — written by
     * the catalog at CREATE TABLE, consumed by writes (statsColumns /
     * statsStringColumns make every INSERT commit stats-carrying
@@ -697,8 +729,21 @@ private[graft] class ManifestV2BridgeRelation(ctx: SQLContext, root: Path,
   * column-mapping-aware staging, and stats options): INSERT INTO =
   * append (an O(delta) commit), INSERT OVERWRITE / truncate = full
   * checkpoint commit replacing the live set.
+  *
+  * Round 13 (r12-VERDICT task 6): writes to a TRANSFORM-LAID table
+  * are a NATIVE V2 BatchWrite ([[ManifestBatchWrite]]) implementing
+  * `RequiresDistributionAndOrdering` — the write asks Spark to
+  * range-cluster + sort the query by the layout transforms (resolved
+  * through the catalog's FunctionCatalog, bit-identical to the
+  * stage-time expressions) into `writeFiles` partitions, each task
+  * writes one stats-carrying file, and the driver commits the entry
+  * lines. The V1 bridge CANNOT honor the request: Spark's V1 fallback
+  * executes the ANALYZED query and drops the prepared exchange
+  * (verified on this Spark), which is why plain tables — with nothing
+  * to require — keep the simpler bridge below.
   */
-class ManifestWriteBuilder(root: Path, props: Map[String, String])
+class ManifestWriteBuilder(root: Path, props: Map[String, String],
+    info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   private var replace = false
@@ -714,7 +759,18 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String])
     this
   }
 
-  override def build(): Write = new V1Write {
+  override def build(): Write = {
+    val latest = ManifestTable.latestVersion(root)
+    val transforms =
+      if (latest == 0) Nil else ManifestTable.partTransforms(root, latest)
+    if (transforms.isEmpty) v1Write
+    else nativeWrite(transforms)
+  }
+
+  /** Plain tables: the V1 bridge (owns SaveMode→commit mapping,
+    * column-mapping-aware staging, mergeSchema widening).
+    */
+  private def v1Write: Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -732,5 +788,59 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String])
                  else SaveMode.Append).save()
         }
       }
+  }
+
+  private def nativeWrite(transforms: Seq[ManifestTable.PartTransform])
+      : Write = {
+    val spark = SparkSession.active
+    val logical = info.schema()
+    transforms.foreach(t => require(
+      logical.fieldNames.contains(t.srcCol) &&
+        logical(t.srcCol).dataType == org.apache.spark.sql.types.LongType,
+      s"write to a ${t.meta}-laid table needs a BIGINT '${t.srcCol}' " +
+      "column in the query"))
+    val writeSchema = org.apache.spark.sql.types.StructType(
+      logical.fields ++ transforms.map(t => org.apache.spark.sql.types
+        .StructField(t.statName, org.apache.spark.sql.types.LongType)))
+    def colsOf(k: String) = props.get(k).map(_.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val statsCols = (colsOf("statsColumns") ++
+      transforms.map(_.statName)).distinct
+    val targetFiles = props.get("writeFiles").map(_.toInt).getOrElse(16)
+    Files.createDirectories(root.resolve("data"))
+    val batch = new ManifestBatchWrite(root.toString, replace,
+      logical, writeSchema, transforms, statsCols,
+      colsOf("statsStringColumns"), colsOf("statsDoubleColumns"),
+      colsOf("statsDecimalColumns"),
+      bridge.parquetWriteKit(spark, writeSchema),
+      "ap" + java.util.UUID.randomUUID().toString.take(8))
+    new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+      private def orders: Array[
+          org.apache.spark.sql.connector.expressions.SortOrder] =
+        transforms.map(t => org.apache.spark.sql.connector.expressions
+          .Expressions.sort(ManifestV2Table.toV2Transform(t),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING)).toArray
+
+      // ORDERED distribution = a range exchange on the transform
+      // tuple: boundaries over few distinct transform values isolate
+      // each value when partitions >= values — the bucket-exact
+      // layout SPJ needs (hash clustering would co-locate arbitrary
+      // far-apart values and widen every per-file band)
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions
+          .ordered(orders)
+
+      override def requiredOrdering(): Array[
+          org.apache.spark.sql.connector.expressions.SortOrder] = orders
+
+      override def requiredNumPartitions(): Int = targetFiles
+
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite = batch
+    }
   }
 }
