@@ -217,6 +217,22 @@ private[operators] object ManifestOracles {
         |       ELSE o_orderkey + 3000000000 END AS o_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "join_manifest_spj_days" ->
+      // the day-aligned fact⋈dim restated as plain derivations: fact =
+      // every event with its UTC-day-floored epoch-µs key, dim = the
+      // per-day count
+      """WITH f AS (SELECT event_id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+        |    value FROM events),
+        |  d AS (SELECT day_us, count(*) AS day_n FROM f GROUP BY day_us)
+        |SELECT f.day_us, count(*) AS n,
+        |  CAST(round(sum(CAST(f.value AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS sumv,
+        |  max(d.day_n) AS day_n
+        |FROM f JOIN d ON f.day_us = d.day_us
+        |GROUP BY f.day_us
+        |ORDER BY f.day_us""".stripMargin,
+
     "join_manifest_spj" ->
       // the co-located join restated as a plain join+aggregate
       """SELECT c_mktsegment,

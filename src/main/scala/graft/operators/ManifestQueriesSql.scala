@@ -402,7 +402,86 @@ private[graft] object ManifestSqlOps {
     (Paths.get(out).resolve("a"), Paths.get(out).resolve("b"))
   }
 
+  /** The days()-laid SPJ fixture (round 13 — r12-VERDICT task 7): two
+    * event-derived tables PARTITIONED BY (days(day_us)) where `day_us`
+    * is the event timestamp floored to its UTC day in epoch micros —
+    * day-aligned so the join key IS the partition source column. The
+    * fact table carries every event row; the dim table is the per-day
+    * count. Both INSERTs ride the wave-183 native distributed write,
+    * whose range-clustering makes every committed file day-exact —
+    * the precondition key-grouped planning needs. `writeFiles=128`
+    * keeps partitions ≥ distinct days at every SF (a target below the
+    * day count would straddle files and SPJ would degrade — safely,
+    * but the query exists to prove the co-located plan).
+    */
+  private[graft] def spjDaysRoot(spark: SparkSession, dir: String)
+      : (Path, Path) = {
+    val out = ArtifactCache.path("manifest_spj_days",
+      Seq(s"$dir/events.parquet")) { staging =>
+      val base = Paths.get(staging)
+      val (f, d) = (base.resolve("f"), base.resolve("d"))
+      Files.createDirectories(f); Files.createDirectories(d)
+      ManifestOps.deleteTree(f); ManifestOps.deleteTree(d)
+      val cat = sqlCatalog(spark)
+      spark.sql(s"CREATE TABLE $cat.${sqlIdent(f)} " +
+        "(event_id BIGINT, day_us BIGINT, value DOUBLE) " +
+        "USING `graft-manifest` PARTITIONED BY (days(day_us)) " +
+        "TBLPROPERTIES ('writeFiles'='128')")
+      spark.sql(s"CREATE TABLE $cat.${sqlIdent(d)} " +
+        "(day_us BIGINT, day_n BIGINT) " +
+        "USING `graft-manifest` PARTITIONED BY (days(day_us)) " +
+        "TBLPROPERTIES ('writeFiles'='128')")
+      val ev = Tables.events(spark, dir).select(
+        col("event_id"),
+        (col("ts_us") - pmod(col("ts_us"), lit(86400000000L)))
+          .as("day_us"),
+        col("value"))
+      ev.createOrReplaceTempView("spj_days_fact_src")
+      ev.groupBy("day_us").agg(count(lit(1)).as("day_n"))
+        .createOrReplaceTempView("spj_days_dim_src")
+      spark.sql(s"INSERT INTO $cat.${sqlIdent(f)} " +
+        "SELECT * FROM spj_days_fact_src")
+      spark.sql(s"INSERT INTO $cat.${sqlIdent(d)} " +
+        "SELECT * FROM spj_days_dim_src")
+      Files.createFile(base.resolve("_SUCCESS")): Unit
+    }
+    (Paths.get(out).resolve("f"), Paths.get(out).resolve("d"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "join_manifest_spj_days" -> { (spark, dir) =>
+      // the DAYS-laid storage-partitioned join (round 13 — SPJ
+      // breadth beyond bucket): both sides report
+      // KeyGroupedPartitioning over days(day_us) resolved through the
+      // catalog's days function, and the per-day fact⋈dim join plans
+      // zero exchanges below the join (Wave184Spec asserts the plan;
+      // this query proves the rows). Money-style sums ride the exact
+      // DECIMAL cast so execution order cannot perturb the hash. The
+      // SPJ conf is scoped with try/finally + eager materialization,
+      // the wave-180 discipline.
+      val (f, d) = spjDaysRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val df = spark.sql(
+          s"""SELECT f.day_us, count(*) AS n,
+             |  CAST(round(sum(CAST(f.value AS DECIMAL(18,6))), 4)
+             |    AS DOUBLE) AS sumv,
+             |  max(d.day_n) AS day_n
+             |FROM $cat.${sqlIdent(f)} f
+             |JOIN $cat.${sqlIdent(d)} d ON f.day_us = d.day_us
+             |GROUP BY f.day_us ORDER BY f.day_us""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+          .orderBy("day_us")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    },
 
     "join_manifest_spj" -> { (spark, dir) =>
       // the STORAGE-PARTITIONED join (round 12): two tables bucketed

@@ -82,9 +82,53 @@ private[graft] object GraftDaysFunction
   }
 }
 
-/** The layout's `truncate` transform as a catalog function (round 13):
-  * truncate(w, col) = col - floorMod(col, w), bit-identical to
-  * [[graft.operators.ManifestTable.TruncateTransform]].
+/** A WIDTH-NAMED truncate transform function (round 13 — SPJ
+  * breadth): `truncate_100(col)` = col - floorMod(col, 100). The
+  * width lives in the NAME, not a literal argument, because Spark's
+  * `KeyGroupedPartitioning.satisfies0` requires every LEAF of a
+  * partition expression to appear among the join's clustering keys —
+  * a literal-width `truncate(100, col)` transform carries the literal
+  * as a leaf and can never satisfy a clustered distribution (bucket
+  * only works because Spark special-cases `numBuckets` out of the
+  * children). Width equality across the two join sides is enforced
+  * exactly where it belongs: `canonicalName` matching in
+  * `TransformExpression.isSameFunction`.
+  */
+private[graft] final case class GraftTruncateWidthFunction(w: Long)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"truncate_$w(col): col - floorMod(col, $w) — the manifest layout transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == LongType,
+      s"graft truncate_$w binds (BIGINT col), got $inputType")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] = Array(LongType)
+      override def resultType(): DataType = LongType
+      override def name(): String = s"truncate_$w"
+      override def canonicalName(): String = s"graft.truncate_$w"
+      override def isResultNullable: Boolean = false
+      override def produceResult(row: org.apache.spark.sql.catalyst
+          .InternalRow): java.lang.Long = {
+        val v = row.getLong(0)
+        v - java.lang.Math.floorMod(v, w)
+      }
+    }
+  }
+}
+
+/** The layout's `truncate` transform as a two-argument catalog
+  * function (round 13): truncate(w, col) = col - floorMod(col, w),
+  * bit-identical to
+  * [[graft.operators.ManifestTable.TruncateTransform]]. This is the
+  * SQL-facing spelling; plan-time partitioning reports the
+  * width-named [[GraftTruncateWidthFunction]] form instead (see its
+  * scaladoc for why).
   */
 private[graft] object GraftTruncateFunction
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
@@ -174,9 +218,12 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "bucket" => GraftBucketFunction
       case "days" => GraftDaysFunction
       case "truncate" => GraftTruncateFunction
+      case TruncWidthRe(w) => GraftTruncateWidthFunction(w.toLong)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
+
+  private val TruncWidthRe = "truncate_(\\d+)".r
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

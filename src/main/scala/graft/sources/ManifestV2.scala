@@ -234,8 +234,11 @@ private[graft] object ManifestV2Table {
   /** A recorded layout transform as the connector expression the
     * catalog's FunctionCatalog resolves (round 13): what the write
     * path's required distribution and the scan's reported partitioning
-    * both speak. Truncate widths are Int-ranged by construction
-    * (Spark's own Expressions.bucket takes int too).
+    * both speak. Truncate reports the WIDTH-NAMED single-argument form
+    * (`truncate_100(col)`, [[GraftTruncateWidthFunction]]) — a
+    * literal-width argument would be a leaf of the partition
+    * expression that Spark's clustered-distribution check requires
+    * among the join keys, where it can never appear.
     */
   def toV2Transform(t: ManifestTable.PartTransform)
       : org.apache.spark.sql.connector.expressions.Transform = {
@@ -245,10 +248,7 @@ private[graft] object ManifestV2Table {
         Expressions.bucket(b.n, b.srcCol)
       case d: ManifestTable.DaysTransform => Expressions.days(d.srcCol)
       case tr: ManifestTable.TruncateTransform =>
-        require(tr.w <= Int.MaxValue,
-          s"truncate width ${tr.w} exceeds the V2 expression range")
-        Expressions.apply("truncate",
-          Expressions.literal(java.lang.Integer.valueOf(tr.w.toInt)),
+        Expressions.apply(s"truncate_${tr.w}",
           Expressions.column(tr.srcCol))
     }
   }
@@ -611,36 +611,40 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
-  /** STORAGE-PARTITIONED-JOIN state (round 12): when the table's one
-    * transform is a bucket and EVERY admitted file is bucket-exact
-    * (recorded band lo == hi — the range layout's normal case), the
-    * scan can group its files BY BUCKET VALUE and report a
-    * KeyGroupedPartitioning — two co-bucketed manifest tables then
-    * join with ZERO shuffle (Spark matches the catalog function's
-    * canonicalName + numBuckets on both sides). A straddling file,
-    * any DV state, a rename, or a multi-transform layout degrades to
-    * UnknownPartitioning — the plan falls back to ordinary exchanges,
-    * never to wrong co-location.
+  /** STORAGE-PARTITIONED-JOIN state (round 12, widened round 13 —
+    * r12-VERDICT task 7): when the table's ONE transform — bucket,
+    * days, or truncate — leaves EVERY admitted file value-exact
+    * (recorded virtual band lo == hi — the range-clustered write's
+    * normal case), the scan can key its files BY TRANSFORM VALUE and
+    * report a KeyGroupedPartitioning — two co-laid manifest tables
+    * then join with ZERO shuffle (Spark matches the catalog
+    * function's canonicalName + literal args on both sides). A
+    * straddling file, any DV state, a rename, a multi-transform
+    * layout, or a mixed-generation evolved layout (old files lack the
+    * current transform's band) degrades to UnknownPartitioning — the
+    * plan falls back to ordinary exchanges, never to wrong
+    * co-location.
     */
-  private def spjGroups: Option[(Int, String, Seq[(Long, Seq[String])])] = {
-    // gate on the SPJ opt-in conf: grouping a bucket's files into ONE
-    // partition is what key-grouped execution requires, but it also
-    // CAPS a plain scan's parallelism at numBuckets — a regression
-    // for single-table reads that gain nothing from co-location.
-    // With the conf off (the default) scans keep split-granular
-    // parallelism; turning it on accepts the group-granularity trade
-    // everywhere bucket layouts exist (the same trade Iceberg's SPJ
-    // documents).
+  private def spjGroups
+      : Option[(ManifestTable.PartTransform, Seq[(Long, Seq[String])])] = {
+    // gate on the SPJ opt-in conf: grouping a transform value's files
+    // into ONE partition is what key-grouped execution requires, but
+    // it also CAPS a plain scan's parallelism at the value count — a
+    // regression for single-table reads that gain nothing from
+    // co-location. With the conf off (the default) scans keep
+    // split-granular parallelism; turning it on accepts the
+    // group-granularity trade everywhere transform layouts exist (the
+    // same trade Iceberg's SPJ documents).
     if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
         .toBoolean) return None
     ManifestTable.partTransforms(root, version) match {
-      case Seq(b: ManifestTable.BucketTransform)
+      case Seq(t)
           if dvs.isEmpty && dvps.isEmpty && dvrs.isEmpty && cmap.isEmpty =>
         val entries = admittedEntries
-        val keyed = entries.map(e => e.band(b.statName) -> e.path)
+        val keyed = entries.map(e => e.band(t.statName) -> e.path)
         if (entries.nonEmpty && keyed.forall {
             case (band, _) => band.exists(bb => bb._1 == bb._2) })
-          Some((b.n, b.srcCol,
+          Some((t,
             keyed.groupBy(_._1.get._1).toSeq.sortBy(_._1)
               .map { case (k, es) => (k, es.map(_._2)) }))
         else None
@@ -651,11 +655,10 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjGroups match {
-      case Some((n, col, groups)) =>
+      case Some((t, groups)) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, col)), groups.size)
+            Array(ManifestV2Table.toV2Transform(t)), groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -667,9 +670,13 @@ class ManifestRuntimeScan(spark: SparkSession, root: Path, version: Int,
     // partition per file, splits in offset order
     if (dvps.nonEmpty || dvrs.nonEmpty) bridge.onePartitionPerFile(delegate)
     else spjGroups match {
-      case Some((_, _, groups)) =>
-        // one HasPartitionKey partition per bucket value — the
-        // exec-side grouping storage-partitioned joins consume
+      case Some((_, groups)) =>
+        // one HasPartitionKey partition PER FILE (round 13): Spark's
+        // exec-side grouping merges same-key partitions when the join
+        // needs full clustering, and its partially-clustered
+        // distribution can KEEP them split on the larger side (skew
+        // handling) — a pre-grouped one-partition-per-value shape
+        // would make that split impossible
         val keyOf: Map[String, Long] = groups.flatMap {
           case (k, fs) => fs.map(_ -> k) }.toMap
         bridge.keyedPartitions(delegate, keyOf)

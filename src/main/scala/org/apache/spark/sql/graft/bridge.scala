@@ -109,13 +109,18 @@ object bridge {
       }.toArray
   }
 
-  /** One HasPartitionKey partition PER BUCKET VALUE for
-    * storage-partitioned joins (round 12): regroup the delegate's
-    * planned splits by their file's bucket value (`keyOf`, from the
-    * manifest's recorded per-file transform bands) — the exec-side
-    * shape KeyGroupedPartitioning consumers require. Partitions come
-    * back sorted by key; every file must be keyed (the scan only
-    * plans this when the admitted set is bucket-exact).
+  /** One HasPartitionKey partition PER FILE for storage-partitioned
+    * joins (round 12; per-file since round 13): key the delegate's
+    * planned splits by their file's transform value (`keyOf`, from
+    * the manifest's recorded per-file virtual bands) — the shape
+    * KeyGroupedPartitioning consumers require. Spark's exec-side
+    * grouping (`groupPartitions`) merges same-key partitions into one
+    * task group when the join needs full clustering, and its
+    * partially-clustered distribution keeps them SPLIT on the larger
+    * side (the SPJ skew path) — which a pre-grouped
+    * one-partition-per-value plan would foreclose. Partitions come
+    * back sorted by (key, file); every file must be keyed (the scan
+    * only plans this when the admitted set is value-exact).
     */
   def keyedPartitions(scan: org.apache.spark.sql.connector.read.Scan,
       keyOf: Map[String, Long])
@@ -126,10 +131,13 @@ object bridge {
       case other => throw new IllegalStateException(
         s"expected FilePartition from a parquet scan, got $other")
     }
-    splits.groupBy(s => keyOf.getOrElse(s.filePath.toPath.getName,
-        throw new IllegalStateException(
-          s"unkeyed file in a keyed plan: ${s.filePath}")))
-      .toSeq.sortBy(_._1).zipWithIndex.map { case ((k, fs), i) =>
+    splits.groupBy(_.filePath.toPath.getName).toSeq
+      .map { case (name, fs) =>
+        (keyOf.getOrElse(name, throw new IllegalStateException(
+          s"unkeyed file in a keyed plan: $name")), name, fs)
+      }
+      .sortBy { case (k, name, _) => (k, name) }.zipWithIndex
+      .map { case ((k, _, fs), i) =>
         new KeyedFilePartition(i, fs.sortBy(_.start), k)
           : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
