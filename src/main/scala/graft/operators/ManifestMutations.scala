@@ -394,6 +394,115 @@ trait ManifestMutations { self: ManifestLog with ManifestData
       s"delete=v$from", "del")
   }
 
+  /** Predicate-scoped overwrite (round 13 — Delta's `replaceWhere`,
+    * Spark SQL's `INSERT INTO … REPLACE WHERE cond SELECT …`): one
+    * atomic commit that (a) rewrites ONLY the stats-admitted files
+    * without their `cond`-matching rows and (b) appends `newData` —
+    * "replace this region of a 100 TB table" touches the region's
+    * files and nothing else. Incoming rows must ALL satisfy `cond`
+    * (checked with a short-circuit `limit(1)` job) — Delta's
+    * constraint, because a stray row would silently land OUTSIDE the
+    * region the statement claims to replace. Rows where `cond` is
+    * NULL survive (the DELETE rule). The rewritten half preserves the
+    * touched files' stats coverage; the inserted half records
+    * `statsCols` (the table's stats properties) plus any layout
+    * transforms, so both halves stay prunable. Scoped DVs refuse like
+    * every rewrite path; key DVs survive (they subtract by key on any
+    * file).
+    */
+  def replaceWhereCoW(spark: SparkSession, root: Path,
+      schema: StructType, cond: Column, newData: DataFrame,
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      dblStatsCols: Seq[String] = Nil, decStatsCols: Seq[String] = Nil,
+      longBands: Seq[(String, Long, Long)] = Nil,
+      strBands: Seq[(String, Option[String], Option[String])] = Nil,
+      dblBands: Seq[(String, Double, Double)] = Nil,
+      decBands: Seq[(String, Option[BigDecimal], Option[BigDecimal])] = Nil)
+      : Int = {
+    val from = latestVersion(root)
+    require(from > 0, "replaceWhere on an empty table")
+    requireNoScopedDvs(root, from, "replaceWhere")
+    val aligned = newData.select(schema.fieldNames.map(col).toSeq: _*)
+    // the inserted half: its own stats (table properties) + layout
+    val insLaid = restoreTransformCols(root, from, aligned)
+    val insNames: Seq[String] =
+      if (statsCols.isEmpty && strStatsCols.isEmpty &&
+          dblStatsCols.isEmpty && decStatsCols.isEmpty)
+        stage(insLaid, root, s"rwi$from${nonce()}")
+      else stageWithTypedStats(insLaid, root, s"rwi$from${nonce()}",
+        statsCols, strStatsCols, dblStatsCols, decStatsCols, Nil)
+    spliceReplaceWhere(spark, root, schema, cond, insNames,
+      longBands, strBands, dblBands, decBands)
+  }
+
+  /** The commit half of REPLACE WHERE, shared by the frame path above
+    * and the native V2 batch write (whose tasks have ALREADY written
+    * the new-data files distributed — `newLines` are their staged
+    * manifest entry lines). Validates the Delta constraint against the
+    * staged FILES (row-exact, short-circuit `limit(1)`); on violation
+    * the staged files are deleted and nothing commits.
+    */
+  def spliceReplaceWhere(spark: SparkSession, root: Path,
+      schema: StructType, cond: Column, newLines: Seq[String],
+      longBands: Seq[(String, Long, Long)] = Nil,
+      strBands: Seq[(String, Option[String], Option[String])] = Nil,
+      dblBands: Seq[(String, Double, Double)] = Nil,
+      decBands: Seq[(String, Option[BigDecimal], Option[BigDecimal])] = Nil)
+      : Int = {
+    val from = latestVersion(root)
+    require(from > 0, "replaceWhere on an empty table")
+    requireNoScopedDvs(root, from, "replaceWhere")
+    val data = root.resolve("data")
+    val newPaths = newLines.map(_.split('\t').head)
+    if (newPaths.nonEmpty) {
+      val stray = !spark.read.schema(schema)
+        .parquet(newPaths.map(p => data.resolve(p).toString): _*)
+        .filter(not(coalesce(cond, lit(false)))).limit(1).isEmpty
+      if (stray) {
+        newPaths.foreach(p =>
+          try Files.deleteIfExists(data.resolve(p)): Unit
+          catch { case _: Exception => () })
+        throw new IllegalArgumentException(
+          "REPLACE WHERE: every incoming row must satisfy the " +
+          "predicate — a non-matching row would land outside the " +
+          "replaced region (write it with a plain INSERT instead)")
+      }
+    }
+    val (hit, _, _) = prunedEntries(root, from,
+      longBands ++ hiddenBands(root, from, longBands), strBands,
+      dblBands, decBands)
+    // survivors: the touched files' non-matching rows, coverage
+    // preserved, clustered back on the leading recorded stat column
+    val survNames: Seq[String] = if (hit.isEmpty) Nil else {
+      val sc = hit.flatMap(_.stats.map(_._1)).distinct
+      val sSc = hit.flatMap(_.strStats.map(_._1)).distinct
+      val dSc = hit.flatMap(_.dblStats.map(_._1)).distinct
+      val decSc = hit.flatMap(_.decStats.map(_._1)).distinct
+      val binSc = hit.flatMap(_.binStats.map(_._1)).distinct
+      val kept = restoreTransformCols(root, from,
+        spark.read.schema(schema)
+          .parquet(hit.map(e => data.resolve(e.path).toString): _*)
+          .filter(not(coalesce(cond, lit(false)))))
+      val laid = sc.headOption match {
+        case Some(k) => kept.repartitionByRange(
+          math.max(1, hit.size), col(k))
+        case None => kept
+      }
+      if (sc.isEmpty && sSc.isEmpty && dSc.isEmpty && decSc.isEmpty &&
+          binSc.isEmpty) stage(laid, root, s"rws$from${nonce()}")
+      else stageWithTypedStats(laid, root, s"rws$from${nonce()}",
+        sc, sSc, dSc, decSc, binSc)
+    }
+    commitOpsF(root, _ => s"replacewhere=v$from") { parent =>
+      val curPaths = entriesFor(root, parent).map(_.path).toSet
+      if (!hit.forall(e => curPaths.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"replaceWhere over v$from conflicts: a commit after " +
+          s"v$from rewrote part of its touched set — re-read and re-run")
+      Some((survNames ++ newLines, hit.map(_.path)))
+    }.get
+  }
+
   /** SQL `UPDATE … SET … WHERE cond` as copy-on-write: same pruned
     * touched-set discipline as [[deleteWhereCoW]]; within the admitted
     * files each row either takes the assigned values (cond TRUE) or

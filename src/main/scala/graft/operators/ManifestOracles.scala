@@ -217,6 +217,24 @@ private[operators] object ManifestOracles {
         |       ELSE o_orderkey + 3000000000 END AS o_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_replace_where" ->
+      // outside the band: source rows verbatim; inside: re-priced,
+      // %3 keys dropped — the region was REPLACED, not updated
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 2 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey < lo OR o_orderkey >= hi
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |  o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey < hi
+        |  AND o_orderkey % 3 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     "join_manifest_spj_days" ->
       // the day-aligned fact⋈dim restated as plain derivations: fact =
       // every event with its UTC-day-floored epoch-µs key, dim = the

@@ -448,7 +448,63 @@ private[graft] object ManifestSqlOps {
     (Paths.get(out).resolve("f"), Paths.get(out).resolve("d"))
   }
 
+  /** The REPLACE WHERE lifecycle (round 13 — Delta's `replaceWhere`,
+    * Spark SQL's `INSERT INTO … REPLACE WHERE`): orders range-laid
+    * into 8 key-stat files, then ONE atomic statement replaces the
+    * [max/4, max/2) key band with re-priced rows that also DROP the
+    * band's %3 keys — region replacement, not an update. Only the
+    * band's files are touched (Wave186Spec proves band-disjoint files
+    * survive by path identity); the read-back equals the oracle's
+    * outside ∪ replaced composition.
+    */
+  private[graft] def replaceWhereRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_replace_where",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging).resolve("t")
+      Files.createDirectories(root)
+      ManifestOps.deleteTree(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` " +
+        "TBLPROPERTIES ('statsColumns' = 'o_orderkey')")
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .createOrReplaceTempView("rw_orders_src")
+      spark.sql(s"INSERT INTO $ident SELECT * FROM rw_orders_src")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val (lo, hi) = (mx / 4, mx / 2)
+      spark.sql(
+        s"""INSERT INTO $ident
+           |REPLACE WHERE o_orderkey >= $lo AND o_orderkey < $hi
+           |SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+           |  o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+           |  o_orderpriority
+           |FROM rw_orders_src
+           |WHERE o_orderkey >= $lo AND o_orderkey < $hi
+           |  AND o_orderkey % 3 <> 0""".stripMargin)
+      require(ManifestTable.latestVersion(root) == 3,
+        "replaceWhere lifecycle = CREATE + INSERT + ONE replace commit")
+      Files.createFile(Paths.get(staging).resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out).resolve("t")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "manifest_replace_where" -> { (spark, dir) =>
+      // predicate-scoped overwrite read back through the catalog: the
+      // band's rows were atomically swapped for the re-priced %3-
+      // filtered set, everything outside is untouched bytes
+      val root = replaceWhereRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
 
     "join_manifest_spj_days" -> { (spark, dir) =>
       // the DAYS-laid storage-partitioned join (round 13 — SPJ

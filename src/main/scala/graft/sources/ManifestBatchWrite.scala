@@ -39,11 +39,24 @@ import org.apache.spark.sql.types._
 private[graft] case class ManifestWriteMsg(line: String)
     extends WriterCommitMessage
 
+private[graft] object ManifestBatchWrite {
+  /** Driver-side REPLACE WHERE state for the native write's commit
+    * splice (never serialized — a BatchWrite stays on the driver).
+    */
+  final case class ReplaceWhere(schema: StructType,
+      cond: org.apache.spark.sql.Column,
+      longBands: Seq[(String, Long, Long)],
+      strBands: Seq[(String, Option[String], Option[String])],
+      dblBands: Seq[(String, Double, Double)],
+      decBands: Seq[(String, Option[BigDecimal], Option[BigDecimal])])
+}
+
 private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
     logical: StructType, writeSchema: StructType,
     transforms: Seq[ManifestTable.PartTransform],
     statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
-    decCols: Seq[String], kit: bridge.ParquetWriteKit, nonce: String)
+    decCols: Seq[String], kit: bridge.ParquetWriteKit, nonce: String,
+    splice: Option[ManifestBatchWrite.ReplaceWhere] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -60,15 +73,28 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
     val lines = messages.toSeq.collect {
       case ManifestWriteMsg(l) if l != null => l
     }
-    if (replace)
-      // the V1 Overwrite contract: full checkpoint commit under the
-      // query's schema; ptrans/bloom ride the meta inheritance
-      ManifestTable.commit(root, lines,
-        s"schema=${ManifestTable.schemaMeta(logical)}"): Unit
-    else
-      // append: empty meta inherits schema/colmap/ptrans/DV state
-      // from the winning parent inside the OCC retry
-      ManifestTable.appendCommit(root, lines): Unit
+    splice match {
+      case Some(rw) =>
+        // REPLACE WHERE (round 13): the tasks wrote the new-data
+        // files distributed; the splice validates them against the
+        // predicate, rewrites the touched files' survivors, and
+        // commits the whole exchange atomically. The BatchWrite (and
+        // the Column/bands it holds) never leaves the driver — only
+        // the writer factory ships.
+        ManifestTable.spliceReplaceWhere(
+          org.apache.spark.sql.SparkSession.active, root, rw.schema,
+          rw.cond, lines, rw.longBands, rw.strBands, rw.dblBands,
+          rw.decBands): Unit
+      case None if replace =>
+        // the V1 Overwrite contract: full checkpoint commit under the
+        // query's schema; ptrans/bloom ride the meta inheritance
+        ManifestTable.commit(root, lines,
+          s"schema=${ManifestTable.schemaMeta(logical)}"): Unit
+      case None =>
+        // append: empty meta inherits schema/colmap/ptrans/DV state
+        // from the winning parent inside the OCC retry
+        ManifestTable.appendCommit(root, lines): Unit
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -754,15 +754,23 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   private var replace = false
+  // non-trivial OverwriteByExpression filters (round 13 —
+  // `INSERT INTO … REPLACE WHERE`): empty = plain append/overwrite
+  private var replaceWhere: Array[Filter] = Array.empty
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-      "graft-manifest supports only full-table INSERT OVERWRITE " +
-      s"(got ${filters.mkString(", ")}); use DELETE FROM for " +
-      "predicate-scoped removal")
-    replace = true
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) replace = true
+    else {
+      // predicate-scoped overwrite (Delta's replaceWhere): every
+      // filter must translate, or the write would replace the WRONG
+      // region — loud refusal over silent approximation
+      filters.foreach(f => require(
+        ManifestV2.filterToColumn(f, identity).isDefined,
+        s"REPLACE WHERE predicate not translatable by graft-manifest: $f"))
+      replaceWhere = filters
+    }
     this
   }
 
@@ -770,8 +778,48 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
     val latest = ManifestTable.latestVersion(root)
     val transforms =
       if (latest == 0) Nil else ManifestTable.partTransforms(root, latest)
-    if (transforms.isEmpty) v1Write
-    else nativeWrite(transforms)
+    if (transforms.isEmpty) {
+      if (replaceWhere.nonEmpty) replaceWhereWrite else v1Write
+    } else nativeWrite(transforms) // replaceWhere rides its commit splice
+  }
+
+  /** `INSERT INTO … REPLACE WHERE cond SELECT …` — one atomic
+    * [[ManifestTable.replaceWhereCoW]] commit: the stats-admitted
+    * files are rewritten without their matching rows AND the new data
+    * lands, nothing else is touched. Rides the V1 frame (the rewrite
+    * is a driver-orchestrated CoW job, not a per-task write);
+    * transform layouts restore via the staging path.
+    */
+  private def replaceWhereWrite: Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val s = data.sparkSession
+          val latest = ManifestTable.latestVersion(root)
+          val cmap = ManifestTable.columnMap(root, latest)
+          def p(c: String) = cmap.getOrElse(c, c)
+          val cond = replaceWhere.toSeq
+            .flatMap(ManifestV2.filterToColumn(_, p))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val logical = ManifestV2.resolveSchema(s, root, latest)
+          val physSchema = StructType(logical.fields.map(f =>
+            f.copy(name = p(f.name))))
+          def colsOf(k: String) = props.get(k).map(_.split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty).map(p)).getOrElse(Nil)
+          ManifestTable.replaceWhereCoW(s, root, physSchema, cond,
+            data.toDF(physSchema.fieldNames.toSeq: _*),
+            colsOf("statsColumns"), colsOf("statsStringColumns"),
+            colsOf("statsDoubleColumns"), colsOf("statsDecimalColumns"),
+            FilterBands.long(replaceWhere).map {
+              case (c, lo, hi) => (p(c), lo, hi) },
+            FilterBands.str(replaceWhere).map {
+              case (c, lo, hi) => (p(c), lo, hi) },
+            FilterBands.dbl(replaceWhere).map {
+              case (c, lo, hi) => (p(c), lo, hi) },
+            FilterBands.dec(replaceWhere).map {
+              case (c, lo, hi) => (p(c), lo, hi) }): Unit
+        }
+      }
   }
 
   /** Plain tables: the V1 bridge (owns SaveMode→commit mapping,
@@ -815,12 +863,26 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
       transforms.map(_.statName)).distinct
     val targetFiles = props.get("writeFiles").map(_.toInt).getOrElse(16)
     Files.createDirectories(root.resolve("data"))
+    // REPLACE WHERE on a transform-laid table: tasks write the new
+    // data distributed (layout + stats as any insert), and the commit
+    // splices it — validate, rewrite survivors, one OCC commit
+    // (ManifestBatchWrite.commit). Driver-only state — never shipped.
+    val spliceOpt =
+      if (replaceWhere.isEmpty) None
+      else Some(ManifestBatchWrite.ReplaceWhere(logical,
+        replaceWhere.toSeq
+          .flatMap(ManifestV2.filterToColumn(_, identity))
+          .reduceOption(_ && _).getOrElse(lit(true)),
+        FilterBands.long(replaceWhere),
+        FilterBands.str(replaceWhere),
+        FilterBands.dbl(replaceWhere),
+        FilterBands.dec(replaceWhere)))
     val batch = new ManifestBatchWrite(root.toString, replace,
       logical, writeSchema, transforms, statsCols,
       colsOf("statsStringColumns"), colsOf("statsDoubleColumns"),
       colsOf("statsDecimalColumns"),
       bridge.parquetWriteKit(spark, writeSchema),
-      "ap" + java.util.UUID.randomUUID().toString.take(8))
+      "ap" + java.util.UUID.randomUUID().toString.take(8), spliceOpt)
     new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
