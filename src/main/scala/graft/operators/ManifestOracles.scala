@@ -217,6 +217,12 @@ private[operators] object ManifestOracles {
         |       ELSE o_orderkey + 3000000000 END AS o_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "sink_manifest_dist" ->
+      // the clustered write is a relayout of the same physics
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "manifest_replace_where" ->
       // outside the band: source rows verbatim; inside: re-priced,
       // %3 keys dropped — the region was REPLACED, not updated

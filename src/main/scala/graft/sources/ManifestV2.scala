@@ -154,18 +154,14 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
     (ManifestV2Table.props(root) +
       (TableCatalog.PROP_PROVIDER -> "graft-manifest")).asJava
 
-  /** The recorded hidden-partitioning transforms as V2 expressions
-    * (round 12 — storage-partitioned joins): only bucket is reported
-    * (it is the one transform the catalog exposes a resolvable
-    * function for; truncate/days layouts still prune, they just don't
-    * claim a join-compatible partitioning).
+  /** The recorded hidden-partitioning transforms as V2 expressions.
+    * Round 13: ALL three transform kinds report (the catalog resolves
+    * bucket, days, and the width-named truncate functions since wave
+    * 184 — each is join-compatible and write-distribution-resolvable).
     */
   override def partitioning(): Array[Transform] =
-    ManifestTable.partTransforms(root, snapshot).collect {
-      case b: ManifestTable.BucketTransform =>
-        org.apache.spark.sql.connector.expressions.Expressions
-          .bucket(b.n, b.srcCol)
-    }.toArray
+    ManifestTable.partTransforms(root, snapshot)
+      .map(ManifestV2Table.toV2Transform).toArray
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(
