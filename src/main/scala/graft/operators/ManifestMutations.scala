@@ -503,6 +503,92 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     }.get
   }
 
+  /** DYNAMIC partition overwrite (round 13 — Iceberg's signature
+    * overwrite, Spark's `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`): replace exactly the partitions
+    * PRESENT in the new data, leave every other partition's bytes
+    * untouched. The tasks have already written the new files
+    * (`newLines`); the partition-value set S is read EXACTLY from
+    * their own `__pt*` column (one narrow scan — that set IS the
+    * operation's metadata, O(|touched partitions|)). Current files
+    * whose recorded virtual band intersects S are the touched set:
+    * bucket-exact files with value ∈ S drop WITHOUT a rewrite (a
+    * bucket transform maps NULL sources to a real bucket, so the band
+    * covers every row); days/truncate files rewrite their survivors
+    * through the row-exact filter instead — their bands ignore NULL
+    * source rows, which belong to the null partition and must survive
+    * unless S contains it. Needs exactly ONE layout transform (a
+    * multi-transform partition tuple cannot be expressed as
+    * per-coordinate membership; the capability gate refuses earlier).
+    */
+  def spliceDynamicOverwrite(spark: SparkSession, root: Path,
+      schema: StructType, newLines: Seq[String]): Int = {
+    val from = latestVersion(root)
+    require(from > 0, "dynamic overwrite on an empty table")
+    requireNoScopedDvs(root, from, "dynamic overwrite")
+    val ts = partTransforms(root, from)
+    require(ts.size == 1,
+      "dynamic partition overwrite needs exactly one layout " +
+      s"transform, got [${ts.map(_.meta).mkString(", ")}]")
+    val t = ts.head
+    val data = root.resolve("data")
+    val newPaths = newLines.map(_.split('\t').head)
+    if (newPaths.isEmpty) return from // empty source replaces nothing
+    val vrows = spark.read
+      .parquet(newPaths.map(p => data.resolve(p).toString): _*)
+      .select(col(t.statName)).distinct().collect()
+    val hasNullPart = vrows.exists(_.isNullAt(0))
+    val values = vrows.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet
+    val cur = entriesFor(root, from)
+    val hit = cur.filter { e =>
+      e.band(t.statName) match {
+        // a recorded band still says nothing about NULL source rows —
+        // when S holds the null partition, no file proves disjointness
+        case Some((lo, hi)) => hasNullPart ||
+          values.exists(v => v >= lo && v <= hi)
+        case None => true // cannot prove disjoint — conservative
+      }
+    }
+    val bucketLike = t.isInstanceOf[BucketTransform]
+    val (drop, rewriteSet) = hit.partition(e => bucketLike &&
+      e.band(t.statName).exists { case (lo, hi) =>
+        lo == hi && values.contains(lo) })
+    val survNames: Seq[String] = if (rewriteSet.isEmpty) Nil else {
+      val inS = {
+        val base = if (values.isEmpty) lit(false)
+          else t.exprCol.isin(values.toSeq: _*)
+        if (hasNullPart) base || t.exprCol.isNull else base
+      }
+      val sc = rewriteSet.flatMap(_.stats.map(_._1)).distinct
+      val sSc = rewriteSet.flatMap(_.strStats.map(_._1)).distinct
+      val dSc = rewriteSet.flatMap(_.dblStats.map(_._1)).distinct
+      val decSc = rewriteSet.flatMap(_.decStats.map(_._1)).distinct
+      val binSc = rewriteSet.flatMap(_.binStats.map(_._1)).distinct
+      val kept = restoreTransformCols(root, from,
+        spark.read.schema(schema)
+          .parquet(rewriteSet.map(e =>
+            data.resolve(e.path).toString): _*)
+          .filter(not(coalesce(inS, lit(false)))))
+      val laid = sc.headOption match {
+        case Some(k) => kept.repartitionByRange(
+          math.max(1, rewriteSet.size), col(k))
+        case None => kept
+      }
+      if (sc.isEmpty && sSc.isEmpty && dSc.isEmpty && decSc.isEmpty &&
+          binSc.isEmpty) stage(laid, root, s"dyo$from${nonce()}")
+      else stageWithTypedStats(laid, root, s"dyo$from${nonce()}",
+        sc, sSc, dSc, decSc, binSc)
+    }
+    commitOpsF(root, _ => s"dynoverwrite=v$from") { parent =>
+      val curPaths = entriesFor(root, parent).map(_.path).toSet
+      if (!hit.forall(e => curPaths.contains(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"dynamic overwrite over v$from conflicts: a commit after " +
+          s"v$from rewrote part of its touched set — re-run")
+      Some((survNames ++ newLines, hit.map(_.path)))
+    }.get
+  }
+
   /** SQL `UPDATE … SET … WHERE cond` as copy-on-write: same pruned
     * touched-set discipline as [[deleteWhereCoW]]; within the admitted
     * files each row either takes the assigned values (cond TRUE) or

@@ -217,6 +217,23 @@ private[operators] object ManifestOracles {
         |       ELSE o_orderkey + 3000000000 END AS o_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_dynamic_overwrite" ->
+      // days 3-5 (relative to the fixture's first day) were replaced
+      // by their doubled-value copies; every other day is verbatim
+      """WITH e AS (SELECT event_id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+        |    value FROM events),
+        |  b AS (SELECT min(day_us) AS d0 FROM e)
+        |SELECT event_id, day_us, value FROM e CROSS JOIN b
+        |WHERE day_us < d0 + 3 * 86400000000
+        |   OR day_us >= d0 + 6 * 86400000000
+        |UNION ALL
+        |SELECT event_id, day_us, value * 2 AS value
+        |FROM e CROSS JOIN b
+        |WHERE day_us >= d0 + 3 * 86400000000
+        |  AND day_us < d0 + 6 * 86400000000
+        |ORDER BY event_id""".stripMargin,
+
     "sink_manifest_dist" ->
       // the clustered write is a relayout of the same physics
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -530,7 +530,70 @@ private[graft] object ManifestSqlOps {
     Paths.get(out).resolve("t")
   }
 
+  /** The DYNAMIC partition overwrite lifecycle (round 13 — Iceberg's
+    * signature overwrite): events laid by days(day_us), then one
+    * `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` whose
+    * source holds ONLY days 3-5 (values doubled) — exactly those three
+    * day partitions are replaced, every other day's files survive
+    * untouched (Wave188Spec proves file identity; this query proves
+    * the rows). The conf is scoped with try/finally, the wave-180
+    * discipline.
+    */
+  private[graft] def dynOverwriteRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_dyn_overwrite",
+      Seq(s"$dir/events.parquet")) { staging =>
+      val root = Paths.get(staging).resolve("t")
+      Files.createDirectories(root)
+      ManifestOps.deleteTree(root)
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"CREATE TABLE $ident " +
+        "(event_id BIGINT, day_us BIGINT, value DOUBLE) " +
+        "USING `graft-manifest` PARTITIONED BY (days(day_us)) " +
+        "TBLPROPERTIES ('statsColumns'='event_id,day_us', " +
+        "'writeFiles'='128')")
+      val ev = Tables.events(spark, dir).select(
+        col("event_id"),
+        (col("ts_us") - pmod(col("ts_us"), lit(86400000000L)))
+          .as("day_us"),
+        col("value"))
+      ev.createOrReplaceTempView("dyo_events_src")
+      spark.sql(s"INSERT INTO $ident SELECT * FROM dyo_events_src")
+      val day = 86400000000L
+      val d0 = ev.agg(min("day_us")).head().getLong(0)
+      val (lo, hi) = (d0 + 3 * day, d0 + 6 * day)
+      val k = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k, "dynamic")
+      try spark.sql(
+        s"""INSERT OVERWRITE $ident
+           |SELECT event_id, day_us, value * 2 AS value
+           |FROM dyo_events_src
+           |WHERE day_us >= $lo AND day_us < $hi""".stripMargin)
+      finally prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+      require(ManifestTable.latestVersion(root) == 3,
+        "dynamic-overwrite lifecycle = CREATE + INSERT + ONE commit")
+      Files.createFile(Paths.get(staging).resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out).resolve("t")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "manifest_dynamic_overwrite" -> { (spark, dir) =>
+      // the partition-scoped replacement read back whole: days 3-5
+      // carry doubled values, every other day is the source verbatim
+      val root = dynOverwriteRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT event_id, day_us, value
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY event_id""".stripMargin)
+    },
 
     "sink_manifest_dist" -> { (spark, dir) =>
       // the distributed clustered write read back whole through the

@@ -40,15 +40,18 @@ private[graft] case class ManifestWriteMsg(line: String)
     extends WriterCommitMessage
 
 private[graft] object ManifestBatchWrite {
-  /** Driver-side REPLACE WHERE state for the native write's commit
-    * splice (never serialized — a BatchWrite stays on the driver).
+  /** Driver-side commit-splice state for the native write (never
+    * serialized — a BatchWrite stays on the driver).
     */
+  sealed trait Splice
   final case class ReplaceWhere(schema: StructType,
       cond: org.apache.spark.sql.Column,
       longBands: Seq[(String, Long, Long)],
       strBands: Seq[(String, Option[String], Option[String])],
       dblBands: Seq[(String, Double, Double)],
       decBands: Seq[(String, Option[BigDecimal], Option[BigDecimal])])
+      extends Splice
+  final case class DynamicOverwrite(schema: StructType) extends Splice
 }
 
 private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
@@ -56,7 +59,7 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
     transforms: Seq[ManifestTable.PartTransform],
     statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
     decCols: Seq[String], kit: bridge.ParquetWriteKit, nonce: String,
-    splice: Option[ManifestBatchWrite.ReplaceWhere] = None)
+    splice: Option[ManifestBatchWrite.Splice] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -74,7 +77,7 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
       case ManifestWriteMsg(l) if l != null => l
     }
     splice match {
-      case Some(rw) =>
+      case Some(rw: ManifestBatchWrite.ReplaceWhere) =>
         // REPLACE WHERE (round 13): the tasks wrote the new-data
         // files distributed; the splice validates them against the
         // predicate, rewrites the touched files' survivors, and
@@ -85,6 +88,14 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
           org.apache.spark.sql.SparkSession.active, root, rw.schema,
           rw.cond, lines, rw.longBands, rw.strBands, rw.dblBands,
           rw.decBands): Unit
+      case Some(dyo: ManifestBatchWrite.DynamicOverwrite) =>
+        // dynamic partition overwrite (round 13): the partitions
+        // present in the written files replace their current files —
+        // value-exact bucket files drop by metadata, the rest rewrite
+        // survivors row-exactly
+        ManifestTable.spliceDynamicOverwrite(
+          org.apache.spark.sql.SparkSession.active, root, dyo.schema,
+          lines): Unit
       case None if replace =>
         // the V1 Overwrite contract: full checkpoint commit under the
         // query's schema; ptrans/bloom ride the meta inheritance

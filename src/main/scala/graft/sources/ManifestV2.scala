@@ -176,8 +176,20 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
     // keep the V1 bridge (SaveMode mapping, mergeSchema, colmap).
     // Writes target the LATEST version, so the capability checks it.
     val latest = ManifestTable.latestVersion(root)
-    if (latest == 0 || ManifestTable.partTransforms(root, latest).isEmpty)
+    val transforms =
+      if (latest == 0) Nil else ManifestTable.partTransforms(root, latest)
+    if (transforms.isEmpty)
       caps.add(TableCapability.V1_BATCH_WRITE): Unit
+    // dynamic partition overwrite (round 13): a single-transform
+    // layout replaces exactly the partitions present in the source
+    // ([[ManifestTable.spliceDynamicOverwrite]]); an UNPARTITIONED
+    // table replaces everything — Hive/Spark's unpartitioned-dynamic
+    // semantics (also keeps a session-global dynamic conf from
+    // breaking plain INSERT OVERWRITE at the capability check). A
+    // multi-transform tuple stays unadvertised → a clear analysis
+    // error instead of a wrong per-coordinate replacement.
+    if (transforms.size <= 1)
+      caps.add(TableCapability.OVERWRITE_DYNAMIC): Unit
     caps
   }
 
@@ -747,14 +759,23 @@ private[graft] class ManifestV2BridgeRelation(ctx: SQLContext, root: Path,
   */
 class ManifestWriteBuilder(root: Path, props: Map[String, String],
     info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var replace = false
   // non-trivial OverwriteByExpression filters (round 13 —
   // `INSERT INTO … REPLACE WHERE`): empty = plain append/overwrite
   private var replaceWhere: Array[Filter] = Array.empty
+  // dynamic partition overwrite (round 13): replace exactly the
+  // partitions present in the source
+  private var dynamic = false
 
   override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true
+    this
+  }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) replace = true
@@ -775,8 +796,17 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
     val transforms =
       if (latest == 0) Nil else ManifestTable.partTransforms(root, latest)
     if (transforms.isEmpty) {
-      if (replaceWhere.nonEmpty) replaceWhereWrite else v1Write
-    } else nativeWrite(transforms) // replaceWhere rides its commit splice
+      if (dynamic) {
+        // unpartitioned dynamic overwrite = full replacement (the
+        // Hive/Spark unpartitioned-dynamic rule). Spark has NO V1
+        // fallback exec for OverwritePartitionsDynamic, so this must
+        // be a real BatchWrite even on a plain table.
+        replace = true
+        nativeWrite(Nil)
+      }
+      else if (replaceWhere.nonEmpty) replaceWhereWrite
+      else v1Write
+    } else nativeWrite(transforms) // replace-where/dynamic ride the splice
   }
 
   /** `INSERT INTO … REPLACE WHERE cond SELECT …` — one atomic
@@ -863,8 +893,10 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
     // data distributed (layout + stats as any insert), and the commit
     // splices it — validate, rewrite survivors, one OCC commit
     // (ManifestBatchWrite.commit). Driver-only state — never shipped.
-    val spliceOpt =
-      if (replaceWhere.isEmpty) None
+    val spliceOpt: Option[ManifestBatchWrite.Splice] =
+      if (dynamic && transforms.nonEmpty)
+        Some(ManifestBatchWrite.DynamicOverwrite(logical))
+      else if (replaceWhere.isEmpty) None
       else Some(ManifestBatchWrite.ReplaceWhere(logical,
         replaceWhere.toSeq
           .flatMap(ManifestV2.filterToColumn(_, identity))
@@ -879,6 +911,13 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
       colsOf("statsDecimalColumns"),
       bridge.parquetWriteKit(spark, writeSchema),
       "ap" + java.util.UUID.randomUUID().toString.take(8), spliceOpt)
+    if (transforms.isEmpty)
+      // plain table through the native path (unpartitioned dynamic
+      // overwrite): no layout, nothing to require
+      return new Write {
+        override def toBatch
+            : org.apache.spark.sql.connector.write.BatchWrite = batch
+      }
     new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
