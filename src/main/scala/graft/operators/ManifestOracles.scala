@@ -217,6 +217,22 @@ private[operators] object ManifestOracles {
         |       ELSE o_orderkey + 3000000000 END AS o_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_meta_history" ->
+      // the replaceWhere lifecycle's deterministic commit log
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'checkpoint', ''),
+        |  (CAST(2 AS BIGINT), 'delta', ''),
+        |  (CAST(3 AS BIGINT), 'delta', 'replacewhere=v2'))
+        |  AS t(version, kind, operation)
+        |ORDER BY version""".stripMargin,
+
+    "manifest_meta_partitions" ->
+      // the layout's recorded value set must equal the data's
+      // distinct days — metadata vs raw-data cross-check
+      """SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+        |  AS value
+        |FROM events ORDER BY value""".stripMargin,
+
     "manifest_dynamic_overwrite" ->
       // days 3-5 (relative to the fixture's first day) were replaced
       // by their doubled-value copies; every other day is verbatim

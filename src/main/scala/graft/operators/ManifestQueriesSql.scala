@@ -584,6 +584,32 @@ private[graft] object ManifestSqlOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "manifest_meta_history" -> { (spark, dir) =>
+      // the `t.history` METADATA TABLE (round 13 — Iceberg's audit
+      // surface as a queryable table, served as a LocalScan because
+      // the rows ARE driver-scale metadata): the replaceWhere
+      // lifecycle's log is deterministic — CREATE checkpoint, INSERT
+      // delta, one replacewhere delta — so the oracle is literal
+      val root = replaceWhereRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT version, kind, operation
+           |FROM $cat.${sqlIdent(root)}.`history`
+           |ORDER BY version""".stripMargin)
+    },
+
+    "manifest_meta_partitions" -> { (spark, dir) =>
+      // the `t.partitions` metadata table over the days-laid SPJ
+      // fact: the layout's value set must equal the data's distinct
+      // days — metadata cross-checked against a fact the oracle
+      // derives from the raw events
+      val (f, _) = spjDaysRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT value FROM $cat.${sqlIdent(f)}.`partitions`
+           |ORDER BY value""".stripMargin)
+    },
+
     "manifest_dynamic_overwrite" -> { (spark, dir) =>
       // the partition-scoped replacement read back whole: days 3-5
       // carry doubled values, every other day is the source verbatim

@@ -270,7 +270,23 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // metadata tables (round 13 — Iceberg's surface): `cat.ns.t
+      // .history` arrives as Identifier(ns :+ t, "history"); when the
+      // trailing-namespace element IS a table and the name is a known
+      // metadata kind, serve the metadata view. A REAL table named
+      // "history" always wins (the isTable check above).
+      if (ManifestMetaTables.kinds.contains(ident.name().toLowerCase)
+          && ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init,
+          ident.namespace().last)
+        val baseDir = tableDir(base)
+        if (isTable(baseDir))
+          return ManifestMetaTables(baseDir, ident.name().toLowerCase,
+            s"$catalogName.${ident.toString}")
+      }
+      throw new NoSuchTableException(ident)
+    }
     new ManifestV2Table(dir, ManifestTable.latestVersion(dir),
       pinned = false, s"$catalogName.${ident.toString}")
   }

@@ -875,13 +875,31 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
       : Write = {
     val spark = SparkSession.active
     val logical = info.schema()
+    // column mapping composes (round 13 — the V1 bridge refused
+    // writes to RENAMED transform tables outright): files must carry
+    // PHYSICAL names (the read path aliases logical→physical, and a
+    // file written under logical names would read back as nulls), so
+    // the file schema renames the incoming logical fields; recorded
+    // transform srcCols and stats properties are CREATE-time =
+    // physical already. Incoming row ORDER is the logical order, so
+    // ordinals line up unchanged.
+    val cmap = ManifestTable.columnMap(root,
+      ManifestTable.latestVersion(root))
+    def p(c: String) = cmap.getOrElse(c, c)
+    val physLogical = org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = p(f.name))))
+    require(cmap.isEmpty || (replaceWhere.isEmpty && !dynamic),
+      "REPLACE WHERE / dynamic overwrite on a column-mapped " +
+      "transform table is not supported — run the maintenance " +
+      "rewrite first or use DELETE + INSERT")
     transforms.foreach(t => require(
-      logical.fieldNames.contains(t.srcCol) &&
-        logical(t.srcCol).dataType == org.apache.spark.sql.types.LongType,
+      physLogical.fieldNames.contains(t.srcCol) &&
+        physLogical(t.srcCol).dataType ==
+          org.apache.spark.sql.types.LongType,
       s"write to a ${t.meta}-laid table needs a BIGINT '${t.srcCol}' " +
       "column in the query"))
     val writeSchema = org.apache.spark.sql.types.StructType(
-      logical.fields ++ transforms.map(t => org.apache.spark.sql.types
+      physLogical.fields ++ transforms.map(t => org.apache.spark.sql.types
         .StructField(t.statName, org.apache.spark.sql.types.LongType)))
     def colsOf(k: String) = props.get(k).map(_.split(',').toSeq
       .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)

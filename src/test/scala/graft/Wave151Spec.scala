@@ -101,14 +101,17 @@ class Wave151Spec extends SparkSpec {
     assert(e.getMessage.contains("ptrans"),
       s"expected the transform-source guard: ${e.getMessage}")
     spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN k TO key")
-    // and a write onto the now-MAPPED transform table is rejected
-    // loudly (recorded srcCol is the CREATE-time name)
+    // a write onto the now-MAPPED transform table WORKS since round
+    // 13 (the native batch write renames the file schema to physical
+    // names — the V1 bridge used to refuse this outright): rows land
+    // laid-out and read back under the LOGICAL name
     spark.range(3).selectExpr("id AS key", "id AS c")
       .createOrReplaceTempView("w151_ren_src")
-    val w = intercept[Exception] {
-      spark.sql(s"INSERT INTO $cat.t SELECT * FROM w151_ren_src")
-    }
-    assert(w.getMessage.contains("transforms"),
-      s"expected the transforms+mapping write guard: ${w.getMessage}")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM w151_ren_src")
+    val got = spark.sql(s"SELECT key, c FROM $cat.t ORDER BY key")
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 2L)),
+      "the mapped-table write must read back under logical names")
   }
 }
