@@ -635,6 +635,14 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     * tail, not the table (the Delta OPTIMIZE shape). Returns the new
     * version (or `from` unchanged when <2 small files — nothing to
     * pack). Pinned readers of `from` are untouched by immutability.
+    *
+    * LAYOUT-AWARE since round 13 (wave 190): on a transform-laid
+    * table the packed set is clustered by (transform tuple, key) and
+    * staged through the ROLLING writer
+    * ([[graft.sources.ManifestRollingStage]]) — every packed file
+    * stays value-exact, so a storage-partitioned layout SURVIVES its
+    * own maintenance (the old key-only range layout straddled
+    * transform values and silently degraded SPJ to exchanges).
     */
   def optimizeSmall(spark: SparkSession, root: Path, from: Int,
       schema: StructType, keyCol: String, smallBytes: Long): Int = {
@@ -650,14 +658,25 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     val dblCols = small.flatMap(_.dblStats.map(_._1)).distinct
     val decCols = small.flatMap(_.decStats.map(_._1)).distinct
     val binCols = small.flatMap(_.binStats.map(_._1)).distinct
-    val packed = stageWithTypedStats(
-      restoreTransformCols(root, from, spark.read.schema(schema)
-          .parquet(small.map(e => data.resolve(e.path).toString): _*))
-        .repartitionByRange(math.max(1,
-          (small.map(e => Files.size(data.resolve(e.path))).sum
-            / smallBytes).toInt), col(keyCol)),
-      root, s"opt$from${nonce()}", statCols, strCols, dblCols, decCols,
-      binCols)
+    val restored = restoreTransformCols(root, from,
+      spark.read.schema(schema)
+        .parquet(small.map(e => data.resolve(e.path).toString): _*))
+    val target = math.max(1,
+      (small.map(e => Files.size(data.resolve(e.path))).sum
+        / smallBytes).toInt)
+    val ts = partTransforms(root, from)
+    val packed =
+      if (ts.nonEmpty) {
+        val sortCols = (ts.map(_.statName) :+ keyCol).map(col)
+        graft.sources.ManifestRollingStage.stage(
+          restored.repartitionByRange(target, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*),
+          root.toString, s"opt$from${nonce()}",
+          statCols, strCols, dblCols, decCols, binCols)
+      } else stageWithTypedStats(
+        restored.repartitionByRange(target, col(keyCol)),
+        root, s"opt$from${nonce()}", statCols, strCols, dblCols,
+        decCols, binCols)
     commitOpsF(root, _ => s"optimize=v$from") { parent =>
       val curPaths = entriesFor(root, parent).map(_.path).toSet
       if (!small.forall(e => curPaths.contains(e.path)))

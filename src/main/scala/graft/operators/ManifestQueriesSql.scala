@@ -582,7 +582,66 @@ private[graft] object ManifestSqlOps {
     Paths.get(out).resolve("t")
   }
 
+  /** The layout-aware OPTIMIZE lifecycle (round 13, wave 190): orders
+    * bucket(8)-laid, fragmented by TWO insert halves (~2 files per
+    * bucket), then ONE `OPTIMIZE` statement packs the small-file tail
+    * through the ROLLING writer — every packed file stays
+    * bucket-exact, so the storage-partitioned layout survives its own
+    * maintenance (Wave190Spec asserts file counts, exactness, and the
+    * post-pack zero-exchange SPJ; this query proves the rows).
+    */
+  private[graft] def optimizeLayoutRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_optimize_layout",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging).resolve("t")
+      Files.createDirectories(root)
+      ManifestOps.deleteTree(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` " +
+        "PARTITIONED BY (bucket(8, o_orderkey)) " +
+        "TBLPROPERTIES ('statsColumns' = 'o_orderkey')")
+      orders.createOrReplaceTempView("optl_orders_src")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM optl_orders_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"INSERT INTO $ident " +
+        "SELECT * FROM optl_orders_src WHERE o_orderkey % 2 = 1")
+      val frag = ManifestTable.entriesFor(root,
+        ManifestTable.latestVersion(root)).size
+      graft.plans.GraftSql.sql(spark, s"OPTIMIZE $ident")
+        .head().getLong(0)
+      val packed = ManifestTable.entriesFor(root,
+        ManifestTable.latestVersion(root))
+      require(packed.size <= 8 && packed.size < frag,
+        s"OPTIMIZE must pack $frag files to O(buckets), got " +
+        s"${packed.size}")
+      require(packed.forall(_.band("__ptb8_o_orderkey")
+          .exists(b => b._1 == b._2)),
+        "every packed file must stay bucket-exact")
+      Files.createFile(Paths.get(staging).resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out).resolve("t")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "manifest_optimize_layout" -> { (spark, dir) =>
+      // the packed table read back with a pruned band filter — value
+      // equality through fragment + pack IS the assertion
+      val root = optimizeLayoutRoot(spark, dir)
+      val orders = Tables.table(spark, dir, "orders")
+      val cat = sqlCatalog(spark)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |WHERE o_orderkey >= ${mx / 8} AND o_orderkey <= ${mx / 4}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
 
     "manifest_meta_history" -> { (spark, dir) =>
       // the `t.history` METADATA TABLE (round 13 — Iceberg's audit

@@ -25,18 +25,23 @@ import org.apache.spark.sql.types._
   *     with a driver-looped min/max job, an O(files) planning tax the
   *     real formats don't pay.
   *
-  * Each task writes at most one parquet file (Spark's own
-  * ParquetOutputWriter via [[bridge.parquetWriteKit]] — InternalRow
-  * in, no Row conversion), materializing the layout transforms as the
-  * reserved `__pt*` columns and tracking min/max for every stats
-  * column on the fly. Commit messages carry the manifest ENTRY LINES;
-  * the driver commits them through the ordinary OCC protocol
-  * (append = O(delta) delta manifest, overwrite = checkpoint). Task
-  * retries write distinct uuid-suffixed files — only the committed
-  * attempt's line becomes live, losers are vacuum fodder, exactly the
-  * staging rule.
+  * Each task writes ROLLING parquet files (wave 190): rows arrive
+  * transform-sorted (the write's required ordering), and the writer
+  * opens a NEW file whenever the transform tuple changes — every
+  * committed file is value-exact BY CONSTRUCTION, independent of how
+  * the range exchange sampled its boundaries (a rare value merged
+  * into a neighbor's partition previously produced a straddling
+  * file, silently degrading storage-partitioned joins). Files go
+  * through Spark's own ParquetOutputWriter via
+  * [[bridge.parquetWriteKit]] — InternalRow in, no Row conversion —
+  * with min/max tracked for every stats column on the fly. Commit
+  * messages carry the manifest ENTRY LINES; the driver commits them
+  * through the ordinary OCC protocol (append = O(delta) delta
+  * manifest, overwrite = checkpoint). Task retries write distinct
+  * uuid-suffixed files — only the committed attempt's lines become
+  * live, losers are vacuum fodder, exactly the staging rule.
   */
-private[graft] case class ManifestWriteMsg(line: String)
+private[graft] case class ManifestWriteMsg(lines: Seq[String])
     extends WriterCommitMessage
 
 private[graft] object ManifestBatchWrite {
@@ -69,13 +74,13 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
     // object, so tasks re-parse locally instead of serializing them
     ManifestWriterFactory(rootStr, kit, writeSchema,
       transforms.map(_.meta), statsCols, strCols, dblCols, decCols,
-      nonce)
+      Nil, nonce)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(rootStr)
     val lines = messages.toSeq.collect {
-      case ManifestWriteMsg(l) if l != null => l
-    }
+      case ManifestWriteMsg(ls) => ls
+    }.flatten
     splice match {
       case Some(rw: ManifestBatchWrite.ReplaceWhere) =>
         // REPLACE WHERE (round 13): the tasks wrote the new-data
@@ -111,9 +116,10 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val data = Paths.get(rootStr).resolve("data")
     messages.foreach {
-      case ManifestWriteMsg(l) if l != null =>
+      case ManifestWriteMsg(ls) => ls.foreach { l =>
         try Files.deleteIfExists(data.resolve(l.split('\t').head)): Unit
         catch { case _: Exception => () } // orphan = vacuum fodder
+      }
       case _ => ()
     }
   }
@@ -123,26 +129,33 @@ private[graft] case class ManifestWriterFactory(rootStr: String,
     kit: bridge.ParquetWriteKit, writeSchema: StructType,
     transformMetas: Seq[String],
     statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
-    decCols: Seq[String], nonce: String) extends DataWriterFactory {
+    decCols: Seq[String], binCols: Seq[String], nonce: String)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new ManifestDataWriter(rootStr, kit, writeSchema,
       transformMetas.map(ManifestTable.parseTransform),
-      statsCols, strCols, dblCols, decCols,
-      s"$nonce-p$partitionId-$taskId.parquet", partitionId, taskId)
+      statsCols, strCols, dblCols, decCols, binCols,
+      s"$nonce-p$partitionId-$taskId", partitionId, taskId)
 }
 
-/** One task's writer: lazily opens its file on the first row (empty
-  * partitions commit nothing), appends the transform columns per row,
-  * and folds min/max for the stats columns as rows stream through.
+/** One task's ROLLING writer: lazily opens a file on the first row
+  * (empty partitions commit nothing), appends the transform columns
+  * per row, folds min/max for the stats columns as rows stream
+  * through, and ROLLS to a fresh file whenever the transform tuple
+  * changes — value-exact files by construction under the write's
+  * transform-sorted required ordering. When `transforms` is empty but
+  * `writeSchema` already CARRIES `__pt*` columns (the layout-aware
+  * OPTIMIZE path, [[ManifestRollingStage]]), the tuple is read from
+  * those columns instead of being computed.
   */
 private[graft] class ManifestDataWriter(rootStr: String,
     kit: bridge.ParquetWriteKit, writeSchema: StructType,
     transforms: Seq[ManifestTable.PartTransform],
     statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
-    decCols: Seq[String], fileName: String, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    decCols: Seq[String], binCols: Seq[String], fileBase: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   // per-row transform evaluation, bit-identical to the stage-time
   // Column expressions (bucket of NULL = pmod(xxhash64-of-nothing) =
@@ -160,6 +173,13 @@ private[graft] class ManifestDataWriter(rootStr: String,
       java.lang.Long.valueOf(java.lang.Math.floorMod(42L, b.n.toLong))
     case _ => null
   }
+  // precomputed-layout mode: roll on the __pt* columns the frame
+  // already carries (the OPTIMIZE path)
+  private val preTupleOrds: Seq[Int] =
+    if (transforms.nonEmpty) Nil
+    else writeSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.name.startsWith("__pt") => i
+    }.toSeq
 
   private abstract class Tracker(val col: String, val ord: Int) {
     def observe(row: InternalRow): Unit
@@ -211,69 +231,175 @@ private[graft] class ManifestDataWriter(rootStr: String,
       if (hi == null || v.compareTo(hi) > 0) hi = v
     }
   }
-
-  private val longTrackers = statsCols.map(c => new LongTracker(c,
-    ordOf(c, dt => dt == LongType || dt == TimestampType ||
-      dt == TimestampNTZType, "BIGINT/timestamp")))
-  private val strTrackers = strCols.map(c => new StrTracker(c,
-    ordOf(c, _ == StringType, "STRING")))
-  private val dblTrackers = dblCols.map(c => new DblTracker(c,
-    ordOf(c, _ == DoubleType, "DOUBLE")))
-  private val decTrackers = decCols.map { c =>
-    val i = writeSchema.fieldIndex(c)
-    writeSchema.fields(i).dataType match {
-      case d: DecimalType => new DecTracker(c, i, d.precision, d.scale)
-      case other => throw new IllegalArgumentException(
-        s"stats column '$c' is not DECIMAL-typed (${other.simpleString})")
+  private class BinTracker(c: String, o: Int) extends Tracker(c, o) {
+    var lo: Array[Byte] = _
+    var hi: Array[Byte] = _
+    private def u8(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    def observe(r: InternalRow): Unit = if (!r.isNullAt(ord)) {
+      val v = r.getBinary(ord)
+      if (lo == null || u8(v, lo) < 0) lo = v.clone()
+      if (hi == null || u8(v, hi) > 0) hi = v.clone()
     }
   }
-  private val trackers: Seq[Tracker] =
-    longTrackers ++ strTrackers ++ dblTrackers ++ decTrackers
+
+  private def mkTrackers(): (Seq[LongTracker], Seq[StrTracker],
+      Seq[DblTracker], Seq[DecTracker], Seq[BinTracker]) = (
+    statsCols.map(c => new LongTracker(c,
+      ordOf(c, dt => dt == LongType || dt == TimestampType ||
+        dt == TimestampNTZType, "BIGINT/timestamp"))),
+    strCols.map(c => new StrTracker(c, ordOf(c, _ == StringType,
+      "STRING"))),
+    dblCols.map(c => new DblTracker(c, ordOf(c, _ == DoubleType,
+      "DOUBLE"))),
+    decCols.map { c =>
+      val i = writeSchema.fieldIndex(c)
+      writeSchema.fields(i).dataType match {
+        case d: DecimalType => new DecTracker(c, i, d.precision, d.scale)
+        case other => throw new IllegalArgumentException(
+          s"stats column '$c' is not DECIMAL-typed (${other.simpleString})")
+      }
+    },
+    binCols.map(c => new BinTracker(c, ordOf(c, _ == BinaryType,
+      "BINARY"))))
 
   private var writer: bridge.RowFileWriter = null
   private var rows = 0L
+  private var fileIdx = 0
+  private var fileName: String = null
+  private var current: (Seq[LongTracker], Seq[StrTracker],
+    Seq[DblTracker], Seq[DecTracker], Seq[BinTracker]) = null
+  private var currentTuple: Seq[Any] = null
+  private val done = scala.collection.mutable.ListBuffer.empty[String]
+  private val opened = scala.collection.mutable.ListBuffer.empty[String]
   private val tRow = new GenericInternalRow(transforms.size)
   private val joined = new JoinedRow()
 
-  override def write(record: InternalRow): Unit = {
-    if (writer == null)
-      writer = kit.open(
-        Paths.get(rootStr).resolve("data").resolve(fileName).toString,
-        partitionId, taskId)
-    var i = 0
-    while (i < transforms.size) {
-      if (record.isNullAt(tSrcOrds(i))) tRow.update(i, tNull(i))
-      else tRow.update(i,
-        java.lang.Long.valueOf(tFns(i)(record.getLong(tSrcOrds(i)))))
-      i += 1
+  private def openNext(): Unit = {
+    fileName = s"$fileBase-f$fileIdx.parquet"
+    fileIdx += 1
+    opened += fileName
+    writer = kit.open(
+      Paths.get(rootStr).resolve("data").resolve(fileName).toString,
+      partitionId, taskId)
+    current = mkTrackers()
+    rows = 0L
+  }
+
+  private def closeCurrent(): Unit = if (writer != null) {
+    writer.close()
+    writer = null
+    if (rows > 0L) {
+      val (lt, st, dt, dct, bt) = current
+      done += FileEntry(fileName,
+        lt.filter(_.seen).map(t => t.col -> (t.lo, t.hi)),
+        st.filter(_.lo != null)
+          .map(t => t.col -> (t.lo.toString, t.hi.toString)),
+        dt.filter(_.seen).map(t => t.col -> (t.lo, t.hi)),
+        dct.filter(_.lo != null)
+          .map(t => t.col -> (BigDecimal(t.lo), BigDecimal(t.hi))),
+        bt.filter(_.lo != null).map(t => t.col ->
+          (FileEntry.binLower(t.lo), FileEntry.binUpper(t.hi)))).line
     }
+  }
+
+  override def write(record: InternalRow): Unit = {
+    // the roll key: computed transform values, or the precomputed
+    // __pt* columns; null when neither (plain single-file write)
+    val tuple: Seq[Any] =
+      if (transforms.nonEmpty) {
+        var i = 0
+        while (i < transforms.size) {
+          if (record.isNullAt(tSrcOrds(i))) tRow.update(i, tNull(i))
+          else tRow.update(i,
+            java.lang.Long.valueOf(tFns(i)(record.getLong(tSrcOrds(i)))))
+          i += 1
+        }
+        (0 until transforms.size).map(tRow.get(_, LongType))
+      } else if (preTupleOrds.nonEmpty)
+        preTupleOrds.map(i =>
+          if (record.isNullAt(i)) null
+          else java.lang.Long.valueOf(record.getLong(i)))
+      else null
+    if (writer == null) openNext()
+    else if (tuple != null && currentTuple != null &&
+        tuple != currentTuple) {
+      closeCurrent()
+      openNext()
+    }
+    currentTuple = tuple
     val out: InternalRow =
       if (transforms.isEmpty) record else joined(record, tRow)
-    trackers.foreach(_.observe(out))
+    val (lt, st, dt, dct, bt) = current
+    lt.foreach(_.observe(out)); st.foreach(_.observe(out))
+    dt.foreach(_.observe(out)); dct.foreach(_.observe(out))
+    bt.foreach(_.observe(out))
     writer.write(out)
-    rows += 1
+    rows += 1L
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    if (rows == 0L) ManifestWriteMsg(null)
-    else ManifestWriteMsg(FileEntry(fileName,
-      longTrackers.filter(_.seen).map(t => t.col -> (t.lo, t.hi)),
-      strTrackers.filter(_.lo != null)
-        .map(t => t.col -> (t.lo.toString, t.hi.toString)),
-      dblTrackers.filter(_.seen).map(t => t.col -> (t.lo, t.hi)),
-      decTrackers.filter(_.lo != null)
-        .map(t => t.col -> (BigDecimal(t.lo), BigDecimal(t.hi)))).line)
+    closeCurrent()
+    ManifestWriteMsg(done.toList)
   }
 
   override def abort(): Unit = {
     if (writer != null) {
       try writer.close() catch { case _: Exception => () }
+      writer = null
+    }
+    opened.foreach { f =>
       try Files.deleteIfExists(
-        Paths.get(rootStr).resolve("data").resolve(fileName)): Unit
+        Paths.get(rootStr).resolve("data").resolve(f)): Unit
       catch { case _: Exception => () }
     }
   }
 
   override def close(): Unit = ()
+}
+
+/** Executor-side ROLLING staging for maintenance rewrites (round 13 —
+  * the layout-aware OPTIMIZE): run `df` (which already CARRIES its
+  * `__pt*` layout columns, transform-sorted within partitions)
+  * through [[ManifestDataWriter]]s via `mapPartitions` over the
+  * InternalRow RDD — one rolling writer per partition, value-exact
+  * stats-carrying files, entry lines collected to the driver
+  * (O(files) — the same bytes the manifest itself is). This is the
+  * staging path that makes compaction PRESERVE storage-partitioned
+  * layouts instead of straddling them.
+  */
+private[graft] object ManifestRollingStage {
+  def stage(df: org.apache.spark.sql.DataFrame, rootStr: String,
+      batch: String, statsCols: Seq[String], strCols: Seq[String],
+      dblCols: Seq[String], decCols: Seq[String], binCols: Seq[String])
+      : Seq[String] = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val kit = bridge.parquetWriteKit(spark, schema)
+    val factory = ManifestWriterFactory(rootStr, kit, schema, Nil,
+      statsCols, strCols, dblCols, decCols, binCols, batch)
+    bridge.internalRows(df).mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val w = factory.createWriter(pid, pid.toLong)
+          .asInstanceOf[ManifestDataWriter]
+        try {
+          it.foreach(w.write)
+          w.commit() match {
+            case ManifestWriteMsg(lines) => lines.iterator
+          }
+        } catch {
+          case e: Throwable => w.abort(); throw e
+        }
+      }
+    }.collect().toSeq
+  }
 }

@@ -182,6 +182,16 @@ object bridge {
     new org.apache.spark.util.SerializableConfiguration(
       spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf())
 
+  /** The DataFrame's physical `RDD[InternalRow]` (round 13 — the
+    * rolling maintenance stage): `QueryExecution.toRdd` without the
+    * Row conversion tax. Rows may be reused per-partition — consumers
+    * must write/copy eagerly.
+    */
+  def internalRows(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+
   /** A serializable per-task parquet writer kit (round 13 — the
     * native V2 BatchWrite): `ParquetUtils.prepareWrite` configures the
     * session's real write support (compression, timestamp encoding,
