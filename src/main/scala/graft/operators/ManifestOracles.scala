@@ -217,6 +217,17 @@ private[operators] object ManifestOracles {
         |       ELSE o_orderkey + 3000000000 END AS o_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "sink_manifest_sorted" ->
+      // the sort-clustered write is a relayout of the same physics
+      """WITH b AS (SELECT max(o_orderkey) // 2 AS lo,
+        |    max(o_orderkey) // 2 + max(o_orderkey) // 8 AS hi
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders CROSS JOIN b
+        |WHERE o_orderkey >= lo AND o_orderkey <= hi
+        |ORDER BY o_orderkey""".stripMargin,
+
     "manifest_optimize_layout" ->
       // fragment + pack is a relayout of the same physics
       """WITH b AS (SELECT max(o_orderkey) // 8 AS lo,

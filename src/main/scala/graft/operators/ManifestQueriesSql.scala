@@ -626,7 +626,59 @@ private[graft] object ManifestSqlOps {
     Paths.get(out).resolve("t")
   }
 
+  /** The write SORT-ORDER lifecycle (round 13, wave 191 — Iceberg's
+    * write.sort-order as a table property): orders inserted from a
+    * SHUFFLED source into a `sortOrder='o_orderkey'` table come out
+    * range-clustered — per-file key bands disjoint (asserted here),
+    * so band predicates skip physically without any layout transform.
+    */
+  private[graft] def sortedSinkRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_sorted_sink",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging).resolve("t")
+      Files.createDirectories(root)
+      ManifestOps.deleteTree(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` " +
+        "TBLPROPERTIES ('statsColumns' = 'o_orderkey', " +
+        "'sortOrder' = 'o_orderkey', 'writeFiles' = '8')")
+      orders.repartition(16)
+        .createOrReplaceTempView("sorted_orders_src")
+      spark.sql(s"INSERT INTO $ident SELECT * FROM sorted_orders_src")
+      val bands = ManifestTable.entriesFor(root,
+          ManifestTable.latestVersion(root))
+        .flatMap(_.band("o_orderkey")).sortBy(_._1)
+      require(bands.size >= 2 && bands.sliding(2).forall {
+          case Seq((_, h1), (l2, _)) => h1 <= l2
+          case _ => true
+        },
+        s"sortOrder files must carry disjoint key bands, got $bands")
+      Files.createFile(Paths.get(staging).resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out).resolve("t")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sink_manifest_sorted" -> { (spark, dir) =>
+      // the sort-clustered write read back through a band filter —
+      // the disjoint layout admits ~1/8 of the files (fixture asserts
+      // disjointness; value equality proves the relayout is lossless)
+      val root = sortedSinkRoot(spark, dir)
+      val orders = Tables.table(spark, dir, "orders")
+      val cat = sqlCatalog(spark)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |WHERE o_orderkey >= ${mx / 2} AND o_orderkey <= ${mx / 2 + mx / 8}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
 
     "manifest_optimize_layout" -> { (spark, dir) =>
       // the packed table read back with a pruned band filter — value

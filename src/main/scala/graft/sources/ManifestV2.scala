@@ -178,7 +178,11 @@ class ManifestV2Table(val root: Path, val snapshot: Int,
     val latest = ManifestTable.latestVersion(root)
     val transforms =
       if (latest == 0) Nil else ManifestTable.partTransforms(root, latest)
-    if (transforms.isEmpty)
+    // a sortOrder table also takes the native path: the clustering
+    // request needs the true V2 write (mergeSchema appends are the
+    // trade — use ALTER TABLE ADD COLUMN first)
+    if (transforms.isEmpty &&
+        !ManifestV2Table.props(root).contains("sortOrder"))
       caps.add(TableCapability.V1_BATCH_WRITE): Unit
     // dynamic partition overwrite (round 13): a single-transform
     // layout replaces exactly the partitions present in the source
@@ -795,7 +799,7 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
     val latest = ManifestTable.latestVersion(root)
     val transforms =
       if (latest == 0) Nil else ManifestTable.partTransforms(root, latest)
-    if (transforms.isEmpty) {
+    if (transforms.isEmpty && !props.contains("sortOrder")) {
       if (dynamic) {
         // unpartitioned dynamic overwrite = full replacement (the
         // Hive/Spark unpartitioned-dynamic rule). Spark has NO V1
@@ -806,7 +810,12 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
       }
       else if (replaceWhere.nonEmpty) replaceWhereWrite
       else v1Write
-    } else nativeWrite(transforms) // replace-where/dynamic ride the splice
+    } else {
+      // transform layout OR a write sort order — both need the true
+      // V2 path (replace-where/dynamic ride the commit splice)
+      if (transforms.isEmpty && dynamic) replace = true
+      nativeWrite(transforms)
+    }
   }
 
   /** `INSERT INTO … REPLACE WHERE cond SELECT …` — one atomic
@@ -929,7 +938,30 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
       colsOf("statsDecimalColumns"),
       bridge.parquetWriteKit(spark, writeSchema),
       "ap" + java.util.UUID.randomUUID().toString.take(8), spliceOpt)
-    if (transforms.isEmpty)
+    // write SORT ORDER (round 13, wave 191 — Iceberg's
+    // write.sort-order): the `sortOrder` table property appends
+    // plain-column sorts AFTER the layout transforms, so the range
+    // exchange clusters each transform value's rows by the sort
+    // tuple across files — per-file bands on the sort columns come
+    // out narrow and near-disjoint (the band-prune payoff), and the
+    // rolling writer keeps every file value-exact regardless
+    val sortCols = props.get("sortOrder").map(_.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    sortCols.foreach(c => require(writeSchema.fieldNames.contains(c),
+      s"sortOrder column '$c' is not in the table schema"))
+    val orderExprs: Array[
+        org.apache.spark.sql.connector.expressions.SortOrder] =
+      (transforms.map(t => org.apache.spark.sql.connector.expressions
+        .Expressions.sort(ManifestV2Table.toV2Transform(t),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)) ++
+       sortCols.map(c => org.apache.spark.sql.connector.expressions
+        .Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING))).toArray
+    if (orderExprs.isEmpty)
       // plain table through the native path (unpartitioned dynamic
       // overwrite): no layout, nothing to require
       return new Write {
@@ -939,25 +971,21 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
     new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-      private def orders: Array[
-          org.apache.spark.sql.connector.expressions.SortOrder] =
-        transforms.map(t => org.apache.spark.sql.connector.expressions
-          .Expressions.sort(ManifestV2Table.toV2Transform(t),
-            org.apache.spark.sql.connector.expressions.SortDirection
-              .ASCENDING)).toArray
-
-      // ORDERED distribution = a range exchange on the transform
-      // tuple: boundaries over few distinct transform values isolate
-      // each value when partitions >= values — the bucket-exact
-      // layout SPJ needs (hash clustering would co-locate arbitrary
-      // far-apart values and widen every per-file band)
+      // ORDERED distribution = a range exchange on the (transform,
+      // sort) tuple: boundaries over few distinct transform values
+      // isolate each value when partitions >= values — the
+      // value-exact layout SPJ needs (hash clustering would co-locate
+      // arbitrary far-apart values and widen every per-file band) —
+      // and the sort suffix splits a hot value's rows into
+      // sort-disjoint files
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
         org.apache.spark.sql.connector.distributions.Distributions
-          .ordered(orders)
+          .ordered(orderExprs)
 
       override def requiredOrdering(): Array[
-          org.apache.spark.sql.connector.expressions.SortOrder] = orders
+          org.apache.spark.sql.connector.expressions.SortOrder] =
+        orderExprs
 
       override def requiredNumPartitions(): Int = targetFiles
 
