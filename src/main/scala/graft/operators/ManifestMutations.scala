@@ -1242,10 +1242,81 @@ trait ManifestMutations { self: ManifestLog with ManifestData
     commit(root, entries.map(_.line), meta)
   }
 
+  // ---- TAGS (round 13, wave 192 — Iceberg's named refs) ----
+
+  private def refsDir(root: Path): Path = root.resolve("_refs")
+
+  private val TagNameRe = "[A-Za-z0-9_.-]{1,128}".r
+
+  /** Create an immutable named ref to a committed version. Refuses an
+    * existing name (Iceberg's create-vs-replace split — replace is
+    * drop+create, never silent); the atomic CREATE_NEW makes two
+    * racing creates resolve to exactly one winner.
+    */
+  def createTag(root: Path, tag: String, version: Int): Unit = {
+    require(TagNameRe.pattern.matcher(tag).matches(),
+      s"invalid tag name '$tag' (allowed: [A-Za-z0-9_.-], ≤128)")
+    val latest = latestVersion(root)
+    require(version >= math.max(1, firstVersion(root)) &&
+      version <= latest,
+      s"cannot tag v$version: committed range is " +
+      s"${math.max(1, firstVersion(root))}..$latest")
+    Files.createDirectories(refsDir(root))
+    try Files.write(refsDir(root).resolve(s"$tag.txt"),
+      version.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$tag' already exists (→ v${resolveTag(root, tag).get})" +
+          " — tags are immutable; drop_tag first to re-point")
+    }
+  }
+
+  def dropTag(root: Path, tag: String): Unit = {
+    require(Files.deleteIfExists(refsDir(root).resolve(s"$tag.txt")),
+      s"no tag '$tag' on $root")
+  }
+
+  /** All named refs, name → version. */
+  def tags(root: Path): Map[String, Int] = {
+    val d = refsDir(root)
+    if (!Files.isDirectory(d)) return Map.empty
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".txt"))
+        .map { p =>
+          p.getFileName.toString.stripSuffix(".txt") ->
+            new String(Files.readAllBytes(p), "UTF-8").trim.toInt
+        }.toMap
+    } finally s.close()
+  }
+
+  def resolveTag(root: Path, tag: String): Option[Int] = {
+    val p = refsDir(root).resolve(s"$tag.txt")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+    else None
+  }
+
   def expireManifests(root: Path, keepFrom: Int): Seq[String] = {
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"expireManifests keepFrom=$keepFrom outside committed 1..$latest")
+    // TAGS RETAIN (wave 192 — Iceberg's rule): a tagged snapshot
+    // never falls below the log-retention horizon; the effective
+    // horizon clamps to the oldest tag
+    val tagged = tags(root).values
+    val keepFromEff =
+      if (tagged.isEmpty) keepFrom else math.min(keepFrom, tagged.min)
+    expireManifestsRaw(root, keepFromEff)
+  }
+
+  private def expireManifestsRaw(root: Path, keepFrom: Int)
+      : Seq[String] = {
+    val latest = latestVersion(root)
     // the checkpoint keepFrom's chain resolves from (chains are
     // parent-linked, so walk until a non-delta manifest; one read per
     // hop)

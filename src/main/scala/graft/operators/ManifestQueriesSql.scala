@@ -662,7 +662,58 @@ private[graft] object ManifestSqlOps {
     Paths.get(out).resolve("t")
   }
 
+  /** The TAG lifecycle (round 13, wave 192 — Iceberg's named refs):
+    * orders committed, tagged 'pre_delete', then a band-scoped CoW
+    * DELETE; the
+    * declared read is `VERSION AS OF 'pre_delete'` — the tag pins the
+    * pre-delete snapshot BY NAME, and log expiry retains it
+    * (Wave192Spec proves retention + immutability; this query proves
+    * the pinned rows).
+    */
+  private[graft] def tagRoot(spark: SparkSession, dir: String): Path = {
+    val out = ArtifactCache.path("manifest_sql_tag",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging).resolve("t")
+      Files.createDirectories(root)
+      ManifestOps.deleteTree(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` " +
+        "TBLPROPERTIES ('statsColumns' = 'o_orderkey')")
+      orders.repartitionByRange(4, col("o_orderkey"))
+        .createOrReplaceTempView("tag_orders_src")
+      spark.sql(s"INSERT INTO $ident SELECT * FROM tag_orders_src")
+      graft.plans.GraftSql.sql(spark,
+        s"CALL $cat.system.create_tag($ident, 'pre_delete', 2)")
+        .collect()
+      // band-shaped predicate: SupportsDelete's V2 translation takes
+      // band+equality shapes (an arithmetic %-predicate does not
+      // translate — the documented DELETE contract)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      spark.sql(s"DELETE FROM $ident WHERE o_orderkey >= ${mx / 3} " +
+        s"AND o_orderkey <= ${mx / 2}")
+      require(ManifestTable.latestVersion(root) == 3,
+        "tag lifecycle = CREATE + INSERT + DELETE")
+      Files.createFile(Paths.get(staging).resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out).resolve("t")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "manifest_sql_tag" -> { (spark, dir) =>
+      // the named ref pins the pre-delete snapshot: the read-back IS
+      // the full source table even though the live table lost %13
+      val root = tagRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)} VERSION AS OF 'pre_delete'
+           |ORDER BY o_orderkey""".stripMargin)
+    },
 
     "sink_manifest_sorted" -> { (spark, dir) =>
       // the sort-clustered write read back through a band filter —

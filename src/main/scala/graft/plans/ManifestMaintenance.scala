@@ -379,10 +379,24 @@ case class CallProcedureCommand(proc: String, args: Seq[String])
           "comma-separated ('' un-partitions)")
         val v = ManifestTable.evolvePartitioning(root, ts)
         Seq(Row(v.toString))
+      case "create_tag" =>
+        // named immutable refs (round 13 — Iceberg tags): readable as
+        // `VERSION AS OF 'name'`, retained through log expiry
+        arity(3, "(table_identifier, 'tag_name', version)")
+        val root = rootAt(0)
+        val tag = unquote(args(1))
+        ManifestTable.createTag(root, tag, args(2).trim.toInt)
+        Seq(Row(tag))
+      case "drop_tag" =>
+        arity(2, "(table_identifier, 'tag_name')")
+        val root = rootAt(0)
+        val tag = unquote(args(1))
+        ManifestTable.dropTag(root, tag)
+        Seq(Row(tag))
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' — known: " +
         "build_bloom_index, expire_manifests, replicate, restore, " +
-        "compact_mor, evolve_partitioning")
+        "compact_mor, evolve_partitioning, create_tag, drop_tag")
     }
   }
 }

@@ -291,13 +291,20 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       pinned = false, s"$catalogName.${ident.toString}")
   }
 
-  /** `VERSION AS OF <v>` — a pinned snapshot. */
+  /** `VERSION AS OF <v>` — a pinned snapshot. A NON-numeric version
+    * resolves as a TAG name (round 13 — Iceberg's named refs):
+    * `VERSION AS OF 'pre_migration'` reads the tagged snapshot.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft-manifest versions are integers, got '$version'")
+      case _: NumberFormatException =>
+        ManifestTable.resolveTag(dir, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"no tag '$version' on $dir — " +
+            s"known: ${ManifestTable.tags(dir).keys.toSeq.sorted
+              .mkString(", ")}"))
     }
     require(v >= 1 && v <= ManifestTable.latestVersion(dir),
       s"no committed version $v at $dir")

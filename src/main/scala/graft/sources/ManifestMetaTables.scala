@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    file counts under NULL).
   */
 private[graft] object ManifestMetaTables {
-  val kinds: Set[String] = Set("files", "history", "partitions")
+  val kinds: Set[String] = Set("files", "history", "partitions", "tags")
 
   def apply(root: Path, kind: String, name: String): Table =
     new ManifestMetaTable(root, kind, name)
@@ -55,6 +55,9 @@ private[graft] class ManifestMetaTable(root: Path, kind: String,
       StructField("transform", StringType, nullable = false),
       StructField("value", LongType, nullable = true),
       StructField("files", LongType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table kind '$other'")
   }
@@ -72,6 +75,7 @@ private[graft] class ManifestMetaTable(root: Path, kind: String,
         case "history" => historyRows()
         case "files" => fileRows()
         case "partitions" => partitionRows()
+        case "tags" => tagRows()
       }
     }
   }
@@ -118,6 +122,12 @@ private[graft] class ManifestMetaTable(root: Path, kind: String,
         value)): InternalRow
     }.toArray
   }
+
+  private def tagRows(): Array[InternalRow] =
+    ManifestTable.tags(root).toSeq.sortBy(_._1).map { case (t, v) =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(t), v.toLong)): InternalRow
+    }.toArray
 
   private def partitionRows(): Array[InternalRow] = singleTransform match {
     case None => Array.empty

@@ -67,11 +67,16 @@ private[graft] object ManifestV2 {
         "graft-manifest-v2 needs .option(\"path\", <table root>)")))
     require(Files.isDirectory(root.resolve("_manifests")),
       s"$root is not a graft manifest table (no _manifests/)")
-    val pinned = parameters.contains("version") || parameters.contains("asof")
+    val pinned = parameters.contains("version") ||
+      parameters.contains("asof") || parameters.contains("tag")
     val version = parameters.get("asof") match {
       case Some(t) => ManifestTable.versionAt(root, t.toLong)
-      case None => parameters.get("version").map(_.toInt)
-        .getOrElse(ManifestTable.latestVersion(root))
+      case None => parameters.get("tag") match {
+        case Some(tag) => ManifestTable.resolveTag(root, tag).getOrElse(
+          throw new IllegalArgumentException(s"no tag '$tag' on $root"))
+        case None => parameters.get("version").map(_.toInt)
+          .getOrElse(ManifestTable.latestVersion(root))
+      }
     }
     new ManifestV2Table(root, version, pinned, s"graft-manifest-v2 $root")
   }
