@@ -217,6 +217,12 @@ private[operators] object ManifestOracles {
         |       ELSE o_orderkey + 3000000000 END AS o_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "manifest_sql_constraint" ->
+      // one accepted batch + one refused batch = the source, exactly
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "manifest_sql_tag" ->
       // the tag pins the PRE-delete snapshot — the full source table
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

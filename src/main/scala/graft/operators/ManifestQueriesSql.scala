@@ -701,7 +701,58 @@ private[graft] object ManifestSqlOps {
     Paths.get(out).resolve("t")
   }
 
+  /** The CHECK-constraint lifecycle (round 13, wave 193 — Delta's
+    * table constraints): a `check.priced='o_totalprice > 0'` table
+    * takes the conforming source whole, then REFUSES a negated-price
+    * batch — the refusal is asserted (nothing may land), and the
+    * read-back equals the source exactly: enforcement leaked zero
+    * rows in either direction.
+    */
+  private[graft] def constraintRoot(spark: SparkSession, dir: String)
+      : Path = {
+    val out = ArtifactCache.path("manifest_sql_constraint",
+      Seq(s"$dir/orders.parquet")) { staging =>
+      val root = Paths.get(staging).resolve("t")
+      Files.createDirectories(root)
+      ManifestOps.deleteTree(root)
+      val orders = Tables.table(spark, dir, "orders")
+      val cat = sqlCatalog(spark)
+      val ident = s"$cat.${sqlIdent(root)}"
+      spark.sql(s"CREATE TABLE $ident (${orders.schema.toDDL}) " +
+        "USING `graft-manifest` " +
+        "TBLPROPERTIES ('statsColumns' = 'o_orderkey', " +
+        "'check.priced' = 'o_totalprice > 0')")
+      orders.createOrReplaceTempView("ck_orders_src")
+      spark.sql(s"INSERT INTO $ident SELECT * FROM ck_orders_src")
+      val refused =
+        try {
+          spark.sql(s"INSERT INTO $ident " +
+            "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, " +
+            "-o_totalprice, o_orderdate, o_orderpriority " +
+            "FROM ck_orders_src")
+          false
+        } catch { case _: Exception => true }
+      require(refused, "the negated-price batch must refuse")
+      require(ManifestTable.latestVersion(root) == 2,
+        "the refused INSERT must not commit")
+      Files.createFile(Paths.get(staging).resolve("_SUCCESS")): Unit
+    }
+    Paths.get(out).resolve("t")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "manifest_sql_constraint" -> { (spark, dir) =>
+      // after one accepted and one refused batch, the table IS the
+      // source — constraint enforcement leaked nothing either way
+      val root = constraintRoot(spark, dir)
+      val cat = sqlCatalog(spark)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, o_orderpriority
+           |FROM $cat.${sqlIdent(root)}
+           |ORDER BY o_orderkey""".stripMargin)
+    },
 
     "manifest_sql_tag" -> { (spark, dir) =>
       // the named ref pins the pre-delete snapshot: the read-back IS

@@ -64,8 +64,36 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
     transforms: Seq[ManifestTable.PartTransform],
     statsCols: Seq[String], strCols: Seq[String], dblCols: Seq[String],
     decCols: Seq[String], kit: bridge.ParquetWriteKit, nonce: String,
-    splice: Option[ManifestBatchWrite.Splice] = None)
+    splice: Option[ManifestBatchWrite.Splice] = None,
+    checks: Seq[(String, String)] = Nil)
     extends BatchWrite {
+
+  /** CHECK constraints against the STAGED files (round 13, wave 193):
+    * the distributed tasks have already written; the commit reads the
+    * new files back under LOGICAL names (one narrow short-circuit job
+    * per constraint) and deletes them all on a violation — nothing
+    * commits. Per-row task-side evaluation would avoid the re-read;
+    * the re-read keeps the predicate evaluation in ordinary Catalyst.
+    */
+  private def enforceOnStaged(lines: Seq[String]): Unit =
+    if (checks.nonEmpty && lines.nonEmpty) {
+      val data = Paths.get(rootStr).resolve("data")
+      val files = lines.map(l => data.resolve(l.split('\t').head))
+      val physRead = StructType(
+        writeSchema.fields.take(logical.fields.length))
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.read.schema(physRead)
+        .parquet(files.map(_.toString): _*)
+        .toDF(logical.fieldNames.toSeq: _*)
+      try ManifestV2Table.enforceChecks(df, checks, s"write to $rootStr")
+      catch {
+        case e: Throwable =>
+          files.foreach(f =>
+            try Files.deleteIfExists(f): Unit
+            catch { case _: Exception => () })
+          throw e
+      }
+    }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
@@ -81,6 +109,7 @@ private[graft] class ManifestBatchWrite(rootStr: String, replace: Boolean,
     val lines = messages.toSeq.collect {
       case ManifestWriteMsg(ls) => ls
     }.flatten
+    enforceOnStaged(lines)
     splice match {
       case Some(rw: ManifestBatchWrite.ReplaceWhere) =>
         // REPLACE WHERE (round 13): the tasks wrote the new-data

@@ -432,6 +432,19 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.widenColumnType(dir, c.fieldNames()(0),
           c.newDataType()): Unit
       case c: TableChange.SetProperty =>
+        // adding a CHECK constraint validates the EXISTING rows first
+        // (Delta's rule — a constraint the current data violates must
+        // not land); non-check properties set unconditionally
+        if (c.property().startsWith("check.") &&
+            ManifestTable.latestVersion(dir) > 0 &&
+            ManifestTable.filesFor(dir,
+              ManifestTable.latestVersion(dir)).nonEmpty) {
+          val df = org.apache.spark.sql.SparkSession.active.read
+            .format("graft-manifest").option("path", dir.toString).load()
+          ManifestV2Table.enforceChecks(df,
+            Seq((c.property().stripPrefix("check."), c.value())),
+            s"the existing rows of ${ident.toString}")
+        }
         ManifestV2Table.writeProps(dir,
           ManifestV2Table.props(dir) + (c.property() -> c.value()))
       case c: TableChange.RemoveProperty =>

@@ -112,6 +112,13 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
         "graft-manifest needs .option(\"path\", <table root>)")))
     Files.createDirectories(root)
     val exists = ManifestTable.latestVersion(root) > 0
+    // CHECK constraints (round 13): `check.*` table properties are a
+    // TABLE contract — enforced on every write path, including this
+    // direct path-based one (short-circuit limit(1) per constraint;
+    // nothing is staged on violation)
+    ManifestV2Table.enforceChecks(df,
+      ManifestV2Table.checks(ManifestV2Table.props(root)),
+      s"write to $root")
     def colsOf(key: String) = parameters.get(key)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)

@@ -269,6 +269,37 @@ private[graft] object ManifestV2Table {
           Expressions.column(tr.srcCol))
     }
   }
+  /** CHECK constraints (round 13, wave 193 — Delta's table
+    * constraints): every `check.<name>` table property is a SQL
+    * predicate enforced on writes. SQL-standard semantics: a row
+    * violates only when the predicate is FALSE — NULL (unknown)
+    * passes, exactly the CHECK rule.
+    */
+  def checks(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect { case (k, v) if k.startsWith("check.") =>
+      (k.stripPrefix("check."), v) }.sortBy(_._1)
+
+  /** Fail loudly when any constraint is FALSE for any row of `df`
+    * (short-circuit limit(1) per constraint).
+    */
+  def enforceChecks(df: DataFrame, cs: Seq[(String, String)],
+      what: String): Unit =
+    cs.foreach { case (n, pred) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val violated =
+        try !df.filter(not(coalesce(expr(pred), lit(true))))
+          .limit(1).isEmpty
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"CHECK constraint '$n' ($pred) does not resolve " +
+              s"against $what: ${e.getMessage}", e)
+        }
+      require(!violated,
+        s"CHECK constraint '$n' violated by $what: ($pred) is FALSE " +
+        "for at least one incoming row")
+    }
+
   /** Durable table properties (`_props.txt`, `k=v` lines) — written by
     * the catalog at CREATE TABLE, consumed by writes (statsColumns /
     * statsStringColumns make every INSERT commit stats-carrying
@@ -942,7 +973,8 @@ class ManifestWriteBuilder(root: Path, props: Map[String, String],
       colsOf("statsStringColumns"), colsOf("statsDoubleColumns"),
       colsOf("statsDecimalColumns"),
       bridge.parquetWriteKit(spark, writeSchema),
-      "ap" + java.util.UUID.randomUUID().toString.take(8), spliceOpt)
+      "ap" + java.util.UUID.randomUUID().toString.take(8), spliceOpt,
+      ManifestV2Table.checks(props))
     // write SORT ORDER (round 13, wave 191 — Iceberg's
     // write.sort-order): the `sortOrder` table property appends
     // plain-column sorts AFTER the layout transforms, so the range
