@@ -1135,7 +1135,7 @@ object ManifestOps extends QueryGroup {
     },
 
 
-  ) ++ ManifestReadOps.queries ++ ManifestSqlOps.queries
+  ) ++ ManifestReadOps.queries ++ ManifestSqlOps.queries ++ ManifestR13Ops.queries
 
 
   def oracle: Map[String, String] = ManifestOracles.map
