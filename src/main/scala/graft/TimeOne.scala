@@ -16,6 +16,9 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // aligned with Bench.scala (r13 opt; see rationale there)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
@@ -25,6 +28,24 @@ object TimeOne {
     // rows+columns incl. final sort); default count() lets Catalyst
     // delete sorts — useful for isolating where time goes
     val noop = sys.env.contains("GRAFT_NOOP")
+    // GRAFT_JOBS=1: per-job wall breakdown (guide §1 — find where a
+    // multi-job query spends its time before touching anything)
+    if (sys.env.contains("GRAFT_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(j.jobId) = (System.nanoTime(),
+              Option(j.properties.getProperty("spark.job.description"))
+                .getOrElse(""))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(j.jobId).foreach { case (t0, d) =>
+              println(f"[job] ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $d")
+            }
+        })
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = if (noop) {

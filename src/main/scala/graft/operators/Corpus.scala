@@ -78,7 +78,13 @@ object Corpus extends QueryGroup {
       v.join(best, v("vid") === best("mv"), "left")
         .select(col("vid"), coalesce(col("new_lbl"), col("vid")).as("lbl"))
     }
+    // r13 opt (guide §3.3/§7.3): the |V|-row label table is referenced
+    // up to three times by graph_modularity (degree sum + both endpoint
+    // label joins), which would inline the 2-round LPA pipeline — two
+    // windows + joins — once per reference; truncating here keeps it
+    // one pass (same labels, oracle-proven)
     round(round(v.select(col("vid"), col("vid").as("lbl"))))
+      .localCheckpoint(false)
   }
 
   def queries = Map(
@@ -929,7 +935,15 @@ object Corpus extends QueryGroup {
         e.join(keep, e("a") === keep("v"), "left_semi")
           .join(keep, e("b") === keep("v"), "left_semi")
       }
-      peel(peel(peel(peel(e0))))
+      // r13 opt (guide §3.3/§7.3): `peel` references its input THREE
+      // times (degree agg + two semi-joins), so nesting 4 rounds
+      // inlines 3⁴ = 81 copies of e0's subtree — the before-plan was
+      // 7.4k lines / 324 scan nodes and Catalyst spent ~2 s planning
+      // it (~75% of the query's wall). localCheckpoint between rounds
+      // truncates lineage — same per-round O(|E|) work, constant-size
+      // plans; identical rows (same peeling), oracle-proven.
+      peel(peel(peel(peel(e0).localCheckpoint())
+        .localCheckpoint()).localCheckpoint())
         .groupBy(col("a").as("vid")).agg(count(lit(1)).as("degree"))
         .orderBy("vid")
     },

@@ -134,6 +134,14 @@ object DataEng extends QueryGroup {
       val p = tr.join(ftot, "from_type")
         .select(col("from_type"), col("to_type"),
           (col("n").cast("double") / col("nf").cast("double")).as("p"))
+        // r13 opt — the topEigvec discipline (LlmVectors.topEigvec):
+        // each unrolled step references its input twice (the normalizing
+        // total + the product), so three nested steps inline ~2³ copies
+        // of the corpus-scale transition pipeline into one plan;
+        // truncating at the |types|²-row matrix keeps the events scan
+        // at ONE pass and the per-step plans constant-size (same rows,
+        // oracle-proven; guide §3.3/§7.3)
+        .localCheckpoint(false)
       def step(pi: org.apache.spark.sql.DataFrame) = {
         val s = p.join(pi, p("from_type") === pi("t"))
           .select(col("to_type"), (col("p") * col("pi")).cast(dec).as("m"))

@@ -56,14 +56,47 @@ object Reporting extends QueryGroup {
             col("n_orphans"))
       }
       val li = Tables.table(spark, dir, "lineitem")
+      // r13 opt (guide §1.2 step 1 — don't re-read what one pass can
+      // answer): the three lineitem edges each scanned the fact table
+      // separately; one scan with all three parent-key left joins plus
+      // a 3-row struct explode produces byte-identical audit rows from
+      // a SINGLE pass over the child — at 100 TB this is 1× the fact
+      // table instead of 3×. The per-edge shape (left join + counting
+      // agg) is unchanged; the small dims still broadcast.
+      def keys(df: org.apache.spark.sql.DataFrame, pk: String, as: String,
+          hit: String) =
+        df.select(col(pk).cast("long").as(as)).distinct()
+          .withColumn(hit, lit(1))
+      val liOne = li
+        .select(col("l_orderkey").cast("long").as("ko"),
+          col("l_partkey").cast("long").as("kp"),
+          col("l_suppkey").cast("long").as("ks"))
+        .join(keys(Tables.table(spark, dir, "orders"), "o_orderkey",
+          "ko", "hit_o"), Seq("ko"), "left")
+        .join(keys(Tables.table(spark, dir, "part"), "p_partkey",
+          "kp", "hit_p"), Seq("kp"), "left")
+        .join(keys(Tables.table(spark, dir, "supplier"), "s_suppkey",
+          "ks", "hit_s"), Seq("ks"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count_distinct(col("ko")).as("nk_o"),
+          sum(when(col("hit_o").isNull, 1L).otherwise(0L)).as("no_o"),
+          count_distinct(col("kp")).as("nk_p"),
+          sum(when(col("hit_p").isNull, 1L).otherwise(0L)).as("no_p"),
+          count_distinct(col("ks")).as("nk_s"),
+          sum(when(col("hit_s").isNull, 1L).otherwise(0L)).as("no_s"))
+        .select(explode(array(
+          struct(lit("lineitem.orderkey").as("fk"), col("n_child"),
+            col("nk_o").as("n_keys"), col("no_o").as("n_orphans")),
+          struct(lit("lineitem.partkey").as("fk"), col("n_child"),
+            col("nk_p").as("n_keys"), col("no_p").as("n_orphans")),
+          struct(lit("lineitem.suppkey").as("fk"), col("n_child"),
+            col("nk_s").as("n_keys"), col("no_s").as("n_orphans"))))
+          .as("r"))
+        .select(col("r.fk").as("fk"), col("r.n_child").as("n_child"),
+          col("r.n_keys").as("n_keys"), col("r.n_orphans").as("n_orphans"))
       audit("customer.nationkey", Tables.table(spark, dir, "customer"),
           "c_nationkey", Tables.table(spark, dir, "nation"), "n_nationkey")
-        .unionAll(audit("lineitem.orderkey", li, "l_orderkey",
-          Tables.table(spark, dir, "orders"), "o_orderkey"))
-        .unionAll(audit("lineitem.partkey", li, "l_partkey",
-          Tables.table(spark, dir, "part"), "p_partkey"))
-        .unionAll(audit("lineitem.suppkey", li, "l_suppkey",
-          Tables.table(spark, dir, "supplier"), "s_suppkey"))
+        .unionAll(liOne)
         .unionAll(audit("orders.custkey", Tables.table(spark, dir, "orders"),
           "o_custkey", Tables.table(spark, dir, "customer"), "c_custkey"))
         .orderBy("fk")

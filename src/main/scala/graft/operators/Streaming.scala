@@ -150,11 +150,17 @@ object Streaming extends QueryGroup {
     // cluster instead (the setting is pinned per-query at first start).
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    spark.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // measurement hook (guide §1): per-batch duration breakdown
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-debug] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
