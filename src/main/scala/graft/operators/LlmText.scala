@@ -972,6 +972,9 @@ object LlmText extends QueryGroup {
         .withColumn("canonical", coalesce(col("component"), col("doc_id")))
         .withColumn("rn", row_number().over(wsur))
         .filter(col("rn") === 1)
+        // r13 opt: two consumers (the token total + the funnel counts)
+        // each re-ran the survivor join + window without this barrier
+        .localCheckpoint(false)
       val tot = kept.agg(sum("ntok").as("tok_total"))
       val raw = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_raw"))
       val gc = gated.groupBy("source", "lang").agg(count(lit(1)).as("n_gated"))

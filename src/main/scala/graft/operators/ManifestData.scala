@@ -107,21 +107,40 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       decCols.nonEmpty || binCols.nonEmpty,
       "stageWithTypedStats needs at least one stats column")
     val spark = df.sparkSession
-    stage(df, root, batch).flatMap { rel =>
-      // count first: emptiness must be decided by ROWS, not by a null
-      // min (an all-null stats column in a non-empty file would
-      // otherwise delete live data); per-column null bounds are simply
-      // not recorded — the file is then admitted unconditionally for
-      // that column, the only-skip-provably-empty rule
-      val aggs = count(lit(1)) +:
-        (longCols ++ strCols ++ dblCols ++ decCols ++ binCols)
-          .flatMap(c => Seq(min(c), max(c)))
-      val mm = spark.read.schema(df.schema)
-        .parquet(root.resolve("data").resolve(rel).toString)
-        .agg(aggs.head, aggs.tail: _*).head()
-      if (mm.getLong(0) == 0L) { // empty partition's file: not live
+    val staged = stage(df, root, batch)
+    if (staged.isEmpty) return Nil
+    // ONE stats job for the whole commit (r13 opt; the ManifestBloom
+    // one-job-build discipline): the old shape ran one driver-sequential
+    // Spark job PER staged file — O(files) jobs per commit, which at a
+    // 10k-file production commit is 10k scheduler round-trips for work
+    // that is a single grouped aggregate. Group rows by their source
+    // file instead: one scan of the staged set, one agg, O(files) rows
+    // back. Emptiness is still decided by ROWS — an empty file yields
+    // no group at all and is deleted below, and per-column null bounds
+    // are still simply not recorded (the only-skip-provably-empty rule).
+    val aggs = count(lit(1)) +:
+      (longCols ++ strCols ++ dblCols ++ decCols ++ binCols)
+        .flatMap(c => Seq(min(c), max(c)))
+    val data = root.resolve("data")
+    val byFile = spark.read.schema(df.schema)
+      .parquet(staged.map(r => data.resolve(r).toString): _*)
+      .groupBy(input_file_name().as("__graft_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { full =>
+        val name = java.net.URLDecoder.decode(
+          full.getString(0).substring(full.getString(0).lastIndexOf('/') + 1),
+          "UTF-8")
+        // drop the grouping column so every downstream index matches
+        // the historical single-file agg row layout exactly
+        name -> org.apache.spark.sql.Row.fromSeq(full.toSeq.drop(1))
+      }.toMap
+    staged.flatMap { rel =>
+      val mmOpt = byFile.get(rel)
+      if (mmOpt.isEmpty) { // empty partition's file: no rows → not live
         Files.delete(root.resolve("data").resolve(rel)); None
       } else {
+        val mm = mmOpt.get
         def longAt(i: Int): Long = FileEntry.microsOf(mm.get(i)).getOrElse(
           throw new IllegalArgumentException(
             s"stats column is neither BIGINT nor a timestamp: ${mm.get(i)}"))
