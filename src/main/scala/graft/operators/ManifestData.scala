@@ -128,13 +128,25 @@ trait ManifestData { self: ManifestLog with ManifestMutations
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { full =>
-        val name = java.net.URLDecoder.decode(
-          full.getString(0).substring(full.getString(0).lastIndexOf('/') + 1),
-          "UTF-8")
+        // input_file_name() is a URI string: decode %-escapes via URI
+        // (URLDecoder is for query strings — it would also turn a
+        // literal '+' in a caller-chosen batch name into a space, and
+        // throws on a bare '%'), then take the basename
+        val p = new java.net.URI(full.getString(0)).getPath
+        val name = p.substring(p.lastIndexOf('/') + 1)
         // drop the grouping column so every downstream index matches
         // the historical single-file agg row layout exactly
         name -> org.apache.spark.sql.Row.fromSeq(full.toSeq.drop(1))
       }.toMap
+    // a lookup MISS below means "empty file" and deletes the staged
+    // file — that is only sound if every grouped name matched a staged
+    // rel, so refuse to proceed when decoding produced an unknown name
+    // (r13 ADVICE: a silent mismatch would drop that file's rows from
+    // the commit instead of failing)
+    val unmatched = byFile.keySet.diff(staged.toSet)
+    require(unmatched.isEmpty,
+      s"stats rows reference non-staged files (name decode mismatch): " +
+        unmatched.mkString(", "))
     staged.flatMap { rel =>
       val mmOpt = byFile.get(rel)
       if (mmOpt.isEmpty) { // empty partition's file: no rows → not live

@@ -56,47 +56,44 @@ object Reporting extends QueryGroup {
             col("n_orphans"))
       }
       val li = Tables.table(spark, dir, "lineitem")
-      // r13 opt (guide §1.2 step 1 — don't re-read what one pass can
-      // answer): the three lineitem edges each scanned the fact table
-      // separately; one scan with all three parent-key left joins plus
-      // a 3-row struct explode produces byte-identical audit rows from
-      // a SINGLE pass over the child — at 100 TB this is 1× the fact
-      // table instead of 3×. The per-edge shape (left join + counting
-      // agg) is unchanged; the small dims still broadcast.
-      def keys(df: org.apache.spark.sql.DataFrame, pk: String, as: String,
-          hit: String) =
-        df.select(col(pk).cast("long").as(as)).distinct()
-          .withColumn(hit, lit(1))
-      val liOne = li
+      // r14 opt (r13-VERDICT item 3; guide §1.2 step 1): the r13 shape
+      // kept ONE fact scan but paid for it with THREE count_distincts in
+      // one Aggregate — Catalyst plans multi-distinct via Expand, which
+      // pushed ~4× the fact rows through the partial agg and measured
+      // SLOWER than r12's 3-scan shape in both cold suites (driver
+      // 0.90 → 2.02, builder 1.50 → 1.70). This shape keeps the single
+      // scan WITHOUT the Expand: lazily checkpoint the 3-column key
+      // projection (24 B/row — at 100 TB this is the narrow proxy of
+      // guide §8, one pass over the fact table), then run the three
+      // per-edge audits over the checkpointed keys — each a broadcast
+      // left join + a SINGLE-distinct agg, which Catalyst plans as a
+      // two-phase hash agg with no row multiplication. Byte-identical
+      // audit rows (the r12 per-edge shape, minus the re-scans).
+      val liKeys = li
         .select(col("l_orderkey").cast("long").as("ko"),
           col("l_partkey").cast("long").as("kp"),
           col("l_suppkey").cast("long").as("ks"))
-        .join(keys(Tables.table(spark, dir, "orders"), "o_orderkey",
-          "ko", "hit_o"), Seq("ko"), "left")
-        .join(keys(Tables.table(spark, dir, "part"), "p_partkey",
-          "kp", "hit_p"), Seq("kp"), "left")
-        .join(keys(Tables.table(spark, dir, "supplier"), "s_suppkey",
-          "ks", "hit_s"), Seq("ks"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          count_distinct(col("ko")).as("nk_o"),
-          sum(when(col("hit_o").isNull, 1L).otherwise(0L)).as("no_o"),
-          count_distinct(col("kp")).as("nk_p"),
-          sum(when(col("hit_p").isNull, 1L).otherwise(0L)).as("no_p"),
-          count_distinct(col("ks")).as("nk_s"),
-          sum(when(col("hit_s").isNull, 1L).otherwise(0L)).as("no_s"))
-        .select(explode(array(
-          struct(lit("lineitem.orderkey").as("fk"), col("n_child"),
-            col("nk_o").as("n_keys"), col("no_o").as("n_orphans")),
-          struct(lit("lineitem.partkey").as("fk"), col("n_child"),
-            col("nk_p").as("n_keys"), col("no_p").as("n_orphans")),
-          struct(lit("lineitem.suppkey").as("fk"), col("n_child"),
-            col("nk_s").as("n_keys"), col("no_s").as("n_orphans"))))
-          .as("r"))
-        .select(col("r.fk").as("fk"), col("r.n_child").as("n_child"),
-          col("r.n_keys").as("n_keys"), col("r.n_orphans").as("n_orphans"))
+        .localCheckpoint(false) // lazy: materializes inside the one job
+      def liEdge(name: String, fk: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val pkeys = parent.select(col(pk).cast("long").as("k")).distinct()
+          .withColumn("hit", lit(1))
+        liKeys.select(col(fk).as("k"))
+          .join(pkeys, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count_distinct(col("k")).as("n_keys"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_keys"),
+            col("n_orphans"))
+      }
       audit("customer.nationkey", Tables.table(spark, dir, "customer"),
           "c_nationkey", Tables.table(spark, dir, "nation"), "n_nationkey")
-        .unionAll(liOne)
+        .unionAll(liEdge("lineitem.orderkey", "ko",
+          Tables.table(spark, dir, "orders"), "o_orderkey"))
+        .unionAll(liEdge("lineitem.partkey", "kp",
+          Tables.table(spark, dir, "part"), "p_partkey"))
+        .unionAll(liEdge("lineitem.suppkey", "ks",
+          Tables.table(spark, dir, "supplier"), "s_suppkey"))
         .unionAll(audit("orders.custkey", Tables.table(spark, dir, "orders"),
           "o_custkey", Tables.table(spark, dir, "customer"), "c_custkey"))
         .orderBy("fk")
