@@ -21,9 +21,9 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // aligned with Bench.scala (r13 opt; see rationale there)
+      // aligned with Bench.scala (r14 adjudication; see rationale there)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     dirs.foreach { dir =>

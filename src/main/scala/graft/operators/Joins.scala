@@ -188,7 +188,13 @@ object Joins extends QueryGroup {
       // on the full key yields the same global order with no output
       // exchange. The same shape is the 100 TB plan: sort the dimension
       // stream, fan out, never reshuffle the blown-up pair stream.
-      val part = Tables.table(spark, dir, "part")
+      // r14: 64k-floor child session — the 20k-row range exchange is
+      // byte-small but fans out 390× through the broadcast join and the
+      // within-partition sort; the 1m default coalesces it to one task
+      // (measured +0.46-1.01 s in all three 32c A/B pairs —
+      // [[QueryGroup.cpuDenseSession]])
+      val s2 = QueryGroup.cpuDenseSession(spark)
+      val part = Tables.table(s2, dir, "part")
       part.as("a")
         .repartitionByRange(col("a.p_brand"), col("a.p_partkey"))
         .join(broadcast(part.as("b")),

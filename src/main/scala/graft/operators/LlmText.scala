@@ -507,7 +507,12 @@ object LlmText extends QueryGroup {
       // once was measured at sf0.1 and does NOT help — 2.7 s either way,
       // the window ranking + joins dominate, not the re-hashing — so the
       // plan stays fully declarative)
-      val t = sigTable(spark, Tables.table(spark, dir, "documents"))
+      // r14: 64k-floor child session — the prefix-rank window and the
+      // merge-walk rescore are CPU-dense over byte-small shuffles; the
+      // 1m default serializes them (measured 2.55-2.75 s vs 1.15-1.41 s
+      // in all three 32c A/B pairs — [[QueryGroup.cpuDenseSession]])
+      val s2 = QueryGroup.cpuDenseSession(spark)
+      val t = sigTable(s2, Tables.table(s2, dir, "documents"))
         .select(col("doc_id"), col("source"), col("shs"), col("nt"))
       val post = t.select(col("doc_id"), col("source"), col("nt"),
         explode(col("shs")).as("h"))

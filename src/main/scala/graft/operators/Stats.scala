@@ -225,7 +225,11 @@ object Stats extends QueryGroup {
       // division. Plan: ONE user_id exchange, two in-partition sorts
       // (by t, by v) feeding the four window functions, one keyed agg —
       // the entity-keyed window discipline, no unpartitioned window.
-      val ev = Tables.events(spark, dir)
+      // r14: 64k-floor child session — four window functions over two
+      // in-partition sorts on one byte-small exchange; the 1m default
+      // serializes them (+0.18-0.53 s in all three 32c A/B pairs —
+      // [[QueryGroup.cpuDenseSession]])
+      val ev = Tables.events(QueryGroup.cpuDenseSession(spark), dir)
         .select(col("user_id"), col("ts_us").as("t"), col("value").as("v"))
       import org.apache.spark.sql.expressions.Window
       val wu = Window.partitionBy("user_id")

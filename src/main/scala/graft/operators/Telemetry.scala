@@ -771,7 +771,11 @@ object Telemetry extends QueryGroup {
         .partitionBy("user_id", "event_type")
         .orderBy("ts_us", "event_id")
       val probes = "array(0.5D, 0.9D, 0.99D)"
-      Tables.events(spark, dir)
+      // r14: 64k-floor child session — lag window + exact-percentile
+      // map over a byte-small exchange; the 1m default serializes it
+      // (+0.19-0.32 s in all three 32c A/B pairs —
+      // [[QueryGroup.cpuDenseSession]])
+      Tables.events(graft.QueryGroup.cpuDenseSession(spark), dir)
         .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
         .filter(col("gap_us").isNotNull)
         .groupBy("event_type")
@@ -804,7 +808,11 @@ object Telemetry extends QueryGroup {
       // null ordering: Spark sorts nulls FIRST, DuckDB LAST — a silent
       // cross-engine divergence if ties ever ordered by a null column).
       val day = 86400000000L
-      val ev = Tables.events(spark, dir)
+      // r14: 64k-floor child session — four IGNORE-NULLS frames in one
+      // WindowExec on a byte-small exchange; the 1m default serializes
+      // it (+0.43-0.52 s in all three 32c A/B pairs —
+      // [[QueryGroup.cpuDenseSession]])
+      val ev = Tables.events(graft.QueryGroup.cpuDenseSession(spark), dir)
         .select(col("user_id"), col("ts_us").as("t"),
           col("value").as("v"), col("event_id").as("tie"))
       val grid = ev.groupBy("user_id")

@@ -426,7 +426,11 @@ object Windows extends QueryGroup {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.events(spark, dir)
+      // r14: 64k-floor child session — the per-row lambda fold over the
+      // 10-element frame is CPU-dense on a byte-small exchange; the 1m
+      // default serializes it (+0.25-0.37 s in all three 32c A/B pairs
+      // — [[QueryGroup.cpuDenseSession]])
+      Tables.events(QueryGroup.cpuDenseSession(spark), dir)
         .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
         .withColumn("arr", collect_list("value").over(w))
         .withColumn("s", aggregate(
